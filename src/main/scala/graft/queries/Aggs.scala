@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import U._
+
+/** SURVEY §2.4 aggregations.
+  *
+  * Scale notes: every aggregate here is a plain `groupBy.agg`, which Spark
+  * plans as partial (map-side combine) + final HashAggregate around one
+  * shuffle on the group keys — the MapReduce combiner, for free. Group-key
+  * cardinalities are all small or key-bounded, so no skew handling is
+  * needed; AQE would split a hot key if the data changed. Floating sums go
+  * through DECIMAL(18,4) (see U.dsum) for order-independence.
+  */
+object Aggs {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, Q] = Map(
+    // Flagship — TPC-H Q1 shape (scan → filter → partial/final agg → sort).
+    "q_agg_groupby" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(revenue).as("sum_disc_price"),
+          dsum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct_count" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("uniq_custs"))
+        .orderBy("o_orderstatus")),
+
+    // HLL sketch — deterministic (register merge is a commutative max) but
+    // not DuckDB-comparable; property-tested against exact ±5% instead.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    "q_agg_grouping_sets" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(revenue).as("revenue"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("revenue"))
+        .orderBy("rf", "ls")),
+
+    "q_agg_rollup" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("y"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("y"), lit(-1)).as("yr"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("cnt"), col("total"))
+        .orderBy("yr", "pri")),
+
+    "q_agg_cube" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    "q_agg_conditional" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          coalesce(dsum(when(col("event_type") === "purchase", col("value"))),
+            lit(0.0)).as("purchase_value"),
+          count(when(col("event_type") === "click", lit(1))).as("click_cnt"))
+        .orderBy("bucket")),
+
+    "q_agg_collect_sorted" -> ((s, d) => {
+      val n = Tables(s, d, "nation")
+      val sup = Tables(s, d, "supplier")
+      n.join(sup, col("n_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+        .orderBy("n_name")
+    }),
+
+    "q_agg_having" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 12)
+        .orderBy("o_custkey"))
+  )
+
+  private val oRev = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${oDsum("l_quantity")} AS sum_qty,
+            ${oDsum("l_extendedprice")} AS sum_base_price,
+            ${oDsum(oRev)} AS sum_disc_price,
+            ${oDsum(s"$oRev * (CAST(1.0 AS DOUBLE) + l_tax)")} AS sum_charge,
+            ${oDavg("l_quantity")} AS avg_qty,
+            ${oDavg("l_extendedprice")} AS avg_price,
+            ${oDavg("l_discount")} AS avg_disc,
+            COUNT(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_distinct_count" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uniq_custs
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_agg_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+            COALESCE(l_linestatus, 'ALL') AS ls,
+            COUNT(*) AS cnt, ${oDsum(oRev)} AS revenue
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY rf, ls""",
+
+    "q_agg_rollup" ->
+      s"""SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1) AS yr,
+            COALESCE(o_orderpriority, 'ALL') AS pri,
+            COUNT(*) AS cnt, ${oDsum("o_totalprice")} AS total
+          FROM orders
+          GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+          ORDER BY yr, pri""",
+
+    "q_agg_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+            COALESCE(l_linestatus, 'ALL') AS ls,
+            COUNT(*) AS cnt, ${oDsum("l_quantity")} AS sum_qty
+          FROM lineitem
+          GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY rf, ls""",
+
+    "q_agg_conditional" ->
+      s"""SELECT user_id % 10 AS bucket,
+            COALESCE(${oDsum("CASE WHEN event_type = 'purchase' THEN value END")},
+              CAST(0 AS DOUBLE)) AS purchase_value,
+            COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_cnt
+          FROM events GROUP BY bucket ORDER BY bucket""",
+
+    "q_agg_collect_sorted" ->
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+         FROM nation JOIN supplier ON n_nationkey = s_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS cnt FROM orders
+         GROUP BY o_custkey HAVING COUNT(*) > 12 ORDER BY o_custkey"""
+  )
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** SURVEY §2.3 joins.
+  *
+  * Scale notes: physical join shapes are pinned with hints where the query
+  * name promises one (shuffle-hash, sort-merge) and dimension tables are
+  * explicitly `broadcast()` so the 100 TB plan never shuffles the fact side
+  * against a KB-scale dim. The theta/range self-join keeps an equi-key
+  * (custkey) so Spark plans a hash/merge join with the range as a residual
+  * filter instead of a cartesian BNLJ. The as-of join deliberately avoids
+  * the quadratic pair-then-filter shape: it is a single window pass
+  * (shuffle once by user), which survives arbitrarily long histories.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    "q_join_inner_hash" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      o.join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_broadcast" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val n = Tables(s, d, "nation")
+      val r = Tables(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(c("c_custkey"), n("n_name"), r("r_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_sortmerge" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_join_left_outer" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), o("o_orderkey"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
+    "q_join_full_outer" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier")
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("s_cnt"))
+      val cus = Tables(s, d, "customer")
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("c_cnt"))
+      sup.join(cus, sup("sk") === cus("ck"), "full")
+        .select(
+          coalesce(col("sk"), lit(-1)).as("snk"),
+          coalesce(col("ck"), lit(-1)).as("cnk"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"))
+        .orderBy("snk", "cnk")
+    }),
+
+    "q_join_left_semi" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q_join_left_anti" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      // anti against urgent orders (every customer has *some* order in this
+      // data, so a bare no-orders anti-join would be empty at small sf)
+      val o = Tables(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q_join_cross" -> ((s, d) =>
+      Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")),
+
+    "q_join_theta_range" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val o1 = o.select(col("o_custkey").as("ck1"), col("o_orderkey").as("k1"),
+        col("o_orderdate").as("d1"))
+      val o2 = o.select(col("o_custkey").as("ck2"), col("o_orderkey").as("k2"),
+        col("o_orderdate").as("d2"))
+      // Equi-key on custkey keeps this off the BNLJ cliff; the date range is
+      // a residual predicate evaluated inside each hash bucket.
+      o1.join(o2, col("ck1") === col("ck2")
+          && col("d2") > col("d1")
+          && col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+        .select(col("k1").as("o1_key"), col("k2").as("o2_key"))
+        .orderBy("o1_key", "o2_key")
+    }),
+
+    "q_join_asof" -> ((s, d) => {
+      // Most recent prior click for each purchase of the same user.
+      // events.ts is strictly ascending with event_id, so event_id is a
+      // faithful (and µs/ns-truncation-proof) time axis; max-over-prefix of
+      // click ids IS the as-of match. One shuffle by user_id, O(n) state.
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("last_click_id",
+          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"))
+        .orderBy("purchase_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q_join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+
+    "q_join_sortmerge" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+            ${oDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, o_orderkey
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "q_join_full_outer" ->
+      """SELECT COALESCE(sk, -1) AS snk, COALESCE(ck, -1) AS cnk,
+           COALESCE(s_cnt, 0) AS s_cnt, COALESCE(c_cnt, 0) AS c_cnt
+         FROM (SELECT s_nationkey AS sk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) s
+         FULL JOIN (SELECT c_nationkey AS ck, COUNT(*) AS c_cnt FROM customer GROUP BY 1) c
+           ON s.sk = c.ck
+         ORDER BY snk, cnk""",
+
+    "q_join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q_join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "q_join_theta_range" ->
+      """SELECT o1.o_orderkey AS o1_key, o2.o_orderkey AS o2_key
+         FROM orders o1 JOIN orders o2
+           ON o1.o_custkey = o2.o_custkey
+          AND o2.o_orderdate > o1.o_orderdate
+          AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+         ORDER BY o1_key, o2_key""",
+
+    "q_join_asof" ->
+      """SELECT user_id, purchase_id, COALESCE(last_click_id, -1) AS last_click_id
+         FROM (SELECT user_id, event_id AS purchase_id, event_type,
+                 MAX(CASE WHEN event_type = 'click' THEN event_id END)
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+               FROM events)
+         WHERE event_type = 'purchase'
+         ORDER BY purchase_id"""
+  )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** SURVEY §2.9 — batch twins of the streaming queries.
+  *
+  * These ARE the declared/oracled queries; the Structured Streaming
+  * versions live in `graft.streaming.Streams` and are proven equivalent to
+  * these twins in the test suite (streaming output is incremental, not
+  * hash-stable, so it cannot be the oracle target itself).
+  *
+  * Window buckets are computed with pure integer arithmetic on floored
+  * epoch seconds (`es - es % 600`), identical in Spark and DuckDB and
+  * immune to the parquet-ns/Spark-µs timestamp precision gap.
+  */
+object StreamTwins {
+
+  private def withEs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "events").withColumn("es", epochS(col("ts")))
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> ((s, d) =>
+      withEs(s, d)
+        .groupBy((col("es") - pmod(col("es"), lit(600L))).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+        .orderBy("bucket", "event_type")),
+
+    "q_stream_sliding" -> ((s, d) =>
+      // 30-min window sliding 10 min: each event lands in 3 windows.
+      withEs(s, d)
+        .select(col("es"), col("value"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+        .groupBy((col("es") - pmod(col("es"), lit(600L)) - col("k") * 600).as("win_start"))
+        .agg(count(lit(1)).as("cnt"), davg(col("value")).as("avg_value"))
+        .orderBy("win_start")),
+
+    "q_stream_session" -> ((s, d) => {
+      val byId = Window.partitionBy("user_id").orderBy("event_id")
+      val cum = byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withEs(s, d)
+        .select(col("user_id"), col("event_id"), col("es"))
+        .withColumn("prev_es", lag(col("es"), 1).over(byId))
+        .withColumn("new_sess",
+          when(col("prev_es").isNull || col("es") - col("prev_es") > 900, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("es")).as("start_s"), max(col("es")).as("end_s"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    "q_stream_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q_stream_stateful_count" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).cast("long").as("purchase_seq"))
+        .orderBy("event_id")
+    }),
+
+    "q_stream_join_static" -> ((s, d) =>
+      Tables(s, d, "events")
+        .join(Tables(s, d, "customer"), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+        .orderBy("c_mktsegment"))
+  )
+
+  private val esSql = "(epoch_ms(ts) // 1000)"
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT $esSql - ($esSql % 600) AS bucket, event_type,
+            COUNT(*) AS cnt, ${oDsum("value")} AS total
+          FROM events GROUP BY bucket, event_type
+          ORDER BY bucket, event_type""",
+
+    "q_stream_sliding" ->
+      s"""WITH e AS (SELECT $esSql AS es, value FROM events)
+          SELECT es - (es % 600) - k * 600 AS win_start,
+            COUNT(*) AS cnt, ${oDavg("value")} AS avg_value
+          FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) offs
+          GROUP BY win_start ORDER BY win_start""",
+
+    "q_stream_session" ->
+      s"""WITH e AS (SELECT user_id, event_id, $esSql AS es FROM events),
+          f AS (SELECT user_id, event_id, es,
+                  CASE WHEN lag(es) OVER w IS NULL
+                         OR es - lag(es) OVER w > 900 THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+          g AS (SELECT user_id, es,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+                FROM f)
+          SELECT user_id, sess_id, COUNT(*) AS n_events,
+            MIN(es) AS start_s, MAX(es) AS end_s
+          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+
+    "q_stream_stateful_count" ->
+      """SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS purchase_seq
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "q_stream_join_static" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oDsum("value")} AS total
+          FROM events JOIN customer ON user_id = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers enforcing the SURVEY §7.4 determinism rules.
+  *
+  * The driver hash-compares each query's parquet output against DuckDB, so
+  * every floating aggregate must be order-independent: we cast the per-row
+  * double expression (bitwise identical in both engines) to DECIMAL(18,4),
+  * sum exactly, and emit as double. Summing raw doubles would drift with
+  * partition count / merge order and flip low decimals run-to-run.
+  */
+object U {
+  /** Query signature used throughout: (session, sfDir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  // Scale 6, not 4: the testdata's doubles carry at most 2 decimal digits,
+  // so row-level products (price·(1−disc)·(1+tax)) carry at most 6 — at
+  // scale 6 the decimal grid point is ~5e-7 away from the nearest rounding
+  // boundary while the double sits within ~1e-11 of the grid, so Spark's
+  // exact BigDecimal cast and DuckDB's scaled-multiply cast agree on every
+  // row. At scale 4 they disagreed on boundary rows (observed 3e-4 drift).
+  val D: DecimalType = DecimalType(18, 6)
+
+  /** Order-independent exact sum of a double expression, emitted as double. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Exact-sum-based mean, emitted as double (same division in DuckDB). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Epoch seconds (floored) of a timestamp column — safe to output where
+    * raw timestamps are not (parquet ns vs Spark µs truncation). */
+  def epochS(c: Column): Column = c.cast("long")
+
+  def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** DuckDB fragment: order-independent decimal sum of a double expr. */
+  def oDsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+
+  def oDavg(expr: String): String = s"${oDsum(expr)} / COUNT(*)"
+}

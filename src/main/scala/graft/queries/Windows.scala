@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** SURVEY §2.5 window functions + §2.6 sorts/limits/top-k.
+  *
+  * Scale notes: each window partitions by a real key (priority, user,
+  * customer, brand), so the plan is one hash shuffle + per-partition sort —
+  * no global single-partition window except q_win_ntile_pct, which is
+  * inherently global (quartiles over the whole table) and documented as
+  * such; at 100 TB that one would move to an approx-quantile two-pass.
+  * Windowed running sums go through DECIMAL so the in-frame accumulation
+  * order (Spark streams frames; DuckDB uses segment trees) cannot change
+  * the emitted doubles. q_topk_global plans as TakeOrderedAndProject —
+  * per-partition heaps, no global sort.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    "q_win_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      val unique = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders").select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        row_number().over(unique).as("rn"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    "q_win_lag_lead" -> ((s, d) => {
+      // event_id is strictly aligned with ts (FIXTURES), so ordering by it
+      // sidesteps the parquet-ns vs Spark-µs precision gap entirely.
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events").select(
+        col("user_id"), col("event_id"), col("value"),
+        coalesce(lag(col("value"), 1).over(w), lit(-1.0)).as("prev_value"),
+        coalesce(unix_millis(lead(col("ts"), 1).over(w)), lit(-1L)).as("next_ts_ms"))
+        .orderBy("event_id")
+    }),
+
+    "q_win_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(D)).over(w).cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-604800L, 0L) // trailing 7 days in epoch seconds
+      Tables(s, d, "events")
+        .withColumn("es", epochS(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(D)).over(w).cast("double").as("trailing_7d"))
+        .orderBy("event_id")
+    }),
+
+    "q_win_ntile_pct" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, d, "customer").select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables(s, d, "part").select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    }),
+
+    "q_sort_multikey" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") >= ts("2001-06-01"))
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_returnflag").asc, col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))),
+
+    "q_topk_global" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS drnk,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+         FROM orders ORDER BY o_orderpriority, rn""",
+
+    "q_win_lag_lead" ->
+      """SELECT user_id, event_id, value,
+           COALESCE(LAG(value) OVER w, CAST(-1 AS DOUBLE)) AS prev_value,
+           COALESCE(epoch_ms(LEAD(ts) OVER w), -1) AS next_ts_ms
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY event_id""",
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q_win_range_frame" ->
+      """SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             OVER (PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_7d
+         FROM events ORDER BY event_id""",
+
+    "q_win_ntile_pct" ->
+      """SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+         FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+               FROM part)
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+
+    "q_sort_multikey" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+         ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey, l_linenumber""",
+
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+  )
+}

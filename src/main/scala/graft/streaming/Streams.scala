@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.queries.U.D
+
+/** SURVEY §2.9 — Structured Streaming implementations.
+  *
+  * Each transform takes any streaming (or batch — the plans are identical)
+  * events DataFrame and returns the streaming query's output, shaped to
+  * match its batch twin in `graft.queries.StreamTwins` (which is the
+  * DuckDB-oracled, declared query). The test suite replays the events
+  * table through MemoryStream micro-batches — including out-of-order
+  * batches to synthesize late data — and asserts convergence to the twin.
+  *
+  * Scale notes: all state here is keyed (user or window bucket), so state
+  * distributes across executors via the shuffle on the grouping key;
+  * watermarks bound state size (30 min of event time) regardless of input
+  * volume.
+  */
+object Streams {
+
+  /** 10-min tumbling count+sum per event_type, 30-min watermark.
+    * Output: (bucket epoch-s, event_type, cnt, total) = the twin's shape. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D)).cast("double").as("total"))
+      .select(col("window.start").cast("long").as("bucket"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** 30-min window sliding 10 min, count+avg of value. */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(col("value").cast(D)).cast("double") / count(lit(1))).as("avg_value"))
+      .select(col("window.start").cast("long").as("win_start"), col("cnt"),
+        col("avg_value"))
+
+  /** Per-user session windows with a 15-minute gap. */
+  def session(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"))
+      .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"))
+
+  /** Stateful dedup: first event per (user_id, event_type) within the
+    * watermark. `dropDuplicatesWithinWatermark` keeps state bounded. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+
+  case class PurchaseEvent(user_id: Long, event_id: Long, event_type: String)
+  case class PurchaseSeq(user_id: Long, event_id: Long, purchase_seq: Long)
+
+  /** Running per-user purchase count via explicit keyed state
+    * (flatMapGroupsWithState — the stable Spark 4 arbitrary-state API). */
+  def statefulCount(events: Dataset[PurchaseEvent]): Dataset[PurchaseSeq] = {
+    import events.sparkSession.implicits._
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[PurchaseEvent], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          // sort within the micro-batch for a deterministic sequence
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            n += 1
+            PurchaseSeq(user, e.event_id, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  /** Enrich the stream with the static customer dim (stream-static join),
+    * then aggregate per market segment. */
+  def joinStatic(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(customer, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D)).cast("double").as("total"))
+}

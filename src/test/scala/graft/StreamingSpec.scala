@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Replayed event row — top-level so Spark can generate its Encoder
+  * (inner classes lack the outer-scope instance Catalyst needs). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double, props: String)
+
+/** SURVEY §5.4 — streaming queries must converge to their batch twins.
+  *
+  * The events table is replayed through MemoryStream micro-batches; for
+  * late-data semantics the batches are fed out of order. Each streaming
+  * result (complete mode final state, or accumulated append output) must
+  * equal the batch twin computed on the same rows — the twin being the
+  * DuckDB-oracled declared query.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val eventsDf: DataFrame =
+    Tables(spark, sf, "events").select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private lazy val allEvents: Seq[Ev] = {
+    import spark.implicits._
+    eventsDf.as[Ev].collect().toSeq
+  }
+
+  /** Run a streaming transform over the events fed in `chunks`, collecting
+    * the final result from a memory sink (complete mode). */
+  private def runComplete(name: String, chunks: Seq[Seq[Ev]])(f: DataFrame => DataFrame): Seq[Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = f(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("complete").start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  private def runAppend(name: String, chunks: Seq[Seq[Ev]])(f: DataFrame => DataFrame): Seq[Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = f(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  private def chunksInOrder: Seq[Seq[Ev]] = allEvents.grouped(200).toSeq
+
+  private def sortedSet(rows: Seq[Row]): Seq[String] =
+    rows.map(_.toString).sorted
+
+  test("tumbling window stream converges to batch twin") {
+    val got = runComplete("t_tumbling", chunksInOrder)(Streams.tumbling)
+    val want = queries.StreamTwins.queries("q_stream_tumbling")(spark, sf).collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
+  test("sliding window stream converges to batch twin") {
+    val got = runComplete("t_sliding", chunksInOrder)(Streams.sliding)
+    val want = queries.StreamTwins.queries("q_stream_sliding")(spark, sf)
+      .select("win_start", "cnt", "avg_value").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
+  test("session windows (15-min gap) match the batch islands computation") {
+    val got = runComplete("t_session", chunksInOrder)(Streams.session)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = queries.StreamTwins.queries("q_stream_session")(spark, sf)
+      .select("user_id", "n_events", "start_s", "end_s").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted == want.sorted)
+  }
+
+  test("stateful purchase count stream equals batch running count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val ds = mem.toDS().map(e => Streams.PurchaseEvent(e.user_id, e.event_id, e.event_type))
+    val q = Streams.statefulCount(ds).toDF().writeStream.format("memory")
+      .queryName("t_stateful").outputMode("append").start()
+    chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("t_stateful")
+      .select("user_id", "event_id", "purchase_seq").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_stateful_count")(spark, sf)
+      .select("user_id", "event_id", "purchase_seq").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
+  test("stream-static join converges to batch twin") {
+    val cust = Tables(spark, sf, "customer")
+    val got = runComplete("t_joinstatic", chunksInOrder)(df => Streams.joinStatic(df, cust))
+    val want = queries.StreamTwins.queries("q_stream_join_static")(spark, sf).collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
+  test("dedup covers every (user, type) pair; re-emission only past the watermark") {
+    // dropDuplicatesWithinWatermark guarantees dedup *within* the 30-min
+    // watermark and may re-emit a key once its state expires (events span
+    // 30 days), so the streaming output is a multiset whose distinct pairs
+    // equal the global batch dedup exactly.
+    val got = runAppend("t_dedup_o", chunksInOrder)(Streams.dedup)
+    val pairs = got.map(r => (r.getLong(0), r.getString(1)))
+    val wantPairs = queries.StreamTwins.queries("q_stream_dedup")(spark, sf)
+      .select("user_id", "event_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pairs.toSet == wantPairs)
+  }
+
+  test("dedup with shuffled batches drops late data: distinct pairs still a subset") {
+    val shuffled = {
+      val cs = chunksInOrder
+      // feed out of order to synthesize disorder (raw feed is ascending);
+      // the head chunk arrives past the watermark and may be dropped.
+      if (cs.length > 2) cs.tail :+ cs.head else cs
+    }
+    val got = runAppend("t_dedup_s", shuffled)(Streams.dedup)
+    val pairs = got.map(r => (r.getLong(0), r.getString(1)))
+    val wantPairs = queries.StreamTwins.queries("q_stream_dedup")(spark, sf)
+      .select("user_id", "event_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pairs.toSet.subsetOf(wantPairs))
+    assert(pairs.nonEmpty)
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long): Ev =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+        1L, "click", 1.0, "{}")
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumbling(mem.toDF()).writeStream.format("memory")
+      .queryName("t_late").outputMode("append").start()
+    mem.addData(Seq(ev(1, 0), ev(2, 5)))     // window [00:00,00:10)
+    q.processAllAvailable()
+    mem.addData(Seq(ev(3, 120)))             // advances watermark to 01:30
+    q.processAllAvailable()
+    mem.addData(Seq(ev(4, 2)))               // late: before watermark → dropped
+    q.processAllAvailable()
+    mem.addData(Seq(ev(5, 240)))             // flush closable windows
+    q.processAllAvailable()
+    q.stop()
+    val bucket0 = spark.table("t_late").where(col("bucket") === 1704067200L).collect()
+    // the late event (id 4) must not be counted: bucket 0 has cnt=2, not 3
+    assert(bucket0.length == 1 && bucket0.head.getAs[Long]("cnt") == 2L)
+  }
+}
