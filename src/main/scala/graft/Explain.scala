@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `explain("formatted")` for scale-critical queries
+  * so pushdown/pruning/broadcast/codegen shape can be reviewed per round.
+  *
+  * Usage: runMain graft.Explain [sfDir] [queryName ...]
+  * With no names, audits a representative set.
+  */
+object Explain {
+  val defaultSet: Seq[String] = Seq(
+    "q_scan_pruned",        // expect PushedFilters + pruned ReadSchema
+    "q_agg_groupby",        // expect partial+final HashAggregate, one shuffle
+    "q_join_broadcast",     // expect BroadcastHashJoin, no shuffle of fact
+    "q_join_sortmerge",     // expect SortMergeJoin (pinned)
+    "q_join_theta_range",   // expect equi-join on custkey + range residual
+    "q_topk_global",        // expect TakeOrderedAndProject
+    "q_llm_simsearch_topk", // expect BroadcastNestedLoop w/ broadcast queries
+    "q_llm_wordcount")      // expect generate + partial agg before shuffle
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else defaultSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n============================== $n ==============================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

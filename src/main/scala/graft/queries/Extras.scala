@@ -103,12 +103,10 @@ object Extras {
 
     "q_llm_dedup_ngram_jaccard" -> ((s, d) => {
       val tri = expr(
-        """transform(
-             slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),
-             (x, i) -> concat_ws(' ', x,
-               element_at(split(text, ' '), i + 2),
-               element_at(split(text, ' '), i + 3)))""")
+        """transform(slice(tk, 1, greatest(size(tk) - 2, 0)),
+             (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2]))""")
       val g = Tables(s, d, "documents").where(col("doc_id") < 150)
+        .withColumn("tk", split(col("text"), " "))
         .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
       val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = g.as("x").join(g.as("y"),
@@ -126,12 +124,11 @@ object Extras {
     }),
 
     "q_llm_dedup_embed_cosine" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings").where(col("vec_id") < 300)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      val dot = expr(
-        """round(aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                 CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""")
+      val dot = expr("round(graft_dot(ea, eb), 6)")
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), dot.as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
@@ -144,6 +141,7 @@ object Extras {
     // Hamming-1 neighbors. Fully deterministic, no fitted model, and the
     // probed fraction (5/16) bounds the scan at any N.
     "q_llm_simsearch_ivf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val cellOf = expr(
         """CAST(element_at(embedding, 1) > 0 AS INT)
            + 2 * CAST(element_at(embedding, 2) > 0 AS INT)
@@ -157,9 +155,7 @@ object Extras {
             .as("probe"))
       val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("cell").as("ccell"))
-      val dot = expr(
-        """round(aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                 CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""")
+      val dot = expr("round(graft_dot(qe, ce), 6)")
       val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
       broadcast(qs).join(cand, col("probe") === col("ccell") && col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"), dot.as("dot"))

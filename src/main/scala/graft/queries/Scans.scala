@@ -19,13 +19,18 @@ object Scans {
     s"${System.getProperty("java.io.tmpdir")}/graft_rt/$name"
 
   val queries: Map[String, Q] = Map(
+    // The two scan queries read parquet directly (not through the Tables
+    // cache): their purpose is to exhibit the source path — predicate
+    // pushdown and column pruning reaching the parquet reader
+    // (PushedFilters / narrowed ReadSchema in the formatted plan), which a
+    // cached InMemoryRelation would mask.
     "q_scan_parquet" -> ((s, d) =>
-      Tables(s, d, "lineitem").agg(
+      s.read.parquet(s"$d/lineitem.parquet").agg(
         count(lit(1)).as("cnt"),
         countDistinct(col("l_orderkey")).as("orders"))),
 
     "q_scan_pruned" -> ((s, d) =>
-      Tables(s, d, "lineitem")
+      s.read.parquet(s"$d/lineitem.parquet")
         .where(col("l_shipdate") >= ts("2001-01-01"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
         // (l_orderkey, l_linenumber) is NOT unique in this data — the sort

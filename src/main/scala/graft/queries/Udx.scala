@@ -53,16 +53,15 @@ object Udx {
     // UDTF shape: one row in, many rows out — explode over an HOF-built
     // bigram array (a true Catalyst Generator is unnecessary; explode IS
     // the Generator and stays codegen-friendly).
-    "q_udtf_generator" -> ((s, d) => {
-      val bigrams = expr(
-        """transform(
-             slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
-             (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))""")
+    "q_udtf_generator" -> ((s, d) =>
       Tables(s, d, "documents")
-        .select(col("lang"), explode(bigrams).as("bigram"))
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("lang"), explode(expr(
+          """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+               (x, i) -> concat(x, ' ', tk[i + 1]))"""))
+          .as("bigram"))
         .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
-        .orderBy("lang", "bigram")
-    })
+        .orderBy("lang", "bigram"))
   )
 
   val oracle: Map[String, String] = Map(
