@@ -84,11 +84,14 @@ object Extras {
       val tok = Tables(s, d, "documents")
         .select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        // hash once per (doc,term) BEFORE the 12-way bit explode — md5
+        // inside the exploded projection would run 12× per pair
+        .withColumn("h", md5(col("term")))
       val bits = tok
-        .select(col("doc_id"), col("term"), col("c"),
+        .select(col("doc_id"), col("h"), col("c"),
           explode(sequence(lit(0), lit(simhashBits - 1))).as("b"))
         .withColumn("dv",
-          expr("instr('0123456789abcdef', substr(md5(term), (b div 4) + 1, 1)) - 1"))
+          expr("instr('0123456789abcdef', substr(h, (b div 4) + 1, 1)) - 1"))
         .withColumn("bit", expr("CAST(floor(dv / pow(2, b % 4)) AS INT) % 2"))
         .withColumn("contrib", col("c") * (col("bit") * 2 - 1))
       val sh = bits.groupBy("doc_id", "b").agg(sum(col("contrib")).as("sgn"))

@@ -1,0 +1,61 @@
+package graft
+
+/** Plan-shape regression guards: the physical plans the 100 TB posture
+  * depends on (SURVEY §4). If a refactor silently turns a broadcast join
+  * into a shuffle or un-pins a pushdown, these fail before the bench does. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan_pruned pushes the predicate and prunes columns at the scan") {
+    val p = plan("q_scan_pruned")
+    if (p.contains("InMemoryTableScan")) {
+      // another spec already persisted lineitem; Spark's CacheManager
+      // rewrites even direct parquet reads of the same path to the cached
+      // relation. Pruning/pushdown then happens at the in-memory scan:
+      // it must request only the 4 needed columns plus the filters.
+      val scanLine = p.linesIterator.find(_.contains("InMemoryTableScan")).get
+      assert(scanLine.contains("l_shipdate") && scanLine.contains("isnotnull"),
+        s"filters not pushed to InMemoryTableScan:\n$p")
+      assert(!scanLine.contains("l_extendedprice"),
+        s"in-memory scan not column-pruned:\n$p")
+    } else {
+      assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+        s"no pushed filter in:\n$p")
+      assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate"),
+        s"scan not pruned to 4 columns in:\n$p")
+    }
+  }
+
+  test("q_join_broadcast plans two broadcast hash joins (no fact shuffle)") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_sortmerge honors the merge hint") {
+    assert(plan("q_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("q_join_inner_hash honors the shuffle_hash hint") {
+    assert(plan("q_join_inner_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("q_topk_global plans TakeOrderedAndProject (per-partition heaps, no global sort)") {
+    assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_groupby plans partial+final aggregation (map-side combine)") {
+    val p = plan("q_agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_llm_simsearch_topk broadcasts the query side") {
+    assert(plan("q_llm_simsearch_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_join_theta_range keeps the custkey equi-key (no cartesian product)") {
+    assert(!plan("q_join_theta_range").contains("CartesianProduct"))
+  }
+}
