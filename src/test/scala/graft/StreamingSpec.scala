@@ -129,6 +129,26 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("file-source stream (readStream over parquet) converges to batch twin") {
+    // SURVEY §3.4 entry point: replay events through the file source with
+    // maxFilesPerTrigger. The source dir carries the ns-normalized events
+    // split into multiple parquet files so several micro-batches fire.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src"
+    // range-partition by ts so part-file order ≈ time order (file source
+    // lists files in name order; a 30-min watermark then never drops)
+    eventsDf.repartitionByRange(5, col("ts")).write.mode("overwrite").parquet(dir)
+    val schema = eventsDf.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams.tumbling(stream).writeStream.format("memory")
+      .queryName("t_filesrc").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_filesrc").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_tumbling")(spark, sf).collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
