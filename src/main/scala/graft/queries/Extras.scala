@@ -84,20 +84,25 @@ object Extras {
       val tok = Tables(s, d, "documents")
         .select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-        // hash once per (doc,term) BEFORE the 12-way bit explode — md5
-        // inside the exploded projection would run 12× per pair
+      // Vectorized: the per-term ±1 bit signature is a tiny dimension
+      // (one row per distinct term), broadcast-joined; per-doc weighted
+      // sums run as 12 columnar aggregates. The naive shape (explode 12
+      // bits per (doc,term) → two aggs over 12× the rows) measured ~6 s
+      // at sf0.1; this is the same integer arithmetic without the blowup.
+      val sign = (b: Int) =>
+        expr(s"""(((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)
+                   div ${1 << (b % 4)}) % 2) * 2 - 1""").as(s"s$b")
+      val termSig = tok.select("term").distinct()
         .withColumn("h", md5(col("term")))
-      val bits = tok
-        .select(col("doc_id"), col("h"), col("c"),
-          explode(sequence(lit(0), lit(simhashBits - 1))).as("b"))
-        .withColumn("dv",
-          expr("instr('0123456789abcdef', substr(h, (b div 4) + 1, 1)) - 1"))
-        .withColumn("bit", expr("CAST(floor(dv / pow(2, b % 4)) AS INT) % 2"))
-        .withColumn("contrib", col("c") * (col("bit") * 2 - 1))
-      val sh = bits.groupBy("doc_id", "b").agg(sum(col("contrib")).as("sgn"))
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN sgn > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END"))
-          .as("simhash"))
+        .select(col("term") +: (0 until simhashBits).map(sign): _*)
+      val aggs = (0 until simhashBits)
+        .map(b => sum(col(s"s$b") * col("c")).as(s"t$b"))
+      val simhash = (0 until simhashBits)
+        .map(b => expr(s"CASE WHEN t$b > 0 THEN ${1L << b}L ELSE 0L END"))
+        .reduce(_ + _)
+      val sh = tok.join(broadcast(termSig), "term")
+        .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), simhash.as("simhash"))
       val buckets = sh.groupBy("simhash").agg(count(lit(1)).as("bucket_size"))
       sh.join(buckets, "simhash")
         .select(col("doc_id"), col("simhash"), col("bucket_size"))
