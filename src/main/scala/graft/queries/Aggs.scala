@@ -104,7 +104,34 @@ object Aggs {
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 12)
-        .orderBy("o_custkey"))
+        .orderBy("o_custkey")),
+
+    // Statistical aggregates in order-independent form: the built-in
+    // stddev/corr use Welford-style merges whose result depends on
+    // partition merge order; deriving them from exact decimal sums makes
+    // the doubles reproducible in any engine at any parallelism.
+    "q_agg_stats" -> ((s, d) => {
+      val n = count(lit(1))
+      val sx = dsum(col("l_quantity"))
+      val sy = dsum(col("l_extendedprice"))
+      val sxx = dsum(col("l_quantity") * col("l_quantity"))
+      val syy = dsum(col("l_extendedprice") * col("l_extendedprice"))
+      val sxy = dsum(col("l_quantity") * col("l_extendedprice"))
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(n.as("n"), sx.as("sx"), sy.as("sy"), sxx.as("sxx"),
+          syy.as("syy"), sxy.as("sxy"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+            .as("stddev_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"),
+          col("median_price"))
+        .orderBy("l_returnflag")
+    })
   )
 
   private val oRev = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
@@ -166,6 +193,23 @@ object Aggs {
 
     "q_agg_having" ->
       """SELECT o_custkey, COUNT(*) AS cnt FROM orders
-         GROUP BY o_custkey HAVING COUNT(*) > 12 ORDER BY o_custkey"""
+         GROUP BY o_custkey HAVING COUNT(*) > 12 ORDER BY o_custkey""",
+
+    "q_agg_stats" ->
+      s"""WITH t AS (SELECT l_returnflag, COUNT(*) AS n,
+             ${oDsum("l_quantity")} AS sx,
+             ${oDsum("l_extendedprice")} AS sy,
+             ${oDsum("l_quantity * l_quantity")} AS sxx,
+             ${oDsum("l_extendedprice * l_extendedprice")} AS syy,
+             ${oDsum("l_quantity * l_extendedprice")} AS sxy,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+           FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, n,
+            round(sx / n, 6) AS mean_qty,
+            round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+            round((sxy - sx * sy / n) /
+              sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price,
+            median_price
+          FROM t ORDER BY l_returnflag"""
   )
 }

@@ -94,6 +94,16 @@ object Scalars {
         .select(col("source"), explode(col("m")).as(Seq("lang", "cnt")))
         .orderBy("source", "lang")),
 
+    "q_fn_bitwise" -> ((s, d) =>
+      Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("band"),
+        expr("o_orderkey | 4096").as("bor"),
+        expr("o_orderkey ^ 1337").as("bxor"),
+        shiftleft(col("o_orderkey"), 3).as("shl"),
+        shiftright(col("o_orderkey"), 2).as("shr"))
+        .orderBy("o_orderkey")),
+
     "q_fn_json" -> ((s, d) =>
       Tables(s, d, "events")
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
@@ -160,6 +170,15 @@ object Scalars {
     "q_fn_map" ->
       """SELECT source, lang, COUNT(*) AS cnt FROM documents
          GROUP BY source, lang ORDER BY source, lang""",
+
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, 1337) AS bxor,
+           o_orderkey << 3 AS shl,
+           o_orderkey >> 2 AS shr
+         FROM orders ORDER BY o_orderkey""",
 
     "q_fn_json" ->
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,

@@ -95,7 +95,22 @@ object Windows {
       Tables(s, d, "orders")
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(100))
+        .limit(100)),
+
+    "q_win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "orders").select(
+        col("o_orderpriority"),
+        first(col("o_orderkey")).over(whole).as("top_key"),
+        last(col("o_orderkey")).over(whole).as("bottom_key"),
+        nth_value(col("o_orderkey"), 2).over(whole).as("second_key"),
+        row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .select("o_orderpriority", "top_key", "bottom_key", "second_key")
+        .orderBy("o_orderpriority")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +168,21 @@ object Windows {
 
     "q_topk_global" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q_win_first_last" ->
+      """SELECT o_orderpriority, top_key, bottom_key, second_key
+         FROM (SELECT o_orderpriority,
+                 FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+                 LAST_VALUE(o_orderkey) OVER wf AS bottom_key,
+                 NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+                 ROW_NUMBER() OVER w AS rn
+               FROM orders
+               WINDOW w AS (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey),
+                      wf AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         WHERE rn = 1 ORDER BY o_orderpriority"""
   )
 }
