@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggs.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ StreamTwins.queries ++
-      Udx.queries ++ Llm.queries ++ Extras.queries ++ Multimodal.queries
+      Udx.queries ++ Llm.queries ++ Extras.queries ++ Multimodal.queries ++
+      MrCore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggs.oracle ++ Windows.oracle ++
       SetOps.oracle ++ Scalars.oracle ++ StreamTwins.oracle ++
-      Udx.oracle ++ Llm.oracle ++ Extras.oracle ++ Multimodal.oracle
+      Udx.oracle ++ Llm.oracle ++ Extras.oracle ++ Multimodal.oracle ++
+      MrCore.oracle
 }
