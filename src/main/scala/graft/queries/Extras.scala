@@ -46,6 +46,12 @@ object Extras {
         .orderBy("doc_id")
     }),
 
+    // Quality score in integer micro-units (0..1_000_000), floor division
+    // throughout: 0.4·len-score + 0.3·(1−stopword ratio) + 0.3·avg-token-
+    // length score. Exact integers sidestep double rounding entirely —
+    // Spark's round() goes through BigDecimal.valueOf (shortest decimal
+    // repr), DuckDB rounds the actual value; near a half boundary they
+    // disagree (observed at sf0.001).
     "q_llm_quality" -> ((s, d) =>
       Tables(s, d, "documents").select(
         col("doc_id"),
@@ -53,12 +59,13 @@ object Extras {
         expr("""CAST(size(filter(split(text, ' '),
              x -> x IN ('the', 'a', 'and', 'of', 'to', 'is'))) AS INT)""")
           .as("n_stop"),
-        round(expr(
-          """0.4 * least(size(split(text, ' ')) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
-             + 0.3 * (CAST(1 AS DOUBLE) - size(filter(split(text, ' '),
-                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'is'))) / CAST(size(split(text, ' ')) AS DOUBLE))
-             + 0.3 * least(length(replace(text, ' ', '')) / CAST(size(split(text, ' ')) AS DOUBLE) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))"""),
-          6).as("quality"))
+        expr("""CAST(4000 AS BIGINT) * least(size(split(text, ' ')), 100)
+             + (CAST(300000 AS BIGINT) * (size(split(text, ' ')) - size(filter(split(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'is')))))
+               div size(split(text, ' '))
+             + least((CAST(300000 AS BIGINT) * length(replace(text, ' ', '')))
+               div (8 * size(split(text, ' '))), CAST(300000 AS BIGINT))""")
+          .as("quality_e6"))
         .orderBy("doc_id")),
 
     "q_llm_token_count" -> ((s, d) =>
@@ -210,11 +217,11 @@ object Extras {
             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
             CAST(len(list_filter(string_split(text, ' '),
               x -> list_contains($oStop, x))) AS INT) AS n_stop,
-            round(0.4 * least(len(string_split(text, ' ')) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
-              + 0.3 * (CAST(1 AS DOUBLE) - len(list_filter(string_split(text, ' '),
-                  x -> list_contains($oStop, x))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
-              + 0.3 * least(length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE)),
-              6) AS quality
+            CAST(4000 * least(len(string_split(text, ' ')), 100)
+              + (300000 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+                  x -> list_contains($oStop, x))))) // len(string_split(text, ' '))
+              + least((300000 * length(replace(text, ' ', '')))
+                // (8 * len(string_split(text, ' '))), 300000) AS BIGINT) AS quality_e6
           FROM documents ORDER BY doc_id""",
 
     "q_llm_token_count" ->
