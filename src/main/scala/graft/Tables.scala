@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.storage.StorageLevel
-import scala.collection.concurrent.TrieMap
 
 /** Cached base-table loads, one per (session, sfDir, table).
   *
@@ -26,18 +25,20 @@ object Tables {
   private val cacheEnabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false"
 
-  private val cache = TrieMap.empty[(String, String, String), DataFrame]
-
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val key = (spark.sparkContext.applicationId, sfDir, name)
-    cache.getOrElseUpdate(key, {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // keyed by the session OBJECT: a cached DataFrame is bound to the
+    // SparkSession that analyzed it, so a second session in the same
+    // application must get its own entry, not a foreign session's plan.
+    Memo(spark, s"table:$sfDir/$name") {
       val df =
         if (name == "events") {
           // events.ts is parquet TIMESTAMP(NANOS), which Spark 4.1 rejects
           // ([PARQUET_TYPE_ILLEGAL]). Read it as a long (nanos since epoch)
           // and normalize once, centrally, to a µs TimestampType — the same
           // truncation DuckDB applies, so both engines see identical values
-          // (SURVEY §7.4.5).
+          // (SURVEY §7.4.5). nanosAsLong has no per-read DataFrameReader
+          // option (ParquetOptions doesn't expose it), so the session conf
+          // is the only switch; it is inert for every non-NANOS column.
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(s"$sfDir/$name.parquet")
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -45,6 +46,5 @@ object Tables {
           spark.read.parquet(s"$sfDir/$name.parquet")
         }
       if (cacheEnabled) df.persist(StorageLevel.MEMORY_AND_DISK) else df
-    })
-  }
+    }
 }

@@ -150,7 +150,7 @@ object Extras {
         .limit(20)
     }),
 
-    // ---- ANN scale path (no oracle: structural/recall-tested) ----------
+    // ---- ANN scale path (deterministic arithmetic — DuckDB-oracled) ----
     // IVF-style multi-probe over a sign-bit coarse quantizer: cell = sign
     // pattern of dims 1..4 (16 cells); probe the query's cell plus its 4
     // Hamming-1 neighbors. Fully deterministic, no fitted model, and the
@@ -270,6 +270,23 @@ object Extras {
            round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
          FROM inter JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
          ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
+
+    "q_llm_simsearch_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding, label,
+             CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+             + 4 * CAST(embedding[3] > 0 AS INT) + 8 * CAST(embedding[4] > 0 AS INT) AS cell
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding AS qe,
+                 unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8)]) AS probe
+               FROM e WHERE label = 0 AND vec_id < 100),
+         scored AS (SELECT q.qid, c.vec_id AS cid,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), 6) AS dot
+               FROM q JOIN e c ON q.probe = c.cell AND q.qid <> c.vec_id),
+         r AS (SELECT qid, cid, dot,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INT) AS rnk
+               FROM scored)
+         SELECT qid, cid, dot, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
 
     "q_llm_dedup_embed_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

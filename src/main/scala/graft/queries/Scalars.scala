@@ -109,7 +109,9 @@ object Scalars {
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
         .groupBy("k")
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
-        .orderBy("k"))
+        // explicit NULLS FIRST on both engines: a props row without $.k
+        // would otherwise sort first in Spark but last in DuckDB (§7.4)
+        .orderBy(asc_nulls_first("k")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -183,6 +185,6 @@ object Scalars {
     "q_fn_json" ->
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
             COUNT(*) AS cnt, ${oDsum("value")} AS total
-          FROM events GROUP BY k ORDER BY k"""
+          FROM events GROUP BY k ORDER BY k NULLS FIRST"""
   )
 }

@@ -97,6 +97,15 @@ object Scans {
     "q_scan_parquet" ->
       "SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_orderkey) AS orders FROM lineitem",
 
+    // The roundtrips write text formats and read them back with the
+    // original schema, so the output IS the source table — the oracle
+    // reads it directly; any csv/json mangling breaks the hash compare.
+    "q_source_csv_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_source_json_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '2001-01-01'

@@ -40,11 +40,16 @@ object StreamTwins {
     "q_stream_session" -> ((s, d) => {
       val byId = Window.partitionBy("user_id").orderBy("event_id")
       val cum = byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The split predicate runs on the µs timeline, matching
+      // session_window's half-open [start, last + gap) semantics exactly:
+      // a gap of precisely 900 s starts a new session, and sub-second
+      // gap excess (e.g. 900.95 s, present at sf0.1) is not floored away.
       withEs(s, d)
-        .select(col("user_id"), col("event_id"), col("es"))
-        .withColumn("prev_es", lag(col("es"), 1).over(byId))
+        .select(col("user_id"), col("event_id"), col("es"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byId))
         .withColumn("new_sess",
-          when(col("prev_es").isNull || col("es") - col("prev_es") > 900, 1L)
+          when(col("prev_us").isNull || col("us") - col("prev_us") >= 900000000L, 1L)
             .otherwise(0L))
         .withColumn("sess_id", sum(col("new_sess")).over(cum))
         .groupBy("user_id", "sess_id")
@@ -97,10 +102,11 @@ object StreamTwins {
           GROUP BY win_start ORDER BY win_start""",
 
     "q_stream_session" ->
-      s"""WITH e AS (SELECT user_id, event_id, $esSql AS es FROM events),
+      s"""WITH e AS (SELECT user_id, event_id, $esSql AS es, epoch_us(ts) AS us
+                     FROM events),
           f AS (SELECT user_id, event_id, es,
-                  CASE WHEN lag(es) OVER w IS NULL
-                         OR es - lag(es) OVER w > 900 THEN 1 ELSE 0 END AS new_sess
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 900000000 THEN 1 ELSE 0 END AS new_sess
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
           g AS (SELECT user_id, es,
                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id

@@ -10,14 +10,38 @@ import U._
   * Scale notes: each window partitions by a real key (priority, user,
   * customer, brand), so the plan is one hash shuffle + per-partition sort —
   * no global single-partition window except q_win_ntile_pct, which is
-  * inherently global (quartiles over the whole table) and documented as
-  * such; at 100 TB that one would move to an approx-quantile two-pass.
+  * inherently global (exact quartiles over the whole table); its 100 TB
+  * form is the two-pass `quartileApprox` below.
   * Windowed running sums go through DECIMAL so the in-frame accumulation
   * order (Spark streams frames; DuckDB uses segment trees) cannot change
   * the emitted doubles. q_topk_global plans as TakeOrderedAndProject —
   * per-partition heaps, no global sort.
   */
 object Windows {
+
+  /** Scale path for q_win_ntile_pct's global quartiles: two passes instead
+    * of one single-partition window sort. Pass 1 computes three approx
+    * cutpoints (approx_percentile's GK sketch — one partial aggregate, no
+    * global sort); pass 2 broadcasts the 1-row cutpoint frame and assigns
+    * each row a quartile with three comparisons. The plan is two narrow
+    * scans + a BroadcastNestedLoopJoin of one row — every stage parallel,
+    * so it survives 100× where the exact query funnels the table through
+    * one task. Boundary rows may land one quartile off versus exact ntile
+    * (sketch accuracy 1/10000); the test suite asserts that bound. The
+    * exact window stays the declared/oracled query — this is the variant a
+    * 100 TB deployment would call. */
+  def quartileApprox(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame = {
+    val c = Tables(s, d, "customer")
+    val cuts = c.select(
+      expr("approx_percentile(c_acctbal, array(0.25, 0.5, 0.75), 10000)").as("q"))
+    c.crossJoin(broadcast(cuts))
+      .select(col("c_custkey"), col("c_acctbal"),
+        (lit(1) + (col("c_acctbal") > col("q")(0)).cast("int")
+          + (col("c_acctbal") > col("q")(1)).cast("int")
+          + (col("c_acctbal") > col("q")(2)).cast("int")).as("quartile"))
+      .orderBy("c_custkey")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_win_rank" -> ((s, d) => {

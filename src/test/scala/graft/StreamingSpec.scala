@@ -54,6 +54,18 @@ class StreamingSpec extends SparkSpec {
 
   private def chunksInOrder: Seq[Seq[Ev]] = allEvents.grouped(200).toSeq
 
+  /** Maximal disorder: micro-batches arrive newest-first. Complete-mode
+    * aggregations keep all state (watermarks never evict in complete
+    * mode), so they must still converge to the batch twin exactly. */
+  private def chunksReversed: Seq[Seq[Ev]] = chunksInOrder.reverse
+
+  /** Intra-batch disorder: chunks arrive in order but rows within each
+    * chunk arrive newest-first. The watermark only advances at batch
+    * boundaries, so this disorder never drops rows — even for session
+    * windows, whose state operator filters late input in every output
+    * mode (unlike plain aggregations). */
+  private def chunksIntraReversed: Seq[Seq[Ev]] = chunksInOrder.map(_.reverse)
+
   private def sortedSet(rows: Seq[Row]): Seq[String] =
     rows.map(_.toString).sorted
 
@@ -100,6 +112,81 @@ class StreamingSpec extends SparkSpec {
     val got = runComplete("t_joinstatic", chunksInOrder)(df => Streams.joinStatic(df, cust))
     val want = queries.StreamTwins.queries("q_stream_join_static")(spark, sf).collect().toSeq
     assert(sortedSet(got) == sortedSet(want))
+  }
+
+  test("every complete-mode stream converges to its twin under out-of-order batches") {
+    val cust = Tables(spark, sf, "customer")
+    val cases: Seq[(String, DataFrame => DataFrame, () => Seq[Row])] = Seq(
+      ("o_tumbling", Streams.tumbling,
+        () => queries.StreamTwins.queries("q_stream_tumbling")(spark, sf).collect().toSeq),
+      ("o_sliding", Streams.sliding,
+        () => queries.StreamTwins.queries("q_stream_sliding")(spark, sf)
+          .select("win_start", "cnt", "avg_value").collect().toSeq),
+      ("o_joinstatic", df => Streams.joinStatic(df, cust),
+        () => queries.StreamTwins.queries("q_stream_join_static")(spark, sf).collect().toSeq))
+    cases.foreach { case (name, f, twin) =>
+      val got = runComplete(name, chunksReversed)(f)
+      assert(sortedSet(got) == sortedSet(twin()), s"$name diverged under disorder")
+    }
+    // session windows late-filter input in every output mode, so cross-batch
+    // reversal legitimately drops rows; intra-batch disorder must converge.
+    val gotSession = runComplete("o_session", chunksIntraReversed)(Streams.session)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val wantSession = queries.StreamTwins.queries("q_stream_session")(spark, sf)
+      .select("user_id", "n_events", "start_s", "end_s").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gotSession.sorted == wantSession.sorted, "o_session diverged under disorder")
+  }
+
+  test("session twin matches streaming at sf0.1 (sub-second gap boundaries)") {
+    // sf0.1 contains a 900.95s gap whose floored-second diff is exactly
+    // 900 — the case where a seconds-floored twin would merge sessions
+    // that session_window splits. The µs-timeline twin must agree.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val big = Tables(spark, "/root/testdata/sf0.1", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq
+    val mem = MemoryStream[Ev]
+    val q = Streams.session(mem.toDF()).writeStream.format("memory")
+      .queryName("t_session_sf01").outputMode("complete").start()
+    big.grouped(10000).foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("t_session_sf01").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = queries.StreamTwins.queries("q_stream_session")(spark, "/root/testdata/sf0.1")
+      .select("user_id", "n_events", "start_s", "end_s").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted == want.sorted)
+  }
+
+  test("transformWithState running count matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val ds = mem.toDS().map(e => Streams.PurchaseEvent(e.user_id, e.event_id, e.event_type))
+      val q = Streams.statefulCountTws(ds).toDF().writeStream.format("memory")
+        .queryName("t_tws").outputMode("append").start()
+      chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_tws")
+        .select("user_id", "event_id", "purchase_seq").collect().toSeq
+      // same arrival order ⇒ must match both the fMGWS stream (asserted via
+      // the twin in the test above) and the batch running count
+      val want = queries.StreamTwins.queries("q_stream_stateful_count")(spark, sf)
+        .select("user_id", "event_id", "purchase_seq").collect().toSeq
+      assert(sortedSet(got) == sortedSet(want))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("dedup covers every (user, type) pair; re-emission only past the watermark") {
