@@ -110,9 +110,11 @@ object Extras {
       val sh = tok.join(broadcast(termSig), "term")
         .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"), simhash.as("simhash"))
-      val buckets = sh.groupBy("simhash").agg(count(lit(1)).as("bucket_size"))
-      sh.join(buckets, "simhash")
-        .select(col("doc_id"), col("simhash"), col("bucket_size"))
+      // bucket size as an un-ordered window count: one shuffle on simhash
+      // instead of the groupBy + re-join shape (which shuffles twice and
+      // materializes the bucket dim) — same rows, same determinism.
+      sh.select(col("doc_id"), col("simhash"),
+          count(lit(1)).over(Window.partitionBy("simhash")).as("bucket_size"))
         .orderBy("doc_id")
     }),
 

@@ -82,7 +82,25 @@ object StreamTwins {
         .join(Tables(s, d, "customer"), col("user_id") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // Stream-stream join twin: each purchase matched to the same user's
+    // clicks in the preceding 30 minutes. The time predicate runs on the
+    // µs timeline (identical in both engines); streaming impl is
+    // Streams.streamJoin (two watermarked streams, time-range condition —
+    // state bounded to the 30-min band on both sides).
+    "q_stream_stream_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("pus"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("event_id").as("click_id"), col("us").as("cus"))
+      p.join(c, col("user_id") === col("cuser")
+          && col("cus") >= col("pus") - 1800000000L && col("cus") <= col("pus"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          expr("(pus - cus) div 1000000").as("gap_s"))
+        .orderBy("purchase_id", "click_id")
+    })
   )
 
   private val esSql = "(epoch_ms(ts) // 1000)"
@@ -128,6 +146,17 @@ object StreamTwins {
     "q_stream_join_static" ->
       s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oDsum("value")} AS total
           FROM events JOIN customer ON user_id = c_custkey
-          GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         p AS (SELECT user_id, event_id AS purchase_id, us AS pus FROM e
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cuser, event_id AS click_id, us AS cus FROM e
+               WHERE event_type = 'click')
+         SELECT user_id, purchase_id, click_id, (pus - cus) // 1000000 AS gap_s
+         FROM p JOIN c ON user_id = cuser
+           AND cus >= pus - 1800000000 AND cus <= pus
+         ORDER BY purchase_id, click_id"""
   )
 }

@@ -116,4 +116,24 @@ object Streams {
     events.join(customer, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D)).cast("double").as("total"))
+
+  /** Stream-stream inner join: purchases matched to the same user's clicks
+    * in the preceding 30 minutes. Watermarks on BOTH sides plus the
+    * two-sided time-range condition let Spark bound the join state to the
+    * 30-minute band (clicks older than purchase-watermark − 30 min are
+    * evicted) — without them stream-stream join state grows forever. */
+  def streamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", "30 minutes")
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "30 minutes")
+    p.join(c, col("user_id") === col("cuser")
+        && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+        && col("cts") <= col("pts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        expr("(unix_micros(pts) - unix_micros(cts)) div 1000000").as("gap_s"))
+  }
 }

@@ -58,4 +58,10 @@ class PlanSpec extends SparkSpec {
   test("q_join_theta_range keeps the custkey equi-key (no cartesian product)") {
     assert(!plan("q_join_theta_range").contains("CartesianProduct"))
   }
+
+  test("q_llm_dedup_near joins only on equi-keys (band buckets), never all-pairs") {
+    val p = plan("q_llm_dedup_near")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -189,6 +189,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join (purchases × clicks, 30-min band) converges to batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val q = Streams.streamJoin(pMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    chunksInOrder.foreach { ch =>
+      pMem.addData(ch); cMem.addData(ch); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_ssjoin")
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_stream_join")(spark, sf)
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
   test("dedup covers every (user, type) pair; re-emission only past the watermark") {
     // dropDuplicatesWithinWatermark guarantees dedup *within* the 30-min
     // watermark and may re-emit a key once its state expires (events span
