@@ -17,7 +17,10 @@ object Explain {
     "q_join_theta_range",   // expect equi-join on custkey + range residual
     "q_topk_global",        // expect TakeOrderedAndProject
     "q_llm_simsearch_topk", // expect BroadcastNestedLoop w/ broadcast queries
-    "q_llm_wordcount")      // expect generate + partial agg before shuffle
+    "q_llm_wordcount",      // expect generate + partial agg before shuffle
+    "q_llm_dedup_near",     // expect equi-joins on band keys, no BNLJ
+    "q_join_bucketed",      // expect SortMergeJoin w/o Exchange beneath
+    "q_agg_salted_skew")    // expect two-stage partial+final aggregation
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -47,6 +47,39 @@ object Joins {
         .orderBy("o_orderpriority")
     }),
 
+    // Co-located join via bucketing: both sides pre-bucketed (and
+    // sort-ordered) on the join key with the SAME bucket count, so the
+    // join is bucket-local — no Exchange under the SortMergeJoin
+    // (PlanSpec asserts it). At 100 TB this is THE pattern for a fact
+    // table joined repeatedly on one key: pay the bucketed write once,
+    // skip the shuffle on every subsequent join. The bucketed copies are
+    // written once per (session, sfDir) through Memo, mirroring how a
+    // warehouse would maintain them.
+    "q_join_bucketed" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9]", "")
+      graft.Memo(s, s"bucketed:$d") {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_rt/bucketed_$tag"
+        Tables(s, d, "orders").write.mode("overwrite")
+          .option("path", s"$base/orders")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(s"b_orders_$tag")
+        Tables(s, d, "customer").write.mode("overwrite")
+          .option("path", s"$base/customer")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(s"b_customer_$tag")
+        true
+      }
+      // pin sort-merge: at test scale Spark would broadcast the dim and
+      // mask the point; SMJ over two same-bucketed scans is the shape a
+      // 100 TB fact-fact join takes, and here it needs zero exchanges.
+      s.table(s"b_orders_$tag")
+        .join(s.table(s"b_customer_$tag").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_join_left_outer" -> ((s, d) => {
       val c = Tables(s, d, "customer")
       val o = Tables(s, d, "orders")
@@ -122,6 +155,11 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oDsum("o_totalprice")} AS total
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "q_join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey

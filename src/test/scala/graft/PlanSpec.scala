@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q_join_theta_range").contains("CartesianProduct"))
   }
 
+  test("q_join_bucketed joins bucket-local: no Exchange beneath the SortMergeJoin") {
+    val p = SparkEntry.queries("q_join_bucketed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    // the only exchanges allowed are AFTER the join (agg + output sort);
+    // the join inputs read pre-bucketed files directly. An unbucketed
+    // equi-join would add two more hash exchanges beneath the join.
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"join inputs were shuffled despite bucketing:\n$p")
+  }
+
   test("q_llm_dedup_near joins only on equi-keys (band buckets), never all-pairs") {
     val p = plan("q_llm_dedup_near")
     assert(!p.contains("CartesianProduct"), p)

@@ -96,6 +96,22 @@ class PropertySpec extends SparkSpec {
       s"only $same of ${exact.size} rows agree exactly")
   }
 
+  test("hash split assignment is invariant under repartitioning") {
+    // the point of content-hash splitting vs rand(seed): the assignment is
+    // a pure function of the key, so physical layout cannot change it
+    val base = queries.Reshape.queries("q_sample_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val reparted = Tables(spark, sf, "orders").repartition(7)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base.keySet == Set("train", "val", "test"))
+    base.foreach { case (k, (n, _)) => assert(reparted(k) == n, s"split $k changed") }
+  }
+
   test("window rank equals self-join count equivalence on a micro table") {
     val rows = Seq(("p", 10.0, 1L), ("p", 20.0, 2L), ("p", 20.0, 3L), ("q", 5.0, 4L))
     import spark.implicits._

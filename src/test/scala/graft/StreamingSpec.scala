@@ -254,6 +254,30 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSet(got) == sortedSet(want))
   }
 
+  test("file-sink stream (writeStream parquet + checkpoint) persists the append output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink"
+    wipe(new java.io.File(base))
+    val mem = MemoryStream[Ev]
+    val ds = mem.toDS().map(e => Streams.PurchaseEvent(e.user_id, e.event_id, e.event_type))
+    val q = Streams.statefulCount(ds).toDF().writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode("append").start()
+    chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("user_id", "event_id", "purchase_seq").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_stateful_count")(spark, sf)
+      .select("user_id", "event_id", "purchase_seq").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
