@@ -26,6 +26,49 @@ object Llm {
   private val mhHashes = 16
   private val mhRowsPerBand = 4
 
+  /** Confirmed near-dup pairs (a < b, exact trigram-Jaccard ≥ 0.8), found
+    * via relational MinHash banding — the shared front half of
+    * q_llm_dedup_near and q_llm_dedup_cc. See q_llm_dedup_near's scale
+    * notes: inline hashes, columnar min-aggregates, band-key bucket join,
+    * candidate volume O(n·dup-rate).
+    *
+    * 48-bit integer minhash inputs fold the first 12 hex digits of
+    * md5(shingle|i) — the same fold DuckDB runs via list_reduce. */
+  private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame = {
+    val tri = expr(
+      """transform(slice(tk, 1, greatest(size(tk) - 2, 0)),
+           (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2]))""")
+    val g = Tables(s, d, "documents").withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
+    val h = (i: Int) =>
+      expr(s"CAST(conv(substring(md5(concat(g, '|', '$i')), 1, 12), 16, 10) AS BIGINT)")
+        .as(s"h$i")
+    val mins = (0 until mhHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
+    val sig = g.select(col("doc_id") +: (0 until mhHashes).map(h): _*)
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until mhHashes / mhRowsPerBand).map { b =>
+      val ms = (0 until mhRowsPerBand).map(j => col(s"mh${b * mhRowsPerBand + j}"))
+      struct(lit(b).as("band_id"), md5(concat_ws(",", ms: _*)).as("bkey"))
+    }
+    val band = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id"), col("bb.bkey"))
+    val cand = band.as("x").join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(g.as("gx"), col("gx.doc_id") === col("a"))
+      .join(g.as("gy"), col("gy.doc_id") === col("b") && col("gy.g") === col("gx.g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .where(col("i").cast("double") / (col("sza") + col("szb") - col("i")) >= 0.8)
+      .select("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
     // The heritage MapReduce query (Dean & Ghemawat §1): word count.
     "q_llm_wordcount" -> ((s, d) =>
@@ -59,46 +102,47 @@ object Llm {
     // exact-dedup pass (q_llm_dedup_exact) is the cheaper upstream filter
     // for that shape anyway.
     "q_llm_dedup_near" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val tri = expr(
-        """transform(slice(tk, 1, greatest(size(tk) - 2, 0)),
-             (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2]))""")
-      val g = docs.withColumn("tk", split(col("text"), " "))
-        .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
-      // 48-bit integer minhash inputs: fold the first 12 hex digits of
-      // md5(shingle|i) — the same fold DuckDB runs via list_reduce.
-      val h = (i: Int) =>
-        expr(s"CAST(conv(substring(md5(concat(g, '|', '$i')), 1, 12), 16, 10) AS BIGINT)")
-          .as(s"h$i")
-      val mins = (0 until mhHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
-      val sig = g.select(col("doc_id") +: (0 until mhHashes).map(h): _*)
-        .groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bandCols = (0 until mhHashes / mhRowsPerBand).map { b =>
-        val ms = (0 until mhRowsPerBand).map(j => col(s"mh${b * mhRowsPerBand + j}"))
-        struct(lit(b).as("band_id"), md5(concat_ws(",", ms: _*)).as("bkey"))
-      }
-      val band = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band_id"), col("bb.bkey"))
-      val cand = band.as("x").join(band.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(g.as("gx"), col("gx.doc_id") === col("a"))
-        .join(g.as("gy"), col("gy.doc_id") === col("b") && col("gy.g") === col("gx.g"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      val conf = inter
-        .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-        .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-        .where(col("i").cast("double") / (col("sza") + col("szb") - col("i")) >= 0.8)
-        .select("a", "b")
+      val conf = confirmedPairs(s, d)
       val nbr = conf.select(col("a").as("doc_id"), col("b").as("nbr"))
         .union(conf.select(col("b").as("doc_id"), col("a").as("nbr")))
-      docs.select("doc_id").join(nbr, Seq("doc_id"), "left")
+      Tables(s, d, "documents").select("doc_id").join(nbr, Seq("doc_id"), "left")
         .groupBy("doc_id")
         .agg(least(col("doc_id"), coalesce(min(col("nbr")), col("doc_id"))).as("keep_id"),
           count(col("nbr")).as("n_dups"))
+        .orderBy("doc_id")
+    }),
+
+    // Transitive dup groups: connected components over the confirmed
+    // near-dup pairs (a kept b, b kept c ⇒ {a,b,c} are one group — the
+    // closure q_llm_dedup_near's direct-neighbor view doesn't take).
+    // Iterative min-label propagation, the standard Spark shape for CC /
+    // PageRank-class algorithms: each round is one shuffle join; the label
+    // frame is localCheckpoint'ed so lineage stays flat; rounds = graph
+    // diameter (dup clusters are near-cliques ⇒ 2-3 rounds). Oracled via
+    // a DuckDB recursive CTE computing the exact closure.
+    "q_llm_dedup_cc" -> ((s, d) => {
+      val conf = confirmedPairs(s, d)
+      val edges = conf.select(col("a").as("src"), col("b").as("dst"))
+        .union(conf.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      var labels = Tables(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val prop = labels.join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("lbl"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min(col("lbl")).as("lbl")).localCheckpoint(true)
+        changed = next.as("n")
+          .join(labels.as("o"), "doc_id")
+          .where(col("n.lbl") =!= col("o.lbl")).count()
+        labels = next
+      }
+      val compSize = labels.groupBy(col("lbl").as("component_id"))
+        .agg(count(lit(1)).as("component_size"))
+      labels.select(col("doc_id"), col("lbl").as("component_id"))
+        .join(compSize, "component_id")
+        .select("doc_id", "component_id", "component_size")
         .orderBy("doc_id")
     }),
 
@@ -169,19 +213,9 @@ object Llm {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "q_llm_wordcount" ->
-      """SELECT word, COUNT(*) AS cnt
-         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         GROUP BY word ORDER BY cnt DESC, word LIMIT 50""",
-
-    "q_llm_dedup_exact" ->
-      """SELECT md5(trim(lower(text))) AS text_hash,
-           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-         FROM documents GROUP BY text_hash ORDER BY keep_id""",
-
-    "q_llm_dedup_near" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** DuckDB CTE chain mirroring `confirmedPairs` — ends at `conf(a, b)`. */
+  private val oConfCte =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
                  i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS g
                FROM tk),
@@ -204,7 +238,21 @@ object Llm {
                    GROUP BY c.a, c.b),
          conf AS (SELECT a, b FROM inter
                   JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-                  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+                  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_wordcount" ->
+      """SELECT word, COUNT(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 50""",
+
+    "q_llm_dedup_exact" ->
+      """SELECT md5(trim(lower(text))) AS text_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text_hash ORDER BY keep_id""",
+
+    "q_llm_dedup_near" ->
+      s"""WITH $oConfCte,
          nbr AS (SELECT a AS doc_id, b AS nbr FROM conf
                  UNION ALL SELECT b AS doc_id, a AS nbr FROM conf)
          SELECT d.doc_id,
@@ -212,6 +260,25 @@ object Llm {
            COUNT(n.nbr) AS n_dups
          FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // exact transitive closure via recursive CTE: the propagation UNION is
+    // set-distinct, so the iteration terminates at the fixpoint the Spark
+    // loop converges to.
+    "q_llm_dedup_cc" ->
+      s"""WITH RECURSIVE $oConfCte,
+         edges AS (SELECT a AS src, b AS dst FROM conf
+                   UNION ALL SELECT b AS src, a AS dst FROM conf),
+         reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst AS doc_id, r.lbl
+           FROM reach r JOIN edges e ON e.src = r.doc_id),
+         comp AS (SELECT doc_id, MIN(lbl) AS component_id FROM reach GROUP BY doc_id),
+         csz AS (SELECT component_id, COUNT(*) AS component_size
+                 FROM comp GROUP BY component_id)
+         SELECT doc_id, component_id, component_size
+         FROM comp JOIN csz USING (component_id)
+         ORDER BY doc_id""",
 
     "q_llm_simsearch_topk" ->
       """WITH scored AS (

@@ -96,6 +96,25 @@ class PropertySpec extends SparkSpec {
       s"only $same of ${exact.size} rows agree exactly")
   }
 
+  test("connected components refine the direct-neighbor dedup view") {
+    val near = queries.Llm.queries("q_llm_dedup_near")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap   // doc -> keep
+    val cc = queries.Llm.queries("q_llm_dedup_cc")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cc.keySet == near.keySet)
+    cc.foreach { case (doc, (comp, size)) =>
+      assert(comp <= doc, s"component id $comp exceeds member $doc")
+      assert(size >= 1)
+      // the component label can only be <= the direct-neighbor keep: the
+      // closure can merge groups, never split them
+      assert(comp <= near(doc), s"doc $doc: component $comp > keep ${near(doc)}")
+    }
+    // every direct keep edge is honored: doc and its keep share a component
+    near.filter { case (doc, keep) => keep != doc }.foreach { case (doc, keep) =>
+      assert(cc(doc)._1 == cc(keep)._1, s"doc $doc and keep $keep in different components")
+    }
+  }
+
   test("hash split assignment is invariant under repartitioning") {
     // the point of content-hash splitting vs rand(seed): the assignment is
     // a pure function of the key, so physical layout cannot change it
