@@ -8,17 +8,21 @@ import U._
   * would carry (image/audio/video bytes next to width/height/format). */
 case class MMRecord(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
 
-/** Output of the (stubbed) decode/feature-extract stage. */
-case class MMFeature(doc_id: Long, f0: Double, f1: Double, f2: Double,
-  f3: Double, width: Int, height: Int, byte_len: Int)
+/** Output of the decode/feature-extract stage: integer micro-unit image
+  * statistics (exact arithmetic — no float drift between engines). */
+case class MMFeature(doc_id: Long, byte_len: Int, mean_e6: Long,
+  var_e6: Long, edge_e6: Long, width: Int, height: Int)
 
 /** Multimodal decode/feature plumbing (builder brief): binary columns are
   * processed in partition-sized batches through a typed `mapPartitions` —
   * the Scala analogue of `mapInPandas` — so a real decoder (libjpeg,
   * ffmpeg, ...) would amortize per-batch setup and never materialize the
-  * whole column on one node. The decode step itself is STUBBED (image
-  * libs are not in this container) with a deterministic byte-level fake;
-  * the schema, batching, partitioning and UDF signature are real.
+  * whole column on one node. The codec step is stubbed (image libs are
+  * not in this container): the utf-8 payload bytes stand in for decoded
+  * pixel rows. The feature math on those bytes is REAL — mean / variance
+  * / horizontal edge energy, the first statistics an image-quality filter
+  * computes — done in exact integer micro-units (floor division) so the
+  * DuckDB oracle reproduces it bit-for-bit.
   */
 object Multimodal {
 
@@ -32,24 +36,50 @@ object Multimodal {
         (col("n_chars") % 480 + 32).cast("int").as("height"))
         .as[MMRecord]
       recs.mapPartitions { it =>
-        // STUB decode: a real implementation decodes r.payload with an
-        // image/audio codec here. Deterministic fake: first bytes scaled
-        // to [0,1] stand in for extracted features.
         it.map { r =>
-          val f = r.payload.take(4).map(b => (b & 0xff) / 255.0).padTo(4, 0.0)
-          MMFeature(r.doc_id, f(0), f(1), f(2), f(3),
-            r.width, r.height, r.payload.length)
+          val p = r.payload.map(b => (b & 0xff).toLong)
+          val n = p.length.toLong
+          val sumP = p.sum
+          val sumSq = p.map(x => x * x).sum
+          val edge = p.iterator.sliding(2).withPartial(false)
+            .map { w => math.abs(w(1) - w(0)) }.sum
+          MMFeature(r.doc_id, p.length,
+            1000000L * sumP / (255L * n),
+            1000000L * (n * sumSq - sumP * sumP) / (65025L * n * n),
+            if (n > 1) 1000000L * edge / (255L * (n - 1)) else 0L,
+            r.width, r.height)
         }
       }.toDF()
-        .select(col("doc_id"), round(col("f0"), 6).as("f0"),
-          round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
-          round(col("f3"), 6).as("f3"), col("width"), col("height"),
-          col("byte_len"))
+        .select("doc_id", "byte_len", "mean_e6", "var_e6", "edge_e6",
+          "width", "height")
         .orderBy("doc_id")
     })
   )
 
-  // No oracle: byte-level feature extraction is not expressible in
-  // DuckDB SQL over these views; covered by rows>0 + determinism spec.
-  val oracle: Map[String, String] = Map.empty
+  // The corpus is pure ASCII (verified: octet_length == length at every
+  // sf), so DuckDB's per-character ascii() sees exactly the utf-8 bytes
+  // the Scala side consumes.
+  val oracle: Map[String, String] = Map(
+    "q_mm_features" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+             list_transform(string_split(text, ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS p
+           FROM documents),
+         s AS (SELECT doc_id, n_chars, len(p) AS n,
+                 list_sum(p) AS sum_p,
+                 list_sum(list_transform(p, x -> x * x)) AS sum_sq,
+                 list_sum(list_transform(range(1, len(p)),
+                   i -> abs(p[i] - p[i + 1]))) AS edge
+               FROM b)
+         SELECT doc_id,
+           CAST(n AS INT) AS byte_len,
+           CAST((1000000 * sum_p) // (255 * n) AS BIGINT) AS mean_e6,
+           CAST((1000000 * (n * sum_sq - sum_p * sum_p))
+                // (65025 * n * n) AS BIGINT) AS var_e6,
+           CAST(CASE WHEN n > 1 THEN (1000000 * edge) // (255 * (n - 1))
+                     ELSE 0 END AS BIGINT) AS edge_e6,
+           CAST(n_chars % 640 + 32 AS INT) AS width,
+           CAST(n_chars % 480 + 32 AS INT) AS height
+         FROM s ORDER BY doc_id"""
+  )
 }
