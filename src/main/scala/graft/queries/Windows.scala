@@ -108,6 +108,18 @@ object Windows {
         .orderBy("p_brand", "rn")
     }),
 
+    // Same result as q_topk_per_group, computed by graft's own plan node:
+    // GroupedTopK keeps a bounded k-heap per group behind one hash shuffle
+    // (O(n log k), no partition sort) instead of the window formulation's
+    // full per-partition sort. PropertySpec asserts row-for-row equality
+    // with the window version; PlanSpec asserts the custom exec + absence
+    // of Sort/Window in the physical plan.
+    "q_topk_grouped_plan" -> ((s, d) =>
+      graft.plans.GraftPlans.groupedTopK(
+          Tables(s, d, "part").select("p_brand", "p_partkey", "p_retailprice"),
+          "p_brand", "p_retailprice", "p_partkey", 3)
+        .orderBy("p_brand", "rn")),
+
     "q_sort_multikey" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .where(col("l_shipdate") >= ts("2001-06-01"))
@@ -178,6 +190,14 @@ object Windows {
          ORDER BY c_custkey""",
 
     "q_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+               FROM part)
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+
+    "q_topk_grouped_plan" ->
       """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn
          FROM (SELECT p_brand, p_partkey, p_retailprice,
                  ROW_NUMBER() OVER (PARTITION BY p_brand

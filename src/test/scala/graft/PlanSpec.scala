@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
       s"join inputs were shuffled despite bucketing:\n$p")
   }
 
+  test("q_topk_grouped_plan uses the custom heap operator — no Window, no partition sort") {
+    val df = SparkEntry.queries("q_topk_grouped_plan")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("GroupedTopK ["), p)
+    assert(!p.contains("Window"), s"window operator crept back in:\n$p")
+    // the only sort allowed is the final presentation orderBy — nothing
+    // below the custom node may sort
+    val idx = p.indexOf("GroupedTopK [")
+    assert(!p.substring(idx).contains("Sort "), s"partition sort beneath the heap operator:\n$p")
+    assert(p.substring(idx).contains("Exchange hashpartitioning"),
+      s"expected the single group-key shuffle beneath the heap operator:\n$p")
+  }
+
   test("q_llm_dedup_near joins only on equi-keys (band buckets), never all-pairs") {
     val p = plan("q_llm_dedup_near")
     assert(!p.contains("CartesianProduct"), p)

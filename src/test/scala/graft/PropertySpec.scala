@@ -96,6 +96,14 @@ class PropertySpec extends SparkSpec {
       s"only $same of ${exact.size} rows agree exactly")
   }
 
+  test("custom GroupedTopK plan node equals the window row_number formulation") {
+    val custom = queries.Windows.queries("q_topk_grouped_plan")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val window = queries.Windows.queries("q_topk_per_group")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(custom == window)
+  }
+
   test("connected components refine the direct-neighbor dedup view") {
     val near = queries.Llm.queries("q_llm_dedup_near")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap   // doc -> keep
