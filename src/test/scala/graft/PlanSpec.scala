@@ -85,6 +85,16 @@ class PlanSpec extends SparkSpec {
       s"expected the single group-key shuffle beneath the heap operator:\n$p")
   }
 
+  test("custom DSv2 source prunes columns: bucket-only projection drops the payload") {
+    val df = spark.read.format("graft.sources.GraftGenSource")
+      .option("rows", "100").load().select("bucket")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+    val scanLine = p.linesIterator.find(_.contains("BatchScan")).get
+    assert(scanLine.contains("bucket") && !scanLine.contains("payload"),
+      s"payload not pruned from the scan:\n$p")
+  }
+
   test("q_llm_dedup_near joins only on equi-keys (band buckets), never all-pairs") {
     val p = plan("q_llm_dedup_near")
     assert(!p.contains("CartesianProduct"), p)
