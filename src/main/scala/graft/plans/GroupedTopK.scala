@@ -48,6 +48,12 @@ case class GroupedTopKExec(group: Seq[Expression], order: Seq[SortOrder], k: Int
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(group) :: Nil
 
+  /** Rows leave still clustered by the group key (the heap pass is
+    * partition-local) — advertising it lets a downstream group-key
+    * aggregation skip a second exchange. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupExprs = group

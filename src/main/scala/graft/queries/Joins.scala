@@ -56,7 +56,9 @@ object Joins {
     // written once per (session, sfDir) through Memo, mirroring how a
     // warehouse would maintain them.
     "q_join_bucketed" -> ((s, d) => {
-      val tag = d.replaceAll("[^0-9]", "")
+      // full sanitized sfDir as the tag: digit-only tags would collide
+      // across dirs like sf1.0 / sf10 (table names forbid dots)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       graft.Memo(s, s"bucketed:$d") {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_rt/bucketed_$tag"
         Tables(s, d, "orders").write.mode("overwrite")

@@ -42,8 +42,7 @@ object Llm {
     val g = Tables(s, d, "documents").withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
     val h = (i: Int) =>
-      expr(s"CAST(conv(substring(md5(concat(g, '|', '$i')), 1, 12), 16, 10) AS BIGINT)")
-        .as(s"h$i")
+      expr(hexFold(s"md5(concat(g, '|', '$i'))", 12)).as(s"h$i")
     val mins = (0 until mhHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
     val sig = g.select(col("doc_id") +: (0 until mhHashes).map(h): _*)
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -226,14 +225,12 @@ object Llm {
 
   /** DuckDB CTE chain mirroring `confirmedPairs` — ends at `conf(a, b)`. */
   private val oConfCte =
-    """tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
                  i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS g
                FROM tk),
          h AS (SELECT doc_id, i,
-                 list_reduce(list_transform(string_split(substring(md5(g || '|' || i), 1, 12), ''),
-                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-                   (x, c) -> x * 16 + c) AS h
+                 ${U.oHexFold("md5(g || '|' || i)", 12)} AS h
                FROM g CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii),
          sig AS (SELECT doc_id, i, MIN(h) AS mh FROM h GROUP BY doc_id, i),
          band AS (SELECT doc_id, i // 4 AS band_id,

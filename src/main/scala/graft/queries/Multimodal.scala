@@ -43,11 +43,21 @@ object Multimodal {
           val sumSq = p.map(x => x * x).sum
           val edge = p.iterator.sliding(2).withPartial(false)
             .map { w => math.abs(w(1) - w(0)) }.sum
-          MMFeature(r.doc_id, p.length,
-            1000000L * sumP / (255L * n),
-            1000000L * (n * sumSq - sumP * sumP) / (65025L * n * n),
-            if (n > 1) 1000000L * edge / (255L * (n - 1)) else 0L,
-            r.width, r.height)
+          // BigInt intermediates: the variance numerator 1e6·(n·Σp² − (Σp)²)
+          // overflows Long past ~760 KB payloads, while DuckDB's list_sum
+          // promotes to HUGEINT — BigInt keeps the two engines bit-equal at
+          // any payload size. Guards mirror the oracle's CASE WHEN.
+          val meanE6 =
+            if (n > 0) (BigInt(1000000) * sumP / (BigInt(255) * n)).toLong else 0L
+          val varE6 =
+            if (n > 0)
+              (BigInt(1000000) * (BigInt(n) * sumSq - BigInt(sumP) * sumP)
+                / (BigInt(65025) * n * n)).toLong
+            else 0L
+          val edgeE6 =
+            if (n > 1) (BigInt(1000000) * edge / (BigInt(255) * (n - 1))).toLong
+            else 0L
+          MMFeature(r.doc_id, p.length, meanE6, varE6, edgeE6, r.width, r.height)
         }
       }.toDF()
         .select("doc_id", "byte_len", "mean_e6", "var_e6", "edge_e6",
@@ -73,9 +83,11 @@ object Multimodal {
                FROM b)
          SELECT doc_id,
            CAST(n AS INT) AS byte_len,
-           CAST((1000000 * sum_p) // (255 * n) AS BIGINT) AS mean_e6,
-           CAST((1000000 * (n * sum_sq - sum_p * sum_p))
-                // (65025 * n * n) AS BIGINT) AS var_e6,
+           CAST(CASE WHEN n > 0 THEN (1000000 * sum_p) // (255 * n)
+                     ELSE 0 END AS BIGINT) AS mean_e6,
+           CAST(CASE WHEN n > 0 THEN (1000000 * (n * sum_sq - sum_p * sum_p))
+                                     // (65025 * n * n)
+                     ELSE 0 END AS BIGINT) AS var_e6,
            CAST(CASE WHEN n > 1 THEN (1000000 * edge) // (255 * (n - 1))
                      ELSE 0 END AS BIGINT) AS edge_e6,
            CAST(n_chars % 640 + 32 AS INT) AS width,

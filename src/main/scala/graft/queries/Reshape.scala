@@ -86,7 +86,7 @@ object Reshape {
     "q_sample_split" -> ((s, d) =>
       Tables(s, d, "orders")
         .withColumn("bucket",
-          expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100"))
+          expr(s"${hexFold("md5(CAST(o_orderkey AS STRING))", 6)} % 100"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
@@ -139,10 +139,7 @@ object Reshape {
                       ELSE 'test' END AS split,
             COUNT(*) AS n_orders, ${oDsum("o_totalprice")} AS total_price
           FROM (SELECT o_totalprice,
-                  list_reduce(list_transform(
-                    string_split(substring(md5(o_orderkey::VARCHAR), 1, 6), ''),
-                    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-                    (x, c) -> x * 16 + c) % 100 AS bucket
+                  ${oHexFold("md5(o_orderkey::VARCHAR)", 6)} % 100 AS bucket
                 FROM orders)
           GROUP BY split ORDER BY split"""
   )

@@ -41,4 +41,16 @@ object U {
     s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
 
   def oDavg(expr: String): String = s"${oDsum(expr)} / COUNT(*)"
+
+  /** Spark SQL fragment: fold the first `n` hex digits of `hex` into a
+    * BIGINT — the portable-hash idiom every md5-derived integer (minhash,
+    * sampling buckets, payload checks) uses; `n ≤ 15` keeps it positive. */
+  def hexFold(hex: String, n: Int): String =
+    s"CAST(conv(substring($hex, 1, $n), 16, 10) AS BIGINT)"
+
+  /** DuckDB twin of [[hexFold]] — same integer fold, digit by digit. */
+  def oHexFold(hex: String, n: Int): String =
+    s"""list_reduce(list_transform(string_split(substring($hex, 1, $n), ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          (x, c) -> x * 16 + c)"""
 }

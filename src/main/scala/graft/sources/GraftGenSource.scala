@@ -34,8 +34,8 @@ class GraftGenSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftGenTable(
-      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("partitions")).map(_.toInt).getOrElse(8))
+      math.max(0L, Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)),
+      math.max(1, Option(properties.get("partitions")).map(_.toInt).getOrElse(8)))
 }
 
 object GraftGenSource {
@@ -84,13 +84,16 @@ class GraftGenReaderFactory(required: StructType)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val GraftGenPartition(start, end) = partition
-    // one generator per REQUIRED column, in pruned-schema order: an
-    // un-requested payload column costs zero md5 calls
+    // one digest per reader (getInstance is a JCA provider lookup — far
+    // too expensive per row) and one generator per REQUIRED column, in
+    // pruned-schema order: an un-requested payload costs zero md5 calls
+    val digest = MessageDigest.getInstance("MD5")
     val gens: Array[Long => Any] = required.fields.map(_.name match {
       case "id" => (i: Long) => i
       case "bucket" => (i: Long) => (i % 32).toInt
       case "payload" => (i: Long) =>
-        UTF8String.fromString(GraftGenReaderFactory.md5Hex(i.toString))
+        UTF8String.fromString(
+          GraftGenReaderFactory.md5Hex(digest, i.toString))
     })
     new PartitionReader[InternalRow] {
       private var i = start - 1
@@ -103,7 +106,18 @@ class GraftGenReaderFactory(required: StructType)
 }
 
 object GraftGenReaderFactory {
-  private def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(digest: MessageDigest, s: String): String = {
+    digest.reset()
+    val bytes = digest.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 }

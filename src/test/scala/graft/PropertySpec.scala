@@ -96,6 +96,15 @@ class PropertySpec extends SparkSpec {
       s"only $same of ${exact.size} rows agree exactly")
   }
 
+  test("DSv2 source output is invariant to the split count") {
+    def agg(parts: Int) = spark.read.format("graft.sources.GraftGenSource")
+      .option("rows", "5000").option("partitions", parts.toString).load()
+      .groupBy("bucket").agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(agg(1) == agg(8))
+    assert(agg(8) == agg(31)) // non-divisor split count: ragged last split
+  }
+
   test("custom GroupedTopK plan node equals the window row_number formulation") {
     val custom = queries.Windows.queries("q_topk_grouped_plan")(spark, sf)
       .collect().map(_.toString).toSeq
@@ -130,7 +139,7 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val reparted = Tables(spark, sf, "orders").repartition(7)
       .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100"))
+        expr(s"${hexFold("md5(CAST(o_orderkey AS STRING))", 6)} % 100"))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
       .groupBy("split").agg(count(lit(1)).as("n"))
