@@ -21,10 +21,40 @@ object Extras {
 
   private def toks = split(col("text"), " ")
 
-  /** 12-bit portable SimHash: per-term md5 hex digits supply the bit
+  /** 24-bit portable SimHash: per-term md5 hex digits supply the bit
     * pattern, term frequency the weight — identical integer arithmetic in
-    * Spark and DuckDB. */
-  private val simhashBits = 12
+    * Spark and DuckDB. 24 bits keeps the space sparse enough (16.7M) that
+    * equal or Hamming-1 signatures mean genuinely similar term-weight
+    * profiles, not birthday collisions (measured at 12 bits: 94% of docs
+    * had a spurious Hamming-1 neighbor). */
+  private val simhashBits = 24
+
+  /** (doc_id, simhash) — the shared signature computation of
+    * q_llm_dedup_simhash and q_llm_dedup_simhash_near. Vectorized: the
+    * per-term ±1 bit signature is a tiny dimension (one row per distinct
+    * term), broadcast-joined; per-doc weighted sums run as 12 columnar
+    * aggregates. The naive shape (explode 12 bits per (doc,term) → two
+    * aggs over 12× the rows) measured ~6 s at sf0.1. */
+  private def simhashOf(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame = {
+    val tok = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val sign = (b: Int) =>
+      expr(s"""(((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)
+                 div ${1 << (b % 4)}) % 2) * 2 - 1""").as(s"s$b")
+    val termSig = tok.select("term").distinct()
+      .withColumn("h", md5(col("term")))
+      .select(col("term") +: (0 until simhashBits).map(sign): _*)
+    val aggs = (0 until simhashBits)
+      .map(b => sum(col(s"s$b") * col("c")).as(s"t$b"))
+    val simhash = (0 until simhashBits)
+      .map(b => expr(s"CASE WHEN t$b > 0 THEN ${1L << b}L ELSE 0L END"))
+      .reduce(_ + _)
+    tok.join(broadcast(termSig), "term")
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------
@@ -87,34 +117,40 @@ object Extras {
         .orderBy("doc_id")),
 
     // ---- dedup families ------------------------------------------------
-    "q_llm_dedup_simhash" -> ((s, d) => {
-      val tok = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(toks).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-      // Vectorized: the per-term ±1 bit signature is a tiny dimension
-      // (one row per distinct term), broadcast-joined; per-doc weighted
-      // sums run as 12 columnar aggregates. The naive shape (explode 12
-      // bits per (doc,term) → two aggs over 12× the rows) measured ~6 s
-      // at sf0.1; this is the same integer arithmetic without the blowup.
-      val sign = (b: Int) =>
-        expr(s"""(((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)
-                   div ${1 << (b % 4)}) % 2) * 2 - 1""").as(s"s$b")
-      val termSig = tok.select("term").distinct()
-        .withColumn("h", md5(col("term")))
-        .select(col("term") +: (0 until simhashBits).map(sign): _*)
-      val aggs = (0 until simhashBits)
-        .map(b => sum(col(s"s$b") * col("c")).as(s"t$b"))
-      val simhash = (0 until simhashBits)
-        .map(b => expr(s"CASE WHEN t$b > 0 THEN ${1L << b}L ELSE 0L END"))
-        .reduce(_ + _)
-      val sh = tok.join(broadcast(termSig), "term")
-        .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), simhash.as("simhash"))
+    "q_llm_dedup_simhash" -> ((s, d) =>
       // bucket size as an un-ordered window count: one shuffle on simhash
       // instead of the groupBy + re-join shape (which shuffles twice and
       // materializes the bucket dim) — same rows, same determinism.
-      sh.select(col("doc_id"), col("simhash"),
+      simhashOf(s, d)
+        .select(col("doc_id"), col("simhash"),
           count(lit(1)).over(Window.partitionBy("simhash")).as("bucket_size"))
+        .orderBy("doc_id")),
+
+    // Hamming-≤1 SimHash dedup: exact-equal buckets only catch identical
+    // signatures; one flipped bit (one drifted term weight) escapes them.
+    // Multi-probe: each doc emits its hash plus the 24 one-bit flips, and
+    // neighbors are found by an equi-join of probes against hashes — 25
+    // bucket-local lookups per doc, never all-pairs. Same keep_id/n_dups
+    // dup-group shape as q_llm_dedup_near; fully integer ⇒ oracled.
+    // Semantics caveat (measured): SimHash compares unigram WEIGHT
+    // PROFILES, so on this 31-word-vocabulary corpus many non-duplicate
+    // docs legitimately collide — the shingle-MinHash path
+    // (q_llm_dedup_near) is the precision tool; this is the cheap
+    // profile-level pre-filter.
+    "q_llm_dedup_simhash_near" -> ((s, d) => {
+      val sh = simhashOf(s, d)
+      val masks = "simhash" +: (0 until simhashBits).map(b => s"simhash ^ ${1L << b}L")
+      val probes = sh.select(col("doc_id"),
+        explode(expr(masks.mkString("array(", ", ", ")"))).as("probe"))
+      val pairs = probes.as("x").join(sh.as("y"),
+          col("x.probe") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val nbr = pairs.select(col("a").as("doc_id"), col("b").as("nbr"))
+        .union(pairs.select(col("b").as("doc_id"), col("a").as("nbr")))
+      sh.select("doc_id").join(nbr, Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(least(col("doc_id"), coalesce(min(col("nbr")), col("doc_id"))).as("keep_id"),
+          count(col("nbr")).as("n_dups"))
         .orderBy("doc_id")
     }),
 
@@ -197,6 +233,20 @@ object Extras {
 
   private val oStop = "['the', 'a', 'and', 'of', 'to', 'is']"
 
+  /** DuckDB CTE chain mirroring `simhashOf` — ends at `sh(doc_id, simhash)`. */
+  private val oSimhashCte =
+    s"""tok AS (SELECT doc_id, term, COUNT(*) AS c FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY doc_id, term),
+         bits AS (SELECT doc_id, b,
+             SUM(c * (2 * (CAST(floor((strpos('0123456789abcdef',
+                 substring(md5(term), (b // 4) + 1, 1)) - 1) / pow(2, b % 4)) AS INT) % 2) - 1)) AS sgn
+           FROM tok CROSS JOIN (SELECT unnest(range(0, $simhashBits)) AS b) bt
+           GROUP BY doc_id, b),
+         sh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN sgn > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id)"""
+
   val oracle: Map[String, String] = Map(
     "q_llm_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
@@ -243,20 +293,26 @@ object Extras {
          FROM documents ORDER BY doc_id""",
 
     "q_llm_dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, term, COUNT(*) AS c FROM
-             (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-           GROUP BY doc_id, term),
-         bits AS (SELECT doc_id, b,
-             SUM(c * (2 * (CAST(floor((strpos('0123456789abcdef',
-                 substring(md5(term), (b // 4) + 1, 1)) - 1) / pow(2, b % 4)) AS INT) % 2) - 1)) AS sgn
-           FROM tok CROSS JOIN (SELECT unnest(range(0, 12)) AS b) bt
-           GROUP BY doc_id, b),
-         sh AS (SELECT doc_id,
-             CAST(SUM(CASE WHEN sgn > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-           FROM bits GROUP BY doc_id),
+      s"""WITH $oSimhashCte,
          bk AS (SELECT simhash, COUNT(*) AS bucket_size FROM sh GROUP BY simhash)
          SELECT doc_id, simhash, bucket_size FROM sh JOIN bk USING (simhash)
          ORDER BY doc_id""",
+
+    "q_llm_dedup_simhash_near" ->
+      s"""WITH $oSimhashCte,
+         probes AS (SELECT doc_id,
+             unnest(list_concat([simhash],
+               list_transform(range(0, $simhashBits), b -> xor(simhash, 1 << b)))) AS probe
+           FROM sh),
+         pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM probes x JOIN sh y ON x.probe = y.simhash AND x.doc_id < y.doc_id),
+         nbr AS (SELECT a AS doc_id, b AS nbr FROM pairs
+                 UNION ALL SELECT b AS doc_id, a AS nbr FROM pairs)
+         SELECT s.doc_id,
+           least(s.doc_id, coalesce(MIN(n.nbr), s.doc_id)) AS keep_id,
+           COUNT(n.nbr) AS n_dups
+         FROM sh s LEFT JOIN nbr n ON s.doc_id = n.doc_id
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
 
     "q_llm_dedup_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id,
