@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Training-data curation operators, round-2 batch 2 (SURVEY §2.14):
+  * repetition-quality filtering, benchmark decontamination, sequence
+  * chunking and packing, corpus-statistics vocabulary pruning, PII
+  * scrubbing, and an ORC source/sink roundtrip.
+  *
+  * Scale notes: every shape here is linear in the corpus. The n-gram
+  * joins (decontamination) broadcast the benchmark side — benchmark
+  * suites are KB–MB even when the corpus is 100 TB. Packing runs
+  * per-source-shard windows (the way a real pipeline packs per input
+  * shard), never a global single-partition sort. All floats are avoided
+  * entirely: metrics are integer micro-units, so the DuckDB hash compare
+  * is exact (SURVEY §7.4).
+  */
+object Pipeline {
+
+  private def tk = split(col("text"), " ")
+
+  /** 5-gram array over the token array `tk` (0-based Spark lambda index:
+    * x = tk[i], window closes at tk[i+4]). Docs shorter than 5 tokens
+    * yield an empty array. */
+  private val grams5 = expr(
+    """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
+         (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))""")
+
+  private val chunkSize = 32
+  private val chunkStride = 24
+  private val packCapacity = 2048
+
+  private def tmpDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/$name"
+
+  val queries: Map[String, Q] = Map(
+
+    // Gopher-style repetition filters: duplicate-token fraction and the
+    // share of bigram mass taken by the single most frequent bigram —
+    // high values mean boilerplate/looping text. Integer micro-units;
+    // max(count) (not argmax) keeps ties irrelevant. Linear: one explode
+    // + two partial-aggregated groupBys, no pairwise anything.
+    "q_llm_repetition" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").withColumn("tk", tk)
+      val bigrams = expr(
+        """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+             (x, i) -> concat_ws(' ', x, tk[i + 1]))""")
+      val top = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("m"), sum(col("c")).as("nbg"))
+      docs.select(col("doc_id"), size(col("tk")).as("n"),
+          size(array_distinct(col("tk"))).as("nd"))
+        .join(top, "doc_id")
+        .select(col("doc_id"),
+          expr("(1000000L * (n - nd)) div n").as("dup_tok_e6"),
+          expr("(1000000L * m) div nbg").as("top_bigram_e6"))
+        .withColumn("keep",
+          col("dup_tok_e6") < 990000 && col("top_bigram_e6") < 180000)
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any 5-gram
+    // with the held-out benchmark set (doc_id % 97 == 0 stands in for an
+    // eval suite). The benchmark's distinct grams are broadcast — the
+    // eval side stays small no matter how large the corpus — and each
+    // corpus doc reports how many of its distinct grams are contaminated.
+    "q_llm_decontaminate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").withColumn("tk", tk)
+      val bench = docs.where(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(grams5)).as("g")).distinct()
+      val corp = docs.where(col("doc_id") % 97 =!= 0)
+      val shared = corp.select(col("doc_id"), explode(array_distinct(grams5)).as("g"))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      corp.select("doc_id").join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("ns"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-window chunking with overlap (size 32, stride 24): the
+    // pre-tokenization shape for long-document training. One output row
+    // per chunk via posexplode over a computed start sequence — slice
+    // truncates at the tail, so the last chunk is short, never padded.
+    "q_llm_chunk" -> ((s, d) =>
+      Tables(s, d, "documents").withColumn("tk", tk)
+        .select(col("doc_id"), col("tk"),
+          posexplode(expr(s"sequence(0, (size(tk) - 1) div $chunkStride)")))
+        .withColumn("start_tok", col("pos") * chunkStride + 1)
+        .withColumn("chunk", expr(s"slice(tk, start_tok, $chunkSize)"))
+        .select(col("doc_id"), col("pos").as("chunk_id"), col("start_tok"),
+          size(col("chunk")).as("n_tok"),
+          md5(concat_ws(" ", col("chunk"))).as("digest"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // GPT-style sequence packing: concatenate documents in id order and
+    // chop into 2048-token training sequences. Packing runs PER SOURCE
+    // SHARD (partitioned window), the way a distributed pipeline packs
+    // each input shard independently — no global single-partition sort.
+    // start_off is the exclusive running token offset within the shard;
+    // first/last_seq are the training sequences this doc lands in.
+    "q_llm_pack" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), size(tk).as("n_tokens"))
+        .withColumn("start_off",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("first_seq", expr(s"start_off div $packCapacity"))
+        .withColumn("last_seq",
+          expr(s"(start_off + n_tokens - 1) div $packCapacity"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-statistics vocabulary pruning: the top-5 terms by global
+    // frequency are corpus-derived stopwords; strip them from every
+    // document, preserving original token order (positions ride through
+    // the aggregation, array_sort restores order). The vocabulary is a
+    // tiny broadcast dimension at any corpus size.
+    "q_llm_vocab_prune" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(tk).as(Seq("pos", "term")))
+      val wv = Window.orderBy(col("c").desc, col("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .withColumn("is_stop", row_number().over(wv) <= 5)
+        .select("term", "is_stop")
+      tok.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+          count(when(!col("is_stop"), 1)).as("n_kept"),
+          count(when(col("is_stop"), 1)).as("n_dropped"),
+          md5(concat_ws(" ",
+            expr("""transform(array_sort(collect_list(
+                      CASE WHEN NOT is_stop THEN struct(pos, term) END)),
+                    s -> s.term)"""))).as("kept_digest"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing: regex redaction of email/phone patterns with
+    // redaction counts. The corpus is synthetic words only, so each doc
+    // gets one deterministic email + phone appended first — the operator
+    // under test is the scrub itself (patterns kept to the Java∩RE2
+    // common subset so both engines see identical semantics).
+    "q_llm_pii_scrub" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("ftext", concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@ex.org call 555-"), lpad(col("doc_id").cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          regexp_count(col("ftext"), lit("[a-z0-9]+@[a-z]+\\.[a-z]+"))
+            .cast("int").as("n_emails"),
+          regexp_count(col("ftext"), lit("555-[0-9]{4}")).cast("int").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("ftext"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+            "555-[0-9]{4}", "<PHONE>")).as("scrubbed_digest"))
+        .orderBy("doc_id")),
+
+    // ORC roundtrip: Spark's built-in columnar alternative to parquet —
+    // write the supplier dim to ORC, read it back with the original
+    // schema. The output IS the source table, so the oracle reads the
+    // table directly; any ORC type mangling breaks the hash compare.
+    "q_source_orc_roundtrip" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier")
+      val out = tmpDir(s"orc_${d.replaceAll("[^0-9.]", "")}")
+      sup.write.mode("overwrite").orc(out)
+      s.read.schema(sup.schema).orc(out).orderBy("s_suppkey")
+    })
+  )
+
+  /** DuckDB 5-gram twin (1-based list indexing; range(1, m) = 1..m-1). */
+  private val oGrams5 =
+    """list_transform(range(1, greatest(len(tk) - 3, 1)),
+         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"""
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d),
+         bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+         top AS (SELECT doc_id, MAX(c) AS m, CAST(SUM(c) AS BIGINT) AS nbg
+                 FROM bc GROUP BY doc_id),
+         base AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd FROM d)
+         SELECT b.doc_id,
+           (1000000 * (b.n - b.nd)) // b.n AS dup_tok_e6,
+           (1000000 * t.m) // t.nbg AS top_bigram_e6,
+           (1000000 * (b.n - b.nd)) // b.n < 990000
+             AND (1000000 * t.m) // t.nbg < 180000 AS keep
+         FROM base b JOIN top t USING (doc_id) ORDER BY b.doc_id""",
+
+    "q_llm_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         bench AS (SELECT DISTINCT unnest(list_distinct($oGrams5)) AS g
+                   FROM d WHERE doc_id % 97 = 0),
+         cg AS (SELECT doc_id, unnest(list_distinct($oGrams5)) AS g
+                FROM d WHERE doc_id % 97 <> 0),
+         shared AS (SELECT doc_id, COUNT(*) AS ns
+                    FROM cg JOIN bench USING (g) GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(s.ns, 0) AS n_shared,
+                COALESCE(s.ns, 0) > 0 AS contaminated
+         FROM d LEFT JOIN shared s USING (doc_id)
+         WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+
+    "q_llm_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         c AS (SELECT doc_id, tk,
+                 unnest(range(0, (len(tk) - 1) // $chunkStride + 1)) AS chunk_id
+               FROM d)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * $chunkStride + 1 AS INT) AS start_tok,
+           CAST(len(list_slice(tk, chunk_id * $chunkStride + 1,
+             chunk_id * $chunkStride + $chunkSize)) AS INT) AS n_tok,
+           md5(array_to_string(list_slice(tk, chunk_id * $chunkStride + 1,
+             chunk_id * $chunkStride + $chunkSize), ' ')) AS digest
+         FROM c ORDER BY doc_id, chunk_id""",
+
+    "q_llm_pack" ->
+      s"""SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_off,
+           CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             // $packCapacity AS first_seq,
+           (CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             + len(string_split(text, ' ')) - 1) // $packCapacity AS last_seq
+         FROM documents ORDER BY doc_id""",
+
+    "q_llm_vocab_prune" ->
+      """WITH tok AS (SELECT doc_id,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+                 unnest(string_split(text, ' ')) AS term
+               FROM documents),
+         vocab AS (SELECT term,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) <= 5 AS is_stop
+               FROM tok GROUP BY term)
+         SELECT doc_id,
+           COUNT(*) FILTER (WHERE NOT is_stop) AS n_kept,
+           COUNT(*) FILTER (WHERE is_stop) AS n_dropped,
+           md5(COALESCE(string_agg(term, ' ' ORDER BY pos)
+             FILTER (WHERE NOT is_stop), '')) AS kept_digest
+         FROM tok JOIN vocab USING (term)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_llm_pii_scrub" ->
+      """WITH f AS (SELECT doc_id,
+             text || ' contact u' || doc_id || '@ex.org call 555-'
+                  || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS ftext
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(ftext, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(ftext, '555-[0-9]{4}')) AS INT) AS n_phones,
+           md5(regexp_replace(
+             regexp_replace(ftext, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_digest
+         FROM f ORDER BY doc_id""",
+
+    "q_source_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey"
+  )
+}
