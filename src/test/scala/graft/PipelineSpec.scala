@@ -81,4 +81,57 @@ class PipelineSpec extends SparkSpec {
     val src = Tables(spark, sf, "supplier").orderBy("s_suppkey").collect()
     assert(rt.toSeq == src.toSeq)
   }
+
+  test("compaction collapses the file count and conserves the data") {
+    q("q_sink_compaction").collect() // runs the fragment → compact pipeline
+    def parts(dir: String): Int = {
+      val f = new java.io.File(dir)
+      f.listFiles().count(_.getName.startsWith("part-"))
+    }
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rt"
+    val sfTag = sf.replaceAll("[^0-9.]", "")
+    assert(parts(s"$base/frag_$sfTag") > 32, "fragmented layout missing")
+    assert(parts(s"$base/compact_$sfTag") <= 2, "compaction did not collapse files")
+    val rows = spark.read.parquet(s"$base/compact_$sfTag").count()
+    assert(rows == Tables(spark, sf, "orders").count())
+  }
+
+  test("z-order curve is bijective on the 16-bit grid and range-splits disjointly") {
+    val z = q("q_sort_zorder")
+    // de-interleave reconstructs both keys' low 16 bits exactly
+    val even = (0 until 16).map(x => s"(shiftleft(shiftright(zval, ${2 * x}) & 1, $x))").mkString(" + ")
+    val odd = (0 until 16).map(x => s"(shiftleft(shiftright(zval, ${2 * x + 1}) & 1, $x))").mkString(" + ")
+    val bad = z.where(
+      expr(even) =!= expr("l_partkey & 65535") ||
+        expr(odd) =!= expr("l_suppkey & 65535")).count()
+    assert(bad == 0, "z-curve not bijective")
+    // the layout recipe: range-partition by zval → per-partition z-ranges
+    // are disjoint, so each output file covers a compact curve segment
+    val ranges = z.repartitionByRange(4, col("zval"))
+      .select(spark_partition_id().as("pid"), col("zval"))
+      .groupBy("pid").agg(min("zval").as("mn"), max("zval").as("mx"))
+      .orderBy("pid").collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1), "overlapping z-ranges")
+      case _ =>
+    }
+  }
+
+  test("sketch merge: two-level HLL rollup equals the single-pass sketch, ±5% of exact") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, countDistinct}
+    val merged = queries.Aggs.queries("q_agg_sketch_merge")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == single, "two-level rollup changed the sketch state")
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(merged(k) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"$k: sketch ${merged(k)} vs exact $e")
+    }
+  }
 }

@@ -100,4 +100,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_llm_decontaminate broadcasts the benchmark gram set") {
+    val p = plan("q_llm_decontaminate")
+    // the corpus-side gram stream must probe a broadcast hash table —
+    // shuffling 100 TB of corpus grams against a KB-scale eval suite
+    // would be the classic avoidable-shuffle mistake.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_llm_pack windows per source shard — no single-partition exchange") {
+    val p = plan("q_llm_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing fell into a global window:\n$p")
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("q_llm_chunk stays in whole-stage codegen (generator + hash only)") {
+    val p = plan("q_llm_chunk")
+    assert(p.contains("Generate posexplode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
