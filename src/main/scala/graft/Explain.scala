@@ -20,7 +20,10 @@ object Explain {
     "q_llm_wordcount",      // expect generate + partial agg before shuffle
     "q_llm_dedup_near",     // expect equi-joins on band keys, no BNLJ
     "q_join_bucketed",      // expect SortMergeJoin w/o Exchange beneath
-    "q_agg_salted_skew")    // expect two-stage partial+final aggregation
+    "q_agg_salted_skew",    // expect two-stage partial+final aggregation
+    "q_llm_decontaminate",  // expect BroadcastHashJoin on the bench grams
+    "q_llm_pack",           // expect per-source window, no SinglePartition
+    "q_sort_zorder")        // expect codegen'd bit arithmetic, no joins
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -197,7 +197,48 @@ object Pipeline {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           expr(zInterleave("l_partkey", "l_suppkey")).as("zval"))
-        .orderBy("zval", "l_orderkey", "l_linenumber"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")),
+
+    // Stratified sampling: a deterministic 20% per language stratum —
+    // rank docs inside each stratum by a content hash (reproducible
+    // across runs, partitionings and engines, unlike rand(seed)) and
+    // keep the ceil-quota prefix. One window per stratum, fully
+    // shuffle-parallel across strata.
+    "q_llm_sample_stratified" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .withColumn("quota",
+          expr("(count(*) OVER (PARTITION BY lang) + 4) div 5"))
+        .where(col("rn") <= col("quota"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Dataset mixing: allocate a global token budget (20% of the corpus)
+    // across sources proportionally to a per-source weight, then take
+    // each source's docs in content-hash order until its budget fills.
+    // The budget table is a 20-row dim (global window over it is fine at
+    // any corpus size); the doc-side work is one partitioned window.
+    "q_llm_mix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val gw = Window.partitionBy()
+      val budget = docs.groupBy("source").agg(sum(col("n")).as("toks"))
+        .withColumn("w", expr("CAST(substring(source, 4) AS INT) + 1"))
+        .withColumn("grand", sum(col("toks")).over(gw))
+        .withColumn("sumw", sum(col("w")).over(gw))
+        .select(col("source"), expr("((grand div 5) * w) div sumw").as("budget"))
+      val wcum = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(budget), "source")
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .where(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("n").as("n_tokens"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Bit-interleave of the low 16 bits of two BIGINT columns (Spark SQL;
@@ -315,6 +356,33 @@ object Pipeline {
               s"((((l_partkey >> $x) & 1) << ${2 * x}) + (((l_suppkey >> $x) & 1) << ${2 * x + 1}))")
               .mkString(" + ")} AS zval
           FROM lineitem WHERE l_orderkey < 200
-          ORDER BY zval, l_orderkey, l_linenumber"""
+          ORDER BY zval, l_orderkey, l_linenumber""",
+
+    "q_llm_sample_stratified" ->
+      """WITH t AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             (COUNT(*) OVER (PARTITION BY lang) + 4) // 5 AS quota
+           FROM documents)
+         SELECT doc_id, lang FROM t WHERE rn <= quota ORDER BY doc_id""",
+
+    "q_llm_mix" ->
+      """WITH docs AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INT) AS n,
+             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         dim AS (SELECT source, CAST(SUM(n) AS BIGINT) AS toks,
+             CAST(substring(source, 4) AS INT) + 1 AS w
+           FROM docs GROUP BY source),
+         b AS (SELECT source,
+             CAST(((CAST(SUM(toks) OVER () AS BIGINT) // 5) * w)
+               // CAST(SUM(w) OVER () AS BIGINT) AS BIGINT) AS budget
+           FROM dim),
+         c AS (SELECT d.doc_id, d.source, d.n,
+             SUM(d.n) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             b.budget
+           FROM docs d JOIN b USING (source))
+         SELECT doc_id, source, n AS n_tokens FROM c
+         WHERE cum <= budget ORDER BY doc_id"""
   )
 }

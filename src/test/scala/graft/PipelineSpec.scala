@@ -117,6 +117,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample keeps exactly the ceil-20% quota per language") {
+    val kept = q("q_llm_sample_stratified").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = Tables(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, n) =>
+      assert(kept(lang) == (n + 4) / 5, s"$lang: ${kept(lang)} of $n")
+    }
+  }
+
+  test("mix equals the greedy hash-order prefix under the proportional budget") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(id.toString.getBytes).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = docs.groupBy(_._2)
+    val grand = docs.map(_._3.toLong).sum
+    val sumw = bySrc.keys.map(s => s.drop(3).toInt + 1L).sum
+    val expected = bySrc.toSeq.flatMap { case (src, rows) =>
+      val budget = (grand / 5) * (src.drop(3).toInt + 1) / sumw
+      var cum = 0L
+      rows.sortBy(r => (h(r._1), r._1)).takeWhile { r =>
+        cum += r._3; cum <= budget
+      }.map(_._1).toSeq
+    }.toSet
+    val got = q("q_llm_mix").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("sketch merge: two-level HLL rollup equals the single-pass sketch, ±5% of exact") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, countDistinct}
     val merged = queries.Aggs.queries("q_agg_sketch_merge")(spark, sf)
