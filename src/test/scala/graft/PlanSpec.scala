@@ -122,4 +122,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate posexplode"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("AQE re-plans at runtime: shuffle partitions coalesce after execution") {
+    // adaptive execution is default-on; after the job runs, the final
+    // plan must show the runtime-rewritten exchange (AQEShuffleRead),
+    // proving the 100 TB posture's runtime re-planning path is live —
+    // the same mechanism that coalesces thousands of tiny post-shuffle
+    // partitions or splits skewed ones on a real cluster.
+    val df = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus").count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+    assert(p.contains("AQEShuffleRead"), p)
+  }
+
+  test("Sql.run drives the engine through pure SQL over registered views") {
+    val r = Sql.run(spark, sf,
+      """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
+         FROM lineitem GROUP BY 1 ORDER BY 1""")
+    assert(r.count() > 0)
+    val dot = Sql.run(spark, sf,
+      """SELECT a.vec_id, graft_dot(a.embedding, b.embedding) AS d
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         WHERE a.vec_id < 5 ORDER BY a.vec_id""")
+    assert(dot.collect().forall(x => !x.isNullAt(1)))
+  }
 }
