@@ -103,8 +103,10 @@ object GraftStrategy extends SparkStrategy {
 /** Build-time registration: `.config("spark.sql.extensions",
   * "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategy)
+    ext.injectOptimizerRule(_ => RowNumberTopKRewrite)
+  }
 }
 
 object GraftPlans {

@@ -64,6 +64,30 @@ object Aggs {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
         .orderBy("event_type")),
 
+    // Numeric binning / histogram over an exact decimal grid: bucket =
+    // cents div 3_750_000 (37 500.00-wide bins). The decimal cast makes
+    // the boundary arithmetic integer-exact in both engines — a raw
+    // double divide would disagree with DuckDB on boundary rows.
+    "q_agg_histogram" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 3750000")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // Deterministic argmax via lexicographic struct max: the (value,
+    // user_id) pair orders by value first, user_id as the tiebreaker, so
+    // ties cannot flip the winner run-to-run (max_by alone would be
+    // nondeterministic on tied values). One partial+final aggregate.
+    "q_agg_argmax" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(max(struct(col("value"), col("user_id"))).as("m"))
+        .select(col("event_type"), col("m.user_id").as("top_user"),
+          col("m.value").as("top_value"))
+        .orderBy("event_type")),
+
     "q_agg_grouping_sets" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupingSets(
@@ -153,6 +177,20 @@ object Aggs {
   private val oRev = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_histogram" ->
+      """SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // 3750000 AS bucket,
+            COUNT(*) AS cnt
+          FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q_agg_argmax" ->
+      """SELECT event_type, user_id AS top_user, value AS top_value
+         FROM (SELECT event_type, user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, user_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY event_type""",
+
     "q_agg_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
             ${oDsum("l_quantity")} AS sum_qty,

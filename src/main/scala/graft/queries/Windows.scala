@@ -120,6 +120,20 @@ object Windows {
           "p_brand", "p_retailprice", "p_partkey", 3)
         .orderBy("p_brand", "rn")),
 
+    // The same top-k written the idiomatic way — row_number window +
+    // rank filter — with the RowNumberTopKRewrite optimizer rule
+    // registered: the user keeps the standard Spark pattern and the
+    // engine plans the bounded-heap operator (PlanSpec asserts
+    // GroupedTopKExec, no WindowExec, in the executed plan).
+    "q_topk_window_rewrite" -> ((s, d) => {
+      graft.plans.GraftRules.register(s)
+      Tables(s, d, "part").select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", row_number().over(Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))))
+        .where(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    }),
+
     "q_sort_multikey" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .where(col("l_shipdate") >= ts("2001-06-01"))
@@ -198,6 +212,14 @@ object Windows {
          WHERE rn <= 3 ORDER BY p_brand, rn""",
 
     "q_topk_grouped_plan" ->
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+               FROM part)
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+
+    "q_topk_window_rewrite" ->
       """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn
          FROM (SELECT p_brand, p_partkey, p_retailprice,
                  ROW_NUMBER() OVER (PARTITION BY p_brand

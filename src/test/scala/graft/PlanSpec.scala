@@ -123,6 +123,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("RowNumberTopKRewrite turns the idiomatic window top-k into the heap operator") {
+    val df = SparkEntry.queries("q_topk_window_rewrite")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("GroupedTopK ["), s"rule did not fire:\n$p")
+    assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+    // bit-for-bit equal to the un-rewritten window formulation
+    val win = queries.Windows.queries("q_topk_grouped_plan")(spark, sf).collect()
+    assert(df.collect().toSeq == win.toSeq)
+  }
+
   test("AQE re-plans at runtime: shuffle partitions coalesce after execution") {
     // adaptive execution is default-on; after the job runs, the final
     // plan must show the runtime-rewritten exchange (AQEShuffleRead),
