@@ -96,6 +96,15 @@ object Pipeline {
           md5(concat_ws(" ", col("chunk"))).as("digest"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Content-defined chunking: boundaries fall where a token's hash
+    // lands in 1/8 of the hash space (expected chunk ≈ 8 tokens), so an
+    // insertion perturbs only the chunk containing it — every downstream
+    // chunk digest is unchanged, which is what makes chunk-level dedup
+    // robust to edits (fixed windows shift EVERY later chunk; the spec
+    // proves the difference on a prepended document). Pure HOF + one
+    // generator; linear.
+    "q_llm_chunk_cdc" -> ((s, d) => cdcChunks(Tables(s, d, "documents"))),
+
     // GPT-style sequence packing: concatenate documents in id order and
     // chop into 2048-token training sequences. Packing runs PER SOURCE
     // SHARD (partitioned window), the way a distributed pipeline packs
@@ -241,6 +250,30 @@ object Pipeline {
     })
   )
 
+  /** Content-defined chunker over any (doc_id, text) frame — factored out
+    * so the spec can run it on an edited copy of the corpus and assert
+    * boundary stability. A position i is a boundary iff the md5-fold of
+    * its token is ≡ 0 (mod 8); chunk edges are 0 ++ boundaries ++ n. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val gear = U.hexFold("md5(element_at(tk, CAST(i AS INT)))", 8)
+    docs.withColumn("tk", split(col("text"), " "))
+      .withColumn("edges", expr(
+        s"""concat(array(0),
+              filter(sequence(1, size(tk)), i -> $gear % 8 = 0),
+              array(size(tk)))"""))
+      .select(col("doc_id"), col("tk"), col("edges"),
+        posexplode(expr("sequence(0, size(edges) - 2)")))
+      .withColumn("start_tok", expr("element_at(edges, pos + 1) + 1"))
+      .withColumn("end_tok", expr("element_at(edges, pos + 2)"))
+      .where(col("start_tok") <= col("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tok"),
+        md5(concat_ws(" ",
+          expr("slice(tk, start_tok, end_tok - start_tok + 1)"))).as("digest"))
+      .orderBy("doc_id", "start_tok")
+  }
+
   /** Bit-interleave of the low 16 bits of two BIGINT columns (Spark SQL;
     * identical operator set exists in DuckDB — see oracle). */
   def zInterleave(a: String, b: String): String =
@@ -357,6 +390,25 @@ object Pipeline {
               .mkString(" + ")} AS zval
           FROM lineitem WHERE l_orderkey < 200
           ORDER BY zval, l_orderkey, l_linenumber""",
+
+    "q_llm_chunk_cdc" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         e AS (SELECT doc_id, tk,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+               list_filter(range(1, len(tk) + 1),
+                 i -> ${U.oHexFold("md5(tk[i])", 8)} % 8 = 0)),
+               [len(tk)]) AS edges
+           FROM d),
+         c AS (SELECT doc_id, tk, edges,
+             unnest(range(1, len(edges))) AS k FROM e)
+         SELECT doc_id,
+           CAST(edges[k] + 1 AS INT) AS start_tok,
+           CAST(edges[k + 1] AS INT) AS end_tok,
+           CAST(edges[k + 1] - edges[k] AS INT) AS n_tok,
+           md5(array_to_string(list_slice(tk, edges[k] + 1, edges[k + 1]), ' '))
+             AS digest
+         FROM c WHERE edges[k] + 1 <= edges[k + 1]
+         ORDER BY doc_id, start_tok""",
 
     "q_llm_sample_stratified" ->
       """WITH t AS (SELECT doc_id, lang,

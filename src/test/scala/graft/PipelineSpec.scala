@@ -29,6 +29,31 @@ class PipelineSpec extends SparkSpec {
     assert(rows.zip(rows.drop(1)).forall { case (a, b) => b - a == 24 })
   }
 
+  test("cdc chunk boundaries resist shifts: prepending tokens preserves later digests") {
+    val docs = Tables(spark, sf, "documents").where(col("doc_id") < 50)
+    val orig = queries.Pipeline.cdcChunks(docs)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(4)).toSet).toMap
+    val shifted = queries.Pipeline.cdcChunks(
+        docs.withColumn("text", concat(lit("prepended shim tokens "), col("text"))))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(4)).toSet).toMap
+    // for every doc, all original chunk digests except (at most) the first
+    // chunk survive the edit — the CDC selling point. A fixed-window
+    // chunker would invalidate every digest.
+    orig.foreach { case (id, digests) =>
+      val surviving = digests.intersect(shifted(id))
+      assert(digests.size - surviving.size <= 1,
+        s"doc $id: ${digests.size - surviving.size} chunks changed after a prepend")
+    }
+    // chunks tile each doc exactly: sum of n_tok == n_tokens, no overlap
+    val cover = queries.Pipeline.cdcChunks(docs)
+      .groupBy("doc_id").agg(sum("n_tok").as("s"), max("end_tok").as("e"))
+    val n = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    assert(cover.join(n, "doc_id")
+      .where(col("s") =!= col("n") || col("e") =!= col("n")).count() == 0)
+  }
+
   test("packing conserves offsets: start_off is the running sum per source") {
     val p = q("q_llm_pack").collect()
     p.groupBy(_.getString(1)).foreach { case (_, rows) =>
