@@ -145,13 +145,7 @@ object Extras {
       val pairs = probes.as("x").join(sh.as("y"),
           col("x.probe") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val nbr = pairs.select(col("a").as("doc_id"), col("b").as("nbr"))
-        .union(pairs.select(col("b").as("doc_id"), col("a").as("nbr")))
-      sh.select("doc_id").join(nbr, Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg(least(col("doc_id"), coalesce(min(col("nbr")), col("doc_id"))).as("keep_id"),
-          count(col("nbr")).as("n_dups"))
-        .orderBy("doc_id")
+      U.dupGroups(sh, pairs)
     }),
 
     "q_llm_dedup_ngram_jaccard" -> ((s, d) => {
@@ -306,13 +300,7 @@ object Extras {
            FROM sh),
          pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM probes x JOIN sh y ON x.probe = y.simhash AND x.doc_id < y.doc_id),
-         nbr AS (SELECT a AS doc_id, b AS nbr FROM pairs
-                 UNION ALL SELECT b AS doc_id, a AS nbr FROM pairs)
-         SELECT s.doc_id,
-           least(s.doc_id, coalesce(MIN(n.nbr), s.doc_id)) AS keep_id,
-           COUNT(n.nbr) AS n_dups
-         FROM sh s LEFT JOIN nbr n ON s.doc_id = n.doc_id
-         GROUP BY s.doc_id ORDER BY s.doc_id""",
+         ${U.oDupGroups("pairs", "sh")}""",
 
     "q_llm_dedup_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id,

@@ -100,16 +100,8 @@ object Llm {
     // times) would skew one bucket; AQE skew-join splits it, and the
     // exact-dedup pass (q_llm_dedup_exact) is the cheaper upstream filter
     // for that shape anyway.
-    "q_llm_dedup_near" -> ((s, d) => {
-      val conf = confirmedPairs(s, d)
-      val nbr = conf.select(col("a").as("doc_id"), col("b").as("nbr"))
-        .union(conf.select(col("b").as("doc_id"), col("a").as("nbr")))
-      Tables(s, d, "documents").select("doc_id").join(nbr, Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg(least(col("doc_id"), coalesce(min(col("nbr")), col("doc_id"))).as("keep_id"),
-          count(col("nbr")).as("n_dups"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_dedup_near" -> ((s, d) =>
+      U.dupGroups(Tables(s, d, "documents"), confirmedPairs(s, d))),
 
     // Transitive dup groups: connected components over the confirmed
     // near-dup pairs (a kept b, b kept c ⇒ {a,b,c} are one group — the
@@ -261,13 +253,7 @@ object Llm {
 
     "q_llm_dedup_near" ->
       s"""WITH $oConfCte,
-         nbr AS (SELECT a AS doc_id, b AS nbr FROM conf
-                 UNION ALL SELECT b AS doc_id, a AS nbr FROM conf)
-         SELECT d.doc_id,
-           least(d.doc_id, coalesce(MIN(n.nbr), d.doc_id)) AS keep_id,
-           COUNT(n.nbr) AS n_dups
-         FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
-         GROUP BY d.doc_id ORDER BY d.doc_id""",
+         ${U.oDupGroups("conf", "documents")}""",
 
     // exact transitive closure via recursive CTE: the propagation UNION is
     // set-distinct, so the iteration terminates at the fixpoint the Spark

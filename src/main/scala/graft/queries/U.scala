@@ -53,4 +53,32 @@ object U {
     s"""list_reduce(list_transform(string_split(substring($hex, 1, $n), ''),
           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
           (x, c) -> x * 16 + c)"""
+
+  /** The linear dup-group output shape every dedup query converges to:
+    * given an undirected candidate-pair list `pairs(a, b)` (a < b) and the
+    * doc universe `base(doc_id, …)`, emit one row per doc with its
+    * smallest neighbor as `keep_id` (itself when unpaired) and its
+    * neighbor count `n_dups`. One shuffle over pairs + one left join —
+    * O(docs + pairs), never a pair-list output. */
+  def dupGroups(base: DataFrame, pairs: DataFrame): DataFrame = {
+    val nbr = pairs.select(col("a").as("doc_id"), col("b").as("nbr"))
+      .union(pairs.select(col("b").as("doc_id"), col("a").as("nbr")))
+    base.select("doc_id").join(nbr, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(least(col("doc_id"), coalesce(min(col("nbr")), col("doc_id"))).as("keep_id"),
+        count(col("nbr")).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dupGroups]]: the `nbr` CTE + final select, to splice
+    * after a CTE chain ending in `pairsCte(a, b)`. `baseFrom` supplies the
+    * doc universe (a table or CTE exposing doc_id). */
+  def oDupGroups(pairsCte: String, baseFrom: String): String =
+    s"""nbr AS (SELECT a AS doc_id, b AS nbr FROM $pairsCte
+             UNION ALL SELECT b AS doc_id, a AS nbr FROM $pairsCte)
+         SELECT t.doc_id,
+           least(t.doc_id, coalesce(MIN(n.nbr), t.doc_id)) AS keep_id,
+           COUNT(n.nbr) AS n_dups
+         FROM $baseFrom t LEFT JOIN nbr n ON t.doc_id = n.doc_id
+         GROUP BY t.doc_id ORDER BY t.doc_id"""
 }

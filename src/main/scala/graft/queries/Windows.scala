@@ -125,9 +125,18 @@ object Windows {
     // registered: the user keeps the standard Spark pattern and the
     // engine plans the bounded-heap operator (PlanSpec asserts
     // GroupedTopKExec, no WindowExec, in the executed plan).
+    // The rule registers on an ISOLATED child session (shared
+    // SparkContext, own SessionState): extraOptimizations is session-wide
+    // and lazily applied, so registering on the shared session would
+    // silently re-plan every other row_number()<=k query through the heap
+    // operator — making the GroupedTopK-vs-window equality specs compare
+    // the operator against itself. Reads the dim directly (the Tables
+    // cache is per-session; `part` is KB-scale).
     "q_topk_window_rewrite" -> ((s, d) => {
-      graft.plans.GraftRules.register(s)
-      Tables(s, d, "part").select("p_brand", "p_partkey", "p_retailprice")
+      val s2 = s.newSession()
+      graft.plans.GraftRules.register(s2)
+      s2.read.parquet(s"$d/part.parquet")
+        .select("p_brand", "p_partkey", "p_retailprice")
         .withColumn("rn", row_number().over(Window.partitionBy("p_brand")
           .orderBy(col("p_retailprice").desc, col("p_partkey"))))
         .where(col("rn") <= 3)
