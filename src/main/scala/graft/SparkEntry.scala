@@ -20,7 +20,8 @@ object SparkEntry {
     Scans.queries ++ Joins.queries ++ Aggs.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ StreamTwins.queries ++
       Udx.queries ++ Llm.queries ++ Extras.queries ++ Multimodal.queries ++
-      MrCore.queries ++ Reshape.queries ++ Pipeline.queries
+      MrCore.queries ++ Reshape.queries ++ Pipeline.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Scans.oracle ++ Joins.oracle ++ Aggs.oracle ++ Windows.oracle ++
       SetOps.oracle ++ Scalars.oracle ++ StreamTwins.oracle ++
       Udx.oracle ++ Llm.oracle ++ Extras.oracle ++ Multimodal.oracle ++
-      MrCore.oracle ++ Reshape.oracle ++ Pipeline.oracle
+      MrCore.oracle ++ Reshape.oracle ++ Pipeline.oracle ++
+      Analytics.oracle
 }

@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.{Memo, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Round-3 additions (SURVEY §2.15): distribution windows, LATERAL SQL,
+  * rank-selected median/mode, time-series resample + gap-fill, SCD2
+  * history build, data-quality profiling / referential checks, and a
+  * Bloom-prefiltered decontamination variant.
+  *
+  * Scale notes: everything here is linear and shuffle-parallel. The
+  * calendar spine in the resample is |users|×|days| (linear in users);
+  * the SCD2 build is one window pass over events; the DQ checks are
+  * broadcast anti-joins against dims; the Bloom variant's sketch is
+  * KB-sized no matter how large the corpus, and pruning happens BEFORE
+  * the shuffle join. Median/mode avoid interpolation entirely — pure
+  * rank selection, so both engines agree bitwise (SURVEY §7.4).
+  */
+object Analytics {
+
+  val queries: Map[String, Q] = Map(
+
+    // Distribution windows: percent_rank / cume_dist per market segment.
+    // custkey tiebreak makes every rank (hence every ratio) unique and
+    // deterministic; the ratios are exact small-integer divisions, so the
+    // doubles match DuckDB bit-for-bit.
+    "q_win_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("seg", "c_acctbal", "c_custkey")
+    }),
+
+    // Correlated LATERAL subquery: top-2 orders per customer — the SQL
+    // surface for "for each row, run this dependent subquery". Catalyst
+    // decorrelates it into a ranked join, so no per-row execution at
+    // scale. Bounded to custkey<100 only to keep the demo output small.
+    "q_sql_lateral" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("customer")
+      Tables(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           FROM customer c, LATERAL (
+             SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+           WHERE c.c_custkey < 100
+           ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
+    // Exact median + mode per segment WITHOUT interpolation: lower median
+    // = the value at rank ⌈n/2⌉ (pure selection, no float arithmetic);
+    // mode = smallest value among the most frequent (count desc, value
+    // asc, rank 1) — deterministic under ties. Two partial-aggregated
+    // shuffles; no global sort.
+    "q_agg_median_mode" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val wMed = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      val med = c
+        .withColumn("rn", row_number().over(wMed))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("median_bal"),
+          col("n").as("n_rows"))
+      val wMode = Window.partitionBy("c_mktsegment")
+        .orderBy(col("cnt").desc, col("c_nationkey").asc)
+      val mode = c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mrn", row_number().over(wMode))
+        .where(col("mrn") === 1)
+        .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("mode_nation"))
+      med.join(mode, "seg").orderBy("seg")
+    }),
+
+    // Time-series resample to a daily grid + LOCF gap-fill: the calendar
+    // spine is sequence()×users (linear in users, no cross join against
+    // the fact table); daily totals come from one partial-aggregated
+    // groupBy; the fill is last(ignoreNulls) over an explicit ROWS frame.
+    "q_ts_resample_gapfill" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy("user_id", "day")
+        .agg(dsum(col("value")).as("day_total"), count(lit(1)).as("n_ev"))
+      val cal = daily.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(expr("sequence(DATE'2024-01-01', DATE'2024-01-30')")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          coalesce(col("n_ev"), lit(0L)).as("n_ev"), col("day_total"),
+          last(col("day_total"), ignoreNulls = true).over(w).as("total_locf"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // SCD type-2 history build: collapse the per-user event_type stream
+    // into change intervals [valid_from_s, valid_to_s) with an is_current
+    // flag — one window pass (lag to find change points, lead to close
+    // intervals), ordered by the unique ascending event_id.
+    "q_ts_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochS(col("ts")).as("from_s"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to_s", lead(col("from_s"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("from_s").as("valid_from_s"), col("valid_to_s"),
+          col("valid_to_s").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Data-quality profile (Deequ-style): one aggregate pass computes
+    // rows/nulls/distincts/min/max for each audited column, then stack()
+    // pivots the single row into one row per column. String-typed values
+    // only — numeric→string formatting is engine-specific (SURVEY §7.4).
+    "q_dq_profile" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .withColumn("nat_s", col("c_nationkey").cast("string"))
+      val cols = Seq("c_name", "c_mktsegment", "nat_s")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(cn => Seq(
+        count(col(cn)).as(s"nn_$cn"),
+        countDistinct(col(cn)).as(s"nd_$cn"),
+        min(col(cn)).as(s"mn_$cn"),
+        max(col(cn)).as(s"mx_$cn")))
+      val stackArgs = cols.map(cn =>
+        s"'$cn', n, n - nn_$cn, nd_$cn, mn_$cn, mx_$cn").mkString(", ")
+      c.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_rows, n_null, n_distinct, min_v, max_v)")
+        .orderBy("col_name")
+    }),
+
+    // Referential-integrity audit: orphan counts for each FK edge of the
+    // star schema via anti-joins — the dim side broadcasts, so each check
+    // is one scan of the fact with no fact-side shuffle.
+    "q_dq_referential" -> ((s, d) => {
+      def orphans(rel: String, fact: String, fk: String, dim: String, pk: String) = {
+        val f = Tables(s, d, fact)
+        val dm = broadcast(Tables(s, d, dim).select(col(pk)))
+        f.join(dm, f(fk) === dm(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_orphans"))
+      }
+      orphans("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey")
+        .unionAll(orphans("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .unionAll(orphans("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .unionAll(orphans("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+        .orderBy("relation")
+    }),
+
+    // Bloom-prefiltered decontamination: build a KB-sized Bloom sketch of
+    // the benchmark 5-grams once (memoized per sfDir), prune corpus grams
+    // against it BEFORE the shuffle, then confirm survivors with an exact
+    // broadcast semi-join — false positives die there, so the output is
+    // exactly the contaminated-doc set. This is the runtime-filter shape
+    // Spark itself injects for large joins (runtime.bloomFilter.*): at
+    // 100 TB the sketch probe drops ~99% of gram rows at the scan.
+    "q_llm_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").withColumn("tk", split(col("text"), " "))
+      val grams = expr(
+        """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
+             (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))""")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(grams)).as("g")).distinct()
+      val bloom = Memo(s, s"bloom:$d") {
+        s.sparkContext.broadcast(bench.stat.bloomFilter("g", 4096L, 0.01))
+      }
+      val probe = udf((g: String) => bloom.value.mightContainString(g))
+      docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+        .where(probe(col("g")))
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val oGrams5 =
+    """list_transform(tk[1:greatest(len(tk) - 4, 0)],
+         (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))"""
+
+  val oracle: Map[String, String] = Map(
+    "q_win_cume_dist" ->
+      """SELECT c_custkey, c_mktsegment AS seg, c_acctbal,
+           percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY seg, c_acctbal, c_custkey""",
+
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         WHERE c.c_custkey < 100
+         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+
+    "q_agg_median_mode" ->
+      """WITH ranked AS (
+           SELECT c_mktsegment AS seg, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM customer),
+         med AS (SELECT seg, c_acctbal AS median_bal, n AS n_rows
+                 FROM ranked WHERE rn = (n + 1) // 2),
+         freq AS (SELECT c_mktsegment AS seg, c_nationkey, COUNT(*) AS cnt
+                  FROM customer GROUP BY 1, 2),
+         md AS (SELECT seg, c_nationkey AS mode_nation,
+                  row_number() OVER (PARTITION BY seg
+                                     ORDER BY cnt DESC, c_nationkey) AS mrn
+                FROM freq)
+         SELECT m.seg, m.median_bal, m.n_rows, d.mode_nation
+         FROM med m JOIN md d ON m.seg = d.seg AND d.mrn = 1
+         ORDER BY m.seg""",
+
+    "q_ts_resample_gapfill" ->
+      s"""WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             ${oDsum("value")} AS day_total, COUNT(*) AS n_ev
+           FROM events GROUP BY 1, 2),
+         cal AS (
+           SELECT u.user_id,
+             CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT DISTINCT user_id FROM daily) u)
+         SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day_s,
+           COALESCE(d.n_ev, 0) AS n_ev, d.day_total,
+           last_value(d.day_total IGNORE NULLS)
+             OVER (PARTITION BY c.user_id ORDER BY c.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf
+         FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+         ORDER BY c.user_id, day_s""",
+
+    "q_ts_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_ms(ts) // 1000 AS from_s,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+           FROM events),
+         chg AS (SELECT * FROM e
+                 WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id,
+           CAST(row_number() OVER w AS INT) AS version, event_type,
+           from_s AS valid_from_s,
+           lead(from_s) OVER w AS valid_to_s,
+           lead(from_s) OVER w IS NULL AS is_current
+         FROM chg
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY user_id, version""",
+
+    "q_dq_profile" ->
+      """WITH c AS (SELECT c_name, c_mktsegment,
+                      CAST(c_nationkey AS VARCHAR) AS nat_s FROM customer)
+         SELECT 'c_name' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_name) AS n_null, COUNT(DISTINCT c_name) AS n_distinct,
+           MIN(c_name) AS min_v, MAX(c_name) AS max_v FROM c
+         UNION ALL
+         SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment) FROM c
+         UNION ALL
+         SELECT 'nat_s', COUNT(*), COUNT(*) - COUNT(nat_s),
+           COUNT(DISTINCT nat_s), MIN(nat_s), MAX(nat_s) FROM c
+         ORDER BY col_name""",
+
+    "q_dq_referential" ->
+      """SELECT * FROM (
+           SELECT 'lineitem.l_partkey->part' AS relation, COUNT(*) AS n_orphans
+           FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+           FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+           UNION ALL
+           SELECT 'orders.o_custkey->customer', COUNT(*)
+           FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           UNION ALL
+           SELECT 'events.user_id->customer', COUNT(*)
+           FROM events e WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+         ORDER BY relation""",
+
+    "q_llm_decontaminate_bloom" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         bench AS (SELECT DISTINCT unnest(list_distinct($oGrams5)) AS g
+                   FROM d WHERE doc_id % 97 = 0),
+         cg AS (SELECT doc_id, unnest(list_distinct($oGrams5)) AS g
+                FROM d WHERE doc_id % 97 <> 0)
+         SELECT doc_id, COUNT(*) AS n_contaminated
+         FROM cg WHERE g IN (SELECT g FROM bench)
+         GROUP BY doc_id ORDER BY doc_id"""
+  )
+}
