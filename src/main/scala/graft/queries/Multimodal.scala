@@ -63,7 +63,55 @@ object Multimodal {
         .select("doc_id", "byte_len", "mean_e6", "var_e6", "edge_e6",
           "width", "height")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Resize plumbing: fit (width, height) into a 224×224 training grid
+    // preserving aspect ratio, then nearest-neighbor-resample the payload
+    // to a fixed 64-byte signature via the SAME index mapping a real
+    // resampler uses (src_i = ⌊dst_i · n / 64⌋). The index math, target
+    // dims and digest are the real pipeline; only pixel decode is the
+    // documented stub (payload bytes stand in for pixels). Pure codegen'd
+    // integer/string ops — no UDF, linear, shuffle-free until the sort.
+    "q_mm_resize" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        col("text").as("payload"),
+        (col("n_chars") % 640 + 32).cast("int").as("in_w"),
+        (col("n_chars") % 480 + 32).cast("int").as("in_h"))
+        .withColumn("out_w",
+          expr("greatest(1, (in_w * 224) div greatest(in_w, in_h))"))
+        .withColumn("out_h",
+          expr("greatest(1, (in_h * 224) div greatest(in_w, in_h))"))
+        .withColumn("n", length(col("payload")))
+        .withColumn("sig", expr(
+          """concat_ws('', transform(sequence(0, 63),
+               i -> substring(payload, CAST(i * n div 64 AS INT) + 1, 1)))"""))
+        .select(col("doc_id"), col("in_w"), col("in_h"),
+          col("out_w"), col("out_h"),
+          length(col("sig")).cast("int").as("sig_len"),
+          md5(col("sig")).as("sig_digest"))
+        .orderBy("doc_id")),
+
+    // Frame-sampling plumbing: treat the payload as a fixed-frame video
+    // (256 bytes/frame), keep every 4th frame — the stride-sampling shape
+    // a video-curation pipeline uses before per-frame featurization. One
+    // output row per sampled frame via a generator over the frame index
+    // sequence; slicing + digest are exact string ops on the payload.
+    "q_mm_frame_sample" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("text").as("payload"))
+        .withColumn("n_frames",
+          expr("CAST((length(payload) + 255) div 256 AS BIGINT)"))
+        .select(col("doc_id"), col("payload"), col("n_frames"),
+          explode(expr("sequence(0, CAST((n_frames - 1) div 4 AS INT))"))
+            .as("k"))
+        .withColumn("frame_id", col("k") * 4)
+        .withColumn("frame", expr("substring(payload, CAST(frame_id * 256 AS INT) + 1, 256)"))
+        .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+          col("n_frames"),
+          length(col("frame")).cast("int").as("frame_bytes"),
+          md5(col("frame")).as("frame_digest"))
+        .orderBy("doc_id", "frame_id"))
   )
 
   // The corpus is pure ASCII (verified: octet_length == length at every
@@ -92,6 +140,36 @@ object Multimodal {
                      ELSE 0 END AS BIGINT) AS edge_e6,
            CAST(n_chars % 640 + 32 AS INT) AS width,
            CAST(n_chars % 480 + 32 AS INT) AS height
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+
+    "q_mm_resize" ->
+      """WITH m AS (SELECT doc_id, text AS payload,
+             CAST(n_chars % 640 + 32 AS INT) AS in_w,
+             CAST(n_chars % 480 + 32 AS INT) AS in_h,
+             length(text) AS n
+           FROM documents)
+         SELECT doc_id, in_w, in_h,
+           CAST(greatest(1, (in_w * 224) // greatest(in_w, in_h)) AS INT) AS out_w,
+           CAST(greatest(1, (in_h * 224) // greatest(in_w, in_h)) AS INT) AS out_h,
+           CAST(length(sig) AS INT) AS sig_len,
+           md5(sig) AS sig_digest
+         FROM (SELECT *, list_aggregate(list_transform(range(0, 64),
+                 i -> substring(payload, CAST(i * n // 64 AS INT) + 1, 1)),
+                 'string_agg', '') AS sig
+               FROM m)
+         ORDER BY doc_id""",
+
+    "q_mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text AS payload,
+             (length(text) + 255) // 256 AS n_frames
+           FROM documents),
+         f AS (SELECT doc_id, payload, n_frames,
+                 unnest(range(0, (n_frames - 1) // 4 + 1)) * 4 AS frame_id
+               FROM m)
+         SELECT doc_id, frame_id, n_frames,
+           CAST(length(substring(payload, CAST(frame_id * 256 AS INT) + 1, 256)) AS INT)
+             AS frame_bytes,
+           md5(substring(payload, CAST(frame_id * 256 AS INT) + 1, 256)) AS frame_digest
+         FROM f ORDER BY doc_id, frame_id"""
   )
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-3 batch (SURVEY §2.15 + §2 multimodal)
+  * that the DuckDB hash compare can't express directly: cross-query
+  * equivalences and structural invariants.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("bloom-prefiltered decontamination ≡ exact decontamination (contaminated set)") {
+    // The Bloom sketch may admit false positives; the exact semi-join
+    // confirm must kill every one, so the output equals the plain
+    // broadcast-join path restricted to contaminated docs.
+    val plain = SparkEntry.queries("q_llm_decontaminate")(spark, sf)
+      .where(col("contaminated"))
+      .select(col("doc_id"), col("n_shared").as("n_contaminated"))
+      .collect().toSet
+    val bloom = SparkEntry.queries("q_llm_decontaminate_bloom")(spark, sf)
+      .collect().toSet
+    assert(bloom == plain,
+      s"bloom path diverges: only-bloom=${bloom -- plain}, only-plain=${plain -- bloom}")
+  }
+
+  test("resample gap-fill tiles the full calendar and conserves event counts") {
+    val out = SparkEntry.queries("q_ts_resample_gapfill")(spark, sf)
+    val perUser = out.groupBy("user_id").count().collect()
+    assert(perUser.nonEmpty && perUser.forall(_.getLong(1) == 30),
+      "every user must get exactly the 30-day calendar")
+    val totalEv = out.agg(sum("n_ev")).head.getLong(0)
+    val rawEv = Tables(spark, sf, "events").count()
+    assert(totalEv == rawEv, s"gap-fill lost events: $totalEv != $rawEv")
+  }
+
+  test("SCD2 intervals are contiguous per user with exactly one open interval") {
+    val rows = SparkEntry.queries("q_ts_scd2")(spark, sf)
+      .orderBy("user_id", "version").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      assert(rs.count(_.getBoolean(5)) == 1, s"user $u: open intervals != 1")
+      rs.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.get(4) == b.get(3),
+          s"user $u: interval gap between v${a.getInt(1)} and v${b.getInt(1)}")
+        assert(a.getString(2) != b.getString(2),
+          s"user $u: adjacent intervals share event_type (not a change point)")
+      }
+    }
+  }
+
+  test("median is a real group member at rank ceil(n/2); mode is the smallest argmax") {
+    val med = SparkEntry.queries("q_agg_median_mode")(spark, sf).collect()
+    val cust = Tables(spark, sf, "customer")
+      .select("c_mktsegment", "c_acctbal", "c_nationkey").collect()
+      .groupBy(_.getString(0))
+    med.foreach { r =>
+      val seg = r.getString(0)
+      val vals = cust(seg).map(_.getDouble(1)).sorted
+      assert(r.getDouble(1) == vals((vals.length + 1) / 2 - 1),
+        s"$seg: median not the rank-⌈n/2⌉ member")
+      val freq = cust(seg).groupBy(_.getInt(2)).view.mapValues(_.length)
+      val best = freq.toSeq.sortBy { case (v, c) => (-c, v) }.head._1
+      assert(r.getInt(3) == best, s"$seg: mode not the smallest argmax")
+    }
+  }
+
+  test("resize fits the 224 grid exactly on the long edge") {
+    val bad = SparkEntry.queries("q_mm_resize")(spark, sf)
+      .where(greatest(col("out_w"), col("out_h")) =!= 224 ||
+        col("out_w") > 224 || col("out_h") > 224 || col("sig_len") =!= 64)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("frame sampling keeps every 4th frame and tiles the payload") {
+    val out = SparkEntry.queries("q_mm_frame_sample")(spark, sf)
+    assert(out.where(col("frame_id") % 4 =!= 0).count() == 0)
+    assert(out.where(col("frame_bytes") > 256 || col("frame_bytes") < 1).count() == 0)
+    val counts = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), first("n_frames").as("nf"))
+      .where(col("n") =!= expr("(nf - 1) div 4 + 1")).count()
+    assert(counts == 0, "sampled frame count != ceil(n_frames/4)")
+  }
+}

@@ -148,6 +148,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead"), p)
   }
 
+  test("q_dq_referential audits every FK edge as a broadcast anti-join (no fact shuffle)") {
+    val p = plan("q_dq_referential")
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length == 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_sql_lateral decorrelates: ranked join, no per-row subquery execution") {
+    val p = plan("q_sql_lateral")
+    assert(!p.contains("CartesianProduct"), p)
+    // the LIMIT 2 inside the lateral subquery must become a windowed
+    // rank/filter on the orders side, joined back — a single join pass
+    assert(p.contains("Window") || p.contains("GroupedTopK"), p)
+  }
+
+  test("q_llm_decontaminate_bloom probes the sketch below the semi-join") {
+    val p = plan("q_llm_decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    // the UDF probe must appear in the plan AFTER (i.e. beneath) the
+    // join node — pruning rows before the join ever sees them
+    assert(p.indexOf("UDF", joinIdx) > joinIdx, s"bloom probe not below the join:\n$p")
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
