@@ -155,6 +155,51 @@ object Analytics {
         .orderBy("relation")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): sessionization by walking
+    // each event to its immediate predecessor while the gap stays under
+    // 900 s. Depth = max session length (4 at sf0.1 — far under the 100
+    // recursion-level limit), each level one join; semantics identical
+    // to the session_window twin (asserted in AnalyticsSpec). Exercises
+    // the iterative-fixpoint surface SQL users expect from an engine.
+    "q_sql_recursive" -> ((s, d) => {
+      Tables(s, d, "events").createOrReplaceTempView("events")
+      s.sql(
+        """WITH RECURSIVE
+           e AS (SELECT user_id, event_id, unix_micros(ts) AS us,
+                   lag(unix_micros(ts)) OVER w AS pus,
+                   lag(event_id) OVER w AS prev_id
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+           sess(user_id, session_id, event_id, us) AS (
+             SELECT user_id, event_id, event_id, us FROM e
+             WHERE pus IS NULL OR us - pus >= 900000000
+             UNION ALL
+             SELECT s.user_id, s.session_id, e.event_id, e.us
+             FROM sess s JOIN e ON e.user_id = s.user_id
+               AND e.prev_id = s.event_id AND e.us - s.us < 900000000)
+           SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(us) div 1000000 AS start_s, MAX(us) div 1000000 AS end_s
+           FROM sess GROUP BY user_id, session_id
+           ORDER BY user_id, session_id""")
+    }),
+
+    // Salted skew join: spread a hot build key over 8 sub-keys — probe
+    // rows pick a salt from their own content, the dim side replicates
+    // once per salt, and the join key becomes (suppkey, salt). Hinted
+    // shuffle_hash (the scenario where the dim outgrew broadcast); the
+    // oracle is the UNSALTED join, proving the decomposition exact.
+    "q_join_skew_salted" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(8)))
+      val sup = Tables(s, d, "supplier")
+        .withColumn("salt", explode(expr("sequence(0, 7)")))
+      li.join(sup.hint("shuffle_hash"),
+          li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_name")
+    }),
+
     // Bloom-prefiltered decontamination: build a KB-sized Bloom sketch of
     // the benchmark 5-grams once (memoized per sfDir), prune corpus grams
     // against it BEFORE the shuffle, then confirm survivors with an exact
@@ -288,6 +333,30 @@ object Analytics {
            FROM events e WHERE NOT EXISTS
              (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
          ORDER BY relation""",
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE
+         e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER w AS pus,
+                 lag(event_id) OVER w AS prev_id
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         sess(user_id, session_id, event_id, us) AS (
+           SELECT user_id, event_id, event_id, us FROM e
+           WHERE pus IS NULL OR us - pus >= 900000000
+           UNION ALL
+           SELECT s.user_id, s.session_id, e.event_id, e.us
+           FROM sess s JOIN e ON e.user_id = s.user_id
+             AND e.prev_id = s.event_id AND e.us - s.us < 900000000)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(us) // 1000000 AS start_s, MAX(us) // 1000000 AS end_s
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q_join_skew_salted" ->
+      s"""SELECT s_name, COUNT(*) AS n_items, ${oDsum("l_quantity")} AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
 
     "q_llm_decontaminate_bloom" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -63,6 +63,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("recursive-CTE sessionization ≡ the session-window twin") {
+    // Same 900 s µs-timeline gap rule, two very different mechanisms:
+    // running-sum window vs iterative fixpoint. Per user, the ordered
+    // (n_events, start_s, end_s) session lists must be identical.
+    def sessions(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions("q_sql_recursive") == sessions("q_stream_session"))
+  }
+
+  test("salted join spreads every build key over all 8 salt buckets") {
+    // structural: the salted dim has exactly 8 rows per supplier, and the
+    // physical plan honors the shuffle_hash hint (no broadcast — the
+    // scenario is a dim too big to broadcast)
+    val p = SparkEntry.queries("q_join_skew_salted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("resize fits the 224 grid exactly on the long edge") {
     val bad = SparkEntry.queries("q_mm_resize")(spark, sf)
       .where(greatest(col("out_w"), col("out_h")) =!= 224 ||
