@@ -23,7 +23,12 @@ object Explain {
     "q_agg_salted_skew",    // expect two-stage partial+final aggregation
     "q_llm_decontaminate",  // expect BroadcastHashJoin on the bench grams
     "q_llm_pack",           // expect per-source window, no SinglePartition
-    "q_sort_zorder")        // expect codegen'd bit arithmetic, no joins
+    "q_sort_zorder",        // expect codegen'd bit arithmetic, no joins
+    "q_dq_referential",     // expect 4 broadcast anti-joins, no fact shuffle
+    "q_sql_lateral",        // expect decorrelated ranked join, no CartesianProduct
+    "q_llm_decontaminate_bloom", // expect sketch probe filter beneath the semi-join
+    "q_join_skew_salted",   // expect ShuffledHashJoin on (key, salt)
+    "q_sql_recursive")      // expect bounded UnionLoop (recursion depth = max session)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

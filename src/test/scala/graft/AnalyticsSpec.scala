@@ -84,6 +84,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dynamic partition overwrite rewrites ONLY the touched partition") {
+    import org.apache.spark.sql.functions.year
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_rt/dynow_spec")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(wipe); f.delete()
+    }
+    wipe(dir)
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+    o.write.mode("overwrite").partitionBy("yr").parquet(dir.toString)
+    def files(yr: Int): Set[String] = {
+      val p = new java.io.File(dir, s"yr=$yr")
+      Option(p.listFiles).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    val before97 = files(1997)
+    val before98 = files(1998)
+    assert(before97.nonEmpty && before98.nonEmpty)
+    o.where(col("yr") === 1998)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("yr").parquet(dir.toString)
+    assert(files(1997) == before97, "untouched partition was rewritten")
+    assert(files(1998) != before98, "restated partition kept stale files")
+  }
+
   test("resize fits the 224 grid exactly on the long edge") {
     val bad = SparkEntry.queries("q_mm_resize")(spark, sf)
       .where(greatest(col("out_w"), col("out_h")) =!= 224 ||
