@@ -155,6 +155,35 @@ object Analytics {
         .orderBy("relation")
     }),
 
+    // Boolean + bitwise aggregates: the ALL/ANY predicate rollups and
+    // bit-mask folds (bit_and/or/xor) — associative, so partial
+    // aggregation applies and the shuffle carries one value per group.
+    "q_agg_bool_bitmap" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_quantity") > 1).as("all_multi"),
+          bool_or(col("l_discount") > 0.05).as("any_disc"),
+          bit_and(col("l_orderkey") % 256).as("band"),
+          bit_or(col("l_orderkey") % 256).as("bor"),
+          bit_xor(col("l_orderkey") % 256).as("bxor"))
+        .orderBy("l_returnflag")),
+
+    // ANSI-safe scalar surface: try_cast / try_divide / try_add return
+    // NULL instead of throwing on malformed input, division by zero, or
+    // overflow — the error-tolerant path a 100 TB ingest of dirty data
+    // needs (one bad row must not kill a 10k-task stage).
+    "q_fn_trycast" -> ((s, d) =>
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        expr("try_cast(CASE WHEN p_size % 2 = 0 THEN CAST(p_size AS STRING) ELSE p_name END AS INT)").as("even_size"),
+        coalesce(date_format(
+          expr("try_cast(concat('1990-', CAST(p_size % 15 AS STRING), '-01') AS DATE)"),
+          "yyyy-MM-dd"), lit("invalid")).as("dt_s"),
+        expr("try_divide(p_retailprice, p_size % 3)").as("safe_div"),
+        expr("try_add(9223372036854775807, p_partkey)").as("ovf"))
+        .orderBy("p_partkey")),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): sessionization by walking
     // each event to its immediate predecessor while the gap stays under
     // 900 s. Depth = max session length (4 at sf0.1 — far under the 100
@@ -333,6 +362,26 @@ object Analytics {
            FROM events e WHERE NOT EXISTS
              (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
          ORDER BY relation""",
+
+    "q_agg_bool_bitmap" ->
+      """SELECT l_returnflag,
+           bool_and(l_quantity > 1) AS all_multi,
+           bool_or(l_discount > 0.05) AS any_disc,
+           bit_and(l_orderkey % 256) AS band,
+           bit_or(l_orderkey % 256) AS bor,
+           bit_xor(l_orderkey % 256) AS bxor
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_fn_trycast" ->
+      """SELECT p_partkey,
+           TRY_CAST(CASE WHEN p_size % 2 = 0 THEN CAST(p_size AS VARCHAR)
+                         ELSE p_name END AS INT) AS even_size,
+           COALESCE(strftime(TRY_CAST(concat('1990-', CAST(p_size % 15 AS VARCHAR), '-01')
+                                      AS DATE), '%Y-%m-%d'), 'invalid') AS dt_s,
+           p_retailprice / NULLIF(p_size % 3, 0) AS safe_div,
+           CASE WHEN p_partkey > 0 THEN NULL
+                ELSE 9223372036854775807 END AS ovf
+         FROM part ORDER BY p_partkey""",
 
     "q_sql_recursive" ->
       """WITH RECURSIVE

@@ -278,6 +278,49 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSet(got) == sortedSet(want))
   }
 
+  test("foreachBatch upsert sink maintains a serving table equal to the batch twin") {
+    // The production streaming-sink pattern: update-mode windowed agg →
+    // foreachBatch merges each micro-batch's changed windows into a
+    // keyed serving table (stage + atomic swap). After the replay the
+    // serving table must equal the oracled batch twin — proving the
+    // upsert loses no window and final values win over intermediates.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_febatch"
+    wipe(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val serving = s"$base/serving"
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumbling(mem.toDF()).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ck")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val merged =
+          if (!new java.io.File(serving).exists()) batch
+          else batch.unionByName(
+            s.read.parquet(serving).join(batch.select("bucket", "event_type"),
+              Seq("bucket", "event_type"), "left_anti"))
+        val staged = new java.io.File(s"$base/staged")
+        merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+        wipe(new java.io.File(serving))
+        assert(staged.renameTo(new java.io.File(serving)))
+        ()
+      }
+      .start()
+    chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(serving)
+      .select("bucket", "event_type", "cnt", "total").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_tumbling")(spark, sf)
+      .select("bucket", "event_type", "cnt", "total").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
