@@ -155,6 +155,50 @@ object Analytics {
         .orderBy("relation")
     }),
 
+    // Ordered funnel (signup → later click → later purchase) per user:
+    // each stage is a filtered partial-aggregated min over the previous
+    // stage's timestamp — three linear shuffles on user_id, no window
+    // over the full stream, no per-user state. The classic product-
+    // analytics query at event-log scale.
+    "q_ts_funnel" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          expr("t1 div 1000000").as("t1_s"),
+          expr("t2 div 1000000").as("t2_s"),
+          expr("t3 div 1000000").as("t3_s"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+            + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // Canonical-document selection: within each exact-dup group (text
+    // digest), keep the "best" doc — longest n_chars, lowest doc_id on
+    // ties — and flag the rest as drops. One window over the digest
+    // partition; the output is one row per doc (linear), the shape a
+    // curation pipeline feeds to its delete step.
+    "q_llm_canonical" -> ((s, d) => {
+      val w = Window.partitionBy("grp")
+      val wBest = w.orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("grp"))
+        .withColumn("keep_id", first(col("doc_id")).over(wBest))
+        .withColumn("grp_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("grp").as("grp_digest"), col("grp_size"),
+          col("keep_id"), (col("doc_id") === col("keep_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // Boolean + bitwise aggregates: the ALL/ANY predicate rollups and
     // bit-mask folds (bit_and/or/xor) — associative, so partial
     // aggregation applies and the shuffle carries one value per group.
@@ -362,6 +406,36 @@ object Analytics {
            FROM events e WHERE NOT EXISTS
              (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
          ORDER BY relation""",
+
+    "q_ts_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.us) AS t2
+                FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.us > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.us) AS t3
+                FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.us > s2.t2
+                GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t1 // 1000000 AS t1_s,
+           s2.t2 // 1000000 AS t2_s, s3.t3 // 1000000 AS t3_s,
+           CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
+
+    "q_llm_canonical" ->
+      """WITH g AS (SELECT doc_id, n_chars, md5(text) AS grp FROM documents)
+         SELECT doc_id, grp AS grp_digest,
+           COUNT(*) OVER (PARTITION BY grp) AS grp_size,
+           first_value(doc_id) OVER (PARTITION BY grp
+             ORDER BY n_chars DESC, doc_id) AS keep_id,
+           doc_id = first_value(doc_id) OVER (PARTITION BY grp
+             ORDER BY n_chars DESC, doc_id) AS is_canonical
+         FROM g ORDER BY doc_id""",
 
     "q_agg_bool_bitmap" ->
       """SELECT l_returnflag,
