@@ -160,27 +160,9 @@ object Analytics {
     // stage's timestamp — three linear shuffles on user_id, no window
     // over the full stream, no per-user state. The classic product-
     // analytics query at event-log scale.
-    "q_ts_funnel" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val s1 = ev.where(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("us")).as("t1"))
-      val s2 = ev.where(col("event_type") === "click")
-        .join(s1, "user_id").where(col("us") > col("t1"))
-        .groupBy("user_id").agg(min(col("us")).as("t2"))
-      val s3 = ev.where(col("event_type") === "purchase")
-        .join(s2, "user_id").where(col("us") > col("t2"))
-        .groupBy("user_id").agg(min(col("us")).as("t3"))
-      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
-        .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
-        .select(col("user_id"),
-          expr("t1 div 1000000").as("t1_s"),
-          expr("t2 div 1000000").as("t2_s"),
-          expr("t3 div 1000000").as("t3_s"),
-          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
-            + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
-        .orderBy("user_id")
-    }),
+    "q_ts_funnel" -> ((s, d) =>
+      funnel(Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))),
 
     // Canonical-document selection: within each exact-dup group (text
     // digest), keep the "best" doc — longest n_chars, lowest doc_id on
@@ -299,6 +281,30 @@ object Analytics {
         .orderBy("doc_id")
     })
   )
+
+  /** Funnel core over (user_id, event_type, us): staged mins, each stage
+    * conditioned on strictly following the previous one. Exposed so the
+    * spec can drive the SAME logic over synthetic order-sensitive
+    * timelines (AnalyticsSpec). */
+  def funnel(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+      .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+      .select(col("user_id"),
+        expr("t1 div 1000000").as("t1_s"),
+        expr("t2 div 1000000").as("t2_s"),
+        expr("t3 div 1000000").as("t3_s"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy("user_id")
+  }
 
   private val oGrams5 =
     """list_transform(tk[1:greatest(len(tk) - 4, 0)],

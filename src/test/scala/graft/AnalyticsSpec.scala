@@ -84,6 +84,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("funnel stages respect event ORDER, not just presence") {
+    // Synthetic timelines: u1 completes in order (stage 3); u2 has the
+    // click BEFORE signup (stage 1 — presence alone would say 2); u3 has
+    // click after signup but purchase before the click (stage 2); u4
+    // never signs up (absent from the funnel).
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, t: String, s: Long) =
+      (id, new Timestamp(s * 1000), u, t, 1.0, "{}")
+    val rows = Seq(
+      ev(1, 1, "signup", 100), ev(2, 1, "click", 200), ev(3, 1, "purchase", 300),
+      ev(4, 2, "click", 100), ev(5, 2, "signup", 200),
+      ev(6, 3, "purchase", 100), ev(7, 3, "signup", 200), ev(8, 3, "click", 300),
+      ev(9, 4, "click", 100), ev(10, 4, "purchase", 200))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stages = queries.Analytics.funnel(
+      rows.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(stages == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
+  test("canonical selection keeps exactly one doc per dup group, the longest") {
+    val out = SparkEntry.queries("q_llm_canonical")(spark, sf)
+    val perGroup = out.groupBy("grp_digest").agg(
+      sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"),
+      countDistinct("keep_id").as("n_keep"))
+    assert(perGroup.where(col("n_canon") =!= 1 || col("n_keep") =!= 1).count() == 0)
+    // the keeper dominates every member on (n_chars, -doc_id)
+    val docs = Tables(spark, sf, "documents").select("doc_id", "n_chars")
+    val viol = out.join(docs, "doc_id")
+      .join(docs.select(col("doc_id").as("keep_id"), col("n_chars").as("keep_chars")), "keep_id")
+      .where(col("n_chars") > col("keep_chars") ||
+        (col("n_chars") === col("keep_chars") && col("doc_id") < col("keep_id")))
+      .count()
+    assert(viol == 0)
+  }
+
   test("dynamic partition overwrite rewrites ONLY the touched partition") {
     import org.apache.spark.sql.functions.year
     val dir = new java.io.File(
