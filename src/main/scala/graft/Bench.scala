@@ -19,34 +19,42 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma decimal separator from a non-English default
+    // locale would make the JSON line unparseable.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val bySlow = results.toSeq.sortBy(-_._2)
     val full = bySlow.map { case (k, v) => s"\"$k\":${r3(v)}" }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness that scrapes this output keeps only a bounded tail of
     // stdout (2000 chars observed), and 100+ per-query entries overflow it,
     // leaving the line unparseable. So: the FULL per-query map goes to
     // bench_full.json next to the repo, and the single stdout JSON line
-    // reports the total plus as many slowest-query entries as fit a 1500-
-    // char budget (slowest-first — the ones worth reading).
+    // reports the total plus the longest slowest-first PREFIX of per-query
+    // entries that fits a 1500-char budget (a prefix, so n_shown/rest_sum
+    // partition the suite exactly).
     try {
       val fw = new java.io.FileWriter("bench_full.json")
-      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${full.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${full.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
     val budget = 1500
-    val shown = new scala.collection.mutable.ListBuffer[String]
     var len = 0
-    for (entry <- full if len + entry.length + 1 < budget) {
-      shown += entry; len += entry.length + 1
+    val shown = full.takeWhile { entry =>
+      val fits = len + entry.length + 1 < budget
+      if (fits) len += entry.length + 1
+      fits
     }
     val restSum = bySlow.drop(shown.size).map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -85,9 +85,12 @@ object Analytics {
         .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
         .groupBy("user_id", "day")
         .agg(dsum(col("value")).as("day_total"), count(lit(1)).as("n_ev"))
+      // spine bounds come from the data (global min/max day, broadcast
+      // 1-row) — a hardcoded window would silently drop out-of-range days
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val cal = daily.select("user_id").distinct()
-        .select(col("user_id"),
-          explode(expr("sequence(DATE'2024-01-01', DATE'2024-01-30')")).as("day"))
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
       val w = Window.partitionBy("user_id").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       cal.join(daily, Seq("user_id", "day"), "left")
@@ -263,10 +266,10 @@ object Analytics {
     // Spark itself injects for large joins (runtime.bloomFilter.*): at
     // 100 TB the sketch probe drops ~99% of gram rows at the scan.
     "q_llm_decontaminate_bloom" -> ((s, d) => {
-      val docs = Tables(s, d, "documents").withColumn("tk", split(col("text"), " "))
-      val grams = expr(
-        """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
-             (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))""")
+      // tokenizer/grams shared with q_llm_decontaminate via U — the
+      // equivalence test requires the two paths to tokenize identically
+      val docs = Tables(s, d, "documents").withColumn("tk", textTokens)
+      val grams = U.grams5
       val bench = docs.where(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(grams)).as("g")).distinct()
       val bloom = Memo(s, s"bloom:$d") {
@@ -306,9 +309,7 @@ object Analytics {
       .orderBy("user_id")
   }
 
-  private val oGrams5 =
-    """list_transform(tk[1:greatest(len(tk) - 4, 0)],
-         (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))"""
+  private val oGrams5 = U.oGrams5
 
   val oracle: Map[String, String] = Map(
     "q_win_cume_dist" ->
@@ -351,11 +352,11 @@ object Analytics {
            SELECT user_id, CAST(ts AS DATE) AS day,
              ${oDsum("value")} AS day_total, COUNT(*) AS n_ev
            FROM events GROUP BY 1, 2),
+         bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
          cal AS (
            SELECT u.user_id,
-             CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
-                                         INTERVAL 1 DAY)) AS DATE) AS day
-           FROM (SELECT DISTINCT user_id FROM daily) u)
+             CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN bounds b)
          SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day_s,
            COALESCE(d.n_ev, 0) AS n_ev, d.day_total,
            last_value(d.day_total IGNORE NULLS)

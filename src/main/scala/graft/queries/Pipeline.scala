@@ -20,14 +20,10 @@ import U._
   */
 object Pipeline {
 
-  private def tk = split(col("text"), " ")
-
-  /** 5-gram array over the token array `tk` (0-based Spark lambda index:
-    * x = tk[i], window closes at tk[i+4]). Docs shorter than 5 tokens
-    * yield an empty array. */
-  private val grams5 = expr(
-    """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
-         (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))""")
+  // tokenizer + 5-gram machinery shared with the Bloom decontamination
+  // path — single definition in U (U.textTokens / U.grams5 / U.oGrams5)
+  private def tk = textTokens
+  private val grams5 = U.grams5
 
   private val chunkSize = 32
   private val chunkStride = 24
@@ -282,10 +278,7 @@ object Pipeline {
         s"shiftleft(shiftright($b, $x) & 1, ${2 * x + 1}))")
       .mkString(" + ")
 
-  /** DuckDB 5-gram twin (1-based list indexing; range(1, m) = 1..m-1). */
-  private val oGrams5 =
-    """list_transform(range(1, greatest(len(tk) - 3, 1)),
-         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"""
+  private val oGrams5 = U.oGrams5
 
   val oracle: Map[String, String] = Map(
     "q_llm_repetition" ->

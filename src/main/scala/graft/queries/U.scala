@@ -54,6 +54,25 @@ object U {
           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
           (x, c) -> x * 16 + c)"""
 
+  /** Token array of `text` — the shared tokenizer every text operator
+    * builds on (bind as a column named `tk` before using [[grams5]]). */
+  def textTokens: Column = split(col("text"), " ")
+
+  /** 5-gram array over the token-array column `tk` (0-based Spark lambda
+    * index: x = tk[i], window closes at tk[i+4]). Docs shorter than 5
+    * tokens yield an empty array. Shared by the exact and the Bloom
+    * decontamination paths — they MUST tokenize identically (the
+    * AnalyticsSpec equivalence test rides on it). */
+  val grams5: Column = expr(
+    """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
+         (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))""")
+
+  /** DuckDB twin of [[grams5]] (1-based list indexing; range(1, m) = 1..m-1),
+    * over a CTE exposing `tk` = string_split(text, ' '). */
+  val oGrams5: String =
+    """list_transform(range(1, greatest(len(tk) - 3, 1)),
+         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"""
+
   /** The linear dup-group output shape every dedup query converges to:
     * given an undirected candidate-pair list `pairs(a, b)` (a < b) and the
     * doc universe `base(doc_id, …)`, emit one row per doc with its
