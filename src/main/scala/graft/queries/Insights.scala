@@ -1,0 +1,519 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Round-3 batch 2 (SURVEY §2.16): IR/graph/retention analytics, the
+  * binned range-join shape, exact-arithmetic anomaly detection, int8
+  * embedding quantization, and a doc-to-doc kNN graph.
+  *
+  * Scale notes: PageRank runs in 1e-9 fixed-point BIGINT (deterministic
+  * across engines AND across partitionings — float mass would drift with
+  * merge order); each iteration is one shuffle join on src + one
+  * partial-aggregated sum on dst. The binned range join turns an interval
+  * containment predicate into an equi-join on the month bin with a range
+  * residual — the shape that keeps a point-in-interval join off the
+  * nested-loop path when BOTH sides are large. The outlier query compares
+  * n·σ²-scaled squared deviations in DECIMAL(38,0) — no sqrt, no float
+  * compare, so the flag set is bit-identical in DuckDB's HUGEINT mirror.
+  * The kNN graph bounds candidates by IVF cell (16 cells, 5 probes ⇒
+  * ~5n²/16 scored pairs; at real scale you grow the bit count so the
+  * per-cell population stays fixed and the volume stays ~5n·K).
+  */
+object Insights {
+
+  val queries: Map[String, Q] = Map(
+
+    // Inverted index (the classic IR/MapReduce demo): word → document
+    // frequency + comma-joined sorted postings list. Distinct (word, doc)
+    // explode, one shuffle on word, postings joined as a string so the
+    // output is flat-hashable. At 100 TB postings for stopwords are the
+    // skew risk — the df column is exactly the signal a real pipeline
+    // uses to split hot terms (cf. q_llm_vocab_prune).
+    "q_mr_inverted_index" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("df"),
+          expr("array_join(transform(array_sort(collect_list(doc_id)), v -> CAST(v AS STRING)), ',')")
+            .as("postings"))
+        .orderBy("word")),
+
+    // PageRank, 3 iterations, on the bipartite customer↔supplier graph
+    // (edges = distinct order→supply relationships, both directions).
+    // Ranks live in 1e-9 fixed point: contrib = pr div deg and
+    // pr' = 0.15 + 0.85·Σcontrib all in BIGINT — exact, order-independent,
+    // and identical in the DuckDB unrolled-CTE mirror. Headroom: 85·Σ
+    // stays under 2^63 up to ~10^7 nodes; past that the same query runs
+    // with DECIMAL(38,0) ranks. Dangling mass (customers with no orders)
+    // is dropped, the standard simplified formulation.
+    "q_graph_pagerank" -> ((s, d) => {
+      val oi = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = oi.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
+      val nodes = Tables(s, d, "customer").select(col("c_custkey").as("id"))
+        .unionAll(Tables(s, d, "supplier").select((col("s_suppkey") + 1000000L).as("id")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val e = edges.join(deg, "src")
+      var r = nodes.select(col("id"), lit(1000000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val in = e.join(r, e("src") === r("id"))
+          .select(col("dst"), expr("pr div deg").as("m"))
+          .groupBy("dst").agg(sum(col("m")).as("msum"))
+        r = nodes.join(in, nodes("id") === in("dst"), "left")
+          .select(col("id"), expr("150000000 + (85 * coalesce(msum, 0)) div 100").as("pr"))
+      }
+      r.orderBy("id")
+    }),
+
+    // Weekly cohort retention triangle: users cohorted by first active
+    // ISO week; n_users = actives of cohort c in week c+k. Two linear
+    // shuffles (distinct user-week, then min per user) + one partial-
+    // aggregated rollup — no window over the event stream, no distinct
+    // inside the final agg (user-weeks are already unique).
+    "q_ts_retention_cohort" -> ((s, d) => {
+      val act = Tables(s, d, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+      act.join(coh, "user_id")
+        .groupBy(col("cwk"), expr("CAST(datediff(wk, cwk) div 7 AS INT)").as("offset_w"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cwk"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset_w"), col("n_users"))
+        .orderBy("cohort_week", "offset_w")
+    }),
+
+    // Binned range join: "how many service intervals are open at each
+    // month-start checkpoint". Intervals [d0, d1) are exploded to the
+    // month bins they cover (≤ 5 — duration is bounded by construction),
+    // checkpoints carry their own bin, and the join is EQUI on the bin
+    // with the containment predicate as residual — no nested loop even
+    // when both sides are large. Durations are synthesized from the key
+    // (the corpus has no natural interval pair; shipdate can precede
+    // orderdate in this testdata).
+    "q_join_range_binned" -> ((s, d) => {
+      val iv = Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d0"),
+        expr("date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 120 + 1 AS INT))").as("d1"),
+        col("o_totalprice"))
+      // checkpoint spine from the data (broadcast 1-row bounds)
+      val b = iv.agg(min(col("d0")).as("lo"), max(col("d1")).as("hi"))
+      val cps = b.select(explode(expr("sequence(trunc(lo, 'MM'), hi, interval 1 month)")).as("c"))
+      val binned = iv.withColumn("m",
+        explode(expr("sequence(trunc(d0, 'MM'), trunc(d1, 'MM'), interval 1 month)")))
+      binned.join(cps, col("m") === col("c") && col("d0") <= col("c") && col("c") < col("d1"))
+        .groupBy("c")
+        .agg(count(lit(1)).as("n_open"), dsum(col("o_totalprice")).as("open_value"))
+        .select(date_format(col("c"), "yyyy-MM-dd").as("checkpoint"),
+          col("n_open"), col("open_value"))
+        .orderBy("checkpoint")
+    }),
+
+    // Exact-arithmetic outlier audit (|z| > 3 per event_type) with NO
+    // float compare: values scale to a 1e-6 integer grid, and
+    // (n·x − S)² > 9·(n·Q − S²) is evaluated in DECIMAL(38,0) — the
+    // DuckDB mirror uses HUGEINT and flags the identical row set. Stats
+    // are one partial-aggregated pass; the 5-row stats dim broadcasts
+    // back onto the fact scan.
+    "q_dq_outlier_exact" -> ((s, d) => {
+      val c = Tables(s, d, "events").select(col("event_id"), col("event_type").as("seg"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("x"))
+      val st = c.groupBy("seg").agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sq"))
+      c.join(broadcast(st), "seg")
+        .withColumn("dev", expr("CAST(n AS DECIMAL(38,0)) * x - sx"))
+        .withColumn("isout", expr("dev * dev > 9 * (CAST(n AS DECIMAL(38,0)) * sq - CAST(sx AS DECIMAL(38,0)) * sx)"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("isout"), 1L).otherwise(0L)).as("n_outliers"),
+          expr("array_join(transform(array_sort(collect_list(CASE WHEN isout THEN event_id END)), v -> CAST(v AS STRING)), ',')")
+            .as("outlier_ids"))
+        .orderBy("seg")
+    }),
+
+    // Symmetric int8 quantization of the embedding column: scale =
+    // max|x|/127 per vector, codes = round(x/scale) — the 4× memory cut
+    // every large ANN index takes before sharding. Output is the exact
+    // integer profile (sum/min/max/L1) plus the raw double amax, all
+    // bit-identical in DuckDB (same IEEE ops in the same order; round
+    // ties go away-from-zero in both engines).
+    "q_llm_embed_quantize" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .withColumn("amax", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("codes", expr(
+          """CASE WHEN amax = 0 THEN transform(embedding, x -> 0)
+             ELSE transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS INT)) END"""))
+        .select(col("vec_id"),
+          expr("size(embedding)").as("n_dim"),
+          col("amax"),
+          expr("aggregate(codes, 0L, (a, v) -> a + v)").as("code_sum"),
+          expr("array_min(codes)").as("code_min"),
+          expr("array_max(codes)").as("code_max"),
+          expr("aggregate(codes, 0L, (a, v) -> a + abs(v))").as("code_l1"))
+        .orderBy("vec_id")),
+
+    // Web-domain mix analysis: extract host/section from the document
+    // URL (synthesized deterministically — the corpus carries no URL
+    // column) with parse_url, then aggregate doc count and token share
+    // per domain — the domain-balance report every web-scrape curation
+    // run starts from. Token totals are exact integers; the share is one
+    // double division over a broadcast 1-row global.
+    "q_llm_domain_mix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").withColumn("url",
+        concat(lit("https://"), col("source"), lit("-"), col("doc_id") % 7,
+          lit(".example.com/"), col("lang"), lit("/"), col("doc_id")))
+      val perHost = docs.select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          size(split(col("text"), " ")).as("ntok"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_total"),
+          countDistinct(expr("split_part(path, '/', 2)")).as("n_sections"))
+      val total = perHost.agg(sum(col("tok_total")).as("g"))
+      perHost.crossJoin(broadcast(total))
+        .select(col("host"), col("n_docs"), col("tok_total"), col("n_sections"),
+          (col("tok_total").cast("double") / col("g")).as("tok_share"))
+        .orderBy("host")
+    }),
+
+    // Robust outlier audit via MAD (median absolute deviation): med and
+    // mad are both exact rank selections on the 1e-6 integer grid, and
+    // the flag dev > 3·mad is a pure BIGINT compare — the robust
+    // complement of q_dq_outlier_exact (a handful of extreme rows can't
+    // drag the threshold). Two windowed selection passes per segment;
+    // the at-scale variant swaps them for approx_percentile cutpoints
+    // (same trade as q_win_ntile_pct, SURVEY §2.5).
+    "q_dq_outlier_mad" -> ((s, d) => {
+      val c = Tables(s, d, "events").select(col("event_id"), col("event_type").as("seg"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("x"))
+      val wMed = Window.partitionBy("seg").orderBy("x", "event_id")
+      val med = c
+        .withColumn("rn", row_number().over(wMed))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("seg"), col("x").as("med"))
+      val dev = c.join(broadcast(med), "seg")
+        .withColumn("dev", abs(col("x") - col("med")))
+      val wMad = Window.partitionBy("seg").orderBy("dev", "event_id")
+      val mad = dev
+        .withColumn("rn", row_number().over(wMad))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("seg"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "seg")
+        .withColumn("isout", col("dev") > lit(3) * col("mad"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), max(col("med")).as("med_micro"),
+          max(col("mad")).as("mad_micro"),
+          sum(when(col("isout"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("seg")
+    }),
+
+    // Winnowing fingerprints (the MOSS document-fingerprint scheme):
+    // hash every 5-gram, slide a w=4 window over the hash sequence, and
+    // select each window's minimal hash (leftmost on ties) — guarantees
+    // any shared run of ≥ w+k−1 tokens contributes a shared fingerprint,
+    // while keeping the selected set a ~2/(w+1) fraction of grams. All
+    // relational: one frame-window min + a fan-4 equi self-join; output
+    // one profile row per doc (linear).
+    "q_llm_winnow" -> ((s, d) => {
+      val gr = Tables(s, d, "documents").withColumn("tk", textTokens)
+        .select(col("doc_id"), posexplode(grams5).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), expr(hexFold("md5(g)", 15)).as("h"))
+      val wFrame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      val wDoc = Window.partitionBy("doc_id")
+      val starts = gr
+        .withColumn("ng", count(lit(1)).over(wDoc))
+        .withColumn("wmin", min(col("h")).over(wFrame))
+        .where(col("pos") <= col("ng") - 4)
+        .select(col("doc_id"), col("pos").as("j"), col("wmin"))
+      val sel = starts.join(gr, Seq("doc_id"))
+        .where(col("pos").between(col("j"), col("j") + 3) && col("h") === col("wmin"))
+        .groupBy("doc_id", "j").agg(min(col("pos")).as("sp"), max(col("wmin")).as("sh"))
+        .select(col("doc_id"), col("sp"), col("sh")).distinct()
+      Tables(s, d, "documents").select("doc_id")
+        .join(sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"),
+          expr("bit_xor(sh)").as("fp_xor"), min(col("sh")).as("fp_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          col("fp_xor"), col("fp_min"))
+        .orderBy("doc_id")
+    }),
+
+    // Degree distribution of the bipartite order graph (the first
+    // diagnostic of any graph workload — is it power-law-skewed?): node
+    // degree → node count, split by side, zero-degree nodes included.
+    "q_graph_degree_hist" -> ((s, d) => {
+      val oi = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val nodes = Tables(s, d, "customer")
+        .select(col("c_custkey").as("id"), lit("customer").as("side"))
+        .unionAll(Tables(s, d, "supplier")
+          .select((col("s_suppkey") + 1000000L).as("id"), lit("supplier").as("side")))
+      val deg = oi.select(col("cust").as("id")).unionAll(oi.select(col("supp").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      nodes.join(deg, Seq("id"), "left")
+        .select(col("side"), coalesce(col("deg"), lit(0L)).as("deg"))
+        .groupBy("side", "deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("side", "deg")
+    }),
+
+    // Per-group OLS regression (price on quantity) from exact decimal
+    // sums: slope/intercept/corr are pure arithmetic over six
+    // partial-aggregated exact sums — one shuffle, no second pass, and
+    // the final double ops are the same expressions in DuckDB, so even
+    // the floats hash-match. The mergeable-moments shape every
+    // distributed regression/covariance matrix build uses.
+    "q_agg_regression" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"), dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - col("sx") * ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n")).as("intercept"),
+          // corr is the one output touching syy (~2e14: its decimal→double
+          // conversion exceeds 2^53 and double-rounds differently across
+          // engines, ~3 ulps) — round to the 1e-9 grid on both sides
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr"))
+        .orderBy("l_returnflag")),
+
+    // Doc-to-doc kNN graph (top-3 neighbors per vector) over the IVF
+    // sign-bit cells with Hamming-1 multi-probe — the build step of a
+    // semantic-dedup / clustering pass. Candidates are bounded per cell;
+    // the join is EQUI on the cell id (shuffle_hash: both sides scale
+    // with N, broadcast would be wrong at 100 TB). 16 cells is right for
+    // 5k vectors; at scale the bit count grows so per-cell population —
+    // and with it every task's candidate volume — stays constant.
+    "q_llm_knn_graph" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cellOf = expr(
+        """CAST(element_at(embedding, 1) > 0 AS INT)
+           + 2 * CAST(element_at(embedding, 2) > 0 AS INT)
+           + 4 * CAST(element_at(embedding, 3) > 0 AS INT)
+           + 8 * CAST(element_at(embedding, 4) > 0 AS INT)""")
+      val emb = Tables(s, d, "embeddings").withColumn("cell", cellOf)
+      val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(expr("array(cell, cell ^ 1, cell ^ 2, cell ^ 4, cell ^ 8)")).as("probe"))
+      val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("cell").as("ccell"))
+      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+      qs.join(cand.hint("shuffle_hash"),
+          col("probe") === col("ccell") && col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          expr("round(graft_dot(qe, ce), 6)").as("dot"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("qid", "rnk")
+    })
+  )
+
+  /** One PageRank iteration of the DuckDB mirror (BIGINT fixed point). */
+  private def oPrIter(prev: String, cur: String): String =
+    s"""i$cur AS (SELECT e.dst, SUM(r.pr // e.deg) AS msum
+           FROM e JOIN $prev r ON e.src = r.id GROUP BY e.dst),
+       $cur AS (SELECT n.id,
+           CAST(150000000 + (85 * COALESCE(i.msum, 0)) // 100 AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN i$cur i ON n.id = i.dst)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_mr_inverted_index" ->
+      """SELECT word, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY word ORDER BY word""",
+
+    "q_graph_pagerank" ->
+      s"""WITH oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e0 AS (SELECT cust AS src, supp AS dst FROM oi
+                UNION ALL SELECT supp, cust FROM oi),
+         deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+         e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg ON e0.src = deg.src),
+         nodes AS (SELECT c_custkey AS id FROM customer
+                   UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+         r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+         ${oPrIter("r0", "r1")},
+         ${oPrIter("r1", "r2")},
+         ${oPrIter("r2", "r3")}
+         SELECT id, pr FROM r3 ORDER BY id""",
+
+    "q_ts_retention_cohort" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         coh AS (SELECT user_id, MIN(wk) AS cwk FROM act GROUP BY user_id)
+         SELECT strftime(cwk, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cwk, wk) // 7 AS INT) AS offset_w,
+           COUNT(*) AS n_users
+         FROM act JOIN coh USING (user_id)
+         GROUP BY cwk, offset_w
+         ORDER BY cohort_week, offset_w""",
+
+    "q_join_range_binned" ->
+      s"""WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 120 + 1 AS INT) AS d1,
+             o_totalprice
+           FROM orders),
+         b AS (SELECT MIN(d0) AS lo, MAX(d1) AS hi FROM iv),
+         cp AS (SELECT CAST(unnest(generate_series(
+                  CAST(date_trunc('month', lo) AS DATE), hi, INTERVAL 1 MONTH)) AS DATE) AS c
+                FROM b)
+         SELECT strftime(c, '%Y-%m-%d') AS checkpoint,
+           COUNT(*) AS n_open, ${oDsum("o_totalprice")} AS open_value
+         FROM cp JOIN iv ON d0 <= c AND c < d1
+         GROUP BY c ORDER BY checkpoint""",
+
+    "q_dq_outlier_exact" ->
+      """WITH c AS (SELECT event_id, event_type AS seg,
+             CAST(round(value * 1000000) AS BIGINT) AS x FROM events),
+         st AS (SELECT seg, COUNT(*) AS n, SUM(x) AS sx,
+                  SUM(CAST(x AS HUGEINT) * x) AS sq
+                FROM c GROUP BY seg)
+         SELECT seg, COUNT(*) AS n_rows,
+           COUNT(*) FILTER ((CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)
+                            > 9 * (CAST(n AS HUGEINT) * sq - CAST(sx AS HUGEINT) * sx)) AS n_outliers,
+           string_agg(CASE WHEN (CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)
+                            > 9 * (CAST(n AS HUGEINT) * sq - CAST(sx AS HUGEINT) * sx)
+                      THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY event_id) AS outlier_ids
+         FROM c JOIN st USING (seg)
+         GROUP BY seg ORDER BY seg""",
+
+    "q_llm_embed_quantize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+           FROM embeddings),
+         qc AS (SELECT vec_id, embedding, amax,
+             CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS INT)) END AS codes
+           FROM q)
+         SELECT vec_id, CAST(len(embedding) AS INT) AS n_dim, amax,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_min(codes) AS code_min,
+           list_max(codes) AS code_max,
+           CAST(list_sum(list_transform(codes, v -> abs(v))) AS BIGINT) AS code_l1
+         FROM qc ORDER BY vec_id""",
+
+    "q_llm_domain_mix" ->
+      """WITH d AS (SELECT doc_id,
+             'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url,
+             len(string_split(text, ' ')) AS ntok
+           FROM documents),
+         p AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                 regexp_extract(url, '^https://[^/]+(/.*)$', 1) AS path, ntok
+               FROM d),
+         ph AS (SELECT host, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tok_total,
+                  COUNT(DISTINCT split_part(path, '/', 2)) AS n_sections
+                FROM p GROUP BY host),
+         t AS (SELECT SUM(tok_total) AS g FROM ph)
+         SELECT host, n_docs, tok_total, n_sections,
+           CAST(tok_total AS DOUBLE) / g AS tok_share
+         FROM ph CROSS JOIN t ORDER BY host""",
+
+    "q_dq_outlier_mad" ->
+      """WITH c AS (SELECT event_id, event_type AS seg,
+             CAST(round(value * 1000000) AS BIGINT) AS x FROM events),
+         rk AS (SELECT seg, x,
+                  row_number() OVER (PARTITION BY seg ORDER BY x, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY seg) AS n
+                FROM c),
+         med AS (SELECT seg, x AS med FROM rk WHERE rn = (n + 1) // 2),
+         dv AS (SELECT c.seg, c.event_id, m.med, abs(c.x - m.med) AS dev
+                FROM c JOIN med m USING (seg)),
+         rk2 AS (SELECT seg, dev,
+                   row_number() OVER (PARTITION BY seg ORDER BY dev, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY seg) AS n
+                 FROM dv),
+         mad AS (SELECT seg, dev AS mad FROM rk2 WHERE rn = (n + 1) // 2)
+         SELECT d.seg, COUNT(*) AS n_rows, MAX(d.med) AS med_micro,
+           MAX(m.mad) AS mad_micro,
+           COUNT(*) FILTER (d.dev > 3 * m.mad) AS n_outliers
+         FROM dv d JOIN mad m USING (seg)
+         GROUP BY d.seg ORDER BY seg""",
+
+    "q_llm_winnow" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         ga AS (SELECT doc_id, $oGrams5 AS grams FROM d),
+         gr AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+                  ${U.oHexFold("md5(unnest(grams))", 15)} AS h
+                FROM ga WHERE len(grams) > 0),
+         st AS (SELECT doc_id, pos AS j, wmin FROM (
+                  SELECT doc_id, pos,
+                    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+                  FROM gr)
+                WHERE pos <= ng - 4),
+         sel AS (SELECT DISTINCT doc_id, sp, sh FROM (
+                   SELECT s.doc_id, s.j, MIN(g.pos) AS sp, MIN(s.wmin) AS sh
+                   FROM st s JOIN gr g ON g.doc_id = s.doc_id
+                     AND g.pos BETWEEN s.j AND s.j + 3 AND g.h = s.wmin
+                   GROUP BY s.doc_id, s.j)),
+         fp AS (SELECT doc_id, COUNT(*) AS n_fp, bit_xor(sh) AS fp_xor,
+                  MIN(sh) AS fp_min
+                FROM sel GROUP BY doc_id)
+         SELECT b.doc_id, COALESCE(fp.n_fp, 0) AS n_fp, fp.fp_xor, fp.fp_min
+         FROM documents b LEFT JOIN fp ON b.doc_id = fp.doc_id
+         ORDER BY b.doc_id""",
+
+    "q_graph_degree_hist" ->
+      """WITH oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         nodes AS (SELECT c_custkey AS id, 'customer' AS side FROM customer
+                   UNION ALL SELECT s_suppkey + 1000000, 'supplier' FROM supplier),
+         dg AS (SELECT id, COUNT(*) AS deg
+                FROM (SELECT cust AS id FROM oi UNION ALL SELECT supp FROM oi)
+                GROUP BY id),
+         nd AS (SELECT n.side, COALESCE(dg.deg, 0) AS deg
+                FROM nodes n LEFT JOIN dg ON n.id = dg.id)
+         SELECT side, deg, COUNT(*) AS n_nodes
+         FROM nd GROUP BY side, deg ORDER BY side, deg""",
+
+    "q_agg_regression" ->
+      s"""WITH t AS (SELECT l_returnflag, COUNT(*) AS n,
+             ${oDsum("l_quantity")} AS sx, ${oDsum("l_extendedprice")} AS sy,
+             ${oDsum("l_quantity*l_quantity")} AS sxx,
+             ${oDsum("l_extendedprice*l_extendedprice")} AS syy,
+             ${oDsum("l_quantity*l_extendedprice")} AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+           (sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n AS intercept,
+           round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS corr
+         FROM t ORDER BY l_returnflag""",
+
+    "q_llm_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding,
+             CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+             + 4 * CAST(embedding[3] > 0 AS INT) + 8 * CAST(embedding[4] > 0 AS INT) AS cell
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding AS qe,
+                 unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8)]) AS probe
+               FROM e),
+         scored AS (SELECT q.qid, c.vec_id AS cid,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), 6) AS dot
+               FROM q JOIN e c ON q.probe = c.cell AND q.qid <> c.vec_id),
+         r AS (SELECT qid, cid, dot,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INT) AS rnk
+               FROM scored)
+         SELECT qid, cid, dot, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk"""
+  )
+}

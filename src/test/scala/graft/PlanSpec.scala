@@ -171,6 +171,17 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("UDF", joinIdx) > joinIdx, s"bloom probe not below the join:\n$p")
   }
 
+  test("q_join_range_binned stays on the equi-join path (bin key, no nested loop)") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_llm_knn_graph joins candidates on the cell key via shuffled hash") {
+    val p = plan("q_llm_knn_graph")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
