@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import U._
+
+/** Composite analytical workloads (SURVEY §2.17): end-to-end multi-join
+  * pipelines in the classic decision-support shapes (TPC-H Q3/Q5/Q10/Q14
+  * analogues over this schema). The single-operator inventory proves each
+  * primitive; these prove the primitives COMPOSE — broadcast dims under
+  * shuffled facts, partial aggregation above multi-way joins, top-k
+  * without a global sort — the plans a 100 TB warehouse actually runs.
+  *
+  * Scale notes: every dim (region/nation/customer/supplier) broadcasts;
+  * the fact tables join on their natural keys with no residual shuffles;
+  * revenue aggregates go through the exact-decimal dsum discipline so
+  * hash compares hold; top-k terminates in TakeOrderedAndProject.
+  */
+object Workloads {
+
+  private val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Q3 shape — shipping priority: unshipped-as-of-pivot revenue for one
+    // market segment, top 10 orders. customer is a broadcast dim; orders
+    // and lineitem join on orderkey (their natural co-partitioning at
+    // scale); the LIMIT lands as TakeOrderedAndProject.
+    "q_wl_shipping_priority" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables(s, d, "orders")
+        .where(col("o_orderdate") < ts("1998-06-15"))
+      val li = Tables(s, d, "lineitem")
+        .where(col("l_shipdate") > ts("1998-06-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"))
+        .agg(dsum(revenue).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5 shape — local-supplier volume: revenue per nation in one region
+    // where the supplying and buying nations coincide. Five joins, four
+    // of them broadcast dims; the one fact-fact join (orders×lineitem)
+    // rides the orderkey. The nation-match predicate collapses the
+    // supplier side to a broadcast as well.
+    "q_wl_local_volume" -> ((s, d) => {
+      val nat = Tables(s, d, "nation")
+        .join(broadcast(Tables(s, d, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables(s, d, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val sup = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      Tables(s, d, "orders")
+        .where(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1998-01-01"))
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(revenue).as("rev"))
+        .orderBy(col("rev").desc, col("n_name"))
+    }),
+
+    // Q10 shape — returned-item ranking: the 20 customers losing the most
+    // revenue to returns in one quarter. Fact join on orderkey, customer
+    // + nation broadcast back onto the aggregate.
+    "q_wl_returned_value" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .join(broadcast(Tables(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+      Tables(s, d, "orders")
+        .where(col("o_orderdate") >= ts("1999-10-01") &&
+          col("o_orderdate") < ts("2000-01-01"))
+        .join(Tables(s, d, "lineitem").where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(revenue).as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q14 shape — promo revenue share per month: conditional aggregation
+    // over one broadcast-dim join, the numerator/denominator both exact
+    // decimal sums so the final double division hash-matches.
+    "q_wl_promo_share" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") >= ts("1998-01-01") &&
+          col("l_shipdate") < ts("1999-01-01"))
+        .join(broadcast(Tables(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(
+          dsum(when(col("p_type").startsWith("PROMO"), revenue).otherwise(lit(0.0)))
+            .as("promo_rev"),
+          dsum(revenue).as("total_rev"))
+        .select(col("ym"), col("promo_rev"), col("total_rev"),
+          (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
+        .orderBy("ym"))
+  )
+
+  private val oRev = "l_extendedprice * (1 - l_discount)"
+
+  val oracle: Map[String, String] = Map(
+    "q_wl_shipping_priority" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_orderpriority, ${oDsum(oRev)} AS rev
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-15'
+           AND l_shipdate > TIMESTAMP '1998-06-15'
+         GROUP BY l_orderkey, odate, o_orderpriority
+         ORDER BY rev DESC, l_orderkey LIMIT 10""",
+
+    "q_wl_local_volume" ->
+      s"""SELECT n_name, ${oDsum(oRev)} AS rev
+         FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY rev DESC, n_name""",
+
+    "q_wl_returned_value" ->
+      s"""SELECT c_custkey, c_name, n_name, ${oDsum(oRev)} AS rev
+         FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1999-10-01'
+           AND o_orderdate < TIMESTAMP '2000-01-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY rev DESC, c_custkey LIMIT 20""",
+
+    "q_wl_promo_share" ->
+      s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+             ${oDsum(s"CASE WHEN p_type LIKE 'PROMO%' THEN $oRev ELSE 0.0 END")} AS promo_rev,
+             ${oDsum(oRev)} AS total_rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l_shipdate < TIMESTAMP '1999-01-01'
+           GROUP BY ym)
+         SELECT ym, promo_rev, total_rev,
+           100.0 * promo_rev / total_rev AS promo_pct
+         FROM t ORDER BY ym"""
+  )
+}

@@ -182,6 +182,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_wl_shipping_priority: broadcast dim, top-10 via per-partition heaps") {
+    val p = plan("q_wl_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_wl_local_volume: five-way join keeps every dim broadcast") {
+    val p = plan("q_wl_local_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_wl_promo_share: partial+final aggregate above one broadcast join") {
+    val p = plan("q_wl_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
