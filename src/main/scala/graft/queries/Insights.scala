@@ -258,7 +258,9 @@ object Insights {
         .select(col("c_custkey").as("id"), lit("customer").as("side"))
         .unionAll(Tables(s, d, "supplier")
           .select((col("s_suppkey") + 1000000L).as("id"), lit("supplier").as("side")))
-      val deg = oi.select(col("cust").as("id")).unionAll(oi.select(col("supp").as("id")))
+      // one pass over oi (explode both endpoints), not a unionAll of two
+      // branches — the union re-evaluated the join+distinct twice
+      val deg = oi.select(explode(array(col("cust"), col("supp"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       nodes.join(deg, Seq("id"), "left")
         .select(col("side"), coalesce(col("deg"), lit(0L)).as("deg"))
@@ -292,6 +294,34 @@ object Insights {
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr"))
         .orderBy("l_returnflag")),
+
+    // Semantic dedup end-to-end: IVF-cell candidate pairs scored by the
+    // codegen'd dot product, thresholded at cosine ≥ 0.42 (embeddings
+    // are unit-norm), collapsed to the linear dup-group shape (one row
+    // per vector, smallest-id representative) — the embedding-space
+    // counterpart of the MinHash/SimHash lexical dedups, composed from
+    // the same cell bound + dupGroups pieces. Candidates are same-cell
+    // only: at scale the bit count grows so each cell — and with it the
+    // per-task pair volume — stays constant.
+    "q_llm_dedup_semantic" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cellOf = expr(
+        """CAST(element_at(embedding, 1) > 0 AS INT)
+           + 2 * CAST(element_at(embedding, 2) > 0 AS INT)
+           + 4 * CAST(element_at(embedding, 3) > 0 AS INT)
+           + 8 * CAST(element_at(embedding, 4) > 0 AS INT)""")
+      val emb = Tables(s, d, "embeddings").withColumn("cell", cellOf)
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("cell").as("ca"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("cell").as("cb"))
+      val pairs = a.join(b.hint("shuffle_hash"),
+          col("ca") === col("cb") && col("a") < col("b"))
+        .where(expr("graft_dot(ea, eb)") >= 0.42)
+        .select(col("a"), col("b"))
+      dupGroups(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("keep_id"), col("n_dups"))
+    }),
 
     // Doc-to-doc kNN graph (top-3 neighbors per vector) over the IVF
     // sign-bit cells with Hamming-1 multi-probe — the build step of a
@@ -498,6 +528,23 @@ object Insights {
            (sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n AS intercept,
            round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS corr
          FROM t ORDER BY l_returnflag""",
+
+    "q_llm_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding,
+             CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+             + 4 * CAST(embedding[3] > 0 AS INT) + 8 * CAST(embedding[4] > 0 AS INT) AS cell
+           FROM embeddings),
+         pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+               FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+               WHERE list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) >= 0.42),
+         nbr AS (SELECT a AS vec_id, b AS nbr FROM pairs
+                 UNION ALL SELECT b AS vec_id, a AS nbr FROM pairs)
+         SELECT t.vec_id,
+           least(t.vec_id, coalesce(MIN(n.nbr), t.vec_id)) AS keep_id,
+           COUNT(n.nbr) AS n_dups
+         FROM embeddings t LEFT JOIN nbr n ON t.vec_id = n.vec_id
+         GROUP BY t.vec_id ORDER BY t.vec_id""",
 
     "q_llm_knn_graph" ->
       """WITH e AS (SELECT vec_id, embedding,

@@ -111,7 +111,29 @@ object Scalars {
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
         // explicit NULLS FIRST on both engines: a props row without $.k
         // would otherwise sort first in Spark but last in DuckDB (§7.4)
-        .orderBy(asc_nulls_first("k")))
+        .orderBy(asc_nulls_first("k"))),
+
+    // Nested/complex-type surface: build structs, collect them into a
+    // field-sorted array, access fields through element + dot path, fold
+    // over a struct-array slice — the typed-record manipulation every
+    // nested-schema pipeline (logs, protobuf-style events) leans on.
+    // The struct sort order IS the field order (v desc, e desc, t desc),
+    // so every access below is deterministic; the top-3 fold adds ≤ 3
+    // doubles in a fixed order, reproduced term-by-term in the oracle.
+    "q_fn_struct" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("user_id"), struct(col("value").as("v"),
+          col("event_id").as("e"), col("event_type").as("t")).as("rec"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("rec")), asc = false).as("recs"))
+        .select(col("user_id"),
+          size(col("recs")).as("n_ev"),
+          col("recs")(0).getField("e").as("top_event"),
+          col("recs")(0).getField("v").as("top_value"),
+          col("recs")(0).getField("t").as("top_type"),
+          expr("aggregate(slice(recs, 1, 3), CAST(0.0 AS DOUBLE), (a, r) -> a + r.v)")
+            .as("top3_sum"))
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -185,6 +207,23 @@ object Scalars {
     "q_fn_json" ->
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
             COUNT(*) AS cnt, ${oDsum("value")} AS total
-          FROM events GROUP BY k ORDER BY k NULLS FIRST"""
+          FROM events GROUP BY k ORDER BY k NULLS FIRST""",
+
+    // same result via ranked window SQL: rn orders by the struct's field
+    // order; the top-3 sum is v1+v2+v3 in rank order (adding a trailing
+    // COALESCE 0 is IEEE-exact), matching the array fold term-by-term
+    "q_fn_struct" ->
+      """WITH r AS (SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id DESC, event_type DESC) AS rn
+           FROM events)
+         SELECT user_id, CAST(COUNT(*) AS INT) AS n_ev,
+           MAX(CASE WHEN rn = 1 THEN event_id END) AS top_event,
+           MAX(CASE WHEN rn = 1 THEN value END) AS top_value,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS top_type,
+           COALESCE(MAX(CASE WHEN rn = 1 THEN value END), 0)
+             + COALESCE(MAX(CASE WHEN rn = 2 THEN value END), 0)
+             + COALESCE(MAX(CASE WHEN rn = 3 THEN value END), 0) AS top3_sum
+         FROM r GROUP BY user_id ORDER BY user_id"""
   )
 }

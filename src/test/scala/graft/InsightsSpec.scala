@@ -198,6 +198,27 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup matches brute-force same-cell threshold pairs") {
+    val out = SparkEntry.queries("q_llm_dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = Tables(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cell(e: Array[Double]) =
+      (if (e(0) > 0) 1 else 0) + (if (e(1) > 0) 2 else 0) +
+        (if (e(2) > 0) 4 else 0) + (if (e(3) > 0) 8 else 0)
+    val nbrs = collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    for ((ia, ea) <- all; (ib, eb) <- all if ia < ib && cell(ea) == cell(eb)) {
+      val dot = ea.zip(eb).map { case (x, y) => x * y }.sum
+      if (dot >= 0.42) { nbrs(ia) = ib :: nbrs(ia); nbrs(ib) = ia :: nbrs(ib) }
+    }
+    assert(nbrs.nonEmpty, "test data should contain at least one semantic dup pair")
+    val want = all.map { case (id, _) =>
+      val n = nbrs(id)
+      (id, if (n.isEmpty) id else math.min(id, n.min), n.size.toLong)
+    }.sortBy(_._1)
+    assert(out.toSeq == want.toSeq, "dup groups diverge from brute force")
+  }
+
   test("kNN graph matches per-query brute force over the probed cells") {
     val out = SparkEntry.queries("q_llm_knn_graph")(spark, sf).collect()
     val byQ = out.groupBy(_.getLong(0))

@@ -254,6 +254,25 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSet(got) == sortedSet(want))
   }
 
+  test("Trigger.AvailableNow drains the file source in bounded batches then stops") {
+    // the batch-job-over-streaming-API shape: process everything
+    // currently available (respecting maxFilesPerTrigger bounds), then
+    // terminate — the incremental-backfill trigger a scheduled 100 TB
+    // ingest would run instead of a long-lived query.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_an"
+    eventsDf.repartitionByRange(5, col("ts")).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(eventsDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams.tumbling(stream).writeStream.format("memory")
+      .queryName("t_availnow").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val got = spark.table("t_availnow").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_tumbling")(spark, sf).collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
   test("file-sink stream (writeStream parquet + checkpoint) persists the append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
