@@ -193,10 +193,13 @@ object Insights {
     "q_dq_outlier_mad" -> ((s, d) => {
       val c = Tables(s, d, "events").select(col("event_id"), col("event_type").as("seg"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("x"))
+      // the 5-row count dim broadcasts into BOTH selection passes — a
+      // count-over-partition window here would add a second sort per pass
+      val cnt = c.groupBy("seg").agg(count(lit(1)).as("n"))
       val wMed = Window.partitionBy("seg").orderBy("x", "event_id")
       val med = c
         .withColumn("rn", row_number().over(wMed))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+        .join(broadcast(cnt), "seg")
         .where(col("rn") === expr("(n + 1) div 2"))
         .select(col("seg"), col("x").as("med"))
       val dev = c.join(broadcast(med), "seg")
@@ -204,7 +207,7 @@ object Insights {
       val wMad = Window.partitionBy("seg").orderBy("dev", "event_id")
       val mad = dev
         .withColumn("rn", row_number().over(wMad))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+        .join(broadcast(cnt), "seg")
         .where(col("rn") === expr("(n + 1) div 2"))
         .select(col("seg"), col("dev").as("mad"))
       dev.join(broadcast(mad), "seg")
@@ -321,6 +324,36 @@ object Insights {
         .select(col("a"), col("b"))
       dupGroups(emb.select(col("vec_id").as("doc_id")), pairs)
         .select(col("doc_id").as("vec_id"), col("keep_id"), col("n_dups"))
+    }),
+
+    // Time-series subsequence similarity search (the distributed
+    // data-series search shape of the retrieved EDBT'19/VLDB'23 papers):
+    // per-user daily totals on a 1e-3 integer grid, sliding 7-day
+    // windows via an ordered frame collect, squared Euclidean distance
+    // to a data-derived query pattern — all BIGINT-exact (milli grid
+    // bounds diff² · 7 under 2^53, so even the double view is exact),
+    // global top-20 through TakeOrderedAndProject. At scale each user's
+    // series lives in one partition (the window needs no cross-user
+    // data) and the query pattern broadcasts.
+    "q_ts_simsearch" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val wins = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("arr", collect_list(col("tot")).over(w.rowsBetween(0, 6)))
+        .where(size(col("arr")) === 7)
+      // first full window of the smallest qualifying user — TakeOrdered,
+      // not a global window (no single-partition sort)
+      val qpat = wins.where(col("rn") === 1)
+        .orderBy("user_id").limit(1).select(col("arr").as("qarr"))
+      wins.crossJoin(broadcast(qpat))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("start_day"),
+          expr("""aggregate(zip_with(arr, qarr, (a, b) -> (a - b) * (a - b)),
+                  0L, (acc, x) -> acc + x)""").as("dist"))
+        .orderBy(col("dist"), col("user_id"), col("start_day"))
+        .limit(20)
     }),
 
     // Doc-to-doc kNN graph (top-3 neighbors per vector) over the IVF
@@ -528,6 +561,29 @@ object Insights {
            (sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n AS intercept,
            round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS corr
          FROM t ORDER BY l_returnflag""",
+
+    "q_ts_simsearch" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS tot
+           FROM events GROUP BY user_id, day),
+         d2 AS (SELECT user_id, day, tot,
+                  row_number() OVER w AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS nu
+                FROM daily
+                WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         q AS (SELECT rn AS qi, tot AS qv FROM d2
+               WHERE user_id = (SELECT MIN(user_id) FROM d2 WHERE nu >= 7)
+                 AND rn <= 7),
+         st AS (SELECT user_id, rn AS start, day FROM d2 WHERE rn <= nu - 6),
+         dist AS (SELECT s.user_id, s.day,
+                    CAST(SUM((x.tot - q.qv) * (x.tot - q.qv)) AS BIGINT) AS dist
+                  FROM st s
+                  JOIN d2 x ON x.user_id = s.user_id
+                    AND x.rn BETWEEN s.start AND s.start + 6
+                  JOIN q ON q.qi = x.rn - s.start + 1
+                  GROUP BY s.user_id, s.day)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS start_day, dist
+         FROM dist ORDER BY dist, user_id, start_day LIMIT 20""",
 
     "q_llm_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, embedding,

@@ -219,6 +219,26 @@ class InsightsSpec extends SparkSpec {
     assert(out.toSeq == want.toSeq, "dup groups diverge from brute force")
   }
 
+  test("ts simsearch: self-window at distance 0; top-20 matches brute force") {
+    val out = SparkEntry.queries("q_ts_simsearch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.head._3 == 0L, "query's own window must rank first at distance 0")
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val full = daily.filter(_._2.size >= 7)
+    val qu = full.keys.min
+    val q = full(qu).take(7).map(_._3)
+    val brute = full.toSeq.flatMap { case (u, days) =>
+      days.sliding(7).filter(_.size == 7).map { w =>
+        (u, w.head._2, w.map(_._3).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }.sortBy { case (u, d, dist) => (dist, u, d) }.take(20)
+    assert(out.toSeq == brute, "top-20 diverges from brute force")
+  }
+
   test("kNN graph matches per-query brute force over the probed cells") {
     val out = SparkEntry.queries("q_llm_knn_graph")(spark, sf).collect()
     val byQ = out.groupBy(_.getLong(0))
