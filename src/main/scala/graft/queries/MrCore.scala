@@ -29,6 +29,19 @@ object MrCore {
         .orderBy("word")
     }),
 
+    // Distributed grep (the third canonical MapReduce demo next to word
+    // count and sort): match lines, emit (id, match count, first
+    // position). Pure map-side — no shuffle at all until the output
+    // sort; at 100 TB this runs at scan bandwidth with the predicate
+    // pushed to the source.
+    "q_mr_distributed_grep" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(regexp_extract_all(text, 'data', 0)) AS INT)").as("n_matches"),
+          instr(col("text"), "data").as("first_pos"))
+        .where(col("n_matches") > 0)
+        .orderBy("doc_id")),
+
     // MR partition + shuffle-sort made explicit, with the classic
     // secondary-sort pattern: composite key (user, event) sorted fully,
     // custom partitioner routing on the natural key (user) only — so each
@@ -57,6 +70,14 @@ object MrCore {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mr_distributed_grep" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_matches,
+           CAST(strpos(text, 'data') AS INT) AS first_pos
+         FROM documents
+         WHERE len(regexp_extract_all(text, 'data')) > 0
+         ORDER BY doc_id""",
+
     "q_mr_wordcount_rdd" ->
       """SELECT word, COUNT(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

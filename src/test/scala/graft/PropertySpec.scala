@@ -17,6 +17,22 @@ class PropertySpec extends SparkSpec {
     rows.toDF("k", "v")
   }
 
+  test("MR-style counters: accumulator tallies during a pass match the declarative count") {
+    // the MapReduce counter idiom — side-channel tallies collected while
+    // the main pass runs — expressed with Spark's longAccumulator; the
+    // declarative WHERE count is the ground truth it must agree with
+    // (exact here: local mode runs each task once, no speculative retries)
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("shortDocs")
+    val passed = Tables(spark, sf, "documents").select("text").as[String].rdd
+      .map { t => if (t.split(" ").length < 30) acc.add(1); t }
+      .count()
+    val want = Tables(spark, sf, "documents")
+      .where(size(split(col("text"), " ")) < 30).count()
+    assert(acc.value == want, s"counter ${acc.value} != declarative $want")
+    assert(passed == Tables(spark, sf, "documents").count())
+  }
+
   test("aggregation is a homomorphism over union (combiner correctness)") {
     val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-100.0, 100.0)))
     (1 to 5).foreach { i =>
