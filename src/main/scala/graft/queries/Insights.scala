@@ -326,6 +326,33 @@ object Insights {
         .select(col("doc_id").as("vec_id"), col("keep_id"), col("n_dups"))
     }),
 
+    // Perplexity-proxy quality score: per-doc mean unigram negative
+    // log-likelihood under the corpus's own add-1-smoothed unigram LM —
+    // the KenLM-style quality filter of web curation, reduced to its
+    // relational core. The LM is a tiny broadcast dim (one row per
+    // distinct term); per-term nll is rounded to the 1e-9 grid BEFORE
+    // the per-doc sum (log2 may differ by an ulp across engines — the
+    // early rounding pins both to the same grid point), and the sum
+    // itself runs in exact decimals so partition order can't perturb it.
+    "q_llm_ppl_proxy" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(textTokens).as("term"))
+      val totals = tok.agg(count(lit(1)).as("nn"),
+        countDistinct(col("term")).as("vv"))
+      val lm = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(totals))
+        .select(col("term"),
+          expr("CAST(round(log2(nn + vv) - log2(c + 1), 9) AS DECIMAL(18,9))")
+            .as("nll"))
+      tok.join(broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          // decimal sum → double FIRST, then one double division — a
+          // decimal division would hit engine-specific scale rules
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Time-series subsequence similarity search (the distributed
     // data-series search shape of the retrieved EDBT'19/VLDB'23 papers):
     // per-user daily totals on a 1e-3 integer grid, sliding 7-day
@@ -561,6 +588,19 @@ object Insights {
            (sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n AS intercept,
            round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS corr
          FROM t ORDER BY l_returnflag""",
+
+    "q_llm_ppl_proxy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tt AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT term) AS vv FROM tok),
+         lm AS (SELECT term,
+                  CAST(round(log2(nn + vv) - log2(c + 1), 9) AS DECIMAL(18,9)) AS nll
+                FROM (SELECT term, COUNT(*) AS c FROM tok GROUP BY term)
+                CROSS JOIN tt)
+         SELECT doc_id, COUNT(*) AS n_tok,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+         FROM tok JOIN lm USING (term)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q_ts_simsearch" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,

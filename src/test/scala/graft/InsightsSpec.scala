@@ -219,6 +219,24 @@ class InsightsSpec extends SparkSpec {
     assert(out.toSeq == want.toSeq, "dup groups diverge from brute force")
   }
 
+  test("perplexity proxy: token mass conserved; scores bracketed by corpus term nll") {
+    val out = SparkEntry.queries("q_llm_ppl_proxy")(spark, sf).collect()
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).collect().map(_.getString(0))
+    assert(out.map(_.getLong(1)).sum == toks.length, "token mass lost")
+    val n = toks.length.toDouble
+    val v = toks.distinct.length.toDouble
+    val nlls = toks.groupBy(identity).values
+      .map(g => math.log(n + v) / math.log(2) - math.log(g.length + 1.0) / math.log(2))
+    out.foreach { r =>
+      val a = r.getDouble(2)
+      assert(a >= nlls.min - 1e-6 && a <= nlls.max + 1e-6,
+        s"doc ${r.getLong(0)}: avg nll $a outside corpus term range")
+    }
+    // a mean over more-frequent terms must not exceed the rarest-term nll
+    assert(out.map(_.getDouble(2)).distinct.length > 1, "scores degenerate")
+  }
+
   test("ts simsearch: self-window at distance 0; top-20 matches brute force") {
     val out = SparkEntry.queries("q_ts_simsearch")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
