@@ -21,6 +21,25 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("results are invariant to the shuffle partition count") {
+    // the cluster-reality check: 4 shuffle partitions here, 11 in an
+    // isolated sibling session — a query whose output depends on the
+    // partitioning (float merge order, unordered collect, partition-local
+    // ids) diverges. Representative slice: aggregation, window, dedup,
+    // top-k, iterative graph, selection, time-series.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "11")
+    val names = Seq("q_agg_groupby", "q_win_rank", "q_topk_per_group",
+      "q_llm_dedup_near", "q_llm_dedup_simhash", "q_graph_pagerank",
+      "q_agg_median_mode", "q_dq_outlier_exact", "q_ts_simsearch",
+      "q_agg_regression", "q_llm_ppl_proxy", "q_wl_local_volume")
+    names.foreach { name =>
+      val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      val b = SparkEntry.queries(name)(s2, sf).collect().toSeq
+      assert(a == b, s"$name changes under a different partition count")
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
