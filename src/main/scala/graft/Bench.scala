@@ -19,12 +19,34 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+    // Shuffle diagnostics: a listener tallies shuffle bytes per stage;
+    // sequential execution attributes each window to its query. Purely
+    // advisory (bench_full.json only — stdout format unchanged); the
+    // short drain sleep bounds listener-bus lag, and any listener failure
+    // leaves the timing loop untouched.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    try spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(
+            m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val shuffles = scala.collection.mutable.Map.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      try { Thread.sleep(30) } catch { case _: Throwable => () }
+      shuffles(name) = shuffleBytes.get() - s0
+      name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Locale.ROOT: a comma decimal separator from a non-English default
@@ -42,8 +64,10 @@ object Bench {
     // entries that fits a 1500-char budget (a prefix, so n_shown/rest_sum
     // partition the suite exactly).
     try {
+      val shufMb = bySlow.map { case (k, _) =>
+        s""""$k":${r3(shuffles.getOrElse(k, 0L) / 1e6)}""" }
       val fw = new java.io.FileWriter("bench_full.json")
-      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${full.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${full.mkString("{", ",", "}")},"shuffle_mb":${shufMb.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
     val budget = 1500
