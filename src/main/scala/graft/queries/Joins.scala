@@ -139,6 +139,22 @@ object Joins {
         .orderBy("o1_key", "o2_key")
     }),
 
+    // Null-safe equi join (<=>): NULL keys MATCH each other instead of
+    // vanishing — the semantics dirty dimension data needs when "key
+    // unknown" is itself a join class. Keys are synthesized nullable
+    // (the corpus has none); Spark still plans this as a hash join (the
+    // null bucket is just another key), asserted by the oracle equality.
+    "q_join_null_safe" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), expr("nullif(c_nationkey % 5, 4)").as("grp"))
+      val n = Tables(s, d, "nation")
+        .select(expr("nullif(n_nationkey % 5, 4)").as("grp2"), col("n_nationkey"))
+      c.join(n, col("grp") <=> col("grp2"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("n_nationkey")).as("nk_sum"))
+        .orderBy(asc_nulls_first("grp"))
+    }),
+
     "q_join_asof" -> ((s, d) => {
       // Most recent prior click for each purchase of the same user.
       // events.ts is strictly ascending with event_id, so event_id is a
@@ -157,6 +173,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS grp FROM customer),
+         n AS (SELECT nullif(n_nationkey % 5, 4) AS grp2, n_nationkey FROM nation)
+         SELECT grp, COUNT(*) AS n_pairs, CAST(SUM(n_nationkey) AS BIGINT) AS nk_sum
+         FROM c JOIN n ON grp IS NOT DISTINCT FROM grp2
+         GROUP BY grp ORDER BY grp NULLS FIRST""",
+
     "q_join_bucketed" ->
       s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oDsum("o_totalprice")} AS total
           FROM orders JOIN customer ON o_custkey = c_custkey

@@ -182,6 +182,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_join_null_safe plans a hash join (null bucket is just another key)") {
+    val p = plan("q_join_null_safe")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_wl_shipping_priority: broadcast dim, top-10 via per-partition heaps") {
     val p = plan("q_wl_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"), p)
