@@ -21,7 +21,8 @@ object SparkEntry {
       SetOps.queries ++ Scalars.queries ++ StreamTwins.queries ++
       Udx.queries ++ Llm.queries ++ Extras.queries ++ Multimodal.queries ++
       MrCore.queries ++ Reshape.queries ++ Pipeline.queries ++
-      Analytics.queries ++ Insights.queries ++ Workloads.queries
+      Analytics.queries ++ Insights.queries ++ Workloads.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       SetOps.oracle ++ Scalars.oracle ++ StreamTwins.oracle ++
       Udx.oracle ++ Llm.oracle ++ Extras.oracle ++ Multimodal.oracle ++
       MrCore.oracle ++ Reshape.oracle ++ Pipeline.oracle ++
-      Analytics.oracle ++ Insights.oracle ++ Workloads.oracle
+      Analytics.oracle ++ Insights.oracle ++ Workloads.oracle ++
+      Curation.oracle
 }

@@ -155,6 +155,42 @@ object Joins {
         .orderBy(asc_nulls_first("grp"))
     }),
 
+    // Nearest-event as-of join (the bidirectional variant): for each
+    // purchase, the click of the same user closest in time, EITHER
+    // direction, ties to the earlier (prior) click. Same single-shuffle
+    // window shape as q_join_asof — prev = max-over-prefix, next =
+    // min-over-suffix — so it needs no join at all: event_id is strictly
+    // ascending with ts, so the prefix-max click id and prefix-max click
+    // timestamp belong to the same row and can ride in separate window
+    // columns. O(n) state per user, linear at any scale.
+    "q_join_asof_nearest" -> ((s, d) => {
+      val wPrev = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val isClick = col("event_type") === "click"
+      Tables(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_id", max(when(isClick, col("event_id"))).over(wPrev))
+        .withColumn("prev_us", max(when(isClick, col("us"))).over(wPrev))
+        .withColumn("next_id", min(when(isClick, col("event_id"))).over(wNext))
+        .withColumn("next_us", min(when(isClick, col("us"))).over(wNext))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          when(col("prev_id").isNull && col("next_id").isNull, lit(-1L))
+            .when(col("next_id").isNull, col("prev_id"))
+            .when(col("prev_id").isNull, col("next_id"))
+            .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+              col("prev_id"))
+            .otherwise(col("next_id")).as("click_id"),
+          when(col("prev_id").isNull && col("next_id").isNull, lit(-1L))
+            .otherwise(least(
+              coalesce(col("us") - col("prev_us"), lit(Long.MaxValue)),
+              coalesce(col("next_us") - col("us"), lit(Long.MaxValue))))
+            .as("dist_us"))
+        .orderBy("purchase_id")
+    }),
+
     "q_join_asof" -> ((s, d) => {
       // Most recent prior click for each purchase of the same user.
       // events.ts is strictly ascending with event_id, so event_id is a
@@ -238,6 +274,32 @@ object Joins {
           AND o2.o_orderdate > o1.o_orderdate
           AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
          ORDER BY o1_key, o2_key""",
+
+    "q_join_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+             MIN(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+           FROM events)
+         SELECT user_id, event_id AS purchase_id,
+           CASE WHEN prev_id IS NULL AND next_id IS NULL THEN -1
+                WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN us - prev_us <= next_us - us THEN prev_id
+                ELSE next_id END AS click_id,
+           CASE WHEN prev_id IS NULL AND next_id IS NULL THEN -1
+                ELSE least(COALESCE(us - prev_us, 9223372036854775807),
+                           COALESCE(next_us - us, 9223372036854775807)) END AS dist_us
+         FROM e WHERE event_type = 'purchase' ORDER BY purchase_id""",
 
     "q_join_asof" ->
       """SELECT user_id, purchase_id, COALESCE(last_click_id, -1) AS last_click_id
