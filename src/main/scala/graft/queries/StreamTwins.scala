@@ -100,6 +100,25 @@ object StreamTwins {
         .select(col("user_id"), col("purchase_id"), col("click_id"),
           expr("(pus - cus) div 1000000").as("gap_s"))
         .orderBy("purchase_id", "click_id")
+    }),
+
+    // LEFT OUTER stream-stream join twin: every purchase emits, matched
+    // or not (click_id −1 when no click in the preceding 30 minutes).
+    // Streaming impl is Streams.streamJoinOuter — same watermark + band,
+    // with watermark-driven eviction emitting the unmatched rows.
+    "q_stream_outer_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("pus"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("event_id").as("click_id"), col("us").as("cus"))
+      p.join(c, col("user_id") === col("cuser")
+          && col("cus") >= col("pus") - 1800000000L && col("cus") <= col("pus"),
+          "left_outer")
+        .select(col("user_id"), col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(expr("(pus - cus) div 1000000"), lit(-1L)).as("gap_s"))
+        .orderBy("purchase_id", "click_id")
     })
   )
 
@@ -147,6 +166,19 @@ object StreamTwins {
       s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oDsum("value")} AS total
           FROM events JOIN customer ON user_id = c_custkey
           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         p AS (SELECT user_id, event_id AS purchase_id, us AS pus FROM e
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cuser, event_id AS click_id, us AS cus FROM e
+               WHERE event_type = 'click')
+         SELECT user_id, purchase_id,
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE((pus - cus) // 1000000, -1) AS gap_s
+         FROM p LEFT JOIN c ON user_id = cuser
+           AND cus >= pus - 1800000000 AND cus <= pus
+         ORDER BY purchase_id, click_id""",
 
     "q_stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import graft.queries.U.D
 
 /** SURVEY §2.9 — Structured Streaming implementations.
@@ -135,5 +136,97 @@ object Streams {
         && col("cts") <= col("pts"))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         expr("(unix_micros(pts) - unix_micros(cts)) div 1000000").as("gap_s"))
+  }
+
+  /** Stream-stream LEFT OUTER join: like [[streamJoin]], but purchases
+    * with NO click in the preceding 30 minutes still emit (click_id −1).
+    * Outer rows can only be decided once the watermark closes their time
+    * band — Spark holds each unmatched purchase until (purchase watermark
+    * − 30 min) passes it, then emits the null-padded row exactly once. The
+    * same watermark+band bounds state; the only extra cost vs inner is
+    * that eviction, not emission, drives the unmatched output. */
+  def streamJoinOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", "30 minutes")
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "30 minutes")
+    p.join(c, col("user_id") === col("cuser")
+        && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+        && col("cts") <= col("pts"), "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(expr("(unix_micros(pts) - unix_micros(cts)) div 1000000"), lit(-1L))
+          .as("gap_s"))
+  }
+
+  case class TsEvent(user_id: Long, ts_us: Long)
+  case class SessionOut(user_id: Long, n_events: Long, start_s: Long, end_s: Long)
+  case class SessState(start_us: Long, last_us: Long, n: Long, timer_ms: Long)
+
+  /** Event-time-timer sessionization on transformWithState: per-user
+    * state carries the open session; a timer at (last event + gap) fires
+    * when the WATERMARK passes it and closes the session — the push-based
+    * alternative to session_window's relational form, and the API shape
+    * real pipelines use for inactivity timeouts, TTL cleanup, and
+    * delayed emission. Each new event cancels the previous timer and
+    * registers the new expiry, so exactly one live timer per key; state
+    * is one fixed-size row per user, distributed by the groupBy key. */
+  class SessionTimerProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, TsEvent, SessionOut] {
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[TsEvent],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var cur = if (st.exists()) Option(st.get()) else None
+      cur.foreach(c => getHandle.deleteTimer(c.timer_ms))
+      // the replay feeds batches in event order; sort within the batch for
+      // determinism (cross-batch disorder is the watermark's job)
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        cur match {
+          case Some(c) if e.ts_us - c.last_us < gapUs =>
+            cur = Some(c.copy(last_us = e.ts_us, n = c.n + 1))
+          case Some(c) =>
+            out += SessionOut(user, c.n, c.start_us / 1000000L, c.last_us / 1000000L)
+            cur = Some(SessState(e.ts_us, e.ts_us, 1L, 0L))
+          case None =>
+            cur = Some(SessState(e.ts_us, e.ts_us, 1L, 0L))
+        }
+      }
+      cur.foreach { c =>
+        val expiry = c.last_us / 1000L + gapUs / 1000L
+        getHandle.registerTimer(expiry)
+        st.update(c.copy(timer_ms = expiry))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // a stale timer (superseded by a later event) was deleted on arrival,
+      // so any firing timer is the live one: close the session.
+      if (!st.exists()) Iterator.empty
+      else {
+        val c = st.get()
+        st.clear()
+        Iterator.single(
+          SessionOut(user, c.n, c.start_us / 1000000L, c.last_us / 1000000L))
+      }
+    }
+  }
+
+  /** 15-min-gap sessions via the timer processor (twin: q_stream_session). */
+  def sessionTimers(events: DataFrame): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(900000000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

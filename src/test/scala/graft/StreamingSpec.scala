@@ -207,6 +207,71 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSet(got) == sortedSet(want))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val q = Streams.streamJoinOuter(pMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("t_ssouter").outputMode("append").start()
+    chunksInOrder.foreach { ch =>
+      pMem.addData(ch); cMem.addData(ch); q.processAllAvailable()
+    }
+    // outer rows emit only when the watermark closes their band: push it
+    // past the data with far-future sentinels on BOTH sides (user −1 is
+    // excluded from the comparison; an unmatched-purchase sentinel row is
+    // itself withheld until an even later watermark, hence two pushes)
+    val far = allEvents.map(_.ts.getTime).max
+    def sentinel(id: Long, tp: String, off: Long) =
+      Ev(id, new java.sql.Timestamp(far + off), -1L, tp, 0.0, "{}")
+    Seq(3600000L, 7200000L).foreach { off =>
+      pMem.addData(Seq(sentinel(-1L - off, "purchase", off)))
+      cMem.addData(Seq(sentinel(-2L - off, "click", off)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_ssouter").where(col("user_id") =!= -1L)
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_outer_join")(spark, sf)
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
+  test("event-time-timer sessionization (transformWithState) matches the session twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.sessionTimers(mem.toDF()).toDF().writeStream.format("memory")
+        .queryName("t_sesstimer").outputMode("append").start()
+      chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+      // close the tail sessions: sentinel events (user −1) advance the
+      // watermark past every live timer; two pushes because the watermark
+      // computed from batch N applies to batch N+1's timer sweep
+      val far = allEvents.map(_.ts.getTime).max
+      Seq(3600000L, 7200000L).foreach { off =>
+        mem.addData(Seq(Ev(-1L - off, new java.sql.Timestamp(far + off), -1L, "click", 0.0, "{}")))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("t_sesstimer").where(col("user_id") =!= -1L)
+        .select("user_id", "n_events", "start_s", "end_s").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val want = queries.StreamTwins.queries("q_stream_session")(spark, sf)
+        .select("user_id", "n_events", "start_s", "end_s").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.sorted == want.sorted)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedup covers every (user, type) pair; re-emission only past the watermark") {
     // dropDuplicatesWithinWatermark guarantees dedup *within* the 30-min
     // watermark and may re-emit a key once its state expires (events span
