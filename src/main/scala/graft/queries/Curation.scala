@@ -117,7 +117,40 @@ object Curation {
           (lit(-1.9) + lit(2.0) * col("f_len") - lit(6.0) * col("f_stop")
             + lit(2.5) * col("f_ttr") + lit(0.05) * col("f_wlen")).as("logit"))
         .withColumn("keep", col("logit") > 0.0)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // session_window in BATCH mode — the same expression that drives the
+    // streaming sessionization (Streams.session) runs unchanged in a batch
+    // aggregate: one shuffle on user_id, gap-merge inside the partition.
+    // This is Spark's batch/stream unification made concrete: one
+    // operator definition, two execution modes, identical results (the
+    // oracle is the same lag/islands SQL the streaming twin uses).
+    "q_win_session_batch" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts").cast("long")).as("start_s"),
+          max(col("ts").cast("long")).as("end_s"))
+        .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"))
+        .orderBy("user_id", "start_s")),
+
+    // OHLC downsample (the time-series bar-chart aggregation): per
+    // event_type per day — open/close via min_by/max_by on event_id (the
+    // strictly-ascending time axis, so ties are impossible and the pick
+    // is deterministic), high/low exact min/max. All five aggregates are
+    // associative ⇒ partial aggregation applies; one shuffle, no window,
+    // no sort until the output. The values pass through raw (no float
+    // summation), so the doubles are bit-identical cross-engine.
+    "q_ts_ohlc" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          expr("min_by(value, event_id)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr("max_by(value, event_id)").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "day"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,6 +205,30 @@ object Curation {
          SELECT doc_id, CAST(n_tok AS INT) AS n_tok, f_len, f_stop, f_ttr, f_wlen,
            -1.9 + 2.0 * f_len - 6.0 * f_stop + 2.5 * f_ttr + 0.05 * f_wlen AS logit,
            (-1.9 + 2.0 * f_len - 6.0 * f_stop + 2.5 * f_ttr + 0.05 * f_wlen) > 0.0 AS keep
-         FROM f ORDER BY doc_id"""
+         FROM f ORDER BY doc_id""",
+
+    // same lag/islands sessionization the streaming twin oracles —
+    // session_window's [start, last+gap) semantics on the µs timeline
+    "q_win_session_batch" ->
+      """WITH e AS (SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS es,
+                      epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, es,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= 900000000 THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         g AS (SELECT user_id, es,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               FROM f)
+         SELECT user_id, COUNT(*) AS n_events,
+           MIN(es) AS start_s, MAX(es) AS end_s
+         FROM g GROUP BY user_id, sess_id ORDER BY user_id, start_s""",
+
+    "q_ts_ohlc" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           arg_min(value, event_id) AS open, MAX(value) AS high,
+           MIN(value) AS low, arg_max(value, event_id) AS close,
+           COUNT(*) AS n
+         FROM events GROUP BY event_type, day ORDER BY event_type, day"""
   )
 }

@@ -207,6 +207,33 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q_llm_dedup_url is one partial+final aggregate — no join, no window") {
+    val p = plan("q_llm_dedup_url")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"URL dedup must stay a pure hash-groupBy:\n$p")
+  }
+
+  test("q_join_asof_nearest runs as framed windows over ONE user shuffle — no join") {
+    val p = plan("q_join_asof_nearest")
+    assert(!p.contains("Join"), s"nearest-asof must not join:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), p)
+    // both window directions ride the same user shuffle: exactly one
+    // user_id exchange in the plan (the output sort is a range exchange)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_llm_substring_dedup joins gram positions on equi-keys only") {
+    val p = plan("q_llm_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ts_ohlc is one partial+final aggregate (min_by/max_by are mergeable)") {
+    val p = plan("q_ts_ohlc")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
