@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Round-3 batch 5 (SURVEY §2.20): model-adjacent pipeline steps —
+  * distributed k-means clustering and BPE pair counting.
+  *
+  * Scale notes: k-means is the canonical broadcast-model iteration — the
+  * k×64 centroid table broadcasts (KBs), assignment is a map over the
+  * vectors (no vector ever shuffles for scoring), and the centroid
+  * recompute is ONE partial-aggregated shuffle of (cluster, pos) partial
+  * sums per iteration. Everything runs on the 1e-6 integer grid: float
+  * centroid averages would drift with partition merge order, BIGINT sums
+  * cannot. Component sums stay exact while n·2.5e6 < 2^63 (n ≈ 4e12
+  * vectors per cluster); the floor division is made exact by subtracting
+  * the positive remainder first, so truncating (Spark `div`) and flooring
+  * (DuckDB `//`) engines agree on negative sums. BPE pair counting is the
+  * selection step of tokenizer training: distinct-word frequencies (one
+  * shuffle over words — the corpus compresses to its vocabulary before
+  * any character work), then char-bigram explode weighted by frequency
+  * (one shuffle over pairs), global top via per-partition heaps. */
+object Learn {
+
+  private val K = 8
+  private val ITERS = 2
+
+  /** exact BIGINT floor division (numerator adjusted to divisibility). */
+  private def fdiv(s: String, n: String): String =
+    s"($s - ((($s % $n) + $n) % $n)) div $n"
+
+  /** squared L2 distance between two BIGINT grid vectors. */
+  private val d2: Column =
+    expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+
+  private def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("cid"), d2.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("q"), col("cid"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Distributed Lloyd k-means (k=8, 2 iterations, deterministic seeds =
+    // the first k vectors) over the 64-dim embeddings, entirely in 1e-6
+    // fixed point. Per iteration: broadcast centroids → argmin assignment
+    // (ties to the lower cluster id) → component-wise partial-sum
+    // recompute. Output: one row per cluster with population, smallest
+    // member id, and the centroid's exact L1 norm.
+    "q_llm_cluster_kmeans" -> ((s, d) => {
+      val vecs = Tables(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+      var cent = vecs.where(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+      for (_ <- 1 to ITERS) {
+        cent = assign(vecs, cent)
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .withColumn("cv", expr(fdiv("sv", "n")))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      }
+      assign(vecs, cent)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+        .join(cent.select(col("cid"),
+          expr("aggregate(c, 0L, (acc, v) -> acc + abs(v))").as("centroid_l1")), "cid")
+        .orderBy("cid")
+    }),
+
+    // BPE pair counting — the selection step of byte-pair-encoding
+    // tokenizer training: corpus → vocabulary with frequencies (the
+    // corpus compresses to distinct words BEFORE any character work, the
+    // classic optimization) → adjacent character-pair counts weighted by
+    // word frequency → top 30 merge candidates. A real trainer loops
+    // merge→recount; one round is the declared operator, the loop is the
+    // pagerank-style driver iteration.
+    "q_llm_bpe_pairs" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), explode(expr(
+          """CASE WHEN length(word) < 2 THEN array()
+             ELSE transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))
+             END""")).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        // top-30 via orderBy+limit (TakeOrderedAndProject: per-partition
+        // heaps, no global sort); the rank window then runs over 30 rows
+        .orderBy(col("cnt").desc, col("pair")).limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair"))))
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy("rank"))
+  )
+
+  /** DuckDB mirror of one assignment round against centroid CTE `cN`,
+    * producing `aM(vec_id, q, cid)`. */
+  private def oAssign(a: String, c: String): String =
+    s"""$a AS (SELECT vec_id, q, cid FROM (
+           SELECT v.vec_id, v.q, $c.cid,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> (v.q[i] - $c.c[i]) * (v.q[i] - $c.c[i]))), $c.cid) AS rk
+           FROM v CROSS JOIN $c) WHERE rk = 1)"""
+
+  /** DuckDB mirror of the centroid recompute from assignment `a` → `c`. */
+  private def oRecompute(c: String, a: String): String =
+    s"""$c AS (SELECT cid, list(cv ORDER BY pos) AS c FROM (
+           SELECT cid, pos,
+             (sv - (((sv % n) + n) % n)) // n AS cv
+           FROM (SELECT cid, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS sv,
+                   COUNT(*) AS n
+                 FROM $a, unnest(range(1, 65)) AS t(i)
+                 GROUP BY cid, i))
+         GROUP BY cid)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_cluster_kmeans" ->
+      s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM v WHERE vec_id < $K),
+         ${oAssign("a1", "c0")},
+         ${oRecompute("c1", "a1")},
+         ${oAssign("a2", "c1")},
+         ${oRecompute("c2", "a2")},
+         ${oAssign("a3", "c2")}
+         SELECT a3.cid, COUNT(*) AS n, MIN(vec_id) AS min_vec,
+           CAST(list_sum(list_transform(c2.c, x -> abs(x))) AS BIGINT) AS centroid_l1
+         FROM a3 JOIN c2 ON a3.cid = c2.cid
+         GROUP BY a3.cid, c2.c ORDER BY a3.cid""",
+
+    "q_llm_bpe_pairs" ->
+      """WITH w AS (SELECT word, COUNT(*) AS freq
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             GROUP BY word),
+         p AS (SELECT substring(word, i, 2) AS pair, freq
+               FROM w, unnest(range(1, greatest(length(word), 1))) AS t(i)),
+         c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY pair),
+         r AS (SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
+               FROM c)
+         SELECT rank, pair, cnt FROM r WHERE rank <= 30 ORDER BY rank"""
+  )
+}
