@@ -96,7 +96,42 @@ object Learn {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("pair"))))
         .select(col("rank"), col("pair"), col("cnt"))
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // EWMA (α = 1/2) per user: fold acc/2 + v/2 over the ordered trailing
+    // window. α = 1/2 makes every step EXACT IEEE (divide-by-two is an
+    // exponent decrement, the add is exactly rounded, same order both
+    // engines ⇒ bit-identical, no decimal grid needed). The fold runs
+    // over the trailing 50 events — terms older than 50 steps weigh
+    // < 2^-50 (≈1e-15 relative) and a real pipeline truncates exactly
+    // like this to keep the per-row state CONSTANT; the collected frame
+    // is 50 rows per output row, so the window is linear, not quadratic.
+    "q_ts_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-49, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("vs", collect_list(col("value")).over(w))
+        .select(col("user_id"), col("event_id"),
+          expr("aggregate(vs, 0.0D, (acc, v) -> acc / 2 + v / 2)").as("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // Running distinct count per user (how many distinct event types has
+    // this user produced so far) — NOT via a per-row collect_set (which
+    // carries a set per row): mark each (user, type)'s FIRST occurrence
+    // with row_number, then running-sum the 0/1 markers. Two windows over
+    // the same user shuffle, constant state per row, linear at any scale.
+    "q_win_distinct_running" -> ((s, d) => {
+      val wFirst = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("is_new",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"),
+          sum(col("is_new")).over(wRun).as("n_types"))
+        .orderBy("event_id")
+    })
   )
 
   /** DuckDB mirror of one assignment round against centroid CTE `cN`,
@@ -145,6 +180,28 @@ object Learn {
          c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY pair),
          r AS (SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
                FROM c)
-         SELECT rank, pair, cnt FROM r WHERE rank <= 30 ORDER BY rank"""
+         SELECT rank, pair, cnt FROM r WHERE rank <= 30 ORDER BY rank""",
+
+    // list() over a ROWS frame collects in frame order; prepending the
+    // 0.0 init makes list_reduce ≡ Spark's aggregate(…, 0.0, fold)
+    "q_ts_ewma" ->
+      """WITH w AS (SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS vs
+           FROM events)
+         SELECT user_id, event_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+             (acc, v) -> acc / 2 + v / 2) AS ewma
+         FROM w ORDER BY event_id""",
+
+    "q_win_distinct_running" ->
+      """WITH m AS (SELECT user_id, event_id,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY event_id) = 1 THEN 1 ELSE 0 END AS is_new
+           FROM events)
+         SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
+         FROM m ORDER BY event_id"""
   )
 }
