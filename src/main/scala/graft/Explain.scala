@@ -28,7 +28,11 @@ object Explain {
     "q_sql_lateral",        // expect decorrelated ranked join, no CartesianProduct
     "q_llm_decontaminate_bloom", // expect sketch probe filter beneath the semi-join
     "q_join_skew_salted",   // expect ShuffledHashJoin on (key, salt)
-    "q_sql_recursive")      // expect bounded UnionLoop (recursion depth = max session)
+    "q_sql_recursive",      // expect bounded UnionLoop (recursion depth = max session)
+    "q_llm_dedup_url",      // expect one partial+final aggregate, no join
+    "q_join_asof_nearest",  // expect two windows over ONE user shuffle, no join
+    "q_llm_cluster_kmeans", // expect broadcast centroids + graft_l2sq in codegen
+    "q_llm_bpe_pairs")      // expect vocab agg then TakeOrderedAndProject
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

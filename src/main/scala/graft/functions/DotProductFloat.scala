@@ -70,12 +70,18 @@ case class DotProductFloat(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  /** Register `graft_dot` in the session's function registry (idempotent).
-    * Registered per-session rather than via SparkSessionExtensions so the
-    * driver-owned session builders need no config change. */
-  def register(spark: SparkSession): Unit =
+  /** Register the graft expressions in the session's function registry
+    * (idempotent). Registered per-session rather than via
+    * SparkSessionExtensions so the driver-owned session builders need no
+    * config change. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq",
+      (exprs: Seq[Expression]) => L2SquaredLong(exprs.head, exprs(1)),
+      "built-in")
+  }
 }

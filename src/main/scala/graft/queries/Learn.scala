@@ -32,9 +32,11 @@ object Learn {
   private def fdiv(s: String, n: String): String =
     s"($s - ((($s % $n) + $n) % $n)) div $n"
 
-  /** squared L2 distance between two BIGINT grid vectors. */
-  private val d2: Column =
-    expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+  /** squared L2 distance between two BIGINT grid vectors — the codegen'd
+    * native expression (graft.functions.L2SquaredLong); the equivalent
+    * HOF `aggregate(zip_with(...))` is a codegen barrier in the n·k-hot
+    * scoring loop. Integer arithmetic ⇒ bit-identical either way. */
+  private val d2: Column = expr("graft_l2sq(q, c)")
 
   private def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cent))
@@ -53,6 +55,7 @@ object Learn {
     // recompute. Output: one row per cluster with population, smallest
     // member id, and the centroid's exact L1 norm.
     "q_llm_cluster_kmeans" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val vecs = Tables(s, d, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
       var cent = vecs.where(col("vec_id") < K)
@@ -69,8 +72,8 @@ object Learn {
       assign(vecs, cent)
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
-        .join(cent.select(col("cid"),
-          expr("aggregate(c, 0L, (acc, v) -> acc + abs(v))").as("centroid_l1")), "cid")
+        .join(broadcast(cent.select(col("cid"),
+          expr("aggregate(c, 0L, (acc, v) -> acc + abs(v))").as("centroid_l1"))), "cid")
         .orderBy("cid")
     }),
 

@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkSpec {
     val names = Seq("q_agg_groupby", "q_win_rank", "q_topk_per_group",
       "q_llm_dedup_near", "q_llm_dedup_simhash", "q_graph_pagerank",
       "q_agg_median_mode", "q_dq_outlier_exact", "q_ts_simsearch",
-      "q_agg_regression", "q_llm_ppl_proxy", "q_wl_local_volume")
+      "q_agg_regression", "q_llm_ppl_proxy", "q_wl_local_volume",
+      "q_llm_cluster_kmeans", "q_ts_ewma", "q_llm_substring_dedup")
     names.foreach { name =>
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(s2, sf).collect().toSeq

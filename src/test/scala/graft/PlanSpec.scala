@@ -234,6 +234,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("q_llm_cluster_kmeans broadcasts centroids — vectors never shuffle for scoring") {
+    val p = plan("q_llm_cluster_kmeans")
+    // the k-row centroid side rides a broadcast nested loop (k=8 rows);
+    // a CartesianProduct or a sort-merge join would mean the vector table
+    // itself is being moved to meet the model — the anti-pattern at scale
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
