@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness (SURVEY §6, BASELINE.md "Scaling evidence").
+  *
+  * `gen` materializes a ×F replica of an sf-dir with keys offset and time
+  * axes shifted per copy, so every per-key/per-window working set keeps
+  * its ORIGINAL density — the honest way to scale a benchmark input: a
+  * naive row copy would square the per-bucket pair counts (identical
+  * docs collide in every dedup bucket, same-window orders explode the
+  * range join) and measure an artifact, not the operator. Document text
+  * gets a per-copy suffix token for the same reason (shingle sets must
+  * differ across copies), and events keep their strict event_id ↔ ts
+  * co-ordering (both offset monotonically per copy).
+  *
+  * `probe` times a fixed set of scale-critical queries across sf-dirs and
+  * prints one JSON line per (dir, query) — the data behind the
+  * linear-scaling table in BASELINE.md.
+  *
+  * Usage:
+  *   runMain graft.Scale gen   <srcDir> <outDir> [factor]
+  *   runMain graft.Scale probe <dir> [dir ...]
+  */
+object Scale {
+
+  val probeSet: Seq[String] = Seq(
+    "q_agg_groupby", "q_win_rank", "q_join_theta_range", "q_join_asof",
+    "q_llm_dedup_exact", "q_llm_dedup_near", "q_llm_dedup_simhash",
+    "q_llm_substring_dedup", "q_llm_cluster_kmeans", "q_mr_inverted_index",
+    "q_llm_bpe_pairs", "q_ts_ewma", "q_stream_session", "q_llm_tfidf")
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** union of F copies of `df`, each transformed by `shift(df, k)`. */
+  private def replicate(df: DataFrame, f: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until f).map(k => shift(df, k)).reduce(_ unionAll _)
+
+  def gen(spark: SparkSession, src: String, out: String, f: Int): Unit = {
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // dims pass through — scaling facts against fixed dims is the TPC-H
+    // convention and keeps broadcast-ability invariant
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(t, spark.read.parquet(s"$src/$t.parquet"))
+    }
+    val dayShift = 3650 // > the data's date span: copies never co-window
+    write("orders", replicate(spark.read.parquet(s"$src/orders.parquet"), f) {
+      (df, k) => df
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+        .withColumn("o_orderdate", col("o_orderdate") + expr(s"INTERVAL ${k * dayShift} DAYS"))
+    })
+    write("lineitem", replicate(spark.read.parquet(s"$src/lineitem.parquet"), f) {
+      (df, k) => df
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+        .withColumn("l_shipdate", col("l_shipdate") + expr(s"INTERVAL ${k * dayShift} DAYS"))
+    })
+    // events: read through Tables (ns→µs normalization), write ts as
+    // BIGINT nanos so the scaled dir round-trips through Tables exactly
+    // like the driver-generated one
+    write("events", replicate(Tables(spark, src, "events"), f) { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+        .withColumn("ts", (unix_micros(col("ts") + expr(s"INTERVAL ${k * 400} DAYS")) * 1000L))
+    })
+    write("documents", replicate(spark.read.parquet(s"$src/documents.parquet"), f) {
+      (df, k) =>
+        val txt = if (k == 0) col("text") else concat(col("text"), lit(s" zz$k"))
+        df.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", txt)
+          .withColumn("n_chars", length(txt).cast("long"))
+    })
+    write("embeddings", replicate(spark.read.parquet(s"$src/embeddings.parquet"), f) {
+      (df, k) => df.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+    })
+    println(s"""{"gen":"$out","factor":$f}""")
+  }
+
+  def probe(spark: SparkSession, dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
+      probeSet.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        fn(spark, d).count() // warm: caches + codegen
+        val t0 = System.nanoTime()
+        val rows = fn(spark, d).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"dir":"$d","query":"$name","sec":$dt%.3f,"rows":$rows}""")
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    args(0) match {
+      case "gen" => gen(spark, args(1), args(2),
+        if (args.length > 3) args(3).toInt else 10)
+      case "probe" => probe(spark, args.drop(1).toSeq)
+      case other => sys.error(s"unknown mode $other (gen|probe)")
+    }
+    spark.stop()
+  }
+}
