@@ -92,6 +92,31 @@ object Multimodal {
           md5(col("sig")).as("sig_digest"))
         .orderBy("doc_id")),
 
+    // Audio-energy / VAD plumbing: the payload as a PCM stream at 64
+    // samples per frame (codec stubbed like the rest of §2.12: char
+    // codes stand in for samples, space ≈ silence at amplitude 0). Per
+    // doc: frame count, active frames (energy above the corpus-median
+    // threshold), peak frame energy, and the first active frame index —
+    // the trim-leading-silence signal an audio-curation pass emits. All
+    // integer arithmetic inside one codegen'd projection; linear,
+    // shuffle-free until the output sort.
+    "q_mm_audio_energy" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("ch", split(col("text"), ""))
+        .withColumn("fe", expr(
+          """CASE WHEN size(ch) < 64 THEN CAST(array() AS ARRAY<BIGINT>)
+             ELSE transform(sequence(0, CAST(size(ch) div 64 AS INT) - 1),
+               k -> aggregate(slice(ch, k * 64 + 1, 64), 0L,
+                      (acc, c) -> acc + CAST((ascii(c) - 32) * (ascii(c) - 32) AS BIGINT)))
+             END"""))
+        .select(col("doc_id"),
+          size(col("fe")).as("n_frames"),
+          expr("size(filter(fe, e -> e > 307000))").as("n_active"),
+          coalesce(expr("array_max(fe)"), lit(0L)).as("peak_energy"),
+          coalesce(expr("array_position(transform(fe, e -> e > 307000), true)"), lit(0L))
+            .as("first_active"))
+        .orderBy("doc_id")),
+
     // Frame-sampling plumbing: treat the payload as a fixed-frame video
     // (256 bytes/frame), keep every 4th frame — the stride-sampling shape
     // a video-curation pipeline uses before per-frame featurization. One
@@ -141,6 +166,23 @@ object Multimodal {
            CAST(n_chars % 640 + 32 AS INT) AS width,
            CAST(n_chars % 480 + 32 AS INT) AS height
          FROM s ORDER BY doc_id""",
+
+    "q_mm_audio_energy" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
+         f AS (SELECT doc_id,
+             CASE WHEN len(ch) < 64 THEN CAST([] AS BIGINT[])
+             ELSE list_transform(range(0, len(ch) // 64),
+               k -> CAST(list_sum(list_transform(ch[k*64+1 : k*64+64],
+                      c -> (ord(c) - 32) * (ord(c) - 32))) AS BIGINT))
+             END AS fe
+           FROM d)
+         SELECT doc_id,
+           CAST(len(fe) AS INT) AS n_frames,
+           CAST(len(list_filter(fe, e -> e > 307000)) AS INT) AS n_active,
+           COALESCE(list_max(fe), 0) AS peak_energy,
+           CAST(COALESCE(list_position(list_transform(fe, e -> e > 307000), true), 0)
+             AS BIGINT) AS first_active
+         FROM f ORDER BY doc_id""",
 
     "q_mm_resize" ->
       """WITH m AS (SELECT doc_id, text AS payload,
