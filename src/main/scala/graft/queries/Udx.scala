@@ -50,6 +50,26 @@ object Udx {
         .orderBy("l_returnflag")
     }),
 
+    // SQL-defined UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`): the
+    // declarative user function. Unlike the Scala closure above it is
+    // INLINED into the plan by Catalyst — it optimizes, prunes and
+    // codegens like a built-in instead of being a black box, which is
+    // why it's the preferred UDF form at 100 TB. The oracle inlines the
+    // same expression by hand.
+    "q_udf_sql" -> ((s, d) => {
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, disc DOUBLE)
+           RETURNS DOUBLE RETURN p * (1.0 - disc)""")
+      Tables(s, d, "lineitem").createOrReplaceTempView("graft_udfsql_li")
+      s.sql(
+        """SELECT l_returnflag,
+             CAST(SUM(CAST(graft_disc_price(l_extendedprice, l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS cnt
+           FROM graft_udfsql_li
+           GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // UDTF shape: one row in, many rows out — explode over an HOF-built
     // bigram array (a true Catalyst Generator is unnecessary; explode IS
     // the Generator and stays codegen-friendly).
@@ -65,6 +85,13 @@ object Udx {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_udf_sql" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q_udf_scalar" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'LOW'
                      WHEN o_totalprice < 300000 THEN 'MID'

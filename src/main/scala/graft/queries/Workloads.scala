@@ -89,6 +89,28 @@ object Workloads {
         .limit(20)
     }),
 
+    // Q18 shape — large-volume customers: the classic agg-driven
+    // semi-join. The HAVING aggregate over lineitem produces the hot-order
+    // set FIRST (one partial-aggregated shuffle on l_orderkey), and only
+    // those orders join customers — the fact table is reduced before any
+    // dimension touches it, the shape that matters when lineitem is the
+    // 100 TB table. Top-20 via TakeOrderedAndProject.
+    "q_wl_large_orders" -> ((s, d) => {
+      val hot = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 300.0)
+      Tables(s, d, "orders")
+        .join(hot, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Q14 shape — promo revenue share per month: conditional aggregation
     // over one broadcast-dim join, the numerator/denominator both exact
     // decimal sums so the final double division hash-matches.
@@ -147,6 +169,17 @@ object Workloads {
            AND o_orderdate < TIMESTAMP '2000-01-01'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY rev DESC, c_custkey LIMIT 20""",
+
+    "q_wl_large_orders" ->
+      s"""WITH hot AS (SELECT l_orderkey, ${oDsum("l_quantity")} AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING ${oDsum("l_quantity")} > 300.0)
+         SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate, total_qty
+         FROM orders
+         JOIN hot ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
 
     "q_wl_promo_share" ->
       s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS ym,

@@ -33,6 +33,26 @@ class PropertySpec extends SparkSpec {
     assert(passed == Tables(spark, sf, "documents").count())
   }
 
+  test("observe() collects metrics during the pass — the declarative counter API") {
+    // the modern form of MR counters: named metrics ride the main pass as
+    // an Observation (no RDD side-channel, no second scan), exactly what
+    // a 100 TB job uses to audit rows-seen/rows-dropped without re-reading
+    import org.apache.spark.sql.Observation
+    val obs = Observation("graft_obs")
+    val lineitem = Tables(spark, sf, "lineitem")
+    val kept = lineitem
+      .observe(obs, count(lit(1)).as("n_seen"),
+        sum(col("l_quantity").cast(queries.U.D)).cast("double").as("qty_seen"))
+      .where(col("l_returnflag") === "R")
+      .count()
+    val m = obs.get
+    assert(m("n_seen").asInstanceOf[Long] === lineitem.count())
+    val wantQty = lineitem
+      .agg(sum(col("l_quantity").cast(queries.U.D)).cast("double")).first().getDouble(0)
+    assert(m("qty_seen").asInstanceOf[Double] === wantQty)
+    assert(kept < m("n_seen").asInstanceOf[Long])
+  }
+
   test("aggregation is a homomorphism over union (combiner correctness)") {
     val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-100.0, 100.0)))
     (1 to 5).foreach { i =>
