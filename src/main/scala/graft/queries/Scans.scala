@@ -52,6 +52,27 @@ object Scans {
       s.read.schema(n.schema).json(out).orderBy("n_nationkey")
     }),
 
+    // binaryFile source — the multimodal ingest path: raw files (images,
+    // audio, model shards) read as (path, length, content) WITHOUT
+    // decoding, one task per file, no schema inference, no parsing. Here:
+    // region written as 5 range-partitioned text files, read back as
+    // binary, fingerprinted. At 100 TB this is the "load the crawl's
+    // image files" first stage; pathGlobFilter prunes non-data files at
+    // the LISTING, before any read is scheduled.
+    "q_source_binaryfile" -> ((s, d) => {
+      val out = tmpDir(s"bin_${d.replaceAll("[^0-9.]", "")}")
+      Tables(s, d, "region")
+        .select(concat(col("r_regionkey"), lit("|"), col("r_name")).as("value"),
+          col("r_regionkey"))
+        .repartitionByRange(5, col("r_regionkey"))
+        .sortWithinPartitions("r_regionkey")
+        .select("value")
+        .write.mode("overwrite").text(out)
+      s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(out)
+        .select(col("length"), md5(col("content")).as("digest"))
+        .orderBy("digest")
+    }),
+
     // XML source/sink (built into Spark 4 — the spark-xml lineage): write
     // nation as one <nation> element per row, read it back with the
     // original schema. XML is a row-splittable text format here (one
@@ -223,6 +244,14 @@ object Scans {
 
     "q_source_xml_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // read_blob over the same part files the Spark query wrote — the
+    // oracle sees the identical bytes (text lines end in \n)
+    "q_source_binaryfile" ->
+      """SELECT CAST(size AS BIGINT) AS length,
+           md5(decode(content)) AS digest
+         FROM read_blob('/tmp/graft_rt/bin_0.01/part-*')
+         ORDER BY digest""",
 
     "q_source_custom_dsv2" ->
       s"""WITH g AS (SELECT i AS id, CAST(i % 32 AS INT) AS bucket,

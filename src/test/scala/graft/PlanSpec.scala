@@ -243,6 +243,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q_wl_large_orders reduces the fact table first, broadcasts the dim, heap top-20") {
+    val p = plan("q_wl_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the HAVING aggregate must be partial+final (fact reduced pre-join)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
