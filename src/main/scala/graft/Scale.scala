@@ -51,38 +51,52 @@ object Scale {
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
+    // per-copy key strides derived from the SOURCE's actual maxima — a
+    // fixed constant would silently collide on a large-enough input and
+    // reintroduce exactly the cross-copy key overlap gen exists to avoid
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1L
+
     // dims pass through — scaling facts against fixed dims is the TPC-H
     // convention and keeps broadcast-ability invariant
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       write(t, spark.read.parquet(s"$src/$t.parquet"))
     }
     val dayShift = 3650 // > the data's date span: copies never co-window
-    write("orders", replicate(spark.read.parquet(s"$src/orders.parquet"), f) {
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val okStride = stride(orders, "o_orderkey")
+    write("orders", replicate(orders, f) {
       (df, k) => df
-        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * okStride))
         .withColumn("o_orderdate", col("o_orderdate") + expr(s"INTERVAL ${k * dayShift} DAYS"))
     })
     write("lineitem", replicate(spark.read.parquet(s"$src/lineitem.parquet"), f) {
       (df, k) => df
-        .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * okStride))
         .withColumn("l_shipdate", col("l_shipdate") + expr(s"INTERVAL ${k * dayShift} DAYS"))
     })
     // events: read through Tables (ns→µs normalization), write ts as
     // BIGINT nanos so the scaled dir round-trips through Tables exactly
     // like the driver-generated one
-    write("events", replicate(Tables(spark, src, "events"), f) { (df, k) =>
-      df.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+    val events = Tables(spark, src, "events")
+    val evStride = stride(events, "event_id")
+    write("events", replicate(events, f) { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * evStride))
         .withColumn("ts", (unix_micros(col("ts") + expr(s"INTERVAL ${k * 400} DAYS")) * 1000L))
     })
-    write("documents", replicate(spark.read.parquet(s"$src/documents.parquet"), f) {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docStride = stride(docs, "doc_id")
+    write("documents", replicate(docs, f) {
       (df, k) =>
         val txt = if (k == 0) col("text") else concat(col("text"), lit(s" zz$k"))
-        df.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        df.withColumn("doc_id", col("doc_id") + lit(k * docStride))
           .withColumn("text", txt)
           .withColumn("n_chars", length(txt).cast("long"))
     })
-    write("embeddings", replicate(spark.read.parquet(s"$src/embeddings.parquet"), f) {
-      (df, k) => df.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecStride = stride(embs, "vec_id")
+    write("embeddings", replicate(embs, f) {
+      (df, k) => df.withColumn("vec_id", col("vec_id") + lit(k * vecStride))
     })
     println(s"""{"gen":"$out","factor":$f}""")
   }

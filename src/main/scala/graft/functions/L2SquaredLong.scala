@@ -13,12 +13,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)` is a codegen
   * barrier (interpreted lambdas, boxed Longs); this expression is one
   * primitive loop inside whole-stage codegen, bit-identical to the HOF
-  * (integer arithmetic has no rounding to reorder). Overflow headroom:
-  * |x−y| ≤ 5e6 on the 1e-6 grid of unit-range embeddings ⇒ each term
-  * ≤ 2.5e13, 64 dims ⇒ ≤ 1.6e15 ≪ 2^63.
+  * (integer arithmetic has no rounding to reorder) INCLUDING on ragged
+  * input: a length mismatch yields NULL, exactly like zip_with's null
+  * padding propagating through the sum — a malformed vector surfaces as
+  * a missing distance, never a plausible-looking prefix sum. Overflow
+  * headroom: |x−y| ≤ 5e6 on the 1e-6 grid of unit-range embeddings ⇒
+  * each term ≤ 2.5e13, 64 dims ⇒ ≤ 1.6e15 ≪ 2^63.
   */
 case class L2SquaredLong(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(e => e.dataType match {
@@ -38,15 +43,18 @@ case class L2SquaredLong(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val ya = b.asInstanceOf[ArrayData]
-    val n = math.min(xa.numElements(), ya.numElements())
-    var s = 0L
-    var i = 0
-    while (i < n) {
-      val d = xa.getLong(i) - ya.getLong(i)
-      s += d * d
-      i += 1
+    val n = xa.numElements()
+    if (n != ya.numElements()) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = xa.getLong(i) - ya.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,13 +64,17 @@ case class L2SquaredLong(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

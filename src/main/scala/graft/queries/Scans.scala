@@ -246,11 +246,14 @@ object Scans {
       "SELECT * FROM nation ORDER BY n_nationkey",
 
     // read_blob over the same part files the Spark query wrote — the
-    // oracle sees the identical bytes (text lines end in \n)
+    // oracle sees the identical bytes (text lines end in \n). The path is
+    // derived from THIS JVM's tmpdir (the oracle string is emitted by the
+    // same Verify process that runs the query) and pinned to sf0.01, the
+    // tier the driver's correctness gate runs at (TESTDATA.md).
     "q_source_binaryfile" ->
-      """SELECT CAST(size AS BIGINT) AS length,
+      s"""SELECT CAST(size AS BIGINT) AS length,
            md5(decode(content)) AS digest
-         FROM read_blob('/tmp/graft_rt/bin_0.01/part-*')
+         FROM read_blob('${tmpDir("bin_0.01")}/part-*')
          ORDER BY digest""",
 
     "q_source_custom_dsv2" ->

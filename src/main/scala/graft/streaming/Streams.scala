@@ -185,12 +185,15 @@ object Streams {
       val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
       var cur = if (st.exists()) Option(st.get()) else None
       cur.foreach(c => getHandle.deleteTimer(c.timer_ms))
-      // the replay feeds batches in event order; sort within the batch for
-      // determinism (cross-batch disorder is the watermark's job)
+      // sort within the batch for determinism; across batches a
+      // late-but-admissible event (older than last_us but within the
+      // watermark) must MERGE without moving the session boundaries
+      // backward — hence min/max, not assignment, on start/last
       rows.toSeq.sortBy(_.ts_us).foreach { e =>
         cur match {
           case Some(c) if e.ts_us - c.last_us < gapUs =>
-            cur = Some(c.copy(last_us = e.ts_us, n = c.n + 1))
+            cur = Some(c.copy(start_us = math.min(c.start_us, e.ts_us),
+              last_us = math.max(c.last_us, e.ts_us), n = c.n + 1))
           case Some(c) =>
             out += SessionOut(user, c.n, c.start_us / 1000000L, c.last_us / 1000000L)
             cur = Some(SessState(e.ts_us, e.ts_us, 1L, 0L))

@@ -23,13 +23,17 @@ class LearnSpec extends SparkSpec {
     val cnts = out.map(_.getLong(2))
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
     assert(out.forall(_.getString(1).length === 2))
-    // independent recount of the champion pair, no vocabulary compression
+    // independent recount of the champion pair, no vocabulary
+    // compression; bound as a Column (not interpolated into SQL text) so
+    // a pair containing a quote can't break the expression
     val champ = out.head.getString(1)
     val direct = Tables(spark, sf, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
-      .select(expr(s"size(filter(sequence(1, greatest(length(w) - 1, 1)), " +
-        s"i -> length(w) >= 2 AND substring(w, i, 2) = '$champ'))").as("k"))
-      .agg(sum("k")).first().getLong(0)
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+      .where(col("p") === lit(champ))
+      .count()
     assert(direct === out.head.getLong(2))
   }
 }

@@ -272,6 +272,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer sessionization: late-but-admissible event merges without moving boundaries back") {
+    // watermark 30 min > gap 15 min, so an event 0-30 min old is ADMITTED
+    // late: t=0,14m arrive, then t=10m late, then t=26m. 26m−14m < gap ⇒
+    // all ONE session; a processor that assigned last_us=10m on the late
+    // row would wrongly split at 26m (26−10 ≥ gap).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, user: Long, minute: Long): Ev =
+        Ev(id, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), user, "click", 1.0, "{}")
+      val mem = MemoryStream[Ev]
+      val q = Streams.sessionTimers(mem.toDF()).toDF().writeStream.format("memory")
+        .queryName("t_sesslate").outputMode("append").start()
+      mem.addData(Seq(ev(1, 1, 0), ev(2, 1, 14))); q.processAllAvailable()
+      mem.addData(Seq(ev(3, 1, 10))); q.processAllAvailable()   // late, admissible
+      mem.addData(Seq(ev(4, 1, 26))); q.processAllAvailable()   // must MERGE
+      // flush: sentinel user advances the watermark past the live timer
+      Seq(2000L, 4000L).foreach { m =>
+        mem.addData(Seq(ev(-m, -1L, m))); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("t_sesslate").where(col("user_id") === 1L)
+        .select("n_events", "start_s", "end_s").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      assert(got === Seq((4L, t0, t0 + 26 * 60)), s"expected one merged session, got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedup covers every (user, type) pair; re-emission only past the watermark") {
     // dropDuplicatesWithinWatermark guarantees dedup *within* the 30-min
     // watermark and may re-emit a key once its state expires (events span
