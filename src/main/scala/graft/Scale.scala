@@ -88,7 +88,14 @@ object Scale {
     val docStride = stride(docs, "doc_id")
     write("documents", replicate(docs, f) {
       (df, k) =>
-        val txt = if (k == 0) col("text") else concat(col("text"), lit(s" zz$k"))
+        // EVERY token carries the copy tag, not just a trailing one: a
+        // single appended token leaves trigram Jaccard ≈ T/(T+1) across
+        // copies — far above any near-dup threshold — so minhash bands
+        // would still collide cross-copy and the pair volume would grow
+        // ~F². Per-token suffixing makes cross-copy shingle sets DISJOINT
+        // while keeping every within-copy similarity identical to copy 0.
+        val txt = if (k == 0) col("text")
+        else expr(s"array_join(transform(split(text, ' '), t -> concat(t, 'z$k')), ' ')")
         df.withColumn("doc_id", col("doc_id") + lit(k * docStride))
           .withColumn("text", txt)
           .withColumn("n_chars", length(txt).cast("long"))
@@ -101,14 +108,21 @@ object Scale {
     println(s"""{"gen":"$out","factor":$f}""")
   }
 
+  /** Evaluate EVERY output column (noop sink). A bare count() would let
+    * ColumnPruning drop unreferenced window/projection expressions and
+    * the final sort — timing a scan, not the operator. */
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def probe(spark: SparkSession, dirs: Seq[String]): Unit =
     dirs.foreach { d =>
       probeSet.foreach { name =>
         val fn = SparkEntry.queries(name)
-        fn(spark, d).count() // warm: caches + codegen
+        materialize(fn(spark, d)) // warm: caches + codegen
         val t0 = System.nanoTime()
-        val rows = fn(spark, d).count()
+        materialize(fn(spark, d))
         val dt = (System.nanoTime() - t0) / 1e9
+        val rows = fn(spark, d).count()
         println(f"""{"dir":"$d","query":"$name","sec":$dt%.3f,"rows":$rows}""")
       }
     }

@@ -69,6 +69,10 @@ object Learn {
           .groupBy("cid")
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
       }
+      // the final centroid table feeds TWO consumers (assignment + the
+      // L1 report join); without a persist each would re-execute the
+      // whole 2-iteration lineage, turning 3 scoring passes into 5
+      cent = cent.persist()
       assign(vecs, cent)
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))

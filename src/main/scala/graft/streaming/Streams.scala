@@ -164,60 +164,69 @@ object Streams {
 
   case class TsEvent(user_id: Long, ts_us: Long)
   case class SessionOut(user_id: Long, n_events: Long, start_s: Long, end_s: Long)
-  case class SessState(start_us: Long, last_us: Long, n: Long, timer_ms: Long)
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+  case class SessStateList(sessions: List[SessState], timer_ms: Long)
 
-  /** Event-time-timer sessionization on transformWithState: per-user
-    * state carries the open session; a timer at (last event + gap) fires
-    * when the WATERMARK passes it and closes the session — the push-based
-    * alternative to session_window's relational form, and the API shape
-    * real pipelines use for inactivity timeouts, TTL cleanup, and
-    * delayed emission. Each new event cancels the previous timer and
-    * registers the new expiry, so exactly one live timer per key; state
-    * is one fixed-size row per user, distributed by the groupBy key. */
+  /** Event-time-timer sessionization on transformWithState — the
+    * push-based alternative to session_window's relational form, and the
+    * API shape real pipelines use for inactivity timeouts and delayed
+    * emission. State is the per-user set of OPEN session intervals
+    * (late-but-admissible events may open an older island or bridge two);
+    * nothing is emitted eagerly — a session leaves the state only when
+    * the WATERMARK passes its (last + gap) expiry, exactly the closure
+    * rule Spark's own session_window state store applies, so out-of-order
+    * input within the watermark converges to the batch twin. One live
+    * timer per key, at the earliest open expiry (ceil-ms so it can never
+    * fire inside the session's final sub-millisecond). */
   class SessionTimerProcessor(gapUs: Long)
     extends StatefulProcessor[Long, TsEvent, SessionOut] {
-    @transient private var st: ValueState[SessState] = _
+    @transient private var st: ValueState[SessStateList] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[SessState]("sess",
-        Encoders.product[SessState], TTLConfig.NONE)
+      st = getHandle.getValueState[SessStateList]("sess",
+        Encoders.product[SessStateList], TTLConfig.NONE)
+
+    private def emit(user: Long, c: SessState): SessionOut =
+      SessionOut(user, c.n, c.start_us / 1000000L, c.last_us / 1000000L)
+
+    /** register the earliest-expiry timer and persist the interval set. */
+    private def park(sessions: List[SessState], oldTimer: Long): Unit = {
+      if (oldTimer > 0L) getHandle.deleteTimer(oldTimer)
+      if (sessions.isEmpty) st.clear()
+      else {
+        val expiry = (sessions.map(_.last_us).min + gapUs + 999L) / 1000L
+        getHandle.registerTimer(expiry)
+        st.update(SessStateList(sessions, expiry))
+      }
+    }
+
     override def handleInputRows(user: Long, rows: Iterator[TsEvent],
         timers: TimerValues): Iterator[SessionOut] = {
-      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-      var cur = if (st.exists()) Option(st.get()) else None
-      cur.foreach(c => getHandle.deleteTimer(c.timer_ms))
-      // sort within the batch for determinism; across batches a
-      // late-but-admissible event (older than last_us but within the
-      // watermark) must MERGE without moving the session boundaries
-      // backward — hence min/max, not assignment, on start/last
-      rows.toSeq.sortBy(_.ts_us).foreach { e =>
-        cur match {
-          case Some(c) if e.ts_us - c.last_us < gapUs =>
-            cur = Some(c.copy(start_us = math.min(c.start_us, e.ts_us),
-              last_us = math.max(c.last_us, e.ts_us), n = c.n + 1))
-          case Some(c) =>
-            out += SessionOut(user, c.n, c.start_us / 1000000L, c.last_us / 1000000L)
-            cur = Some(SessState(e.ts_us, e.ts_us, 1L, 0L))
-          case None =>
-            cur = Some(SessState(e.ts_us, e.ts_us, 1L, 0L))
+      val prev = if (st.exists()) st.get() else SessStateList(Nil, 0L)
+      var sessions = prev.sessions
+      rows.foreach { e =>
+        val (near, far) = sessions.partition(s =>
+          e.ts_us >= s.start_us - gapUs + 1 && e.ts_us <= s.last_us + gapUs - 1)
+        // `near` is every island within gap of the event: none (new
+        // island), one (extend), or two (the event bridges them)
+        val merged = near.foldLeft(SessState(e.ts_us, e.ts_us, 1L)) { (a, s) =>
+          SessState(math.min(a.start_us, s.start_us),
+            math.max(a.last_us, s.last_us), a.n + s.n)
         }
+        sessions = merged :: far
       }
-      cur.foreach { c =>
-        val expiry = c.last_us / 1000L + gapUs / 1000L
-        getHandle.registerTimer(expiry)
-        st.update(c.copy(timer_ms = expiry))
-      }
-      out.iterator
+      park(sessions, prev.timer_ms)
+      Iterator.empty
     }
+
     override def handleExpiredTimer(user: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[SessionOut] = {
-      // a stale timer (superseded by a later event) was deleted on arrival,
-      // so any firing timer is the live one: close the session.
       if (!st.exists()) Iterator.empty
       else {
-        val c = st.get()
-        st.clear()
-        Iterator.single(
-          SessionOut(user, c.n, c.start_us / 1000000L, c.last_us / 1000000L))
+        val prev = st.get()
+        val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+        val (closed, open) = prev.sessions.partition(_.last_us + gapUs <= wmUs)
+        park(open, prev.timer_ms)
+        closed.sortBy(_.start_us).map(emit(user, _)).iterator
       }
     }
   }

@@ -27,16 +27,22 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("per-window density is invariant: range join and dedup outputs scale exactly x2") {
-    // cross-copy pairs would make these grow faster than x2
     Seq("q_join_theta_range", "q_llm_dedup_exact", "q_llm_dedup_simhash",
         "q_mr_inverted_index").foreach { name =>
       val a = SparkEntry.queries(name)(spark, sf).count()
       val b = SparkEntry.queries(name)(spark, dir).count()
-      // the inverted index is per distinct WORD: the shared vocabulary
-      // stays put, the second copy adds exactly its one suffix token
-      val want = if (name == "q_mr_inverted_index") a + 1 else 2 * a
-      assert(b === want, s"$name: $a -> $b")
+      // per-token copy suffixing doubles the vocabulary exactly
+      assert(b === 2 * a, s"$name: $a -> $b")
     }
+    // row counts alone can't see cross-copy PAIRS (dup-group outputs are
+    // one row per doc regardless of neighbor count) — the pair-sensitive
+    // measure is the neighbor total: within-copy structure is identical
+    // to copy 0 and cross-copy shingle sets are disjoint, so sum(n_dups)
+    // must double EXACTLY; any cross-copy minhash collision inflates it
+    val nd = (d: String) => queries.Llm.queries("q_llm_dedup_near")(spark, d)
+      .agg(sum("n_dups")).first().getLong(0)
+    val (na, nb) = (nd(sf), nd(dir))
+    assert(nb === 2 * na, s"near-dup neighbor mass not x2: $na -> $nb (cross-copy pairs?)")
   }
 
   test("events keep strict event_id <-> ts co-ordering after replication") {

@@ -310,6 +310,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer sessionization: a late event bridges into an OLDER island, not the open one") {
+    // t=0 and t=20m arrive first (two islands once the gap is 15m); the
+    // late t=4m must extend the [0,0] island to [0,4m] — an eager
+    // processor that merged every admissible late event into the newest
+    // session would emit overlapping sessions [0,0] and [4m,20m].
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, user: Long, minute: Long): Ev =
+        Ev(id, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), user, "click", 1.0, "{}")
+      val mem = MemoryStream[Ev]
+      val q = Streams.sessionTimers(mem.toDF()).toDF().writeStream.format("memory")
+        .queryName("t_sessisland").outputMode("append").start()
+      mem.addData(Seq(ev(1, 1, 0), ev(2, 1, 20))); q.processAllAvailable()
+      mem.addData(Seq(ev(3, 1, 4))); q.processAllAvailable() // late, older island
+      Seq(2000L, 4000L).foreach { m =>
+        mem.addData(Seq(ev(-m, -1L, m))); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("t_sessisland").where(col("user_id") === 1L)
+        .select("n_events", "start_s", "end_s").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      assert(got === Seq((1L, t0 + 20 * 60, t0 + 20 * 60), (2L, t0, t0 + 4 * 60)).sorted,
+        s"expected islands [0,4m](2) and [20m](1), got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedup covers every (user, type) pair; re-emission only past the watermark") {
     // dropDuplicatesWithinWatermark guarantees dedup *within* the 30-min
     // watermark and may re-emit a key once its state expires (events span
