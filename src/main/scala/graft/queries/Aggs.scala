@@ -150,6 +150,16 @@ object Aggs {
     // stddev/corr use Welford-style merges whose result depends on
     // partition merge order; deriving them from exact decimal sums makes
     // the doubles reproducible in any engine at any parallelism.
+    // listagg (ANSI / Spark 4): ordered string aggregation WITHIN GROUP —
+    // the deterministic form; an unordered listagg would hash-drift with
+    // partition merge order exactly like a float sum.
+    "q_agg_listagg" -> ((s, d) =>
+      Tables(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("members"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")),
+
     "q_agg_stats" -> ((s, d) => {
       val n = count(lit(1))
       val sx = dsum(col("l_quantity"))
@@ -177,6 +187,12 @@ object Aggs {
   private val oRev = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_listagg" ->
+      """SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS members,
+           COUNT(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
     "q_agg_histogram" ->
       """SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
               // 3750000 AS bucket,

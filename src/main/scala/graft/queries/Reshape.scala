@@ -32,6 +32,21 @@ object Reshape {
 
     // melt the wide frame back to (source, lang, cnt) — zeros included
     // (the pivot coalesces empty combos to 0, so unpivot is total).
+    // Dataset.transpose (Spark 4): rows ⇄ columns over a SMALL aggregate
+    // — the report-shaping step after the heavy reduction. The transpose
+    // itself collects the (tiny, already-aggregated) frame's index column
+    // to name the output columns, so it belongs strictly ABOVE the
+    // aggregation, never on raw data.
+    "q_reshape_transpose" -> ((s, d) =>
+      Tables(s, d, "region")
+        .join(Tables(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).cast("string").as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy("r_name")
+        .transpose(col("r_name"))
+        .orderBy("key")),
+
     "q_unpivot_long" -> ((s, d) =>
       pivotWide(s, d)
         .unpivot(Array(col("source")), langs.map(col(_)).toArray, "lang", "cnt")
@@ -100,6 +115,17 @@ object Reshape {
     s"COUNT(*) FILTER (lang = '$l') AS $l"
 
   val oracle: Map[String, String] = Map(
+    // DuckDB PIVOT produces the same columns-from-values shape transpose
+    // does (one column per region, metric names in `key`)
+    "q_reshape_transpose" ->
+      """WITH a AS (SELECT r_name, CAST(COUNT(*) AS VARCHAR) AS n_nations,
+             MIN(n_name) AS first_nation
+           FROM region JOIN nation ON r_regionkey = n_regionkey
+           GROUP BY r_name),
+         m AS (SELECT 'n_nations' AS key, r_name, n_nations AS v FROM a
+               UNION ALL SELECT 'first_nation' AS key, r_name, first_nation AS v FROM a)
+         PIVOT m ON r_name USING first(v) GROUP BY key ORDER BY key""",
+
     "q_pivot_wide" ->
       s"""SELECT source, ${langs.map(oPivotCol).mkString(", ")}
           FROM documents GROUP BY source ORDER BY source""",

@@ -104,6 +104,22 @@ object Scalars {
         shiftright(col("o_orderkey"), 2).as("shr"))
         .orderBy("o_orderkey")),
 
+    // VARIANT (Spark 4's semi-structured type): parse once into the
+    // binary variant encoding, then typed path access — unlike repeated
+    // get_json_object calls the JSON is parsed ONCE per row and every
+    // extraction is a cheap binary probe, the schema-on-read shape a
+    // 100 TB semi-structured ingest runs. try_variant_get on an absent
+    // path yields NULL (no stage kill); to_json round-trips canonically.
+    "q_fn_variant" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_id"), expr("parse_json(props)").as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'string')").as("absent"),
+          expr("schema_of_variant(v)").as("vschema"),
+          expr("to_json(v)").as("vjson"))
+        .orderBy("event_id")),
+
     "q_fn_json" -> ((s, d) =>
       Tables(s, d, "events")
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
@@ -137,6 +153,16 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    // props is always {"k": <int>}; the variant schema and the canonical
+    // to_json render are therefore derivable without a variant type
+    "q_fn_variant" ->
+      """SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k,
+           CAST(NULL AS VARCHAR) AS absent,
+           'OBJECT<k: BIGINT>' AS vschema,
+           '{"k":' || (props->>'$.k') || '}' AS vjson
+         FROM events ORDER BY event_id""",
+
     "q_fn_string" ->
       """SELECT p_partkey, upper(p_name) AS uname,
            lower(substring(p_name, 1, 5)) AS pre5,
