@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all specs (one JVM-wide session keeps total
-  * suite time down; Spark sessions are designed to be shared). */
+  * suite time down; Spark sessions are designed to be shared). `spark` is
+  * a def through getOrCreate — cheap when the context is alive, and it
+  * transparently rebuilds after a suite that must own the SparkContext
+  * (ResilienceSpec's retry-enabled master) stops it. */
 object TestSession {
-  lazy val spark: SparkSession = {
+  def spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
@@ -21,6 +24,9 @@ object TestSession {
 }
 
 abstract class SparkSpec extends AnyFunSuite {
+  // lazy val (not def): `import spark.implicits._` needs a stable
+  // identifier; evaluated at the suite's first test, and suites run
+  // sequentially, so a post-ResilienceSpec suite binds the rebuilt session
   lazy val spark: SparkSession = TestSession.spark
   val sf: String = TestSession.sf
 }
