@@ -146,10 +146,6 @@ object Aggs {
         .where(col("cnt") > 12)
         .orderBy("o_custkey")),
 
-    // Statistical aggregates in order-independent form: the built-in
-    // stddev/corr use Welford-style merges whose result depends on
-    // partition merge order; deriving them from exact decimal sums makes
-    // the doubles reproducible in any engine at any parallelism.
     // listagg (ANSI / Spark 4): ordered string aggregation WITHIN GROUP —
     // the deterministic form; an unordered listagg would hash-drift with
     // partition merge order exactly like a float sum.
@@ -160,6 +156,10 @@ object Aggs {
           count(lit(1)).as("n"))
         .orderBy("n_regionkey")),
 
+    // Statistical aggregates in order-independent form: the built-in
+    // stddev/corr use Welford-style merges whose result depends on
+    // partition merge order; deriving them from exact decimal sums makes
+    // the doubles reproducible in any engine at any parallelism.
     "q_agg_stats" -> ((s, d) => {
       val n = count(lit(1))
       val sx = dsum(col("l_quantity"))

@@ -9,17 +9,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * transparently rebuilds after a suite that must own the SparkContext
   * (ResilienceSpec's retry-enabled master) stops it. */
 object TestSession {
-  def spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
+  def spark: SparkSession =
+    // reuse the live session untouched (getOrCreate would RE-APPLY the
+    // builder configs on every access, silently reverting any conf a
+    // test tuned on the shared session); run the builder only when no
+    // usable context exists — i.e. right after ResilienceSpec's takeover
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filter(s => !s.sparkContext.isStopped)
+      .getOrElse {
+        val s = SparkSession.builder()
+          .master("local[4]")
+          .appName("graft-tests")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("ERROR")
+        s
+      }
   val sf: String = "/root/testdata/sf0.001"
 }
 
