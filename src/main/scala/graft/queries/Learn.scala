@@ -123,6 +123,54 @@ object Learn {
         .orderBy("event_id")
     }),
 
+    // Per-doc token Shannon entropy — the token-diversity quality signal
+    // (low entropy = repetitive/boilerplate, the Gopher-style cut).
+    // H = log2(n) − (Σ c·log2 c)/n over the doc's own term counts; each
+    // log2 term is rounded to the 1e-9 grid BEFORE the exact decimal sum
+    // (libm ulps differ across engines — the ppl_proxy discipline), and
+    // the final arithmetic is same-order IEEE. Two partial-agg shuffles
+    // on (doc, term) then doc — linear, no broadcast needed.
+    "q_llm_entropy" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(textTokens).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(expr("CAST(round(c * log2(c), 9) AS DECIMAL(18,9))")).as("sclog"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          round(expr("CAST(round(log2(n_tok), 9) AS DECIMAL(18,9))").cast("double")
+            - col("sclog").cast("double") / col("n_tok"), 6).as("entropy"))
+        .orderBy("doc_id")),
+
+    // Neighbor-overlap similarity (link prediction / collaborative
+    // filtering): supplier pairs scored by Jaccard over their shared
+    // customer sets. Pair generation is the co-occurrence self-join on
+    // the customer key, capped to a supplier segment — the bounded
+    // neighbor-list discipline: uncapped, Σ fan² pairs is the classic
+    // co-occurrence blowup (12.5M at sf0.1), and a real pipeline bounds
+    // per-node lists before pairing. Degrees ride back as broadcast
+    // dims; Jaccard is one exact integer division.
+    "q_graph_jaccard_neighbors" -> ((s, d) => {
+      val e = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_suppkey") < 100)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+      val deg = e.groupBy("sp").agg(count(lit(1)).as("deg"))
+      val pairs = e.as("x").join(e.as("y"),
+          col("x.c") === col("y.c") && col("x.sp") < col("y.sp"))
+        .groupBy(col("x.sp").as("a"), col("y.sp").as("b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(deg.select(col("sp").as("a"), col("deg").as("da"))), "a")
+        .join(broadcast(deg.select(col("sp").as("b"), col("deg").as("db"))), "b")
+        .select(col("a"), col("b"), col("shared"),
+          (col("shared").cast("double") / (col("da") + col("db") - col("shared")))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Running distinct count per user (how many distinct event types has
     // this user produced so far) — NOT via a per-row collect_set (which
     // carries a set per row): mark each (user, type)'s FIRST occurrence
@@ -200,6 +248,32 @@ object Learn {
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
              (acc, v) -> acc / 2 + v / 2) AS ewma
          FROM w ORDER BY event_id""",
+
+    "q_llm_entropy" ->
+      """WITH t AS (SELECT doc_id, term, COUNT(*) AS c FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY doc_id, term),
+         a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             COUNT(*) AS n_types,
+             SUM(CAST(round(c * log2(c), 9) AS DECIMAL(18,9))) AS sclog
+           FROM t GROUP BY doc_id)
+         SELECT doc_id, n_tok, n_types,
+           round(CAST(CAST(round(log2(n_tok), 9) AS DECIMAL(18,9)) AS DOUBLE)
+             - CAST(sclog AS DOUBLE) / n_tok, 6) AS entropy
+         FROM a ORDER BY doc_id""",
+
+    "q_graph_jaccard_neighbors" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_suppkey < 100),
+         deg AS (SELECT sp, COUNT(*) AS deg FROM e GROUP BY sp),
+         p AS (SELECT x.sp AS a, y.sp AS b, COUNT(*) AS shared
+               FROM e x JOIN e y ON x.c = y.c AND x.sp < y.sp
+               GROUP BY x.sp, y.sp)
+         SELECT a, b, shared,
+           CAST(shared AS DOUBLE) / (da.deg + db.deg - shared) AS jaccard
+         FROM p JOIN deg da ON p.a = da.sp JOIN deg db ON p.b = db.sp
+         ORDER BY jaccard DESC, a, b LIMIT 20""",
 
     "q_win_distinct_running" ->
       """WITH m AS (SELECT user_id, event_id,
