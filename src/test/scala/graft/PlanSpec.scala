@@ -251,6 +251,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
+  test("q_graph_jaccard_neighbors pairs on the customer equi-key; degrees broadcast") {
+    val p = plan("q_graph_jaccard_neighbors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"degree dims must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_llm_entropy is two partial+final aggregates — no join, no window") {
+    val p = plan("q_llm_entropy")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
