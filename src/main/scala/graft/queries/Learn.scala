@@ -137,7 +137,11 @@ object Learn {
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_tok"),
           count(lit(1)).as("n_types"),
-          sum(expr("CAST(round(c * log2(c), 9) AS DECIMAL(18,9))")).as("sclog"))
+          // DECIMAL(28,9), not (18,9): c·log2(c) for a term repeated
+          // ~3.5e7 times would overflow the (18,9) integral range — Spark
+          // (non-ANSI) would NULL-and-skip while DuckDB errors, an
+          // asymmetric failure; (28,9) holds to c ≈ 2e17
+          sum(expr("CAST(round(c * log2(c), 9) AS DECIMAL(28,9))")).as("sclog"))
         .select(col("doc_id"), col("n_tok"), col("n_types"),
           round(expr("CAST(round(log2(n_tok), 9) AS DECIMAL(18,9))").cast("double")
             - col("sclog").cast("double") / col("n_tok"), 6).as("entropy"))
@@ -150,7 +154,9 @@ object Learn {
     // neighbor-list discipline: uncapped, Σ fan² pairs is the classic
     // co-occurrence blowup (12.5M at sf0.1), and a real pipeline bounds
     // per-node lists before pairing. Degrees ride back as broadcast
-    // dims; Jaccard is one exact integer division.
+    // dims; the Jaccard is ONE correctly-rounded IEEE division of exact
+    // integer operands — bit-identical cross-engine, but NOT an exact
+    // rational (never sum these; rank/compare only).
     "q_graph_jaccard_neighbors" -> ((s, d) => {
       val e = Tables(s, d, "orders")
         .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -255,7 +261,7 @@ object Learn {
            GROUP BY doc_id, term),
          a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
              COUNT(*) AS n_types,
-             SUM(CAST(round(c * log2(c), 9) AS DECIMAL(18,9))) AS sclog
+             SUM(CAST(round(c * log2(c), 9) AS DECIMAL(28,9))) AS sclog
            FROM t GROUP BY doc_id)
          SELECT doc_id, n_tok, n_types,
            round(CAST(CAST(round(log2(n_tok), 9) AS DECIMAL(18,9)) AS DOUBLE)
