@@ -89,6 +89,51 @@ object Workloads {
         .limit(20)
     }),
 
+    // The curation-pipeline composite (the LLM counterpart of the
+    // warehouse composites above): quality-filter → exact-dedup →
+    // benchmark-decontaminate → pack, all four §2 stages fused into ONE
+    // declared query, emitting a per-(source, training-sequence) pack
+    // manifest. Plan shape at scale: a codegen'd scoring map, one window
+    // shuffle on the text hash, one BROADCAST gram probe (the KB-scale
+    // eval set never shuffles the corpus), one window shuffle per source
+    // shard — four stages, three shuffles, nothing quadratic.
+    "q_wl_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d, "documents").withColumn("tk", textTokens)
+      // stage 1 — quality filter (q_llm_quality_classifier's exact logit)
+      val quality = docs
+        .withColumn("n_tok", size(col("tk")))
+        .withColumn("logit",
+          lit(-1.9) + lit(2.0) * (least(col("n_tok"), lit(120)).cast("double") / 120.0)
+            - lit(6.0) * (size(expr("filter(tk, t -> t IN ('the', 'a'))")).cast("double") / col("n_tok"))
+            + lit(2.5) * (size(array_distinct(col("tk"))).cast("double") / col("n_tok"))
+            + lit(0.05) * (length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok")))
+        .where(col("logit") > 0.0)
+      // stage 2 — exact dedup, keep the smallest id per normalized text
+      val wDup = Window.partitionBy(md5(trim(lower(col("text"))))).orderBy("doc_id")
+      val deduped = quality.withColumn("rk", row_number().over(wDup))
+        .where(col("rk") === 1)
+      // stage 3 — decontaminate vs the benchmark split (5-gram overlap,
+      // bench grams broadcast; bench docs themselves leave the corpus)
+      val bench = docs.where(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(grams5)).as("g")).distinct()
+      val corpus = deduped.where(col("doc_id") % 97 =!= 0)
+      val contaminated = corpus
+        .select(col("doc_id"), explode(array_distinct(grams5)).as("g"))
+        .join(broadcast(bench), "g").select("doc_id").distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 4 — pack per source shard into 512-token training sequences
+      val wOff = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      clean
+        .withColumn("start_off", coalesce(sum(col("n_tok")).over(wOff), lit(0L)))
+        .withColumn("seq", expr("start_off div 512"))
+        .groupBy("source", "seq")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source", "seq")
+    }),
+
     // Q18 shape — large-volume customers: the classic agg-driven
     // semi-join. The HAVING aggregate over lineitem produces the hot-order
     // set FIRST (one partial-aggregated shuffle on l_orderkey), and only
@@ -169,6 +214,35 @@ object Workloads {
            AND o_orderdate < TIMESTAMP '2000-01-01'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY rev DESC, c_custkey LIMIT 20""",
+
+    "q_wl_curation_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, text, source, string_split(text, ' ') AS tk
+             FROM documents),
+         f AS (SELECT *, len(tk) AS n_tok,
+             -1.9 + 2.0 * (CAST(least(len(tk), 120) AS DOUBLE) / 120.0)
+                  - 6.0 * (CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE) / len(tk))
+                  + 2.5 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+                  + 0.05 * (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk)) AS logit
+           FROM d),
+         q AS (SELECT * FROM f WHERE logit > 0.0),
+         dd AS (SELECT * FROM (SELECT *, row_number() OVER (
+                  PARTITION BY md5(trim(lower(text))) ORDER BY doc_id) AS rk FROM q)
+                WHERE rk = 1),
+         bench AS (SELECT DISTINCT unnest(list_distinct($oGrams5)) AS g
+                   FROM d WHERE doc_id % 97 = 0),
+         cg AS (SELECT doc_id, unnest(list_distinct($oGrams5)) AS g
+                FROM dd WHERE doc_id % 97 <> 0),
+         cont AS (SELECT DISTINCT doc_id FROM cg JOIN bench USING (g)),
+         clean AS (SELECT * FROM dd WHERE doc_id % 97 <> 0
+                   AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         p AS (SELECT source, doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+               FROM clean)
+         SELECT source, CAST(start_off // 512 AS BIGINT) AS seq,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok,
+           MIN(doc_id) AS first_doc
+         FROM p GROUP BY source, seq ORDER BY source, seq""",
 
     "q_wl_large_orders" ->
       s"""WITH hot AS (SELECT l_orderkey, ${oDsum("l_quantity")} AS total_qty

@@ -264,6 +264,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("q_wl_curation_pipeline: gram probe broadcasts; no cartesian anywhere in 4 stages") {
+    val p = plan("q_wl_curation_pipeline")
+    assert(p.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing fell into a global window:\n$p")
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
