@@ -32,7 +32,8 @@ object Explain {
     "q_llm_dedup_url",      // expect one partial+final aggregate, no join
     "q_join_asof_nearest",  // expect two windows over ONE user shuffle, no join
     "q_llm_cluster_kmeans", // expect broadcast centroids + graft_l2sq in codegen
-    "q_llm_bpe_pairs")      // expect vocab agg then TakeOrderedAndProject
+    "q_llm_bpe_pairs",      // expect vocab agg then TakeOrderedAndProject
+    "q_wl_curation_pipeline") // expect 3 shuffles, broadcast gram probe
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
