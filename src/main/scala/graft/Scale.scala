@@ -114,9 +114,14 @@ object Scale {
   private def materialize(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  def probe(spark: SparkSession, dirs: Seq[String]): Unit =
+  def probe(spark: SparkSession, dirs: Seq[String]): Unit = {
+    // SPARK_GRAFT_PROBE_ONLY=a,b,c probes just those queries (they need
+    // not be in probeSet — any SparkEntry query name works)
+    val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(probeSet)
     dirs.foreach { d =>
-      probeSet.foreach { name =>
+      names.foreach { name =>
         val fn = SparkEntry.queries(name)
         materialize(fn(spark, d)) // warm: caches + codegen
         val t0 = System.nanoTime()
@@ -126,6 +131,7 @@ object Scale {
         println(f"""{"dir":"$d","query":"$name","sec":$dt%.3f,"rows":$rows}""")
       }
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = session()
