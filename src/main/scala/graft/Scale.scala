@@ -120,6 +120,11 @@ object Scale {
     val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(probeSet)
+    // fail fast with a useful message: a typo'd name would otherwise
+    // throw a bare key-not-found mid-run, losing the partial probe
+    require(names.nonEmpty, "SPARK_GRAFT_PROBE_ONLY parsed to an empty query list")
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown probe queries: ${unknown.mkString(", ")}")
     dirs.foreach { d =>
       names.foreach { name =>
         val fn = SparkEntry.queries(name)

@@ -102,20 +102,19 @@ object Curation {
     "q_llm_quality_classifier" -> ((s, d) =>
       Tables(s, d, "documents")
         .withColumn("tk", textTokens)
+        // the logit is the SHARED definition (U.qualityLogit) — the
+        // curation-pipeline composite scores with the same Column, so the
+        // two can never drift apart (CurationSpec pins the equality)
+        .withColumn("logit", qualityLogit)
         .select(col("doc_id"),
           size(col("tk")).as("n_tok"),
-          size(expr("filter(tk, t -> t IN ('the', 'a'))")).as("n_stop"),
-          size(array_distinct(col("tk"))).as("n_dist"),
-          length(regexp_replace(col("text"), " ", "")).as("chars"))
-        .select(col("doc_id"), col("n_tok"),
-          (least(col("n_tok"), lit(120)).cast("double") / 120.0).as("f_len"),
-          (col("n_stop").cast("double") / col("n_tok")).as("f_stop"),
-          (col("n_dist").cast("double") / col("n_tok")).as("f_ttr"),
-          (col("chars").cast("double") / col("n_tok")).as("f_wlen"))
-        .select(col("doc_id"), col("n_tok"), col("f_len"), col("f_stop"),
-          col("f_ttr"), col("f_wlen"),
-          (lit(-1.9) + lit(2.0) * col("f_len") - lit(6.0) * col("f_stop")
-            + lit(2.5) * col("f_ttr") + lit(0.05) * col("f_wlen")).as("logit"))
+          (least(size(col("tk")), lit(120)).cast("double") / 120.0).as("f_len"),
+          (size(expr("filter(tk, t -> t IN ('the', 'a'))")).cast("double")
+            / size(col("tk"))).as("f_stop"),
+          (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))).as("f_ttr"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(col("tk"))).as("f_wlen"),
+          col("logit"))
         .withColumn("keep", col("logit") > 0.0)
         .orderBy("doc_id")),
 
@@ -191,20 +190,16 @@ object Curation {
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
 
     "q_llm_quality_classifier" ->
-      """WITH b AS (SELECT doc_id, len(tk) AS n_tok,
-             len(list_filter(tk, t -> t IN ('the', 'a'))) AS n_stop,
-             len(list_distinct(tk)) AS n_dist,
-             length(replace(text, ' ', '')) AS chars
-           FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)),
-         f AS (SELECT doc_id, n_tok,
-             CAST(least(n_tok, 120) AS DOUBLE) / 120.0 AS f_len,
-             CAST(n_stop AS DOUBLE) / n_tok AS f_stop,
-             CAST(n_dist AS DOUBLE) / n_tok AS f_ttr,
-             CAST(chars AS DOUBLE) / n_tok AS f_wlen
+      s"""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         f AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tok,
+             CAST(least(len(tk), 120) AS DOUBLE) / 120.0 AS f_len,
+             CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE) / len(tk) AS f_stop,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS f_ttr,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk) AS f_wlen,
+             $oQualityLogit AS logit
            FROM b)
-         SELECT doc_id, CAST(n_tok AS INT) AS n_tok, f_len, f_stop, f_ttr, f_wlen,
-           -1.9 + 2.0 * f_len - 6.0 * f_stop + 2.5 * f_ttr + 0.05 * f_wlen AS logit,
-           (-1.9 + 2.0 * f_len - 6.0 * f_stop + 2.5 * f_ttr + 0.05 * f_wlen) > 0.0 AS keep
+         SELECT doc_id, n_tok, f_len, f_stop, f_ttr, f_wlen, logit,
+           logit > 0.0 AS keep
          FROM f ORDER BY doc_id""",
 
     // same lag/islands sessionization the streaming twin oracles —

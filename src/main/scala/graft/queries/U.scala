@@ -73,6 +73,28 @@ object U {
     """list_transform(range(1, greatest(len(tk) - 3, 1)),
          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"""
 
+  /** The quality-classifier logit (fixed linear model over four exact
+    * rational features; NO libm ⇒ same-order IEEE ⇒ bit-identical
+    * cross-engine). Single definition: q_llm_quality_classifier and the
+    * curation-pipeline composite must score IDENTICALLY or the composite's
+    * >0 threshold silently diverges from the declared filter. Requires
+    * columns `text` and `tk` (the shared tokenizer) in scope. */
+  val qualityLogit: Column = {
+    val nTok = size(col("tk"))
+    lit(-1.9) +
+      lit(2.0) * (least(nTok, lit(120)).cast("double") / 120.0) -
+      lit(6.0) * (size(expr("filter(tk, t -> t IN ('the', 'a'))")).cast("double") / nTok) +
+      lit(2.5) * (size(array_distinct(col("tk"))).cast("double") / nTok) +
+      lit(0.05) * (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok)
+  }
+
+  /** DuckDB twin of [[qualityLogit]], over a relation exposing text + tk. */
+  val oQualityLogit: String =
+    """-1.9 + 2.0 * (CAST(least(len(tk), 120) AS DOUBLE) / 120.0)
+          - 6.0 * (CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE) / len(tk))
+          + 2.5 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+          + 0.05 * (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk))"""
+
   /** The linear dup-group output shape every dedup query converges to:
     * given an undirected candidate-pair list `pairs(a, b)` (a < b) and the
     * doc universe `base(doc_id, …)`, emit one row per doc with its

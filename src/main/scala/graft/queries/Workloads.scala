@@ -93,35 +93,39 @@ object Workloads {
     // warehouse composites above): quality-filter → exact-dedup →
     // benchmark-decontaminate → pack, all four §2 stages fused into ONE
     // declared query, emitting a per-(source, training-sequence) pack
-    // manifest. Plan shape at scale: a codegen'd scoring map, one window
-    // shuffle on the text hash, one BROADCAST gram probe (the KB-scale
-    // eval set never shuffles the corpus), one window shuffle per source
-    // shard — four stages, three shuffles, nothing quadratic.
+    // manifest. The corpus flows through ONCE: scoring is a codegen'd
+    // map, dedup is one window shuffle on the text hash, contamination
+    // is a per-doc FLAG (explode → broadcast gram probe → re-group) so
+    // no second corpus branch re-executes the scoring/dedup subtree, and
+    // packing is one window shuffle per source shard. PlanSpec pins the
+    // exchange count so a refactor can't silently double the lineage.
     "q_wl_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, d, "documents").withColumn("tk", textTokens)
-      // stage 1 — quality filter (q_llm_quality_classifier's exact logit)
+      // stage 1 — quality filter: the SHARED logit (U.qualityLogit), so
+      // the composite and q_llm_quality_classifier can never drift
       val quality = docs
         .withColumn("n_tok", size(col("tk")))
-        .withColumn("logit",
-          lit(-1.9) + lit(2.0) * (least(col("n_tok"), lit(120)).cast("double") / 120.0)
-            - lit(6.0) * (size(expr("filter(tk, t -> t IN ('the', 'a'))")).cast("double") / col("n_tok"))
-            + lit(2.5) * (size(array_distinct(col("tk"))).cast("double") / col("n_tok"))
-            + lit(0.05) * (length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok")))
-        .where(col("logit") > 0.0)
+        .where(qualityLogit > 0.0)
       // stage 2 — exact dedup, keep the smallest id per normalized text
       val wDup = Window.partitionBy(md5(trim(lower(col("text"))))).orderBy("doc_id")
       val deduped = quality.withColumn("rk", row_number().over(wDup))
         .where(col("rk") === 1)
       // stage 3 — decontaminate vs the benchmark split (5-gram overlap,
-      // bench grams broadcast; bench docs themselves leave the corpus)
+      // KB-scale bench grams broadcast; bench docs leave the corpus).
+      // Emitted as a flag in ONE pass over the corpus — a separate
+      // contaminated-id frame would reference the corpus twice and
+      // re-execute the whole score+dedup lineage for each branch.
       val bench = docs.where(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(grams5)).as("g")).distinct()
-      val corpus = deduped.where(col("doc_id") % 97 =!= 0)
-      val contaminated = corpus
-        .select(col("doc_id"), explode(array_distinct(grams5)).as("g"))
-        .join(broadcast(bench), "g").select("doc_id").distinct()
-      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("hit", lit(1))
+      val clean = deduped.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          explode_outer(array_distinct(grams5)).as("g"))
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id", "source", "n_tok")
+        .agg(max(coalesce(col("hit"), lit(0))).as("contaminated"))
+        .where(col("contaminated") === 0)
       // stage 4 — pack per source shard into 512-token training sequences
       val wOff = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -218,12 +222,7 @@ object Workloads {
     "q_wl_curation_pipeline" ->
       s"""WITH d AS (SELECT doc_id, text, source, string_split(text, ' ') AS tk
              FROM documents),
-         f AS (SELECT *, len(tk) AS n_tok,
-             -1.9 + 2.0 * (CAST(least(len(tk), 120) AS DOUBLE) / 120.0)
-                  - 6.0 * (CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE) / len(tk))
-                  + 2.5 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
-                  + 0.05 * (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk)) AS logit
-           FROM d),
+         f AS (SELECT *, len(tk) AS n_tok, $oQualityLogit AS logit FROM d),
          q AS (SELECT * FROM f WHERE logit > 0.0),
          dd AS (SELECT * FROM (SELECT *, row_number() OVER (
                   PARTITION BY md5(trim(lower(text))) ORDER BY doc_id) AS rk FROM q)

@@ -42,6 +42,20 @@ class CurationSpec extends SparkSpec {
     assert(totalDup === expected)
   }
 
+  test("classifier and curation composite score with the SAME logit (shared U.qualityLogit)") {
+    // the composite's >0 filter is only meaningful if its logit is
+    // bit-identical to the declared classifier's — both now reference
+    // U.qualityLogit, and this pins the equality against future drift
+    val fromClassifier = Curation.queries("q_llm_quality_classifier")(spark, sf)
+      .select(col("doc_id"), col("logit"))
+    val direct = Tables(spark, sf, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), queries.U.qualityLogit.as("logit2"))
+    val diff = fromClassifier.join(direct, "doc_id")
+      .where(col("logit") =!= col("logit2")).count()
+    assert(diff === 0)
+  }
+
   test("q_llm_quality_classifier: keep is exactly the sign of the logit; features bounded") {
     val out = Curation.queries("q_llm_quality_classifier")(spark, sf).cache()
     val bad = out.where(

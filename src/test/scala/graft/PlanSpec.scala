@@ -264,12 +264,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
-  test("q_wl_curation_pipeline: gram probe broadcasts; no cartesian anywhere in 4 stages") {
+  test("q_wl_curation_pipeline: gram probe broadcasts; no cartesian; corpus flows ONCE") {
     val p = plan("q_wl_curation_pipeline")
     assert(p.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Exchange SinglePartition"),
       s"packing fell into a global window:\n$p")
+    // the corpus subtree must not be duplicated: exactly ONE text-hash
+    // dedup shuffle, and a bounded total exchange count — the six are
+    // dedup window (_w0), contamination re-group, pack window (source),
+    // output sort (range), plus the KB-scale bench side's gram distinct
+    // and its broadcast; a doubled corpus lineage would add a second _w0
+    val dedupShuffles = "hashpartitioning\\(_w".r.findAllIn(p).size
+    assert(dedupShuffles == 1, s"dedup shuffle duplicated ($dedupShuffles):\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 6, s"exchange count grew to $exchanges — lineage doubled?\n$p")
   }
 
   test("Sql.run drives the engine through pure SQL over registered views") {
