@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Non-declared A/B control plans, probe-able by name alongside the
+    * declared inventory (e.g. the coarse custkey-only range join the
+    * binned `q_join_theta_range` replaced). */
+  val extraProbes: Map[String, graft.queries.U.Q] = Map(
+    "x_join_theta_coarse" -> graft.queries.Joins.thetaRangeCoarse)
+
   val probeSet: Seq[String] = Seq(
     "q_agg_groupby", "q_win_rank", "q_join_theta_range", "q_join_asof",
     "q_llm_dedup_exact", "q_llm_dedup_near", "q_llm_dedup_simhash",
@@ -123,11 +129,12 @@ object Scale {
     // fail fast with a useful message: a typo'd name would otherwise
     // throw a bare key-not-found mid-run, losing the partial probe
     require(names.nonEmpty, "SPARK_GRAFT_PROBE_ONLY parsed to an empty query list")
-    val unknown = names.filterNot(SparkEntry.queries.contains)
+    val all = SparkEntry.queries ++ extraProbes
+    val unknown = names.filterNot(all.contains)
     require(unknown.isEmpty, s"unknown probe queries: ${unknown.mkString(", ")}")
     dirs.foreach { d =>
       names.foreach { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = all(name)
         materialize(fn(spark, d)) // warm: caches + codegen
         val t0 = System.nanoTime()
         materialize(fn(spark, d))

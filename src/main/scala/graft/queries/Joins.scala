@@ -10,9 +10,10 @@ import U._
   * Scale notes: physical join shapes are pinned with hints where the query
   * name promises one (shuffle-hash, sort-merge) and dimension tables are
   * explicitly `broadcast()` so the 100 TB plan never shuffles the fact side
-  * against a KB-scale dim. The theta/range self-join keeps an equi-key
-  * (custkey) so Spark plans a hash/merge join with the range as a residual
-  * filter instead of a cartesian BNLJ. The as-of join deliberately avoids
+  * against a KB-scale dim. The theta/range self-join folds a 32-day time
+  * bin into the equi-key (custkey, bin) so the range residual is evaluated
+  * per bucket, never over a customer's whole history, and never as a
+  * cartesian BNLJ. The as-of join deliberately avoids
   * the quadratic pair-then-filter shape: it is a single window pass
   * (shuffle once by user), which survives arbitrarily long histories.
   */
@@ -124,15 +125,24 @@ object Joins {
       Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
         .select("r_name", "n_name").orderBy("r_name", "n_name")),
 
+    // Range self-join, binned: the equi-key is (custkey, 32-day time bin),
+    // not custkey alone. With a 30-day band, d2 ∈ (d1, d1+30d] lands in
+    // d1's bin or the next one, so the left side explodes to exactly two
+    // (custkey, bin) probes and the band is a residual INSIDE each hash
+    // bucket. The custkey-only form scans every pair a customer ever
+    // made per probe — measured 177× at ×100 input vs 4.2× for this
+    // construction (BASELINE.md "Scaling evidence"); the coarse form
+    // survives only as the A/B probe `thetaRangeCoarse` below.
     "q_join_theta_range" -> ((s, d) => {
       val o = Tables(s, d, "orders")
       val o1 = o.select(col("o_custkey").as("ck1"), col("o_orderkey").as("k1"),
-        col("o_orderdate").as("d1"))
+          col("o_orderdate").as("d1"))
+        .withColumn("bin1", expr("unix_date(CAST(d1 AS DATE)) div 32"))
+        .withColumn("bin", explode(array(col("bin1"), col("bin1") + 1)))
       val o2 = o.select(col("o_custkey").as("ck2"), col("o_orderkey").as("k2"),
-        col("o_orderdate").as("d2"))
-      // Equi-key on custkey keeps this off the BNLJ cliff; the date range is
-      // a residual predicate evaluated inside each hash bucket.
-      o1.join(o2, col("ck1") === col("ck2")
+          col("o_orderdate").as("d2"))
+        .withColumn("bin2", expr("unix_date(CAST(d2 AS DATE)) div 32"))
+      o1.join(o2, col("ck1") === col("ck2") && col("bin") === col("bin2")
           && col("d2") > col("d1")
           && col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
         .select(col("k1").as("o1_key"), col("k2").as("o2_key"))
@@ -207,6 +217,25 @@ object Joins {
         .orderBy("purchase_id")
     })
   )
+
+  /** The custkey-only range join — the plan `q_join_theta_range` used to
+    * declare. Kept (NOT in `queries`) purely as the scaling A/B control:
+    * `SPARK_GRAFT_PROBE_ONLY=x_join_theta_coarse` probes it via
+    * `Scale.extraProbes`. Same result set, but the residual band is
+    * evaluated over every same-customer pair, which goes quadratic in
+    * per-key history (measured 177× at ×100 input, BASELINE.md). */
+  private[graft] val thetaRangeCoarse: Q = (s, d) => {
+    val o = Tables(s, d, "orders")
+    val o1 = o.select(col("o_custkey").as("ck1"), col("o_orderkey").as("k1"),
+      col("o_orderdate").as("d1"))
+    val o2 = o.select(col("o_custkey").as("ck2"), col("o_orderkey").as("k2"),
+      col("o_orderdate").as("d2"))
+    o1.join(o2, col("ck1") === col("ck2")
+        && col("d2") > col("d1")
+        && col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+      .select(col("k1").as("o1_key"), col("k2").as("o2_key"))
+      .orderBy("o1_key", "o2_key")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_join_null_safe" ->

@@ -123,16 +123,20 @@ object Pipeline {
     // Corpus-statistics vocabulary pruning: the top-5 terms by global
     // frequency are corpus-derived stopwords; strip them from every
     // document, preserving original token order (positions ride through
-    // the aggregation, array_sort restores order). The vocabulary is a
-    // tiny broadcast dimension at any corpus size.
+    // the aggregation, array_sort restores order). The top-5 is a
+    // TakeOrderedAndProject (per-partition 5-row heaps merged once) —
+    // never a global window over the vocabulary, which at web scale is
+    // 10⁸⁺ terms on one task — and only the 5-row stopword dim
+    // broadcasts back onto the token stream (left join; a miss means
+    // "keep the token").
     "q_llm_vocab_prune" -> ((s, d) => {
       val tok = Tables(s, d, "documents")
         .select(col("doc_id"), posexplode(tk).as(Seq("pos", "term")))
-      val wv = Window.orderBy(col("c").desc, col("term"))
-      val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
-        .withColumn("is_stop", row_number().over(wv) <= 5)
-        .select("term", "is_stop")
-      tok.join(broadcast(vocab), "term")
+      val stop = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(5)
+        .select(col("term"), lit(true).as("stop_hit"))
+      tok.join(broadcast(stop), Seq("term"), "left")
+        .withColumn("is_stop", coalesce(col("stop_hit"), lit(false)))
         .groupBy("doc_id")
         .agg(
           count(when(!col("is_stop"), 1)).as("n_kept"),

@@ -55,8 +55,47 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_llm_simsearch_topk").contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q_join_theta_range keeps the custkey equi-key (no cartesian product)") {
-    assert(!plan("q_join_theta_range").contains("CartesianProduct"))
+  test("q_join_theta_range joins equi on (custkey, time bin) — no BNLJ, no cartesian") {
+    val p = plan("q_join_theta_range")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the 32-day bin must be IN the equi-key, not a residual: the hash
+    // join's left key list carries bin alongside ck1
+    assert("""Join \[ck1#\d+L, bin#\d+L\]""".r.findFirstIn(p).isDefined,
+      s"bin not in the equi-key:\n$p")
+  }
+
+  test("q_win_ntile_pct ranks via per-bucket windows — no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q_win_ntile_pct")(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the per-bucket row_number window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"single-partition window in:\n$lp")
+  }
+
+  test("no declared batch query plans a global window (tiny-dim allowlist aside)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // allowlisted: windows that run strictly over a bounded tiny input —
+    // bpe_pairs ranks a .limit(30) heap result, llm_mix windows the
+    // 20-row source dim. Streaming twins are excluded (memory-sink
+    // read-back plans, windows already covered by StreamingSpec).
+    val allow = Set("q_llm_bpe_pairs", "q_llm_mix")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream_")).filterNot(allow)
+      .filter { n =>
+        SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+          .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
+      }
+    assert(offenders.isEmpty, s"global single-partition windows in: $offenders")
+  }
+
+  test("q_llm_vocab_prune takes top-5 via heap and never windows the vocabulary") {
+    val p = plan("q_llm_vocab_prune")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), s"global window over the vocabulary:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("q_join_bucketed joins bucket-local: no Exchange beneath the SortMergeJoin") {
