@@ -17,7 +17,58 @@ object Aggs {
 
   private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Mergeable-quantile construction behind q_agg_quantile_merge,
+    * parameterized on the level-1 shard key so the test suite can prove
+    * merge associativity: ANY sharding yields identical cutpoints,
+    * because the merge (elementwise count sum) is commutative and
+    * associative — the property that lets a 1000-executor job emit one
+    * tiny partial histogram per task and roll them up in O(bins).
+    * Windowless by construction: the ≤256-bin prefix sum is a broadcast
+    * triangle join, and bin count grows with desired accuracy, not N. */
+  private[graft] def quantileMergeWith(s: org.apache.spark.sql.SparkSession,
+      d: String, shard: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val nb = 256
+    val c = Tables(s, d, "customer").select(shard.as("shard"), col("c_acctbal"))
+    val bounds = c.agg(min("c_acctbal").as("lo"), max("c_acctbal").as("hi"),
+      count(lit(1)).as("n"))
+    val binned = c.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(nb - 1),
+        floor((col("c_acctbal") - col("lo")) / ((col("hi") - col("lo")) / nb))
+          .cast("int")))
+    // level 1: per-shard partial histograms; level 2: the merge
+    val parts = binned.groupBy("shard", "bin").agg(count(lit(1)).as("cnt"))
+    val merged = parts.groupBy("bin").agg(sum("cnt").as("cnt"))
+    val cum = merged.join(
+        broadcast(merged.select(col("bin").as("b2"), col("cnt").as("cnt2"))),
+        col("b2") <= col("bin"))
+      .groupBy("bin").agg(sum("cnt2").as("cum"))
+    // cutpoint per requested rank: first bin whose cumulative count
+    // reaches ceil(p·n); the exact quantile lives in that bin, so the
+    // bin's upper edge is within one bin width of it (PropertySpec)
+    bounds.select(col("lo"), col("hi"), col("n"),
+        explode(expr("array(0.25D, 0.5D, 0.75D)")).as("p"))
+      .join(broadcast(cum), col("cum") >= expr("CAST(ceil(p * n) AS BIGINT)"))
+      .groupBy("p", "lo", "hi")
+      .agg(min("bin").as("qbin"))
+      .select(col("p"),
+        (col("lo") + (col("qbin") + 1) * ((col("hi") - col("lo")) / nb))
+          .as("cutpoint"))
+      .orderBy("p")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Mergeable quantile rollup — the approx-percentile analogue of
+    // q_agg_sketch_merge's HLL pair: per-shard fixed-grid histogram
+    // partials (256 bins over broadcast [lo, hi]) merge by count sum,
+    // then cutpoints come off the merged cumulative histogram. Exact
+    // integer counts + same-order IEEE arithmetic → DuckDB-oracled
+    // bit-exactly, unlike a GK/KLL sketch whose merge is
+    // implementation-defined. Accuracy: |cutpoint − exact quantile| ≤
+    // (hi−lo)/256, asserted by PropertySpec against exact percentiles.
+    "q_agg_quantile_merge" -> ((s, d) =>
+      quantileMergeWith(s, d, col("c_nationkey"))),
+
     // Flagship — TPC-H Q1 shape (scan → filter → partial/final agg → sort).
     "q_agg_groupby" -> ((s, d) =>
       Tables(s, d, "lineitem")
@@ -187,6 +238,22 @@ object Aggs {
   private val oRev = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // same construction, window allowed on the oracle side (DuckDB has
+    // no scale constraint); p must be DOUBLE or DuckDB's decimal
+    // literals change the output schema
+    "q_agg_quantile_merge" ->
+      """WITH b AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+                      COUNT(*) AS n FROM customer),
+         x AS (SELECT LEAST(255, CAST(FLOOR((c_acctbal - lo) / ((hi - lo) / 256))
+                 AS INT)) AS bin FROM customer, b),
+         h AS (SELECT bin, COUNT(*) AS cnt FROM x GROUP BY bin),
+         c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+         p AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                 CAST(0.75 AS DOUBLE)]) AS p)
+         SELECT p, lo + (MIN(bin) + 1) * ((hi - lo) / 256) AS cutpoint
+         FROM p, b, c WHERE cum >= CAST(ceil(p * n) AS BIGINT)
+         GROUP BY p, lo, hi ORDER BY p""",
+
     "q_agg_listagg" ->
       """SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS members,

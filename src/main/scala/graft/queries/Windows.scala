@@ -135,6 +135,31 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // Low-cardinality window parallelism: o_orderpriority has 5 values,
+    // so a direct per-priority window is 5 tasks NO MATTER the cluster
+    // size. Stage 1 ranks within (priority, salt) — nsalt× the
+    // parallelism — and keeps each salt's top-10 (any global-top-10 row
+    // is necessarily in its salt's top-10, so no candidate is lost).
+    // Stage 2 re-ranks the ≤ 5·nsalt·10 survivors per priority: the
+    // heavy sort runs 40-way; the final window touches ≤ 400 rows. At
+    // cluster scale nsalt grows with executor count.
+    "q_win_rank_salted" -> ((s, d) => {
+      val nsalt = 8
+      val w1 = Window.partitionBy("o_orderpriority", "salt")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val w2 = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("salt", (col("o_orderkey") % nsalt).cast("int"))
+        .withColumn("prn", row_number().over(w1))
+        .where(col("prn") <= 10)
+        .withColumn("rn", row_number().over(w2))
+        .where(col("rn") <= 10)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("rn"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("p_brand")
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
@@ -248,6 +273,14 @@ object Windows {
            CUME_DIST() OVER w AS cd
          FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
          ORDER BY c_custkey""",
+
+    "q_win_rank_salted" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 10 ORDER BY o_orderpriority, rn""",
 
     "q_topk_per_group" ->
       """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn

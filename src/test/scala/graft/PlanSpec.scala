@@ -91,6 +91,18 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"global single-partition windows in: $offenders")
   }
 
+  test("q_win_rank_salted ranks in two stages: (priority, salt) below the final merge") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q_win_rank_salted")(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected two window stages:\n$lp")
+    // the heavy stage partitions by (priority, salt) — 8× the priority
+    // cardinality — so the sort parallelism scales with nsalt, not 5
+    assert(wins.exists(_.partitionSpec.size == 2), s"no salted stage:\n$lp")
+    assert(wins.exists(_.partitionSpec.size == 1), s"no final merge stage:\n$lp")
+  }
+
   test("q_llm_vocab_prune takes top-5 via heap and never windows the vocabulary") {
     val p = plan("q_llm_vocab_prune")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -132,6 +132,30 @@ class PropertySpec extends SparkSpec {
       s"only $same of ${exact.size} rows agree exactly")
   }
 
+  test("quantile merge is shard-invariant (merge associativity) and within one bin of exact") {
+    import org.apache.spark.sql.functions._
+    val declared = SparkEntry.queries("q_agg_quantile_merge")(spark, sf).collect()
+    // ANY level-1 sharding must produce identical cutpoints: the merge is
+    // an elementwise count sum, so partial grouping cannot matter
+    val resharded = queries.Aggs
+      .quantileMergeWith(spark, sf, pmod(col("c_custkey"), lit(13))).collect()
+    assert(declared.map(_.toString).toSeq == resharded.map(_.toString).toSeq,
+      "cutpoints changed under a different level-1 sharding")
+    // accuracy: each cutpoint within one bin width of the exact quantile
+    val Array(lo, hi) = spark.read.parquet(s"$sf/customer.parquet")
+      .agg(min("c_acctbal"), max("c_acctbal")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val width = (hi - lo) / 256
+    val exact = spark.read.parquet(s"$sf/customer.parquet")
+      .agg(expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .collect()(0).getSeq[Double](0)
+    declared.zip(exact).foreach { case (row, ex) =>
+      val cut = row.getDouble(1)
+      assert(math.abs(cut - ex) <= width + 1e-9,
+        s"p=${row.getDouble(0)}: cutpoint $cut vs exact $ex exceeds bin width $width")
+    }
+  }
+
   test("DSv2 source output is invariant to the split count") {
     def agg(parts: Int) = spark.read.format("graft.sources.GraftGenSource")
       .option("rows", "5000").option("partitions", parts.toString).load()
