@@ -149,6 +149,43 @@ object Scans {
         .orderBy(asc_nulls_first("o_orderpriority"))
     }),
 
+    // Snapshot-diff / CDC read: the added/changed/removed rows between
+    // two parquet GENERATIONS, computed from the files themselves — the
+    // backfill companion to q_sink_dynamic_overwrite ("what changed since
+    // the last snapshot?" without a table format's commit log). gen1
+    // deletes keys %97, restates priority on keys %89, inserts key+20M
+    // copies of keys %101. The diff is ONE full-outer join on the key
+    // with a row-digest residual: at 100 TB both generations are bucketed
+    // on the key so the join is co-located, and the md5 digest makes the
+    // compare one residual instead of a per-column cascade over a wide
+    // schema. Digests are only ever compared WITHIN one engine, so
+    // double-formatting conventions can't skew the oracle.
+    "q_cdc_snapshot_diff" -> ((s, d) => {
+      val out = tmpDir(s"cdc_${d.replaceAll("[^0-9.]", "")}")
+      val o = Tables(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      o.write.mode("overwrite").parquet(s"$out/gen0")
+      o.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 89 === 0, lit("9-RESTATED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.where(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      def digest(df: org.apache.spark.sql.DataFrame, k: String, h: String) =
+        df.select(col("o_orderkey").as(k),
+          md5(concat_ws("|", col("o_totalprice"), col("o_orderpriority"))).as(h))
+      val a = digest(s.read.parquet(s"$out/gen0"), "k", "h0")
+      val b = digest(s.read.parquet(s"$out/gen1"), "k2", "h1")
+      a.join(b, col("k") === col("k2"), "full")
+        .select(coalesce(col("k"), col("k2")).as("o_orderkey"),
+          when(col("k2").isNull, "removed")
+            .when(col("k").isNull, "added")
+            .when(col("h0") =!= col("h1"), "changed").as("status"))
+        .where(col("status").isNotNull)
+        .orderBy("o_orderkey")
+    }),
+
     // MERGE/upsert as composition (no Delta in a plain parquet world):
     // merged = updates ∪ inserts ∪ (target ANTI-JOIN touched keys). The
     // anti join shuffles on the key — the same plan a row-level MERGE
@@ -272,6 +309,29 @@ object Scans {
           SELECT o_orderpriority, COUNT(*) AS cnt, ${oDsum("o_totalprice")} AS total
           FROM m GROUP BY o_orderpriority
           ORDER BY o_orderpriority NULLS FIRST""",
+
+    "q_cdc_snapshot_diff" ->
+      """WITH g1 AS (
+           SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 89 = 0 THEN '9-RESTATED'
+                  ELSE o_orderpriority END AS o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 20000000, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 101 = 0),
+         a AS (SELECT o_orderkey AS k,
+                 md5(concat_ws('|', o_totalprice, o_orderpriority)) AS h0
+               FROM orders),
+         b AS (SELECT o_orderkey AS k2,
+                 md5(concat_ws('|', o_totalprice, o_orderpriority)) AS h1
+               FROM g1),
+         d AS (SELECT COALESCE(k, k2) AS o_orderkey,
+                 CASE WHEN k2 IS NULL THEN 'removed'
+                      WHEN k IS NULL THEN 'added'
+                      WHEN h0 <> h1 THEN 'changed' END AS status
+               FROM a FULL JOIN b ON k = k2)
+         SELECT o_orderkey, status FROM d
+         WHERE status IS NOT NULL ORDER BY o_orderkey""",
 
     "q_sink_upsert" ->
       s"""WITH chg AS (

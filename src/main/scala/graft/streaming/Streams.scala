@@ -162,6 +162,31 @@ object Streams {
           .as("gap_s"))
   }
 
+  /** Full-outer stream-stream join: both sides watermark, and eviction
+    * emits each side's unmatched rows once the watermark clears its band —
+    * purchase state can drop at watermark > pts (its candidate clicks are
+    * all ≤ pts), click state at watermark > cts + 30 min (the last
+    * purchase it could feed is cts + 30 min). Unmatched purchases emit
+    * click_id −1; unmatched clicks emit purchase_id −1. Converges to the
+    * q_stream_full_outer batch twin (StreamingSpec). */
+  def streamJoinFullOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", "30 minutes")
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "30 minutes")
+    p.join(c, col("user_id") === col("cuser")
+        && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+        && col("cts") <= col("pts"), "full_outer")
+      .select(coalesce(col("user_id"), col("cuser")).as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(expr("(unix_micros(pts) - unix_micros(cts)) div 1000000"), lit(-1L))
+          .as("gap_s"))
+  }
+
   case class TsEvent(user_id: Long, ts_us: Long)
   case class SessionOut(user_id: Long, n_events: Long, start_s: Long, end_s: Long)
   case class SessState(start_us: Long, last_us: Long, n: Long)

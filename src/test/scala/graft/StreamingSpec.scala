@@ -237,6 +237,38 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSet(got) == sortedSet(want))
   }
 
+  test("stream-stream FULL OUTER join evicts unmatched rows from both sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val q = Streams.streamJoinFullOuter(pMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("t_ssfull").outputMode("append").start()
+    chunksInOrder.foreach { ch =>
+      pMem.addData(ch); cMem.addData(ch); q.processAllAvailable()
+    }
+    // both sides' unmatched rows wait on watermark eviction — the click
+    // side holds longest (cts + 30 min) — so push the watermark well past
+    // the data with far-future sentinels (user −1, excluded below)
+    val far = allEvents.map(_.ts.getTime).max
+    def sentinel(id: Long, tp: String, off: Long) =
+      Ev(id, new java.sql.Timestamp(far + off), -1L, tp, 0.0, "{}")
+    Seq(3600000L, 7200000L, 10800000L).foreach { off =>
+      pMem.addData(Seq(sentinel(-1L - off, "purchase", off)))
+      cMem.addData(Seq(sentinel(-2L - off, "click", off)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_ssfull").where(col("user_id") =!= -1L)
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_full_outer")(spark, sf)
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+    // the full-outer result must contain unmatched rows from BOTH sides
+    assert(want.exists(_.getLong(2) == -1L), "no unmatched purchases in twin")
+    assert(want.exists(_.getLong(1) == -1L), "no unmatched clicks in twin")
+  }
+
   test("event-time-timer sessionization (transformWithState) matches the session twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
