@@ -83,11 +83,18 @@ object Scale {
     })
     // events: read through Tables (ns→µs normalization), write ts as
     // BIGINT nanos so the scaled dir round-trips through Tables exactly
-    // like the driver-generated one
+    // like the driver-generated one. user_id strides per copy too —
+    // without it, per-USER event volume would grow ×F and unbounded
+    // per-user windows (asof, ewma, session) would measure the pile-up,
+    // not the operator. Accepted trade: copies ≥ 1 have user_ids outside
+    // the fixed customer dim, so an events→customer join would lose
+    // matches on them — no probe query joins events to a dim.
     val events = Tables(spark, src, "events")
     val evStride = stride(events, "event_id")
+    val userStride = stride(events, "user_id")
     write("events", replicate(events, f) { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * evStride))
+        .withColumn("user_id", col("user_id") + lit(k * userStride))
         .withColumn("ts", (unix_micros(col("ts") + expr(s"INTERVAL ${k * 400} DAYS")) * 1000L))
     })
     val docs = spark.read.parquet(s"$src/documents.parquet")

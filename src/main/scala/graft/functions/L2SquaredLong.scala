@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * barrier (interpreted lambdas, boxed Longs); this expression is one
   * primitive loop inside whole-stage codegen, bit-identical to the HOF
   * (integer arithmetic has no rounding to reorder) INCLUDING on ragged
-  * input: a length mismatch yields NULL, exactly like zip_with's null
-  * padding propagating through the sum — a malformed vector surfaces as
-  * a missing distance, never a plausible-looking prefix sum. Overflow
+  * or null-holed input: a length mismatch yields NULL, and a null
+  * ELEMENT in either array yields NULL — exactly like zip_with's null
+  * padding/holes propagating through the sum — so a malformed vector
+  * surfaces as a missing distance, never a plausible-looking number. Overflow
   * headroom: |x−y| ≤ 5e6 on the 1e-6 grid of unit-range embeddings ⇒
   * each term ≤ 2.5e13, 64 dims ⇒ ≤ 1.6e15 ≪ 2^63.
   */
@@ -49,6 +50,10 @@ case class L2SquaredLong(left: Expression, right: Expression)
       var s = 0L
       var i = 0
       while (i < n) {
+        // a null ELEMENT propagates NULL, matching the HOF exactly —
+        // getLong on a null slot would read garbage and produce a
+        // plausible-looking distance
+        if (xa.isNullAt(i) || ya.isNullAt(i)) return null
         val d = xa.getLong(i) - ya.getLong(i)
         s += d * d
         i += 1
@@ -70,10 +75,11 @@ case class L2SquaredLong(left: Expression, right: Expression)
          |} else {
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $d = $a.getLong($i) - $b.getLong($i);
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

@@ -70,9 +70,14 @@ object Learn {
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
       }
       // the final centroid table feeds TWO consumers (assignment + the
-      // L1 report join); without a persist each would re-execute the
-      // whole 2-iteration lineage, turning 3 scoring passes into 5
-      cent = cent.persist()
+      // L1 report join); without materialization each would re-execute
+      // the whole 2-iteration lineage, turning 3 scoring passes into 5.
+      // localCheckpoint, NOT persist: same eager k-row materialization,
+      // but the blocks are reference-tracked and reclaimed by the
+      // ContextCleaner once the result is dropped — persist would leave
+      // one CacheManager relation registered per invocation for the
+      // application lifetime (Bench calls this repeatedly)
+      cent = cent.localCheckpoint()
       assign(vecs, cent)
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))

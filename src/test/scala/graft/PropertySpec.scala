@@ -132,6 +132,37 @@ class PropertySpec extends SparkSpec {
       s"only $same of ${exact.size} rows agree exactly")
   }
 
+  test("graft_l2sq matches the HOF on clean, ragged, and null-holed input") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_l2sq(a, b) AS fast,
+           aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L,
+                     (acc, v) -> acc + v) AS hof
+         FROM VALUES
+           (array(1L, 2L, 3L), array(3L, 1L, 5L)),
+           (array(1L, 2L), array(1L, 2L, 3L)),
+           (array(1L, CAST(NULL AS BIGINT), 3L), array(1L, 2L, 3L)),
+           (array(1L, 2L, 3L), array(1L, CAST(NULL AS BIGINT), 3L))
+           AS t(a, b)""").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null-propagation diverges from HOF: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), s"value diverges: $r")
+    }
+    assert(rows.count(_.isNullAt(0)) == 3, "ragged + two null-holed rows must be NULL")
+  }
+
+  test("events.props holds exactly one integer key k — the shape q_fn_variant's oracle hard-codes") {
+    import org.apache.spark.sql.functions._
+    // q_fn_variant's DuckDB oracle derives vschema/vjson by string
+    // arithmetic, valid ONLY while every props row is {"k": <int>}. A
+    // fixture change must fail HERE, loudly, not as a confusing oracle
+    // hash mismatch.
+    val bad = Tables(spark, sf, "events")
+      .where(!col("props").rlike("""^\{"k": ?-?[0-9]+\}$""")).count()
+    assert(bad == 0L, s"$bad props rows break the {\"k\": <int>} invariant")
+  }
+
   test("quantile merge is shard-invariant (merge associativity) and within one bin of exact") {
     import org.apache.spark.sql.functions._
     val declared = SparkEntry.queries("q_agg_quantile_merge")(spark, sf).collect()

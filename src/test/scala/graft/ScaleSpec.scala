@@ -42,7 +42,25 @@ class ScaleSpec extends SparkSpec {
     val nd = (d: String) => queries.Llm.queries("q_llm_dedup_near")(spark, d)
       .agg(sum("n_dups")).first().getLong(0)
     val (na, nb) = (nd(sf), nd(dir))
-    assert(nb === 2 * na, s"near-dup neighbor mass not x2: $na -> $nb (cross-copy pairs?)")
+    // small slack, not exact ×2: per-token copy suffixing changes shingle
+    // hashes, so a BORDERLINE j≥0.8 pair can band-collide in one copy and
+    // not the other (≈3% banding miss per pair). Cross-copy collisions
+    // would inflate nb far beyond the band — the invariant still bites.
+    val slack = math.max(2L, na / 20)
+    assert(nb >= 2 * na - slack && nb <= 2 * na + slack,
+      s"near-dup neighbor mass not ~x2: $na -> $nb (cross-copy pairs?)")
+  }
+
+  test("events replication preserves per-user density (user_id strides per copy)") {
+    val perUser = (d: String) =>
+      Tables(spark, d, "events").groupBy("user_id").count()
+    val aMax = perUser(sf).agg(max("count")).first().getLong(0)
+    val bMax = perUser(dir).agg(max("count")).first().getLong(0)
+    assert(bMax === aMax,
+      s"per-user event pile-up: max $aMax -> $bMax (user_id not strided?)")
+    val aUsers = perUser(sf).count()
+    val bUsers = perUser(dir).count()
+    assert(bUsers === 2 * aUsers, s"user population not x2: $aUsers -> $bUsers")
   }
 
   test("events keep strict event_id <-> ts co-ordering after replication") {
