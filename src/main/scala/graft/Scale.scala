@@ -29,7 +29,15 @@ object Scale {
     * declared inventory (e.g. the coarse custkey-only range join the
     * binned `q_join_theta_range` replaced). */
   val extraProbes: Map[String, graft.queries.U.Q] = Map(
-    "x_join_theta_coarse" -> graft.queries.Joins.thetaRangeCoarse)
+    "x_join_theta_coarse" -> graft.queries.Joins.thetaRangeCoarse,
+    // IVF quantizer-growth probes: bits chosen so 2^bits tracks N
+    // (base 4 bits / 16 cells at sf0.1's 2k vectors → 7 bits at ×10,
+    // 11 bits at ×100), holding per-cell population ~constant — the
+    // scale rule the declared queries' notes prescribe
+    "x_knn_graph_b7" -> ((s, d) => graft.queries.Insights.knnGraphWithBits(s, d, 7)),
+    "x_knn_graph_b11" -> ((s, d) => graft.queries.Insights.knnGraphWithBits(s, d, 11)),
+    "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
+    "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)))
 
   val probeSet: Seq[String] = Seq(
     "q_agg_groupby", "q_win_rank", "q_join_theta_range", "q_join_asof",

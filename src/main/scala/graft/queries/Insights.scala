@@ -306,25 +306,7 @@ object Insights {
     // the same cell bound + dupGroups pieces. Candidates are same-cell
     // only: at scale the bit count grows so each cell — and with it the
     // per-task pair volume — stays constant.
-    "q_llm_dedup_semantic" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val cellOf = expr(
-        """CAST(element_at(embedding, 1) > 0 AS INT)
-           + 2 * CAST(element_at(embedding, 2) > 0 AS INT)
-           + 4 * CAST(element_at(embedding, 3) > 0 AS INT)
-           + 8 * CAST(element_at(embedding, 4) > 0 AS INT)""")
-      val emb = Tables(s, d, "embeddings").withColumn("cell", cellOf)
-      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
-        col("cell").as("ca"))
-      val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
-        col("cell").as("cb"))
-      val pairs = a.join(b.hint("shuffle_hash"),
-          col("ca") === col("cb") && col("a") < col("b"))
-        .where(expr("graft_dot(ea, eb)") >= 0.42)
-        .select(col("a"), col("b"))
-      dupGroups(emb.select(col("vec_id").as("doc_id")), pairs)
-        .select(col("doc_id").as("vec_id"), col("keep_id"), col("n_dups"))
-    }),
+    "q_llm_dedup_semantic" -> ((s, d) => dedupSemanticWithBits(s, d, 4)),
 
     // Perplexity-proxy quality score: per-doc mean unigram negative
     // log-likelihood under the corpus's own add-1-smoothed unigram LM —
@@ -390,28 +372,60 @@ object Insights {
     // with N, broadcast would be wrong at 100 TB). 16 cells is right for
     // 5k vectors; at scale the bit count grows so per-cell population —
     // and with it every task's candidate volume — stays constant.
-    "q_llm_knn_graph" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val cellOf = expr(
-        """CAST(element_at(embedding, 1) > 0 AS INT)
-           + 2 * CAST(element_at(embedding, 2) > 0 AS INT)
-           + 4 * CAST(element_at(embedding, 3) > 0 AS INT)
-           + 8 * CAST(element_at(embedding, 4) > 0 AS INT)""")
-      val emb = Tables(s, d, "embeddings").withColumn("cell", cellOf)
-      val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(expr("array(cell, cell ^ 1, cell ^ 2, cell ^ 4, cell ^ 8)")).as("probe"))
-      val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("cell").as("ccell"))
-      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
-      qs.join(cand.hint("shuffle_hash"),
-          col("probe") === col("ccell") && col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          expr("round(graft_dot(qe, ce), 6)").as("dot"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .orderBy("qid", "rnk")
-    })
+    "q_llm_knn_graph" -> ((s, d) => knnGraphWithBits(s, d, 4))
   )
+
+  /** Sign-bit coarse quantizer over the first `bits` embedding dims
+    * (2^bits cells). The declared IVF queries use bits=4 — 16 cells,
+    * right for the 2k-vector fixture; their scale notes prescribe
+    * growing the bit count with N so per-cell population stays constant.
+    * These parameterized forms exist so `Scale.extraProbes` can MEASURE
+    * that rule at ×10/×100 instead of leaving it as prose. */
+  private def cellOfBits(bits: Int) = expr((1 to bits)
+    .map(i => s"${1 << (i - 1)} * CAST(element_at(embedding, $i) > 0 AS INT)")
+    .mkString(" + "))
+
+  /** Doc-to-doc kNN graph over 2^bits IVF cells. The multi-probe budget
+    * stays FIXED at 5 (own cell + 4 one-bit flips) at every bit count —
+    * probe count is the recall knob, independent of quantizer size — so
+    * per-query candidate volume is constant and total work linear in N. */
+  private[graft] def knnGraphWithBits(s: org.apache.spark.sql.SparkSession,
+      d: String, bits: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables(s, d, "embeddings").withColumn("cell", cellOfBits(bits))
+    val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      explode(expr("array(cell, cell ^ 1, cell ^ 2, cell ^ 4, cell ^ 8)")).as("probe"))
+    val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("cell").as("ccell"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    qs.join(cand.hint("shuffle_hash"),
+        col("probe") === col("ccell") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("round(graft_dot(qe, ce), 6)").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Semantic dedup over 2^bits IVF cells: same-cell candidate pairs,
+    * codegen'd dot ≥ 0.42 confirm, then transitive dup groups. Cells
+    * ∝ N keeps per-cell population c constant, so pair volume
+    * (cells · c²/2) grows linearly with N. */
+  private[graft] def dedupSemanticWithBits(s: org.apache.spark.sql.SparkSession,
+      d: String, bits: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables(s, d, "embeddings").withColumn("cell", cellOfBits(bits))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("cell").as("ca"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("cell").as("cb"))
+    val pairs = a.join(b.hint("shuffle_hash"),
+        col("ca") === col("cb") && col("a") < col("b"))
+      .where(expr("graft_dot(ea, eb)") >= 0.42)
+      .select(col("a"), col("b"))
+    dupGroups(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("keep_id"), col("n_dups"))
+  }
 
   /** One PageRank iteration of the DuckDB mirror (BIGINT fixed point). */
   private def oPrIter(prev: String, cur: String): String =
