@@ -33,16 +33,12 @@ object Aggs {
     val bounds = c.agg(min("c_acctbal").as("lo"), max("c_acctbal").as("hi"),
       count(lit(1)).as("n"))
     val binned = c.crossJoin(broadcast(bounds))
-      .withColumn("bin", least(lit(nb - 1),
-        floor((col("c_acctbal") - col("lo")) / ((col("hi") - col("lo")) / nb))
-          .cast("int")))
+      .withColumn("bin", U.gridBin(col("c_acctbal"), col("lo"), col("hi"), nb))
     // level 1: per-shard partial histograms; level 2: the merge
     val parts = binned.groupBy("shard", "bin").agg(count(lit(1)).as("cnt"))
     val merged = parts.groupBy("bin").agg(sum("cnt").as("cnt"))
-    val cum = merged.join(
-        broadcast(merged.select(col("bin").as("b2"), col("cnt").as("cnt2"))),
-        col("b2") <= col("bin"))
-      .groupBy("bin").agg(sum("cnt2").as("cum"))
+    val cum = U.prefixOffsets(merged, "bin", "cnt")
+      .select(col("bin"), (col("off") + col("cnt")).as("cum"))
     // cutpoint per requested rank: first bin whose cumulative count
     // reaches ceil(p·n); the exact quantile lives in that bin, so the
     // bin's upper edge is within one bin width of it (PropertySpec)

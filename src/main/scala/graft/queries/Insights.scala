@@ -370,8 +370,9 @@ object Insights {
     // semantic-dedup / clustering pass. Candidates are bounded per cell;
     // the join is EQUI on the cell id (shuffle_hash: both sides scale
     // with N, broadcast would be wrong at 100 TB). 16 cells is right for
-    // 5k vectors; at scale the bit count grows so per-cell population —
-    // and with it every task's candidate volume — stays constant.
+    // the 2k-vector sf0.1 fixture; at scale the bit count grows with N
+    // so per-cell population stays constant while the probe budget (the
+    // recall knob) stays fixed — measured at ×10/×100 in BASELINE.md.
     "q_llm_knn_graph" -> ((s, d) => knnGraphWithBits(s, d, 4))
   )
 

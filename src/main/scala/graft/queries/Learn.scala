@@ -72,12 +72,15 @@ object Learn {
       // the final centroid table feeds TWO consumers (assignment + the
       // L1 report join); without materialization each would re-execute
       // the whole 2-iteration lineage, turning 3 scoring passes into 5.
-      // localCheckpoint, NOT persist: same eager k-row materialization,
-      // but the blocks are reference-tracked and reclaimed by the
-      // ContextCleaner once the result is dropped — persist would leave
-      // one CacheManager relation registered per invocation for the
-      // application lifetime (Bench calls this repeatedly)
-      cent = cent.localCheckpoint()
+      // localCheckpoint, NOT persist: the blocks are reference-tracked
+      // and reclaimed by the ContextCleaner once the result is dropped —
+      // persist would leave one CacheManager relation registered per
+      // invocation for the application lifetime (Bench calls this
+      // repeatedly). LAZY (eager=false): plan-only consumers (PlanSpec's
+      // inventory sweep, Explain) must not execute the 2-iteration
+      // lineage just to look at the plan; the first real action
+      // materializes it once for both consumers.
+      cent = cent.localCheckpoint(eager = false)
       assign(vecs, cent)
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))

@@ -165,12 +165,18 @@ object Scans {
       val o = Tables(s, d, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
       o.write.mode("overwrite").parquet(s"$out/gen0")
+      // insert keys offset by max(o_orderkey)+1, NOT a fixed constant: a
+      // constant would collide with real keys on a large-enough (or
+      // key-strided scaled) input and silently turn the diff quadratic
+      val mx = o.agg((max("o_orderkey") + 1L).as("koff"))
       o.where(col("o_orderkey") % 97 =!= 0)
         .withColumn("o_orderpriority",
           when(col("o_orderkey") % 89 === 0, lit("9-RESTATED"))
             .otherwise(col("o_orderpriority")))
         .unionByName(o.where(col("o_orderkey") % 101 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+          .crossJoin(broadcast(mx))
+          .withColumn("o_orderkey", col("o_orderkey") + col("koff"))
+          .drop("koff"))
         .write.mode("overwrite").parquet(s"$out/gen1")
       def digest(df: org.apache.spark.sql.DataFrame, k: String, h: String) =
         df.select(col("o_orderkey").as(k),
@@ -317,7 +323,8 @@ object Scans {
                   ELSE o_orderpriority END AS o_orderpriority
            FROM orders WHERE o_orderkey % 97 <> 0
            UNION ALL
-           SELECT o_orderkey + 20000000, o_totalprice, o_orderpriority
+           SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+             o_totalprice, o_orderpriority
            FROM orders WHERE o_orderkey % 101 = 0),
          a AS (SELECT o_orderkey AS k,
                  md5(concat_ws('|', o_totalprice, o_orderpriority)) AS h0

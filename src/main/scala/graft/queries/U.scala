@@ -58,6 +58,28 @@ object U {
     * builds on (bind as a column named `tk` before using [[grams5]]). */
   def textTokens: Column = split(col("text"), " ")
 
+  /** Equi-width grid bin of `value` over broadcast bounds [lo, hi]:
+    * `least(nb−1, floor((value − lo) / ((hi − lo) / nb)))`. Deterministic
+    * (min/max bounds, no sketch), monotone in `value` (equal values never
+    * straddle a boundary, so bins align with any value-led total order),
+    * and IEEE-identical in DuckDB (`LEAST` skips the NULL a degenerate
+    * lo = hi range produces in BOTH engines, collapsing to bin nb−1).
+    * Bin balance tracks the value distribution — irrelevant to exactness,
+    * only to task skew; nb scales with the cluster, not N. */
+  def gridBin(value: Column, lo: Column, hi: Column, nb: Int): Column =
+    least(lit(nb - 1), floor((value - lo) / ((hi - lo) / nb)).cast("int"))
+
+  /** Windowless distributed prefix sum over a ≤nb-row (bin, cnt) frame:
+    * off(b) = Σ cnt over bins < b, via a broadcast triangle join — never
+    * a single-partition window, which is the construction this helper
+    * exists to avoid. Output: (bin, cnt, off); cum = off + cnt. */
+  def prefixOffsets(counts: DataFrame, bin: String, cnt: String): DataFrame =
+    counts.join(
+        broadcast(counts.select(col(bin).as("pfx_b2"), col(cnt).as("pfx_c2"))),
+        col("pfx_b2") < col(bin), "left")
+      .groupBy(bin, cnt)
+      .agg(coalesce(sum("pfx_c2"), lit(0L)).as("off"))
+
   /** 5-gram array over the token-array column `tk` (0-based Spark lambda
     * index: x = tk[i], window closes at tk[i+4]). Docs shorter than 5
     * tokens yield an empty array. Shared by the exact and the Bloom

@@ -91,37 +91,30 @@ object Windows {
     }),
 
     // EXACT global ntile/percent_rank/cume_dist WITHOUT a global window:
-    // the classic distributed-rank construction. (1) approx cutpoints
-    // split c_acctbal into ~32 order-aligned range buckets (sketch
-    // accuracy affects only bucket BALANCE, never the answer); (2)
-    // per-bucket counts → prefix-sum offsets via a tiny triangle join
-    // (≤32×32, broadcast — no single-partition window anywhere, so the
-    // bench stderr stays free of WindowExec warnings); (3) a PER-BUCKET
-    // window computes the local row_number and pos = off + rn. The sort
-    // key (c_acctbal, c_custkey) is unique, so ntile/pr/cd are pure
-    // arithmetic on pos and the broadcast total N — bit-identical to the
-    // window formulation. Bucket count scales with the cluster, not N:
-    // this is how a 1000-executor job ranks 100 TB.
+    // the classic distributed-rank construction. (1) U.gridBin splits
+    // c_acctbal into 32 order-aligned equi-width buckets over broadcast
+    // [lo, hi] — DETERMINISTIC (min/max, no sketch: an approx_percentile
+    // cut would be recomputed per plan branch and its GK merge order
+    // could bucket the offs branch and the join branch differently);
+    // bucket balance only affects task skew, never the answer. (2)
+    // per-bucket counts → U.prefixOffsets (broadcast triangle join — no
+    // single-partition window anywhere, the bench stderr stays free of
+    // WindowExec warnings). (3) a PER-BUCKET window computes the local
+    // row_number and pos = off + rn. The sort key (c_acctbal, c_custkey)
+    // is unique, so ntile/pr/cd are pure arithmetic on pos and the
+    // broadcast total N — bit-identical to the window formulation.
+    // Bucket count scales with the cluster, not N: this is how a
+    // 1000-executor job ranks 100 TB.
     "q_win_ntile_pct" -> ((s, d) => {
-      val nb = 32
       val c = Tables(s, d, "customer").select("c_custkey", "c_acctbal")
-      val cuts = c.select(expr(
-        s"approx_percentile(c_acctbal, array(${(1 until nb).map(i => s"${i.toDouble / nb}D").mkString(",")}), 10000)")
-        .as("cuts"))
-      // bucket depends ONLY on c_acctbal (x <= bal), so equal balances
-      // never straddle a bucket boundary and buckets align with the
-      // total order (bal, key)
-      val bucketed = c.crossJoin(broadcast(cuts))
-        .withColumn("b", expr("CAST(size(filter(cuts, x -> x <= c_acctbal)) AS INT)"))
-        .drop("cuts")
+      val bounds = c.agg(min("c_acctbal").as("lo"), max("c_acctbal").as("hi"),
+        count(lit(1)).as("ntot"))
+      val bucketed = c.crossJoin(broadcast(bounds))
+        .withColumn("b", U.gridBin(col("c_acctbal"), col("lo"), col("hi"), 32))
       val bc = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
-      val offs = bc.join(
-          broadcast(bc.select(col("b").as("b2"), col("cnt").as("cnt2"))),
-          col("b2") < col("b"), "left")
-        .groupBy("b").agg(coalesce(sum("cnt2"), lit(0L)).as("off"))
-      val tot = bc.agg(sum("cnt").as("ntot"))
+      val offs = U.prefixOffsets(bc, "b", "cnt").select("b", "off")
       val wb = Window.partitionBy("b").orderBy("c_acctbal", "c_custkey")
-      bucketed.join(broadcast(offs), "b").crossJoin(broadcast(tot))
+      bucketed.join(broadcast(offs), "b")
         .withColumn("pos", col("off") + row_number().over(wb))
         .withColumn("qq", expr("ntot div 4"))
         .withColumn("rr", expr("ntot % 4"))

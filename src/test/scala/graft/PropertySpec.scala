@@ -159,7 +159,8 @@ class PropertySpec extends SparkSpec {
     // fixture change must fail HERE, loudly, not as a confusing oracle
     // hash mismatch.
     val bad = Tables(spark, sf, "events")
-      .where(!col("props").rlike("""^\{"k": ?-?[0-9]+\}$""")).count()
+      .where(col("props").isNull
+        || !col("props").rlike("""^\{"k": ?-?[0-9]+\}$""")).count()
     assert(bad == 0L, s"$bad props rows break the {\"k\": <int>} invariant")
   }
 
