@@ -282,6 +282,77 @@ object Analytics {
         .join(broadcast(bench), Seq("g"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
         .orderBy("doc_id")
+    }),
+
+    // Linear-interpolation gap fill — the companion to the LOCF resample:
+    // a missing day gets prev + (next−prev)·k/n between its surrounding
+    // observations (NULL outside them). Same |users|×|days| broadcast
+    // spine as q_ts_resample_gapfill; two framed per-user window passes
+    // (trailing last-observed, leading first-observed) — no global
+    // window, no join beyond the spine's. The interpolation arithmetic
+    // is same-order IEEE double (+,−,·,/) over exact decimal day totals,
+    // so both engines agree bitwise (SURVEY §7.4); the observed-day
+    // branch short-circuits before the k/n division can hit the 0/0 a
+    // same-day prev=next would produce.
+    "q_ts_interpolate" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy("user_id", "day")
+        .agg(dsum(col("value")).as("day_total"))
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val cal = daily.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+      val wPrev = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("day_total").isNotNull, col("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("day_total"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("day_total"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          col("day_total"),
+          when(col("day_total").isNotNull, col("day_total"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * datediff(col("day"), col("pd"))
+              / datediff(col("nd"), col("pd"))).as("interp"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // Rolling z-score anomaly detection: each event vs the trailing-20
+    // window of the SAME user's series. The anomaly predicate is decided
+    // in EXACT integer arithmetic over cents (the fixture's values carry
+    // exactly 2 decimals — PropertySpec pins that invariant):
+    // (v·n − s)²·(n−1) > 9·n·(n·ss − s²)  ⟺  |z| > 3 with sample σ —
+    // no float compare can flip on a boundary row, and a constant-history
+    // window (σ = 0) still flags any deviation. z itself is emitted on
+    // the 1e-9 grid (NULL when σ = 0). One framed window pass per user —
+    // the same shuffle shape at 100 TB regardless of history length.
+    "q_ts_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-20, -1)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          epochS(col("ts")).as("ts_s"), col("value"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n", count(col("cents")).over(w))
+        .withColumn("sc", sum(col("cents")).over(w))
+        .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+        .where(col("n") >= 8)
+        .withColumn("dev", col("cents") * col("n") - col("sc"))
+        .withColumn("varn", col("n") * col("ss") - col("sc") * col("sc"))
+        .where(col("dev") * col("dev") * (col("n") - 1) >
+          col("varn") * col("n") * lit(9L))
+        .select(col("user_id"), col("event_id"), col("ts_s"), col("value"),
+          col("n"),
+          when(col("varn") > 0,
+            round(col("dev").cast("double") /
+              sqrt((col("n") * col("varn")).cast("double") / (col("n") - 1)),
+              9)).as("z"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -496,6 +567,60 @@ object Analytics {
                 FROM d WHERE doc_id % 97 <> 0)
          SELECT doc_id, COUNT(*) AS n_contaminated
          FROM cg WHERE g IN (SELECT g FROM bench)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_ts_interpolate" ->
+      s"""WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             ${oDsum("value")} AS day_total
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+         cal AS (
+           SELECT u.user_id,
+             CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN bounds b),
+         j AS (
+           SELECT c.user_id, c.day, d.day_total,
+             last_value(d.day_total IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN d.day_total IS NOT NULL THEN c.day END
+                        IGNORE NULLS) OVER wp AS pd,
+             first_value(d.day_total IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN d.day_total IS NOT NULL THEN c.day END
+                         IGNORE NULLS) OVER wn AS nd
+           FROM cal c LEFT JOIN daily d
+             ON c.user_id = d.user_id AND c.day = d.day
+           WINDOW
+             wp AS (PARTITION BY c.user_id ORDER BY c.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY c.user_id ORDER BY c.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s, day_total,
+           CASE WHEN day_total IS NOT NULL THEN day_total
+                ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END AS interp
+         FROM j ORDER BY user_id, day_s""",
+
+    "q_ts_anomaly_zscore" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, ts_s, value, cents,
+             CAST(COUNT(cents) OVER w AS BIGINT) AS n,
+             CAST(SUM(cents) OVER w AS BIGINT) AS sc,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS ss
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, ts_s, value, n,
+           CASE WHEN n * ss - sc * sc > 0
+                THEN round((cents * n - sc) /
+                  sqrt(CAST(n * (n * ss - sc * sc) AS DOUBLE) / (n - 1)), 9)
+                END AS z
+         FROM r
+         WHERE n >= 8
+           AND (cents * n - sc) * (cents * n - sc) * (n - 1) >
+               (n * ss - sc * sc) * n * 9
+         ORDER BY user_id, event_id"""
   )
 }

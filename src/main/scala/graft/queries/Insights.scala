@@ -373,7 +373,56 @@ object Insights {
     // the 2k-vector sf0.1 fixture; at scale the bit count grows with N
     // so per-cell population stays constant while the probe budget (the
     // recall knob) stays fixed — measured at ×10/×100 in BASELINE.md.
-    "q_llm_knn_graph" -> ((s, d) => knnGraphWithBits(s, d, 4))
+    "q_llm_knn_graph" -> ((s, d) => knnGraphWithBits(s, d, 4)),
+
+    // Triangle counting with DEGREE ORIENTATION — the construction that
+    // makes the wedge join feasible at scale: orient every edge from its
+    // lower-(deg, id) endpoint, enumerate wedges only at each triangle's
+    // minimum apex, and close them against the canonical edge set. Per-
+    // node fan-out is OUT-degree, bounded by O(√m) on any graph
+    // (arboricity argument) vs max-degree for the naive wedge join —
+    // the difference between hours and forever on a power-law graph.
+    // Every step is an equi-join (orderkey, u, then the (v1,v2) pair);
+    // nothing is quadratic in nodes. Graph: parts co-ordered within an
+    // order (≤7 lines/order bounds the pair explode) in the final 365
+    // shipping days — the window bound is data-derived (broadcast 1-row
+    // max), and per-part degree inside it is density-constant as SF
+    // grows, so edges/wedges/triangles all scale LINEARLY (measured:
+    // ×10.5/×10.9 edges/triangles from sf0.01→sf0.1). Output: per-node
+    // triangle support — the local clustering numerator.
+    "q_graph_triangles" -> ((s, d) => {
+      val l0 = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_shipdate")
+      val hi = l0.agg(max("l_shipdate").as("mx"))
+      val li = l0.crossJoin(broadcast(hi))
+        .where(col("l_shipdate") >= col("mx") - expr("INTERVAL 365 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      // e feeds THREE consumers (deg, the orientation, the closing
+      // semi-join) and o TWO (both wedge sides): without materialization
+      // the co-occurrence self-join+distinct re-executes ~6×. Lazy
+      // localCheckpoint (the k-means pattern): reference-tracked blocks,
+      // materialized once by the first action, plan-only consumers free.
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .localCheckpoint(eager = false)
+      val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val lower = col("dega") < col("degb") ||
+        (col("dega") === col("degb") && col("a") < col("b"))
+      val o = e
+        .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+        .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+          when(lower, col("b")).otherwise(col("a")).as("v"))
+        .localCheckpoint(eager = false)
+      val tri = o.as("e1").join(o.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("w1"), col("e1.v").as("w2"), col("e2.v").as("w3"))
+        .join(e, col("w2") === col("a") && col("w3") === col("b"), "left_semi")
+      tri.select(explode(array(col("w1"), col("w2"), col("w3"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+        .orderBy("id")
+    })
   )
 
   /** Sign-bit coarse quantizer over the first `bits` embedding dims
@@ -672,6 +721,31 @@ object Insights {
          r AS (SELECT qid, cid, dot,
                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INT) AS rnk
                FROM scored)
-         SELECT qid, cid, dot, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk"""
+         SELECT qid, cid, dot, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""",
+
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem
+                     WHERE l_shipdate >= (SELECT MAX(l_shipdate)
+                                          - INTERVAL 365 DAY FROM lineitem)),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         deg AS (SELECT id, COUNT(*) AS deg FROM (
+                   SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+                 GROUP BY id),
+         o AS (SELECT
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v
+               FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id),
+         tri AS (SELECT e1.u AS w1, e1.v AS w2, e2.v AS w3
+                 FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+                 WHERE EXISTS (SELECT 1 FROM e
+                               WHERE e.a = e1.v AND e.b = e2.v))
+         SELECT id, COUNT(*) AS n_tri FROM (
+           SELECT w1 AS id FROM tri UNION ALL SELECT w2 AS id FROM tri
+           UNION ALL SELECT w3 AS id FROM tri)
+         GROUP BY id ORDER BY id"""
   )
 }

@@ -110,6 +110,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_graph_triangles: wedge and closing joins are equi (no cartesian)") {
+    // the co-occurrence and degree joins sit below lazy localCheckpoint
+    // barriers (multi-consumer reuse), so the visible plan is the wedge
+    // self-join + the closing semi-join + the support aggregate — exactly
+    // the stages whose shape decides the 100 TB posture
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), s"closing edge check not a semi-join:\n$p")
+  }
+
+  test("q_ts_interpolate: per-user framed windows over the broadcast spine") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_interpolate")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    // the only nested loop is the 1-row date-bounds spine broadcast
+    assert("BroadcastNestedLoopJoin".r
+      .findAllIn(qe.executedPlan.toString).length <= 1, qe.executedPlan.toString)
+  }
+
+  test("q_ts_anomaly_zscore is one partitioned window pass — no join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_anomaly_zscore")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+  }
+
   test("q_join_bucketed joins bucket-local: no Exchange beneath the SortMergeJoin") {
     val p = SparkEntry.queries("q_join_bucketed")(spark, sf)
       .queryExecution.executedPlan.toString
