@@ -228,6 +228,29 @@ object Aggs {
               (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"),
           col("median_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // Incremental aggregate maintenance — the materialized-view pattern:
+    // the per-group PARTIAL state of the history (everything before the
+    // split) merges with the current-period delta by partial-sum
+    // addition. Correctness is the "incremental ≡ full recompute"
+    // identity, and the ORACLE IS the full recompute — the driver's hash
+    // compare proves the merge loses nothing. At 100 TB the state table
+    // is |groups| rows, the delta scan is the only O(new data) work, and
+    // the merge is one tiny shuffle; decimal partials make the re-sum
+    // exact in any merge order (same rule as every dsum).
+    "q_agg_incremental_merge" -> ((s, d) => {
+      val split = ts("2001-01-01")
+      def part(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(D)).as("sp"))
+      val o = Tables(s, d, "orders")
+      part(o.where(col("o_orderdate") < split))
+        .unionByName(part(o.where(col("o_orderdate") >= split)))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("sp")).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -343,6 +366,13 @@ object Aggs {
             round((sxy - sx * sy / n) /
               sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price,
             median_price
-          FROM t ORDER BY l_returnflag"""
+          FROM t ORDER BY l_returnflag""",
+
+    // deliberately the FULL recompute — the hash compare against the
+    // incremental merge proves state + delta ≡ batch
+    "q_agg_incremental_merge" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ${oDsum("o_totalprice")} AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -353,6 +353,78 @@ object Analytics {
               sqrt((col("n") * col("varn")).cast("double") / (col("n") - 1)),
               9)).as("z"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Day-of-week seasonal profile in EXACT integer cents — ONE
+    // partial+final aggregate, no join, no window (the two-pass
+    // "baseline then residuals" formulation is unnecessary: the max
+    // absolute deviation is attained at an extreme value, so
+    // max(n·mx − s, s − n·mn) gives it from the same single pass, and
+    // cross-multiplying by n avoids ever dividing inside the group).
+    // dow_mean is one correctly-rounded division of exact integers —
+    // bit-identical cross-engine. Linear at any N.
+    "q_ts_seasonal_decompose" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("user_id"), dayofweek(col("ts")).as("dow"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "dow")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .select(col("user_id"), col("dow"), col("n"),
+          round(col("sc") / (col("n") * 100.0), 9).as("dow_mean"),
+          greatest(col("mx") * col("n") - col("sc"),
+            col("sc") - col("mn") * col("n")).as("max_dev_nc"))
+        .orderBy("user_id", "dow")),
+
+    // Mean-shift changepoint scan: trailing-8 vs leading-8 EXACT cent
+    // sums around each event, flagged when the regime mean moves by more
+    // than $75 — the compare is pure integer (|sr−sl| > 8·7500 cents), so
+    // no float boundary row can flip; the reported shift is one
+    // correctly-rounded division. Both frames share one partition+order
+    // spec ⇒ a single per-user sort under one WindowExec — the same
+    // one-shuffle shape at 100 TB regardless of history length.
+    "q_ts_changepoint" -> ((s, d) => {
+      val base = Window.partitionBy("user_id").orderBy("event_id")
+      val wl = base.rowsBetween(-8, -1)
+      val wr = base.rowsBetween(0, 7)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("nl", count(col("cents")).over(wl))
+        .withColumn("sl", sum(col("cents")).over(wl))
+        .withColumn("nr", count(col("cents")).over(wr))
+        .withColumn("sr", sum(col("cents")).over(wr))
+        .where(col("nl") === 8 && col("nr") === 8 &&
+          abs(col("sr") - col("sl")) > lit(60000L))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          round((col("sr") - col("sl")) / 800.0, 9).as("mean_shift"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Gaps-and-islands: per-user consecutive-day activity streaks via the
+    // classic dayn − row_number() island key — per-user windows and one
+    // aggregate, never the quadratic self-join formulation. The longest
+    // streak per user is picked by a deterministic (length desc, start)
+    // rank. Dates flow as day numbers from a fixed epoch; all integer.
+    "q_ts_streaks" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("dayn")
+      val top = Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("s"))
+      Tables(s, d, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1995-01-01").cast("date"))
+            .cast("long").as("dayn"))
+        .distinct()
+        .withColumn("isl", col("dayn") - row_number().over(w))
+        .groupBy("user_id", "isl")
+        .agg(count(lit(1)).as("cnt"), min("dayn").as("s"), max("dayn").as("e"))
+        .withColumn("rk", row_number().over(top)).where(col("rk") === 1)
+        .select(col("user_id"), col("cnt").as("streak_days"),
+          date_format(expr("date_add(DATE '1995-01-01', CAST(s AS INT))"),
+            "yyyy-MM-dd").as("start_d"),
+          date_format(expr("date_add(DATE '1995-01-01', CAST(e AS INT))"),
+            "yyyy-MM-dd").as("end_d"))
+        .orderBy("user_id")
     })
   )
 
@@ -621,6 +693,62 @@ object Analytics {
          WHERE n >= 8
            AND (cents * n - sc) * (cents * n - sc) * (n - 1) >
                (n * ss - sc * sc) * n * 9
-         ORDER BY user_id, event_id"""
+         ORDER BY user_id, event_id""",
+
+    // DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — shift
+    "q_ts_seasonal_decompose" ->
+      """WITH e AS (
+           SELECT user_id, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         g AS (SELECT user_id, dow, COUNT(*) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sc,
+                 MIN(cents) AS mn, MAX(cents) AS mx
+               FROM e GROUP BY user_id, dow)
+         SELECT user_id, dow, n,
+           round(sc / (n * 100.0), 9) AS dow_mean,
+           GREATEST(mx * n - sc, sc - mn * n) AS max_dev_nc
+         FROM g ORDER BY user_id, dow""",
+
+    "q_ts_changepoint" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, ts_s,
+             CAST(COUNT(cents) OVER wl AS BIGINT) AS nl,
+             CAST(SUM(cents) OVER wl AS BIGINT) AS sl,
+             CAST(COUNT(cents) OVER wr AS BIGINT) AS nr,
+             CAST(SUM(cents) OVER wr AS BIGINT) AS sr
+           FROM e
+           WINDOW wl AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+                  wr AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+         SELECT user_id, event_id, ts_s,
+           round((sr - sl) / 800.0, 9) AS mean_shift
+         FROM w
+         WHERE nl = 8 AND nr = 8 AND abs(sr - sl) > 60000
+         ORDER BY user_id, event_id""",
+
+    "q_ts_streaks" ->
+      """WITH dd AS (
+           SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1995-01-01' AS BIGINT) AS dayn
+           FROM events),
+         i AS (SELECT user_id, dayn,
+                 dayn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY dayn) AS isl
+               FROM dd),
+         g AS (SELECT user_id, isl, COUNT(*) AS cnt,
+                 MIN(dayn) AS s, MAX(dayn) AS e
+               FROM i GROUP BY user_id, isl),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY cnt DESC, s) AS rk FROM g)
+         SELECT user_id, cnt AS streak_days,
+           strftime(DATE '1995-01-01' + CAST(s AS INT), '%Y-%m-%d') AS start_d,
+           strftime(DATE '1995-01-01' + CAST(e AS INT), '%Y-%m-%d') AS end_d
+         FROM r WHERE rk = 1 ORDER BY user_id"""
   )
 }

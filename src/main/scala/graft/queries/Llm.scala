@@ -34,13 +34,19 @@ object Llm {
     *
     * 48-bit integer minhash inputs fold the first 12 hex digits of
     * md5(shingle|i) — the same fold DuckDB runs via list_reduce. */
-  private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
+  /** Distinct trigram shingles (doc_id, g) — the MinHash family's input. */
+  private def shingles(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame = {
     val tri = expr(
       """transform(slice(tk, 1, greatest(size(tk) - 2, 0)),
            (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2]))""")
-    val g = Tables(s, d, "documents").withColumn("tk", split(col("text"), " "))
+    Tables(s, d, "documents").withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
+  }
+
+  /** (doc_id, band_id, bkey): banded MinHash signature keys over `g`. */
+  private def bandKeys(g: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
     val h = (i: Int) =>
       expr(hexFold(s"md5(concat(g, '|', '$i'))", 12)).as(s"h$i")
     val mins = (0 until mhHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
@@ -50,12 +56,14 @@ object Llm {
       val ms = (0 until mhRowsPerBand).map(j => col(s"mh${b * mhRowsPerBand + j}"))
       struct(lit(b).as("band_id"), md5(concat_ws(",", ms: _*)).as("bkey"))
     }
-    val band = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.bkey"))
-    val cand = band.as("x").join(band.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** Exact-Jaccard confirm of banding candidates `cand(a, b)` over gram
+    * frame `g`: keeps pairs with trigram-set Jaccard ≥ 0.8. */
+  private def jaccardConfirm(g: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(g.as("gx"), col("gx.doc_id") === col("a"))
@@ -66,6 +74,17 @@ object Llm {
       .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
       .where(col("i").cast("double") / (col("sza") + col("szb") - col("i")) >= 0.8)
       .select("a", "b")
+  }
+
+  private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame = {
+    val g = shingles(s, d)
+    val band = bandKeys(g)
+    val cand = band.as("x").join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    jaccardConfirm(g, cand)
   }
 
   val queries: Map[String, Q] = Map(
@@ -212,11 +231,66 @@ object Llm {
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 20)
         .orderBy("lang", "rnk")
+    }),
+
+    // Vocabulary APPLY — the downstream step of the BPE/vocab family:
+    // word → id through the top-100 frequency vocab, OOV → −1, ids
+    // re-packed in document order as a comma string. The vocab is a
+    // TakeOrdered(100) heap (no corpus-wide sort); ids come from a
+    // 100×100 broadcast triangle count (windowless — same discipline as
+    // U.prefixOffsets); the corpus then broadcast-joins the KB-sized dim
+    // and re-packs per doc_id. At 100 TB only the per-doc group-by
+    // shuffles the corpus — exactly once.
+    // FUZZY benchmark decontamination — the MinHash companion to the
+    // exact 5-gram q_llm_decontaminate: a corpus doc is flagged when its
+    // trigram-set Jaccard with ANY benchmark doc (doc_id % 97 == 0, the
+    // same eval stand-in) reaches 0.8 — the lightly-edited eval copy
+    // whose shared-gram COUNT can look unremarkable. Bipartite banding:
+    // the benchmark's band keys and gram set BROADCAST (an eval suite
+    // stays KB–MB at any corpus size), so candidate discovery is a
+    // map-side bucket lookup, the exact-Jaccard confirm touches only
+    // candidate docs, and the corpus never shuffles — never all-pairs.
+    "q_llm_decontaminate_fuzzy" -> ((s, d) => {
+      val isBench = col("doc_id") % 97 === 0
+      val g = shingles(s, d)
+      val band = bandKeys(g)
+      val cand = band.where(!isBench).as("x")
+        .join(broadcast(band.where(isBench)).as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val hits = jaccardConfirm(g, cand)
+        .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n_bench_neardup"))
+      Tables(s, d, "documents").where(!isBench).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bench_neardup"), lit(0L)).as("n_bench_neardup"))
+        .withColumn("fuzzy_contaminated", col("n_bench_neardup") > 0)
+        .orderBy("doc_id")
+    }),
+
+    "q_llm_tokenize_apply" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(textTokens).as(Seq("pos", "w")))
+      val top = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+      val ahead = col("c2") > col("c") ||
+        (col("c2") === col("c") && col("w2") < col("w"))
+      val vocab = top.join(
+          broadcast(top.select(col("w").as("w2"), col("c").as("c2"))), ahead, "left")
+        .groupBy("w").agg(count(col("w2")).as("id"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(-1L)).as("id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("""array_join(transform(array_sort(collect_list(struct(pos, id))),
+                  x -> cast(x.id as string)), ',')""").as("ids_s"))
+        .orderBy("doc_id")
     })
   )
 
-  /** DuckDB CTE chain mirroring `confirmedPairs` — ends at `conf(a, b)`. */
-  private val oConfCte =
+  /** DuckDB CTE chain building the banded MinHash signatures — ends at
+    * `band(doc_id, band_id, bkey)` (with `g` in scope). */
+  private val oSigCte =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
                  i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS g
@@ -227,11 +301,12 @@ object Llm {
          sig AS (SELECT doc_id, i, MIN(h) AS mh FROM h GROUP BY doc_id, i),
          band AS (SELECT doc_id, i // 4 AS band_id,
                     md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bkey
-                  FROM sig GROUP BY doc_id, i // 4),
-         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                  FROM band x JOIN band y ON x.band_id = y.band_id
-                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+                  FROM sig GROUP BY doc_id, i // 4)"""
+
+  /** DuckDB twin of `jaccardConfirm` — expects `cand(a, b)` and `g`,
+    * ends at `conf(a, b)`. */
+  private val oJaccardCte =
+    """sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
          inter AS (SELECT c.a, c.b, COUNT(*) AS i
                    FROM cand c JOIN g x ON x.doc_id = c.a
                      JOIN g y ON y.doc_id = c.b AND y.g = x.g
@@ -239,6 +314,14 @@ object Llm {
          conf AS (SELECT a, b FROM inter
                   JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
                   WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8)"""
+
+  /** DuckDB CTE chain mirroring `confirmedPairs` — ends at `conf(a, b)`. */
+  private val oConfCte =
+    s"""$oSigCte,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         $oJaccardCte"""
 
   val oracle: Map[String, String] = Map(
     "q_llm_wordcount" ->
@@ -254,6 +337,22 @@ object Llm {
     "q_llm_dedup_near" ->
       s"""WITH $oConfCte,
          ${U.oDupGroups("conf", "documents")}""",
+
+    "q_llm_decontaminate_fuzzy" ->
+      s"""WITH $oSigCte,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey
+                  WHERE x.doc_id % 97 <> 0 AND y.doc_id % 97 = 0),
+         $oJaccardCte,
+         hits AS (SELECT a AS doc_id, COUNT(*) AS n_bench_neardup
+                  FROM conf GROUP BY a)
+         SELECT c.doc_id,
+           CAST(COALESCE(h.n_bench_neardup, 0) AS BIGINT) AS n_bench_neardup,
+           COALESCE(h.n_bench_neardup, 0) > 0 AS fuzzy_contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+         LEFT JOIN hits h ON c.doc_id = h.doc_id
+         ORDER BY c.doc_id""",
 
     // exact transitive closure via recursive CTE: the propagation UNION is
     // set-distinct, so the iteration terminates at the fixpoint the Spark
@@ -320,6 +419,22 @@ object Llm {
          r AS (SELECT lang, trigram, cnt,
                  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, trigram) AS INT) AS rnk
                FROM c)
-         SELECT lang, trigram, cnt, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk"""
+         SELECT lang, trigram, cnt, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""",
+
+    "q_llm_tokenize_apply" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         toks AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) - 1 AS pos,
+                    unnest(tk) AS w FROM tk),
+         top AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+                 ORDER BY c DESC, w LIMIT 100),
+         vocab AS (SELECT t.w, CAST(COUNT(t2.w) AS BIGINT) AS id
+                   FROM top t LEFT JOIN top t2
+                     ON t2.c > t.c OR (t2.c = t.c AND t2.w < t.w)
+                   GROUP BY t.w)
+         SELECT o.doc_id, COUNT(*) AS n_tokens,
+           string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+                      ORDER BY o.pos) AS ids_s
+         FROM toks o LEFT JOIN vocab v ON o.w = v.w
+         GROUP BY o.doc_id ORDER BY o.doc_id"""
   )
 }

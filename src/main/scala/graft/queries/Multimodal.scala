@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import U._
 
@@ -136,8 +137,63 @@ object Multimodal {
           col("n_frames"),
           length(col("frame")).cast("int").as("frame_bytes"),
           md5(col("frame")).as("frame_digest"))
-        .orderBy("doc_id", "frame_id"))
+        .orderBy("doc_id", "frame_id")),
+
+    // Perceptual near-dup over the binary payload (the aHash family a
+    // real image-dedup pass runs on decoded pixels — codec stubbed like
+    // the rest of §2.12). Semantics caveat (measured): aHash assumes
+    // PIXEL-ALIGNED payloads — re-encodes, small corruptions, watermark
+    // strips — and on those a ≤1-block change moves ≤1 bit (proved on
+    // constructed corruptions in AnalyticsSpec). The text stand-in corpus
+    // has no byte-aligned near-dups (its trigram near-dups are token
+    // EDITS, whose byte shifts scramble positional block means — measured
+    // Hamming 4-18 on true pairs, indistinguishable from random), so on
+    // this fixture every n_dups is legitimately 0 while both engines
+    // agree bit-for-bit on the hashes themselves. The shingle/embedding
+    // paths (q_llm_dedup_near, q_llm_dedup_semantic) are the
+    // edit-tolerant tools; this is the byte-geometry one.
+    "q_mm_dedup_phash" -> ((s, d) =>
+      phashDedup(Tables(s, d, "documents")))
   )
+
+  /** aHash dedup pipeline over (doc_id, text-as-payload): 32 positional
+    * blocks, bit b set iff block mean exceeds payload mean — decided by
+    * the exact integer cross-multiply sb·n > st·nb, never a float
+    * compare — then Hamming-≤1 grouping by the same multi-probe
+    * equi-join discipline as q_llm_dedup_simhash_near: 33 bucket-local
+    * probes per doc, never all-pairs. Scale: the byte explode is linear,
+    * block and hash aggregates share the doc_id shuffle key, the window
+    * total rides that same partitioning, and the probe join moves 33
+    * (doc_id, probe) longs per doc — payloads never shuffle twice. */
+  private[graft] def phashDedup(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val nBlk = 32
+    val base = docs
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val codes = base.select(col("doc_id"), col("n"),
+      posexplode(expr(
+        "transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))"))
+        .as(Seq("pos", "code")))
+    val blocks = codes
+      .withColumn("blk", expr(s"(pos * $nBlk) div n"))
+      .groupBy("doc_id", "n", "blk")
+      .agg(sum(col("code")).as("sb"), count(lit(1)).as("nb"))
+    val hashes = blocks
+      .withColumn("st",
+        sum(col("sb")).over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sb") * col("n") > col("st") * col("nb"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT))"))
+        .otherwise(0L)).as("phash"))
+    val masks = "phash" +: (0 until nBlk).map(b => s"phash ^ ${1L << b}L")
+    val probes = hashes.select(col("doc_id"),
+      explode(expr(masks.mkString("array(", ", ", ")"))).as("probe"))
+    val pairs = probes.as("x").join(hashes.as("y"),
+        col("x.probe") === col("y.phash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    U.dupGroups(base, pairs)
+  }
 
   // The corpus is pure ASCII (verified: octet_length == length at every
   // sf), so DuckDB's per-character ascii() sees exactly the utf-8 bytes
@@ -212,6 +268,32 @@ object Multimodal {
            CAST(length(substring(payload, CAST(frame_id * 256 AS INT) + 1, 256)) AS INT)
              AS frame_bytes,
            md5(substring(payload, CAST(frame_id * 256 AS INT) + 1, 256)) AS frame_digest
-         FROM f ORDER BY doc_id, frame_id"""
+         FROM f ORDER BY doc_id, frame_id""",
+
+    "q_mm_dedup_phash" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         c AS (SELECT doc_id, n, text, unnest(range(0, n)) AS pos FROM base),
+         d AS (SELECT doc_id, n, (pos * 32) // n AS blk,
+                 CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS code
+               FROM c),
+         g AS (SELECT doc_id, n, blk, CAST(SUM(code) AS BIGINT) AS sb,
+                 COUNT(*) AS nb
+               FROM d GROUP BY doc_id, n, blk),
+         t AS (SELECT *, CAST(SUM(sb) OVER (PARTITION BY doc_id) AS BIGINT) AS st
+               FROM g),
+         h AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN sb * n > st * nb
+                   THEN (CAST(1 AS BIGINT) << CAST(blk AS INT))
+                   ELSE 0 END) AS BIGINT) AS phash
+               FROM t GROUP BY doc_id),
+         probes AS (SELECT doc_id,
+             unnest(list_concat([phash],
+               list_transform(range(0, 32),
+                 b -> xor(phash, CAST(1 AS BIGINT) << CAST(b AS INT))))) AS probe
+           FROM h),
+         pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM probes x JOIN h y ON x.probe = y.phash AND x.doc_id < y.doc_id),
+         ${U.oDupGroups("pairs", "base")}"""
   )
 }

@@ -158,6 +158,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("phash dedup groups byte-aligned corruptions, not distinct payloads") {
+    import spark.implicits._
+    // a payload, a copy with ONE corrupted byte (same length — the
+    // pixel-aligned re-encode/corruption shape aHash exists for), and an
+    // unrelated payload: the corrupted pair must land in one dup group
+    // (Hamming ≤ 1 by construction), the unrelated doc in its own.
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val corrupt = base.updated(5, 'Z').toString
+    val other = ("zzzz aaaa " + "m" * 300 + " qqqq").trim
+    val df = Seq((1L, base), (2L, corrupt), (3L, other))
+      .toDF("doc_id", "text")
+    val out = queries.Multimodal.phashDedup(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L) && out(2L) == (1L, 1L),
+      s"corrupted copy not grouped with original: $out")
+    assert(out(3L) == (3L, 0L), s"unrelated payload grouped: $out")
+  }
+
   test("frame sampling keeps every 4th frame and tiles the payload") {
     val out = SparkEntry.queries("q_mm_frame_sample")(spark, sf)
     assert(out.where(col("frame_id") % 4 =!= 0).count() == 0)

@@ -142,6 +142,78 @@ class PlanSpec extends SparkSpec {
       s"unexpected join in:\n${qe.optimizedPlan}")
   }
 
+  test("q_agg_incremental_merge: pure aggregate merge — no join, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_agg_incremental_merge")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    // state + delta each aggregate partially before the tiny final merge
+    assert("HashAggregate".r.findAllIn(qe.executedPlan.toString).length >= 4,
+      qe.executedPlan.toString)
+  }
+
+  test("q_ts_seasonal_decompose is one aggregate pass — no join, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_seasonal_decompose")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+  }
+
+  test("q_llm_tokenize_apply: windowless, broadcast vocab apply, one corpus shuffle path") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_llm_tokenize_apply")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"global window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    // corpus → vocab id lookup must be a broadcast hash join (KB-sized dim)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested loop is the 100×100 broadcast triangle count for ids
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // top-100 vocab comes from per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_ts_changepoint: both frames share one partitioned window pass — no join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_changepoint")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    // trailing + leading frames must not cost two shuffles
+    assert("Exchange hashpartitioning".r
+      .findAllIn(qe.executedPlan.toString).length <= 1, qe.executedPlan.toString)
+  }
+
+  test("q_ts_streaks: per-user windows only, no self-join formulation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_streaks")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"gaps-and-islands must not self-join:\n${qe.optimizedPlan}")
+  }
+
+  test("q_mm_dedup_phash: probe join is equi (bucket-local), no cartesian") {
+    val p = plan("q_mm_dedup_phash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_llm_decontaminate_fuzzy: bench side broadcasts, candidate join is equi") {
+    val p = plan("q_llm_decontaminate_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"bench bands not broadcast:\n$p")
+  }
+
   test("q_join_bucketed joins bucket-local: no Exchange beneath the SortMergeJoin") {
     val p = SparkEntry.queries("q_join_bucketed")(spark, sf)
       .queryExecution.executedPlan.toString
