@@ -378,7 +378,7 @@ object Analytics {
 
     // Mean-shift changepoint scan: trailing-8 vs leading-8 EXACT cent
     // sums around each event, flagged when the regime mean moves by more
-    // than $75 — the compare is pure integer (|sr−sl| > 8·7500 cents), so
+    // than $50 — the compare is pure integer (|sr−sl| > 8·5000 cents), so
     // no float boundary row can flip; the reported shift is one
     // correctly-rounded division. Both frames share one partition+order
     // spec ⇒ a single per-user sort under one WindowExec — the same
@@ -395,7 +395,7 @@ object Analytics {
         .withColumn("nr", count(col("cents")).over(wr))
         .withColumn("sr", sum(col("cents")).over(wr))
         .where(col("nl") === 8 && col("nr") === 8 &&
-          abs(col("sr") - col("sl")) > lit(60000L))
+          abs(col("sr") - col("sl")) > lit(40000L))
         .select(col("user_id"), col("event_id"), col("ts_s"),
           round((col("sr") - col("sl")) / 800.0, 9).as("mean_shift"))
         .orderBy("user_id", "event_id")
@@ -729,7 +729,7 @@ object Analytics {
          SELECT user_id, event_id, ts_s,
            round((sr - sl) / 800.0, 9) AS mean_shift
          FROM w
-         WHERE nl = 8 AND nr = 8 AND abs(sr - sl) > 60000
+         WHERE nl = 8 AND nr = 8 AND abs(sr - sl) > 40000
          ORDER BY user_id, event_id""",
 
     "q_ts_streaks" ->

@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** SURVEY §2 round-4 frontier batch: interval-overlap join, multi-source
+  * BFS, two-pass heavy hitters, SRP-LSH cosine dedup, weighted reservoir
+  * sampling, and series downsampling.
+  *
+  * Shared discipline with the rest of the inventory: every plan is the
+  * one you would run at 100 TB (binned equi-joins instead of theta scans,
+  * per-shard heaps instead of global windows, broadcast dims for
+  * KB-scale state), and every emitted number is either integer-exact or
+  * pinned to a rounding grid both engines agree on.
+  */
+object Frontier {
+
+  /** Bipartite customer↔supplier co-purchase edge set (both directions) —
+    * the same graph `q_graph_pagerank` walks (supplier ids offset 1e6). */
+  private def edges(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame = {
+    val oi = Tables(s, d, "orders")
+      .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    oi.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Interval-overlap join (ranges × ranges — distinct from the
+    // point-in-band q_join_theta_range): per-customer order intervals
+    // [start, start + 1 + key%14 days] that OVERLAP. Scale-safe
+    // construction: each interval is exploded to the ≤2 32-day bins it
+    // touches (bin width ≥ max interval length, so overlapping intervals
+    // always share a bin), the join runs on the (custkey, bin) EQUI key
+    // with the overlap predicate as residual, and the ≤2× bin collision
+    // is deduped. All day arithmetic in integer day numbers.
+    "q_join_interval_overlap" -> ((s, d) => {
+      val iv = Tables(s, d, "orders")
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("k"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("st"))
+        .withColumn("en", col("st") + 1L + pmod(col("k"), lit(14L)))
+      val binned = iv.withColumn("bin",
+        explode(array_distinct(array(expr("st div 32"), expr("en div 32")))))
+      binned.as("x").join(binned.as("y"),
+          col("x.cust") === col("y.cust") && col("x.bin") === col("y.bin") &&
+            col("x.k") < col("y.k") &&
+            col("x.st") <= col("y.en") && col("y.st") <= col("x.en"))
+        .select(col("x.cust").as("o_custkey"), col("x.k").as("key_a"),
+          col("y.k").as("key_b"),
+          (least(col("x.en"), col("y.en")) -
+            greatest(col("x.st"), col("y.st")) + 1L).as("overlap_days"))
+        .distinct()
+        .orderBy("o_custkey", "key_a", "key_b")
+    }),
+
+    // Multi-source BFS over the co-purchase graph (seeds = customers
+    // 0-4), distances 0..4 by LEVEL-SYNCHRONOUS frontier expansion: each
+    // round joins the reached set to the edge list and re-distincts, so
+    // per-round state is ≤|V| ids and the work is one equi-join shuffle —
+    // the Pregel shape, like q_llm_dedup_cc. localCheckpoint keeps the
+    // lineage flat across rounds. dist = first level an id appears in.
+    "q_graph_bfs" -> ((s, d) => {
+      val e = edges(s, d)
+      val seeds = Tables(s, d, "customer").where(col("c_custkey") < 5)
+        .select(col("c_custkey").as("id"))
+      var reach = seeds
+      var levels = seeds.select(col("id"), lit(0).as("lvl"))
+      for (k <- 1 to 4) {
+        reach = reach.join(e, col("id") === col("src"))
+          .select(col("dst").as("id"))
+          .union(reach).distinct().localCheckpoint(true)
+        levels = levels.union(reach.select(col("id"), lit(k).as("lvl")))
+      }
+      levels.groupBy("id").agg(min(col("lvl")).cast("int").as("dist"))
+        .orderBy("id")
+    }),
+
+    // Two-pass distributed heavy hitters (the exact-verify flavor of
+    // SpaceSaving): pass 1 ranks terms within each of 16 deterministic
+    // shards (doc_id mod 16) and keeps each shard's top-256 as
+    // CANDIDATES — by pigeonhole any term with global count > N/256
+    // survives in some shard, so the true top-10 is always captured;
+    // pass 2 recounts candidates exactly and takes the global top-10 via
+    // a TakeOrdered heap. Per-shard state is bounded (256 rows), the
+    // shard window parallelizes across shards (shard count scales with
+    // the cluster, not N), and no global sort ever runs.
+    "q_agg_heavy_hitters" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(16L)).as("shard"),
+          explode(textTokens).as("term"))
+      val wnd = Window.partitionBy("shard")
+        .orderBy(col("c").desc, col("term"))
+      val cand = tok.groupBy("shard", "term").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wnd))
+        .where(col("rk") <= 256)
+        .select("term").distinct()
+      tok.join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(10)
+    }),
+
+    // Near-dup grouping over embeddings via SIGNED RANDOM PROJECTIONS
+    // (the LSH family member for cosine, joining SimHash/MinHash/IVF in
+    // the dedup kit): 32 deterministic ±1 hyperplanes from md5 parities
+    // (a 32×64 dim that BROADCASTS at any corpus size), sign bits banded
+    // 8×4, candidates from band-bucket equi-joins only — never all-pairs
+    // — then an exact-cosine ≥ 0.42 confirm on candidates (the same
+    // threshold as q_llm_dedup_semantic; vectors are unit-norm so dot =
+    // cosine). Products are ±float in double and the sum order is the
+    // array order in both engines ⇒ the sign bits are bit-identical
+    // cross-engine. Band key width must grow with N (same rule as the
+    // IVF quantizer — 4 bits is sized to the 500-vector fixture).
+    "q_llm_dedup_lsh_cosine" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val hyp = s.range(32).select(col("id").cast("int").as("j"),
+        expr(s"""transform(sequence(1, 64), i -> CAST(IF(
+            ${hexFold("md5(concat('srp', CAST(id AS STRING), '|', CAST(i AS STRING)))", 1)}
+            % 2 = 0, 1.0D, -1.0D) AS FLOAT))""").as("sgn"))
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val bands = e.crossJoin(broadcast(hyp))
+        .select(col("doc_id"), expr("j div 4").as("band_id"),
+          when(expr("graft_dot(embedding, sgn)") > 0,
+            expr("shiftleft(1, j % 4)")).otherwise(0).as("bit"))
+        .groupBy("doc_id", "band_id").agg(sum(col("bit")).as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val pairs = cand
+        .join(e.select(col("doc_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(e.select(col("doc_id").as("b"), col("embedding").as("eb")), Seq("b"))
+        .where(expr("round(graft_dot(ea, eb), 6)") >= 0.42)
+        .select("a", "b")
+      U.dupGroups(e, pairs)
+    }),
+
+    // Weighted reservoir sampling without replacement (Efraimidis-
+    // Spirakis A-ES): key = −ln(u)/w with u a deterministic md5-derived
+    // uniform and w = n_chars; the global sample is the 20 SMALLEST keys
+    // via a TakeOrdered heap — per-partition heaps merge at the driver,
+    // no global sort, and the same keys merge identically on any
+    // partitioning. ln is libm ⇒ the key is pinned to the 1e-9 grid
+    // before the rank compare (doc_id breaks residual ties).
+    "q_sample_reservoir" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(expr(
+            s"""-ln((${hexFold("md5(CAST(doc_id AS STRING))", 12)} + 1)
+                / 281474976710656.0)""") / col("n_chars"), 9).as("rkey"))
+        .orderBy("rkey", "doc_id").limit(20)),
+
+    // Series downsampling: one representative event per (user, day) — the
+    // point FARTHEST from the day's mean (the parallel one-pass cousin of
+    // LTTB's per-bucket representative). The deviation compare is exact
+    // integer cross-multiplication (|cents·n − s| — never a float mean),
+    // the day aggregate and the pick ride ONE hash partitioning (two
+    // WindowExecs, one Exchange — PlanSpec-guarded), ties break by
+    // event_id. Linear at any N; no cross-day data moves.
+    "q_ts_downsample" -> ((s, d) => {
+      val wd = Window.partitionBy("user_id", "day")
+      val wr = wd.orderBy(col("dev").desc, col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n", count(lit(1)).over(wd))
+        .withColumn("sc", sum(col("cents")).over(wd))
+        .withColumn("dev", abs(col("cents") * col("n") - col("sc")))
+        .withColumn("rk", row_number().over(wr)).where(col("rk") === 1)
+        .select(col("user_id"), col("day"), col("n").as("n_pts"),
+          col("event_id").as("rep_event_id"), col("cents").as("rep_cents"))
+        .orderBy("user_id", "day")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_interval_overlap" ->
+      """WITH iv AS (
+           SELECT o_custkey AS cust, o_orderkey AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS st,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+               + 1 + o_orderkey % 14 AS en
+           FROM orders)
+         SELECT x.cust AS o_custkey, x.k AS key_a, y.k AS key_b,
+           least(x.en, y.en) - greatest(x.st, y.st) + 1 AS overlap_days
+         FROM iv x JOIN iv y ON x.cust = y.cust AND x.k < y.k
+           AND x.st <= y.en AND y.st <= x.en
+         ORDER BY o_custkey, key_a, key_b""",
+
+    "q_graph_bfs" ->
+      """WITH oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT cust AS src, supp AS dst FROM oi
+               UNION ALL SELECT supp AS src, cust AS dst FROM oi),
+         r0 AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 5),
+         r1 AS (SELECT DISTINCT id FROM (SELECT id FROM r0
+                UNION ALL SELECT e.dst FROM e JOIN r0 ON e.src = r0.id)),
+         r2 AS (SELECT DISTINCT id FROM (SELECT id FROM r1
+                UNION ALL SELECT e.dst FROM e JOIN r1 ON e.src = r1.id)),
+         r3 AS (SELECT DISTINCT id FROM (SELECT id FROM r2
+                UNION ALL SELECT e.dst FROM e JOIN r2 ON e.src = r2.id)),
+         r4 AS (SELECT DISTINCT id FROM (SELECT id FROM r3
+                UNION ALL SELECT e.dst FROM e JOIN r3 ON e.src = r3.id)),
+         lv AS (SELECT id, 0 AS lvl FROM r0
+                UNION ALL SELECT id, 1 FROM r1
+                UNION ALL SELECT id, 2 FROM r2
+                UNION ALL SELECT id, 3 FROM r3
+                UNION ALL SELECT id, 4 FROM r4)
+         SELECT id, CAST(MIN(lvl) AS INT) AS dist
+         FROM lv GROUP BY id ORDER BY id""",
+
+    "q_agg_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT doc_id % 16 AS shard, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         sc AS (SELECT shard, term, COUNT(*) AS c
+                FROM tok GROUP BY shard, term),
+         cand AS (SELECT DISTINCT term FROM (
+           SELECT term, ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY c DESC, term) AS rk FROM sc) WHERE rk <= 256)
+         SELECT term, COUNT(*) AS cnt
+         FROM tok WHERE term IN (SELECT term FROM cand)
+         GROUP BY term ORDER BY cnt DESC, term LIMIT 10""",
+
+    "q_llm_dedup_lsh_cosine" ->
+      s"""WITH h AS (SELECT j,
+             list_transform(range(1, 65), i -> CASE WHEN
+               ${oHexFold("md5('srp' || j::VARCHAR || '|' || i::VARCHAR)", 1)}
+               % 2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sgn
+           FROM (SELECT unnest(range(0, 32)) AS j)),
+         bits AS (SELECT e.vec_id AS doc_id, h.j,
+             CASE WHEN list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * h.sgn[i])) > 0
+               THEN 1 ELSE 0 END AS bit
+           FROM embeddings e CROSS JOIN h),
+         bands AS (SELECT doc_id, j // 4 AS band_id,
+             CAST(SUM(bit << (j % 4)) AS BIGINT) AS bkey
+           FROM bits GROUP BY doc_id, j // 4),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y ON x.band_id = y.band_id
+             AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         pairs AS (SELECT c.a, c.b FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.a
+           JOIN embeddings eb ON eb.vec_id = c.b
+           WHERE round(list_sum(list_transform(range(1, 65),
+             i -> CAST(ea.embedding[i] AS DOUBLE)
+                  * CAST(eb.embedding[i] AS DOUBLE))), 6) >= 0.42),
+         base AS (SELECT vec_id AS doc_id FROM embeddings),
+         ${U.oDupGroups("pairs", "base")}""",
+
+    "q_sample_reservoir" ->
+      s"""SELECT doc_id, n_chars,
+           round(-ln((${oHexFold("md5(doc_id::VARCHAR)", 12)} + 1)
+             / 281474976710656.0) / n_chars, 9) AS rkey
+         FROM documents ORDER BY rkey, doc_id LIMIT 20""",
+
+    "q_ts_downsample" ->
+      """WITH e AS (
+           SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         w AS (SELECT user_id, event_id, day, cents,
+             CAST(COUNT(*) OVER wd AS BIGINT) AS n,
+             CAST(SUM(cents) OVER wd AS BIGINT) AS sc
+           FROM e WINDOW wd AS (PARTITION BY user_id, day)),
+         r AS (SELECT *, abs(cents * n - sc) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+               ORDER BY abs(cents * n - sc) DESC, event_id) AS rk
+           FROM w)
+         SELECT user_id, day, n AS n_pts, event_id AS rep_event_id,
+           cents AS rep_cents
+         FROM r WHERE rk = 1 ORDER BY user_id, day"""
+  )
+}

@@ -149,7 +149,22 @@ object Scalars {
           col("recs")(0).getField("t").as("top_type"),
           expr("aggregate(slice(recs, 1, 3), CAST(0.0 AS DOUBLE), (a, r) -> a + r.v)")
             .as("top3_sum"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Multi-match regex family (the *_all cousins of q_fn_string's
+    // single-match extract/replace): per-doc match COUNT, the first
+    // three matches re-joined, and the match-stripped remainder length.
+    // Patterns stay in the char-class subset Java regex and RE2 agree
+    // on; everything is one codegen'd projection — no UDFs.
+    "q_fn_regex_all" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("ta[a-z]+")).cast("long").as("n_ta"),
+          array_join(slice(regexp_extract_all(col("text"), lit("ta[a-z]+"), lit(0)),
+            1, 3), ",").as("first3"),
+          length(regexp_replace(col("text"), "ta[a-z]+", "")).cast("long")
+            .as("stripped_len"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,6 +265,15 @@ object Scalars {
            COALESCE(MAX(CASE WHEN rn = 1 THEN value END), 0)
              + COALESCE(MAX(CASE WHEN rn = 2 THEN value END), 0)
              + COALESCE(MAX(CASE WHEN rn = 3 THEN value END), 0) AS top3_sum
-         FROM r GROUP BY user_id ORDER BY user_id"""
+         FROM r GROUP BY user_id ORDER BY user_id""",
+
+    "q_fn_regex_all" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT) AS n_ta,
+           COALESCE(array_to_string(regexp_extract_all(text, 'ta[a-z]+')[1:3], ','),
+             '') AS first3,
+           CAST(length(regexp_replace(text, 'ta[a-z]+', '', 'g')) AS BIGINT)
+             AS stripped_len
+         FROM documents ORDER BY doc_id"""
   )
 }

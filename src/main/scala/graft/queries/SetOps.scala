@@ -33,6 +33,20 @@ object SetOps {
     "q_set_except" -> ((s, d) =>
       urgent(s, d).select("o_custkey")
         .except(high(s, d).select("o_custkey"))
+        .orderBy("o_custkey")),
+
+    // Multiset (bag) semantics — `exceptAll`/`intersectAll` preserve
+    // duplicate counts (a customer with 3 urgent and 1 high order keeps
+    // 2 rows in EXCEPT ALL, 1 in INTERSECT ALL). Spark plans both as an
+    // aggregate of per-side counts + a generator — one shuffle, linear.
+    "q_set_except_all" -> ((s, d) =>
+      urgent(s, d).select("o_custkey")
+        .exceptAll(high(s, d).select("o_custkey"))
+        .orderBy("o_custkey")),
+
+    "q_set_intersect_all" -> ((s, d) =>
+      urgent(s, d).select("o_custkey")
+        .intersectAll(high(s, d).select("o_custkey"))
         .orderBy("o_custkey"))
   )
 
@@ -47,6 +61,10 @@ object SetOps {
           ORDER BY o_custkey, src""",
     "q_set_union_distinct" -> s"SELECT o_custkey FROM ($u UNION $h) ORDER BY o_custkey",
     "q_set_intersect" -> s"SELECT o_custkey FROM ($u INTERSECT $h) ORDER BY o_custkey",
-    "q_set_except" -> s"SELECT o_custkey FROM ($u EXCEPT $h) ORDER BY o_custkey"
+    "q_set_except" -> s"SELECT o_custkey FROM ($u EXCEPT $h) ORDER BY o_custkey",
+    "q_set_except_all" ->
+      s"SELECT o_custkey FROM ($u EXCEPT ALL $h) ORDER BY o_custkey",
+    "q_set_intersect_all" ->
+      s"SELECT o_custkey FROM ($u INTERSECT ALL $h) ORDER BY o_custkey"
   )
 }

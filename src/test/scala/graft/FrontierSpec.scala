@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Functional invariants for the round-4 frontier batch (queries/Frontier)
+  * beyond the DuckDB hash compare: BFS level semantics, heavy-hitter
+  * candidate capture, LSH soundness vs the exact pair set, reservoir
+  * shape, and the downsample argmax property. */
+class FrontierSpec extends SparkSpec {
+
+  test("q_graph_bfs: seeds at 0, levels alternate sides of the bipartite graph") {
+    val out = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
+    val dist = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 5L).filter(dist.contains).foreach(s => assert(dist(s) == 0))
+    assert(dist.values.forall(d => d >= 0 && d <= 4))
+    // customer↔supplier edges only: odd distance ⇒ supplier id (≥1e6)
+    dist.foreach { case (id, d) =>
+      if (d % 2 == 1) assert(id >= 1000000L, s"odd-dist node $id is not a supplier")
+      else assert(id < 1000000L, s"even-dist node $id is not a customer")
+    }
+  }
+
+  test("q_agg_heavy_hitters equals the exact global top-10") {
+    val tok = Tables(spark, sf, "documents")
+      .select(explode(queries.U.textTokens).as("term"))
+    val exact = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ours = SparkEntry.queries("q_agg_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ours.toSeq == exact.toSeq)
+  }
+
+  test("q_llm_dedup_lsh_cosine pairs are sound vs exact cosine, recall > 0") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exactPairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          expr("round(graft_dot(a.embedding, b.embedding), 6)") >= 0.42)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = SparkEntry.queries("q_llm_dedup_lsh_cosine")(spark, sf)
+      .where(col("n_dups") > 0).collect()
+    // soundness: every grouped doc's keep_id is a true ≥0.42 neighbor
+    out.foreach { r =>
+      val (id, keep) = (r.getLong(0), r.getLong(1))
+      if (keep != id)
+        assert(exactPairs.contains((keep, id)) || exactPairs.contains((id, keep)),
+          s"LSH grouped ($id, $keep) but exact cosine < 0.42")
+    }
+    if (exactPairs.nonEmpty)
+      assert(out.nonEmpty, "exact near-dup pairs exist but LSH recalled none")
+  }
+
+  test("q_sample_reservoir: 20 rows, keys nondecreasing, deterministic") {
+    val a = SparkEntry.queries("q_sample_reservoir")(spark, sf).collect()
+    assert(a.length == 20)
+    val keys = a.map(_.getDouble(2))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x <= y })
+    val b = SparkEntry.queries("q_sample_reservoir")(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+  }
+
+  test("q_ts_downsample picks the max-deviation point of each (user, day)") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id", "day")
+    val withDev = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sc", sum(col("cents")).over(w))
+      .withColumn("dev", abs(col("cents") * col("n") - col("sc")))
+    val stats = withDev.groupBy("user_id", "day").agg(max("dev").as("maxdev"))
+    val rep = SparkEntry.queries("q_ts_downsample")(spark, sf)
+      .join(withDev.select(col("user_id"), col("day"),
+        col("event_id").as("rep_event_id"), col("dev")),
+        Seq("user_id", "day", "rep_event_id"))
+      .join(stats, Seq("user_id", "day"))
+    val bad = rep.where(col("dev") =!= col("maxdev")).count()
+    assert(bad == 0, s"$bad rep points are not the max-deviation point")
+  }
+
+  test("q_set_except_all keeps multiset counts") {
+    import spark.implicits._
+    val u = Tables(spark, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("nu"))
+    val h = Tables(spark, sf, "orders")
+      .where(col("o_orderpriority") === "2-HIGH")
+      .groupBy("o_custkey").agg(count(lit(1)).as("nh"))
+    val expect = u.join(h, Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        greatest(col("nu") - coalesce(col("nh"), lit(0L)), lit(0L)).as("n"))
+      .where(col("n") > 0)
+      .as[(Long, Long)].collect().toMap
+    val got = SparkEntry.queries("q_set_except_all")(spark, sf)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+}

@@ -214,6 +214,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bench bands not broadcast:\n$p")
   }
 
+  test("q_join_interval_overlap joins on the (cust, bin) equi-key — never BNLJ") {
+    val p = plan("q_join_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in:\n$p")
+  }
+
+  test("q_agg_heavy_hitters: sharded window, broadcast semi-join, heap top-10") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_agg_heavy_hitters")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), s"candidate dim not broadcast:\n$p")
+  }
+
+  test("q_llm_dedup_lsh_cosine: band join is equi; only the 32-row hyperplane dim nests") {
+    val p = plan("q_llm_dedup_lsh_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    // nested loops exist only for the broadcast 32-row hyperplane dim
+    // (printed once per consumer of the shared bands/pairs lineage);
+    // every instance must be a broadcast build, never a shuffled NLJ
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"band-bucket join not equi:\n$p")
+  }
+
+  test("q_sample_reservoir samples via a TakeOrdered heap, not a global sort") {
+    val p = plan("q_sample_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort in:\n$p")
+  }
+
+  test("q_ts_downsample: both windows ride one hash partitioning") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_downsample")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    assert("Exchange hashpartitioning".r
+      .findAllIn(qe.executedPlan.toString).length <= 1, qe.executedPlan.toString)
+  }
+
   test("q_join_bucketed joins bucket-local: no Exchange beneath the SortMergeJoin") {
     val p = SparkEntry.queries("q_join_bucketed")(spark, sf)
       .queryExecution.executedPlan.toString
