@@ -156,6 +156,24 @@ object Frontier {
                 / 281474976710656.0)""") / col("n_chars"), 9).as("rkey"))
         .orderBy("rkey", "doc_id").limit(20)),
 
+    // Deterministic corpus shuffle for training order (the "global
+    // shuffle" every epoch pipeline needs WITHOUT a global sort): each
+    // doc gets an md5-derived 48-bit key, shard = key mod 64 (one hash
+    // shuffle), position-within-shard from a PER-SHARD window — shards
+    // are the parallel unit, so sort work scales with the cluster while
+    // the (shard, pos) pair is a total, reproducible training order.
+    // Seed the salt ('shuf') to re-shuffle between epochs.
+    "q_llm_shuffle_shards" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr(hexFold("md5(concat('shuf', CAST(doc_id AS STRING)))", 12)).as("skey"))
+        .withColumn("shard", pmod(col("skey"), lit(64L)))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     // Series downsampling: one representative event per (user, day) — the
     // point FARTHEST from the day's mean (the parallel one-pass cousin of
     // LTTB's per-bucket representative). The deviation compare is exact
@@ -254,6 +272,16 @@ object Frontier {
                   * CAST(eb.embedding[i] AS DOUBLE))), 6) >= 0.42),
          base AS (SELECT vec_id AS doc_id FROM embeddings),
          ${U.oDupGroups("pairs", "base")}""",
+
+    "q_llm_shuffle_shards" ->
+      s"""WITH k AS (SELECT doc_id,
+             ${oHexFold("md5('shuf' || doc_id::VARCHAR)", 12)} AS skey
+           FROM documents),
+         s AS (SELECT doc_id, skey, skey % 64 AS shard FROM k)
+         SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+             - 1 AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""",
 
     "q_sample_reservoir" ->
       s"""SELECT doc_id, n_chars,

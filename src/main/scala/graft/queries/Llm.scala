@@ -122,6 +122,35 @@ object Llm {
     "q_llm_dedup_near" -> ((s, d) =>
       U.dupGroups(Tables(s, d, "documents"), confirmedPairs(s, d))),
 
+    // CONTAINMENT dedup — the asymmetric cousin of the Jaccard confirm:
+    // flags pairs where the SMALLER trigram set is ≥90% inside the larger
+    // (quotes, re-posts with boilerplate, doc-in-doc). Candidates come
+    // from the same MinHash banding as q_llm_dedup_near — so recall is
+    // the symmetric-Jaccard one and honest about its blind spot: a tiny
+    // doc buried in a huge one won't band-collide (the substring-span
+    // pass q_llm_substring_dedup is the tool for that shape); what this
+    // catches is near-equal-size containment, at banding cost, never
+    // all-pairs. Confirm arithmetic is one integer division compare.
+    "q_llm_dedup_containment" -> ((s, d) => {
+      val g = shingles(s, d)
+      val band = bandKeys(g)
+      val cand = band.as("x").join(band.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(g.as("gx"), col("gx.doc_id") === col("a"))
+        .join(g.as("gy"), col("gy.doc_id") === col("b") && col("gy.g") === col("gx.g"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val pairs = inter
+        .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+        .where(col("i").cast("double") / least(col("sza"), col("szb")) >= 0.9)
+        .select("a", "b")
+      U.dupGroups(Tables(s, d, "documents"), pairs)
+    }),
+
     // Transitive dup groups: connected components over the confirmed
     // near-dup pairs (a kept b, b kept c ⇒ {a,b,c} are one group — the
     // closure q_llm_dedup_near's direct-neighbor view doesn't take).
@@ -336,6 +365,21 @@ object Llm {
 
     "q_llm_dedup_near" ->
       s"""WITH $oConfCte,
+         ${U.oDupGroups("conf", "documents")}""",
+
+    "q_llm_dedup_containment" ->
+      s"""WITH $oSigCte,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+         inter AS (SELECT c.a, c.b, COUNT(*) AS i
+                   FROM cand c JOIN g x ON x.doc_id = c.a
+                     JOIN g y ON y.doc_id = c.b AND y.g = x.g
+                   GROUP BY c.a, c.b),
+         conf AS (SELECT a, b FROM inter
+                  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                  WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9),
          ${U.oDupGroups("conf", "documents")}""",
 
     "q_llm_decontaminate_fuzzy" ->

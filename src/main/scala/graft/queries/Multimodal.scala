@@ -139,6 +139,39 @@ object Multimodal {
           md5(col("frame")).as("frame_digest"))
         .orderBy("doc_id", "frame_id")),
 
+    // Scene-change detection plumbing: per-doc, find the MOST different
+    // consecutive-frame boundary (256-byte frames, full frames only so a
+    // short tail frame can't fake a cut) by byte-sum delta — the argmax
+    // formulation stays non-degenerate on any payload distribution where
+    // a fixed threshold would (this ASCII stand-in corpus has near-flat
+    // frame sums). Per-doc lag + rank windows share one (doc_id)
+    // partitioning; the byte sums are exact integers. A real video
+    // pipeline swaps the byte-sum for a decoded-histogram distance at
+    // the same shape (codec stubbed like the rest of §2.12).
+    "q_mm_scene_cuts" -> ((s, d) => {
+      val wd = Window.partitionBy("doc_id").orderBy("frame_id")
+      val wr = Window.partitionBy("doc_id")
+        .orderBy(col("delta").desc, col("frame_id"))
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("text").as("payload"))
+        .withColumn("n_full",
+          expr("CAST(length(payload) div 256 AS BIGINT)"))
+        .where(col("n_full") >= 2)
+        .select(col("doc_id"), col("payload"),
+          explode(expr("sequence(0, CAST(n_full - 1 AS INT))")).as("frame_id"))
+        .withColumn("bsum", expr(
+          """aggregate(transform(sequence(1, 256),
+               i -> CAST(ascii(substr(substring(payload,
+                 CAST(frame_id * 256 AS INT) + 1, 256), i, 1)) AS BIGINT)),
+               0L, (a, x) -> a + x)"""))
+        .withColumn("delta", abs(col("bsum") - lag(col("bsum"), 1).over(wd)))
+        .where(col("delta").isNotNull)
+        .withColumn("rk", row_number().over(wr)).where(col("rk") === 1)
+        .select(col("doc_id"), col("frame_id").cast("long").as("cut_frame"),
+          col("delta").as("cut_delta"))
+        .orderBy("doc_id")
+    }),
+
     // Perceptual near-dup over the binary payload (the aHash family a
     // real image-dedup pass runs on decoded pixels — codec stubbed like
     // the rest of §2.12). Semantics caveat (measured): aHash assumes
@@ -269,6 +302,28 @@ object Multimodal {
              AS frame_bytes,
            md5(substring(payload, CAST(frame_id * 256 AS INT) + 1, 256)) AS frame_digest
          FROM f ORDER BY doc_id, frame_id""",
+
+    "q_mm_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text AS payload,
+             CAST(length(text) // 256 AS BIGINT) AS n_full
+           FROM documents WHERE length(text) // 256 >= 2),
+         f AS (SELECT doc_id, payload,
+             unnest(range(0, n_full)) AS frame_id FROM d),
+         s AS (SELECT doc_id, frame_id,
+             list_sum(list_transform(range(1, 257),
+               i -> CAST(ascii(substring(substring(payload,
+                 CAST(frame_id * 256 AS INT) + 1, 256),
+                 CAST(i AS INT), 1)) AS BIGINT))) AS bsum
+           FROM f),
+         l AS (SELECT doc_id, frame_id, abs(bsum -
+             lag(bsum) OVER (PARTITION BY doc_id ORDER BY frame_id)) AS delta
+           FROM s),
+         r AS (SELECT doc_id, frame_id, delta,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY delta DESC, frame_id) AS rk
+           FROM l WHERE delta IS NOT NULL)
+         SELECT doc_id, frame_id AS cut_frame, delta AS cut_delta
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
 
     "q_mm_dedup_phash" ->
       s"""WITH base AS (SELECT doc_id, text, length(text) AS n

@@ -82,6 +82,56 @@ class FrontierSpec extends SparkSpec {
     assert(bad == 0, s"$bad rep points are not the max-deviation point")
   }
 
+  test("q_llm_shuffle_shards is a permutation: every doc once, contiguous positions") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_llm_shuffle_shards")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(out.length == nDocs)
+    assert(out.map(_._1).distinct.length == nDocs, "a doc appears twice")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val pos = rows.map(_._3).sorted
+      assert(pos.sameElements(0L until pos.length),
+        s"shard $shard positions not contiguous: ${pos.take(5).mkString(",")}")
+    }
+  }
+
+  test("q_mm_scene_cuts picks the max frame-boundary delta per doc") {
+    val out = SparkEntry.queries("q_mm_scene_cuts")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute one doc's frame sums directly and confirm the argmax
+    val docId = out.head.getLong(0)
+    val payload = Tables(spark, sf, "documents")
+      .where(col("doc_id") === docId).select("text").collect().head.getString(0)
+    val sums = payload.grouped(256).filter(_.length == 256)
+      .map(_.map(_.toLong).sum).toArray
+    val deltas = sums.zip(sums.tail).map { case (a, b) => math.abs(b - a) }
+    assert(out.head.getLong(2) == deltas.max,
+      s"cut_delta ${out.head.getLong(2)} != recomputed max ${deltas.max}")
+  }
+
+  test("q_llm_dedup_containment pairs truly have >= 0.9 containment") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val tk = t.split(" ")
+      (0 until math.max(tk.length - 2, 0))
+        .map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+    }
+    val gs = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val grouped = SparkEntry.queries("q_llm_dedup_containment")(spark, sf)
+      .where(col("n_dups") > 0).collect()
+    grouped.foreach { r =>
+      val (id, keep) = (r.getLong(0), r.getLong(1))
+      if (keep != id) {
+        val (a, b) = (gs(id), gs(keep))
+        val cont = a.intersect(b).size.toDouble / math.min(a.size, b.size)
+        assert(cont >= 0.9, s"pair ($id, $keep) containment $cont < 0.9")
+      }
+    }
+  }
+
   test("q_set_except_all keeps multiset counts") {
     import spark.implicits._
     val u = Tables(spark, sf, "orders")
