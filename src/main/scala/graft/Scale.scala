@@ -124,7 +124,23 @@ object Scale {
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     val vecStride = stride(embs, "vec_id")
     write("embeddings", replicate(embs, f) {
-      (df, k) => df.withColumn("vec_id", col("vec_id") + lit(k * vecStride))
+      (df, k) =>
+        // Per-copy deterministic SIGN FLIP of each dimension (s ∈ ±1 from
+        // md5 parity of (copy, dim)): intra-copy geometry is EXACT —
+        // dot(s∘v, s∘w) = dot(v, w) since s_i² = 1 — so every within-copy
+        // neighbor/cell/cosine structure matches copy 0, while cross-copy
+        // dots decorrelate (Σ s_i s'_i v_i w_i ≈ random-sign sum). A
+        // verbatim copy (the pre-fix state) left F byte-identical twins
+        // of every vector colliding in the SAME quantizer cell at any bit
+        // count — pair volume ∝F², the exact collision artifact this
+        // generator exists to avoid (see the documents per-token suffix).
+        val flipped = if (k == 0) col("embedding")
+        else expr(
+          s"""transform(embedding, (x, i) -> CAST(IF(
+               CAST(conv(substring(md5(concat('emb$k|', CAST(i AS STRING))), 1, 1), 16, 10)
+                 AS BIGINT) % 2 = 0, x, -x) AS FLOAT))""")
+        df.withColumn("vec_id", col("vec_id") + lit(k * vecStride))
+          .withColumn("embedding", flipped)
     })
     println(s"""{"gen":"$out","factor":$f}""")
   }

@@ -34,6 +34,8 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -43,6 +45,11 @@ case class DotProductFloat(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT propagates NULL, matching the HOF and the DuckDB
+      // list_transform mirror exactly — getFloat on a null slot would
+      // read garbage and produce a plausible-looking dot product (same
+      // rule as graft_l2sq)
+      if (xa.isNullAt(i) || ya.isNullAt(i)) return null
       s += xa.getFloat(i).toDouble * ya.getFloat(i).toDouble
       i += 1
     }
@@ -58,9 +65,10 @@ case class DotProductFloat(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

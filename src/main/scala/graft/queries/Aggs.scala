@@ -263,8 +263,9 @@ object Aggs {
     "q_agg_quantile_merge" ->
       """WITH b AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi,
                       COUNT(*) AS n FROM customer),
-         x AS (SELECT LEAST(255, CAST(FLOOR((c_acctbal - lo) / ((hi - lo) / 256))
-                 AS INT)) AS bin FROM customer, b),
+         x AS (SELECT CASE WHEN hi <= lo THEN 255 ELSE
+                 LEAST(255, CAST(FLOOR((c_acctbal - lo) / ((hi - lo) / 256))
+                   AS INT)) END AS bin FROM customer, b),
          h AS (SELECT bin, COUNT(*) AS cnt FROM x GROUP BY bin),
          c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
          p AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),

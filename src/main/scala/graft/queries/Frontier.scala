@@ -17,18 +17,6 @@ import U._
   */
 object Frontier {
 
-  /** Bipartite customer↔supplier co-purchase edge set (both directions) —
-    * the same graph `q_graph_pagerank` walks (supplier ids offset 1e6). */
-  private def edges(s: org.apache.spark.sql.SparkSession, d: String)
-    : org.apache.spark.sql.DataFrame = {
-    val oi = Tables(s, d, "orders")
-      .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-      .distinct()
-    oi.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
-  }
-
   val queries: Map[String, Q] = Map(
     // Interval-overlap join (ranges × ranges — distinct from the
     // point-in-band q_join_theta_range): per-customer order intervals
@@ -62,10 +50,14 @@ object Frontier {
     // 0-4), distances 0..4 by LEVEL-SYNCHRONOUS frontier expansion: each
     // round joins the reached set to the edge list and re-distincts, so
     // per-round state is ≤|V| ids and the work is one equi-join shuffle —
-    // the Pregel shape, like q_llm_dedup_cc. localCheckpoint keeps the
-    // lineage flat across rounds. dist = first level an id appears in.
+    // the Pregel shape, like q_llm_dedup_cc. LAZY localCheckpoints (the
+    // round count is fixed; nothing inspects data mid-loop) keep lineage
+    // flat at execution time while plan-only consumers (PlanSpec sweeps,
+    // Explain) never run a job; the edge list checkpoints too, so the
+    // orders⋈lineitem build runs once, not once per round. dist = first
+    // level an id appears in.
     "q_graph_bfs" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
       val seeds = Tables(s, d, "customer").where(col("c_custkey") < 5)
         .select(col("c_custkey").as("id"))
       var reach = seeds
@@ -73,22 +65,26 @@ object Frontier {
       for (k <- 1 to 4) {
         reach = reach.join(e, col("id") === col("src"))
           .select(col("dst").as("id"))
-          .union(reach).distinct().localCheckpoint(true)
+          .union(reach).distinct().localCheckpoint(false)
         levels = levels.union(reach.select(col("id"), lit(k).as("lvl")))
       }
       levels.groupBy("id").agg(min(col("lvl")).cast("int").as("dist"))
         .orderBy("id")
     }),
 
-    // Two-pass distributed heavy hitters (the exact-verify flavor of
-    // SpaceSaving): pass 1 ranks terms within each of 16 deterministic
-    // shards (doc_id mod 16) and keeps each shard's top-256 as
-    // CANDIDATES — by pigeonhole any term with global count > N/256
-    // survives in some shard, so the true top-10 is always captured;
+    // Two-pass distributed heavy hitters (the TPUT/threshold-algorithm
+    // shape): pass 1 ranks terms within each of 16 deterministic shards
+    // (doc_id mod 16) and keeps each shard's top-256 as CANDIDATES;
     // pass 2 recounts candidates exactly and takes the global top-10 via
-    // a TakeOrdered heap. Per-shard state is bounded (256 rows), the
-    // shard window parallelizes across shards (shard count scales with
-    // the cluster, not N), and no global sort ever runs.
+    // a TakeOrdered heap. The guarantee is a THRESHOLD bound, not
+    // unconditional: a non-candidate term's global count is ≤ Σ_s
+    // cutoff_s (each shard's 256th-largest count), so the answer is
+    // provably exact whenever the 10th recounted candidate exceeds that
+    // bound — FrontierSpec asserts exactly this margin on the fixture
+    // (where it holds by a wide gap), and a production run would emit
+    // the same Σ-cutoff check alongside the result. Per-shard state is
+    // bounded (256 rows), the shard window parallelizes across shards
+    // (shard count scales with the cluster, not N), no global sort runs.
     "q_agg_heavy_hitters" -> ((s, d) => {
       val tok = Tables(s, d, "documents")
         .select(pmod(col("doc_id"), lit(16L)).as("shard"),
@@ -114,7 +110,8 @@ object Frontier {
     // cosine). Products are ±float in double and the sum order is the
     // array order in both engines ⇒ the sign bits are bit-identical
     // cross-engine. Band key width must grow with N (same rule as the
-    // IVF quantizer — 4 bits is sized to the 500-vector fixture).
+    // IVF quantizer — 4-bit bands are sized to the 10³-scale fixtures,
+    // 500 vectors at sf0.01 / 2000 at sf0.1).
     "q_llm_dedup_lsh_cosine" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val hyp = s.range(32).select(col("id").cast("int").as("j"),

@@ -50,12 +50,7 @@ object Insights {
     // with DECIMAL(38,0) ranks. Dangling mass (customers with no orders)
     // is dropped, the standard simplified formulation.
     "q_graph_pagerank" -> ((s, d) => {
-      val oi = Tables(s, d, "orders")
-        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-      val edges = oi.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
+      val edges = U.coPurchaseEdges(s, d)
       val nodes = Tables(s, d, "customer").select(col("c_custkey").as("id"))
         .unionAll(Tables(s, d, "supplier").select((col("s_suppkey") + 1000000L).as("id")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -253,10 +248,7 @@ object Insights {
     // diagnostic of any graph workload — is it power-law-skewed?): node
     // degree → node count, split by side, zero-degree nodes included.
     "q_graph_degree_hist" -> ((s, d) => {
-      val oi = Tables(s, d, "orders")
-        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
+      val oi = U.coPurchase(s, d)
       val nodes = Tables(s, d, "customer")
         .select(col("c_custkey").as("id"), lit("customer").as("side"))
         .unionAll(Tables(s, d, "supplier")

@@ -60,21 +60,35 @@ object Llm {
       .select(col("doc_id"), col("bb.band_id"), col("bb.bkey"))
   }
 
-  /** Exact-Jaccard confirm of banding candidates `cand(a, b)` over gram
-    * frame `g`: keeps pairs with trigram-set Jaccard ≥ 0.8. */
-  private def jaccardConfirm(g: org.apache.spark.sql.DataFrame,
+  /** (a, b, i, sza, szb): exact trigram intersection size plus both set
+    * sizes for candidate pairs — the ONE intersection pipeline every
+    * set-overlap confirm (Jaccard, containment) filters; a fix here
+    * fixes every dedup flavor at once. */
+  private def interSizes(g: org.apache.spark.sql.DataFrame,
       cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
+    cand
       .join(g.as("gx"), col("gx.doc_id") === col("a"))
       .join(g.as("gy"), col("gy.doc_id") === col("b") && col("gy.g") === col("gx.g"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    inter
       .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
       .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+  }
+
+  /** Exact-Jaccard confirm of banding candidates `cand(a, b)` over gram
+    * frame `g`: keeps pairs with trigram-set Jaccard ≥ 0.8. */
+  private def jaccardConfirm(g: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    interSizes(g, cand)
       .where(col("i").cast("double") / (col("sza") + col("szb") - col("i")) >= 0.8)
       .select("a", "b")
-  }
+
+  /** Containment confirm: the smaller gram set is ≥90% inside the larger. */
+  private def containConfirm(g: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    interSizes(g, cand)
+      .where(col("i").cast("double") / least(col("sza"), col("szb")) >= 0.9)
+      .select("a", "b")
 
   private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame = {
@@ -138,17 +152,7 @@ object Llm {
           col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(g.as("gx"), col("gx.doc_id") === col("a"))
-        .join(g.as("gy"), col("gy.doc_id") === col("b") && col("gy.g") === col("gx.g"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      val pairs = inter
-        .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-        .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
-        .where(col("i").cast("double") / least(col("sza"), col("szb")) >= 0.9)
-        .select("a", "b")
-      U.dupGroups(Tables(s, d, "documents"), pairs)
+      U.dupGroups(Tables(s, d, "documents"), containConfirm(g, cand))
     }),
 
     // Transitive dup groups: connected components over the confirmed
@@ -262,14 +266,6 @@ object Llm {
         .orderBy("lang", "rnk")
     }),
 
-    // Vocabulary APPLY — the downstream step of the BPE/vocab family:
-    // word → id through the top-100 frequency vocab, OOV → −1, ids
-    // re-packed in document order as a comma string. The vocab is a
-    // TakeOrdered(100) heap (no corpus-wide sort); ids come from a
-    // 100×100 broadcast triangle count (windowless — same discipline as
-    // U.prefixOffsets); the corpus then broadcast-joins the KB-sized dim
-    // and re-packs per doc_id. At 100 TB only the per-doc group-by
-    // shuffles the corpus — exactly once.
     // FUZZY benchmark decontamination — the MinHash companion to the
     // exact 5-gram q_llm_decontaminate: a corpus doc is flagged when its
     // trigram-set Jaccard with ANY benchmark doc (doc_id % 97 == 0, the
@@ -297,6 +293,14 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary APPLY — the downstream step of the BPE/vocab family:
+    // word → id through the top-100 frequency vocab, OOV → −1, ids
+    // re-packed in document order as a comma string. The vocab is a
+    // TakeOrdered(100) heap (no corpus-wide sort); ids come from a
+    // 100×100 broadcast triangle count (windowless — same discipline as
+    // U.prefixOffsets); the corpus then broadcast-joins the KB-sized dim
+    // and re-packs per doc_id. At 100 TB only the per-doc group-by
+    // shuffles the corpus — exactly once.
     "q_llm_tokenize_apply" -> ((s, d) => {
       val toks = Tables(s, d, "documents")
         .select(col("doc_id"), posexplode(textTokens).as(Seq("pos", "w")))
@@ -332,17 +336,29 @@ object Llm {
                     md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bkey
                   FROM sig GROUP BY doc_id, i // 4)"""
 
-  /** DuckDB twin of `jaccardConfirm` — expects `cand(a, b)` and `g`,
-    * ends at `conf(a, b)`. */
-  private val oJaccardCte =
+  /** DuckDB twin of `interSizes` — expects `cand(a, b)` and `g`; ends at
+    * `inter(a, b, i)` with `sz` in scope (shared by every confirm). */
+  private val oInterCte =
     """sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
          inter AS (SELECT c.a, c.b, COUNT(*) AS i
                    FROM cand c JOIN g x ON x.doc_id = c.a
                      JOIN g y ON y.doc_id = c.b AND y.g = x.g
-                   GROUP BY c.a, c.b),
+                   GROUP BY c.a, c.b)"""
+
+  /** DuckDB twin of `jaccardConfirm` — expects `cand(a, b)` and `g`,
+    * ends at `conf(a, b)`. */
+  private val oJaccardCte =
+    s"""$oInterCte,
          conf AS (SELECT a, b FROM inter
                   JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
                   WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8)"""
+
+  /** DuckDB twin of `containConfirm` — same shape, containment ≥ 0.9. */
+  private val oContainCte =
+    s"""$oInterCte,
+         conf AS (SELECT a, b FROM inter
+                  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                  WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9)"""
 
   /** DuckDB CTE chain mirroring `confirmedPairs` — ends at `conf(a, b)`. */
   private val oConfCte =
@@ -372,14 +388,7 @@ object Llm {
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                   FROM band x JOIN band y ON x.band_id = y.band_id
                     AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
-         inter AS (SELECT c.a, c.b, COUNT(*) AS i
-                   FROM cand c JOIN g x ON x.doc_id = c.a
-                     JOIN g y ON y.doc_id = c.b AND y.g = x.g
-                   GROUP BY c.a, c.b),
-         conf AS (SELECT a, b FROM inter
-                  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-                  WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9),
+         $oContainCte,
          ${U.oDupGroups("conf", "documents")}""",
 
     "q_llm_decontaminate_fuzzy" ->

@@ -62,12 +62,16 @@ object U {
     * `least(nb−1, floor((value − lo) / ((hi − lo) / nb)))`. Deterministic
     * (min/max bounds, no sketch), monotone in `value` (equal values never
     * straddle a boundary, so bins align with any value-led total order),
-    * and IEEE-identical in DuckDB (`LEAST` skips the NULL a degenerate
-    * lo = hi range produces in BOTH engines, collapsing to bin nb−1).
-    * Bin balance tracks the value distribution — irrelevant to exactness,
-    * only to task skew; nb scales with the cluster, not N. */
+    * and IEEE-identical in DuckDB. The degenerate lo = hi range is
+    * guarded EXPLICITLY on both sides (everything into bin nb−1): left
+    * to the raw formula the engines diverge — Spark's 0/0 is Java NaN
+    * (floor→NaN, int-cast→0) while DuckDB's division by zero is NULL
+    * (LEAST then skips it → nb−1). Bin balance tracks the value
+    * distribution — irrelevant to exactness, only to task skew; nb
+    * scales with the cluster, not N. */
   def gridBin(value: Column, lo: Column, hi: Column, nb: Int): Column =
-    least(lit(nb - 1), floor((value - lo) / ((hi - lo) / nb)).cast("int"))
+    when(hi <= lo, lit(nb - 1)).otherwise(
+      least(lit(nb - 1), floor((value - lo) / ((hi - lo) / nb)).cast("int")))
 
   /** Windowless distributed prefix sum over a ≤nb-row (bin, cnt) frame:
     * off(b) = Σ cnt over bins < b, via a broadcast triangle join — never
@@ -116,6 +120,29 @@ object U {
           - 6.0 * (CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE) / len(tk))
           + 2.5 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
           + 0.05 * (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk))"""
+
+  /** Distinct customer↔supplier co-purchase incidence (supplier ids
+    * offset 1e6 into the shared node-id space): THE bipartite graph every
+    * q_graph_* query walks — one definition (and one DuckDB twin,
+    * [[oCoPurchase]]) so pagerank, the degree histogram, and BFS provably
+    * walk the same graph. */
+  def coPurchase(s: SparkSession, d: String): DataFrame =
+    graft.Tables(s, d, "orders")
+      .join(graft.Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+
+  /** Both-direction edge list (src, dst) over [[coPurchase]]. */
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val oi = coPurchase(s, d)
+    oi.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** DuckDB twin of [[coPurchase]] — a CTE body ending at `oi(cust, supp)`. */
+  val oCoPurchase: String =
+    """oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
 
   /** The linear dup-group output shape every dedup query converges to:
     * given an undirected candidate-pair list `pairs(a, b)` (a < b) and the

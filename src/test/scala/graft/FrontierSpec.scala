@@ -29,6 +29,22 @@ class FrontierSpec extends SparkSpec {
     val ours = SparkEntry.queries("q_agg_heavy_hitters")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(ours.toSeq == exact.toSeq)
+    // the exactness PRECONDITION (the TPUT threshold bound): a missed
+    // term's count is at most the sum of per-shard 256th-largest counts;
+    // the 10th answer must clear it, else the algorithm can't promise
+    // the equality just asserted held by design rather than by luck
+    val cutoffs = Tables(spark, sf, "documents")
+      .select(pmod(col("doc_id"), lit(16L)).as("shard"),
+        explode(queries.U.textTokens).as("term"))
+      .groupBy("shard", "term").agg(count(lit(1)).as("c"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy(col("c").desc, col("term"))))
+      .groupBy("shard").agg(max(when(col("rk") === 256, col("c"))
+        .otherwise(lit(0L))).as("cutoff"))
+      .agg(sum("cutoff")).collect().head.getLong(0)
+    assert(exact.last._2 > cutoffs,
+      s"margin violated: 10th count ${exact.last._2} <= sum-of-cutoffs $cutoffs")
   }
 
   test("q_llm_dedup_lsh_cosine pairs are sound vs exact cosine, recall > 0") {

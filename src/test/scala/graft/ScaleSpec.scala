@@ -63,6 +63,33 @@ class ScaleSpec extends SparkSpec {
     assert(bUsers === 2 * aUsers, s"user population not x2: $aUsers -> $bUsers")
   }
 
+  test("embedding replicas keep intra-copy geometry exact, cross-copy decorrelated") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables(spark, sf, "embeddings").count()
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // no cross-copy identical twin may survive the sign flip: a verbatim
+    // copy would put cosine exactly 1.0 at (v, v + stride)
+    val twins = e.as("a").join(e.as("b"),
+        col("b.vec_id") === col("a.vec_id") + lit(base) &&
+          expr("graft_dot(a.embedding, b.embedding)") > 0.999)
+      .count()
+    assert(twins === 0, s"$twins byte-identical cross-copy vectors")
+    // intra-copy dots are EXACT: sign flips cancel ((s·x)(s·y) = x·y
+    // exactly in IEEE), so every copy-1 pair (v+n, w+n) must reproduce
+    // copy-0's pairwise dot bit-for-bit
+    def vecs(lo: Long): Array[Array[Float]] = e
+      .where(col("vec_id") >= lo && col("vec_id") < lo + 5)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+    val (c0, c1) = (vecs(0L), vecs(base))
+    for (i <- c0.indices; j <- i + 1 until c0.length)
+      assert(dot(c0(i), c0(j)) == dot(c1(i), c1(j)),
+        s"intra-copy dot drifted for pair ($i, $j)")
+  }
+
   test("events keep strict event_id <-> ts co-ordering after replication") {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("us"))

@@ -20,22 +20,36 @@ import sys
 def load(path: str) -> dict:
     with open(path) as f:
         text = f.read()
-    # tolerate a driver wrapper or a bare Bench line; find the object
-    # containing "queries"
-    data = json.loads(text)
-    if isinstance(data, dict) and "queries" in data:
-        return data
-    if isinstance(data, dict):  # driver wrapper: search values
-        for v in data.values():
-            if isinstance(v, dict) and "queries" in v:
-                return v
-            if isinstance(v, str):
-                try:
-                    p = json.loads(v)
-                    if isinstance(p, dict) and "queries" in p:
-                        return p
-                except json.JSONDecodeError:
-                    pass
+    # tolerate a driver wrapper, a bare Bench line, or a captured log
+    # with the Bench line among other output: find the object containing
+    # "queries"
+    candidates = []
+    try:
+        candidates.append(json.loads(text))
+    except json.JSONDecodeError:
+        for line in text.splitlines():
+            line = line.strip()
+            brace = line.find("{")
+            if brace < 0 or '"queries"' not in line:
+                continue
+            try:
+                candidates.append(json.loads(line[brace:]))
+            except json.JSONDecodeError:
+                pass
+    for data in candidates:
+        if isinstance(data, dict) and "queries" in data:
+            return data
+        if isinstance(data, dict):  # driver wrapper: search values
+            for v in data.values():
+                if isinstance(v, dict) and "queries" in v:
+                    return v
+                if isinstance(v, str):
+                    try:
+                        p = json.loads(v)
+                        if isinstance(p, dict) and "queries" in p:
+                            return p
+                    except json.JSONDecodeError:
+                        pass
     raise SystemExit(f"{path}: no bench object with a 'queries' map found")
 
 
