@@ -401,6 +401,41 @@ object Analytics {
         .orderBy("user_id", "event_id")
     }),
 
+    // Lag-1 autocorrelation of each user's value series (the "is this
+    // series momentum- or mean-reverting?" diagnostic): Pearson r over
+    // the (x_t, x_{t+1}) pairs, computed mean-free as
+    // (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²)) — every sum an
+    // EXACT integer in cents (one window lead + one aggregate pass, the
+    // same one-shuffle shape as the z-score scan); only the final
+    // √/divide is float, pinned to the 1e-9 grid (the agg_regression
+    // precedent). NULL when the variance is zero or fewer than 3 pairs.
+    "q_ts_autocorr" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("x"))
+        .withColumn("y", lead(col("x"), 1).over(w))
+        .where(col("y").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .where(col("n") >= 3)
+        // each variance factor is an exact long (~1e12); their PRODUCT
+        // can pass 2^63, so cast each to double first and multiply in
+        // IEEE (same order in the oracle). Zero variance → NULL
+        // explicitly — Spark's x/0 is Infinity while DuckDB's is NULL.
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("user_id"), col("n").as("n_pairs"),
+          when(col("vx") > 0 && col("vy") > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(col("vx").cast("double") * col("vy").cast("double")), 9))
+            .as("r1"))
+        .orderBy("user_id")
+    }),
+
     // Gaps-and-islands: per-user consecutive-day activity streaks via the
     // classic dayn − row_number() island key — per-user windows and one
     // aggregate, never the quadratic self-join formulation. The longest
@@ -731,6 +766,29 @@ object Analytics {
          FROM w
          WHERE nl = 8 AND nr = 8 AND abs(sr - sl) > 40000
          ORDER BY user_id, event_id""",
+
+    "q_ts_autocorr" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+           FROM events),
+         p AS (SELECT user_id, x,
+             lead(x) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+           FROM e),
+         g AS (SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM p WHERE y IS NOT NULL GROUP BY user_id),
+         v AS (SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+           FROM g WHERE n >= 3)
+         SELECT user_id, n AS n_pairs,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 9)
+           END AS r1
+         FROM v ORDER BY user_id""",
 
     "q_ts_streaks" ->
       """WITH dd AS (

@@ -100,6 +100,37 @@ object Frontier {
         .orderBy(col("cnt").desc, col("term")).limit(10)
     }),
 
+    // Pointwise mutual information over token co-occurrence (the classic
+    // collocation/phrase-mining signal): doc-level presence pairs among
+    // the top-100 document-frequency vocab only — the pair-counter state
+    // is vocab-bounded (≤100² counters under partial aggregation) and
+    // the per-doc self-join is capped at |doc ∩ vocab|², so the whole
+    // query is linear in N with a constant vocab factor; the vocab and
+    // both marginal joins broadcast. PMI's log2 is libm ⇒ computed over
+    // an EXACT long ratio and pinned to the 1e-9 grid (the ppl_proxy
+    // rule); ties in the rounded score break on the pair itself.
+    "q_llm_pmi_cooccur" -> ((s, d) => {
+      val dt = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(textTokens)).as("w"))
+      val nd = Tables(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val top = dt.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+      val t = dt.join(broadcast(top.select("w")), Seq("w"))
+      val pairs = t.as("x").join(t.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.w") < col("y.w"))
+        .groupBy(col("x.w").as("wa"), col("y.w").as("wb"))
+        .agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= 5)
+      pairs
+        .join(broadcast(top.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+        .join(broadcast(top.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+        .crossJoin(broadcast(nd))
+        .select(col("wa"), col("wb"), col("cab"),
+          round(log2((col("cab") * col("nd")).cast("double") /
+            (col("ca") * col("cb")).cast("double")), 9).as("pmi"))
+        .orderBy(col("pmi").desc, col("wa"), col("wb")).limit(50)
+    }),
+
     // Near-dup grouping over embeddings via SIGNED RANDOM PROJECTIONS
     // (the LSH family member for cosine, joining SimHash/MinHash/IVF in
     // the dedup kit): 32 deterministic ±1 hyperplanes from md5 parities
@@ -243,6 +274,24 @@ object Frontier {
          SELECT term, COUNT(*) AS cnt
          FROM tok WHERE term IN (SELECT term FROM cand)
          GROUP BY term ORDER BY cnt DESC, term LIMIT 10""",
+
+    "q_llm_pmi_cooccur" ->
+      """WITH dt AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS w
+           FROM documents),
+         nd AS (SELECT COUNT(*) AS nd FROM documents),
+         top AS (SELECT w, COUNT(*) AS c FROM dt GROUP BY w
+                 ORDER BY c DESC, w LIMIT 100),
+         t AS (SELECT dt.doc_id, dt.w FROM dt JOIN top USING (w)),
+         pairs AS (SELECT x.w AS wa, y.w AS wb, COUNT(*) AS cab
+           FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.w < y.w
+           GROUP BY x.w, y.w HAVING COUNT(*) >= 5)
+         SELECT wa, wb, cab,
+           round(log2(CAST(cab * nd.nd AS DOUBLE) /
+             CAST(ca.c * cb.c AS DOUBLE)), 9) AS pmi
+         FROM pairs
+         JOIN top ca ON ca.w = wa JOIN top cb ON cb.w = wb, nd
+         ORDER BY pmi DESC, wa, wb LIMIT 50""",
 
     "q_llm_dedup_lsh_cosine" ->
       s"""WITH h AS (SELECT j,

@@ -261,6 +261,24 @@ class PlanSpec extends SparkSpec {
       .findAllIn(qe.executedPlan.toString).length <= 1, qe.executedPlan.toString)
   }
 
+  test("q_ts_autocorr: one partitioned window pass feeding one aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_autocorr")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+  }
+
+  test("q_llm_pmi_cooccur: vocab and marginals broadcast, heap top-50") {
+    val p = plan("q_llm_pmi_cooccur")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort in:\n$p")
+  }
+
   test("q_join_bucketed joins bucket-local: no Exchange beneath the SortMergeJoin") {
     val p = SparkEntry.queries("q_join_bucketed")(spark, sf)
       .queryExecution.executedPlan.toString
