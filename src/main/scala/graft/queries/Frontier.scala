@@ -100,6 +100,36 @@ object Frontier {
         .orderBy(col("cnt").desc, col("term")).limit(10)
     }),
 
+    // Distribution-drift audit (the train/serve skew check every
+    // ML-data pipeline runs): order totals binned on one global 32-bin
+    // grid (broadcast bounds), per-period bin shares add-one smoothed
+    // (no ln(0)), drift = the per-bin PSI term (share₁−share₂)·ln(p₁/p₂).
+    // Counts and shares derive from exact longs; only the final ln is
+    // libm, pinned to the 1e-9 grid per bin BEFORE any reader sums
+    // terms (the ppl_proxy rule). Two aggregate passes over one scan —
+    // no window, no join beyond the broadcast bounds/totals dims.
+    "q_dq_drift" -> ((s, d) => {
+      val split = lit("1998-01-01").cast("timestamp")
+      val o = Tables(s, d, "orders")
+        .select(col("o_totalprice").as("v"),
+          (col("o_orderdate") < split).cast("int").as("p1"))
+      val bounds = o.agg(min("v").as("lo"), max("v").as("hi"))
+      val binned = o.crossJoin(broadcast(bounds))
+        .select(U.gridBin(col("v"), col("lo"), col("hi"), 32).as("bin"), col("p1"))
+      val counts = binned.groupBy("bin")
+        .agg(sum(col("p1")).cast("long").as("c1"),
+          sum(lit(1) - col("p1")).cast("long").as("c2"))
+      val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bin"), col("c1"), col("c2"),
+          round(((col("c1") + 1).cast("double") / (col("n1") + 32) -
+            (col("c2") + 1).cast("double") / (col("n2") + 32)) *
+            log((col("c1") + 1).cast("double") * (col("n2") + 32) /
+              ((col("c2") + 1).cast("double") * (col("n1") + 32))), 9)
+            .as("psi_term"))
+        .orderBy("bin")
+    }),
+
     // Pointwise mutual information over token co-occurrence (the classic
     // collocation/phrase-mining signal): doc-level presence pairs among
     // the top-100 document-frequency vocab only — the pair-counter state
@@ -274,6 +304,26 @@ object Frontier {
          SELECT term, COUNT(*) AS cnt
          FROM tok WHERE term IN (SELECT term FROM cand)
          GROUP BY term ORDER BY cnt DESC, term LIMIT 10""",
+
+    "q_dq_drift" ->
+      """WITH o AS (SELECT o_totalprice AS v,
+             CAST(o_orderdate < TIMESTAMP '1998-01-01' AS INT) AS p1
+           FROM orders),
+         b AS (SELECT min(v) AS lo, max(v) AS hi FROM o),
+         x AS (SELECT CASE WHEN hi <= lo THEN 31 ELSE
+                 LEAST(31, CAST(FLOOR((v - lo) / ((hi - lo) / 32)) AS INT))
+               END AS bin, p1 FROM o, b),
+         c AS (SELECT bin, CAST(SUM(p1) AS BIGINT) AS c1,
+                 CAST(SUM(1 - p1) AS BIGINT) AS c2
+               FROM x GROUP BY bin),
+         t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM c)
+         SELECT bin, c1, c2,
+           round((CAST(c1 + 1 AS DOUBLE) / (n1 + 32) -
+                  CAST(c2 + 1 AS DOUBLE) / (n2 + 32)) *
+             ln(CAST(c1 + 1 AS DOUBLE) * (n2 + 32) /
+                (CAST(c2 + 1 AS DOUBLE) * (n1 + 32))), 9) AS psi_term
+         FROM c, t ORDER BY bin""",
 
     "q_llm_pmi_cooccur" ->
       """WITH dt AS (SELECT doc_id,
