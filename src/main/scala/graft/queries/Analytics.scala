@@ -408,7 +408,8 @@ object Analytics {
     // EXACT integer in cents (one window lead + one aggregate pass, the
     // same one-shuffle shape as the z-score scan); only the final
     // √/divide is float, pinned to the 1e-9 grid (the agg_regression
-    // precedent). NULL when the variance is zero or fewer than 3 pairs.
+    // precedent). Users with fewer than 3 pairs are DROPPED (no row);
+    // a zero-variance series keeps its row with NULL r1.
     "q_ts_autocorr" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       Tables(s, d, "events")
