@@ -165,6 +165,29 @@ object Joins {
         .orderBy(asc_nulls_first("grp"))
     }),
 
+    // Fuzzy (edit-distance) self-join with BLOCKING KEYS — the standard
+    // entity-resolution shape: candidate pairs form only inside a
+    // (brand, type) block, so the quadratic term is per-block (≤ a few
+    // hundred names), block count grows with the data, and the
+    // levenshtein residual is evaluated on block-local pairs — never
+    // all-pairs. A skewed block is one hash bucket: AQE skew-join or a
+    // salt on the block key splits it, same playbook as q_join_skew_
+    // salted. Both engines' levenshtein is the unweighted
+    // insert/delete/substitute distance — integer, bit-agreeing.
+    "q_join_fuzzy_block" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_partkey").as("k"), col("p_name").as("n"),
+          col("p_brand").as("b"), col("p_type").as("t"))
+      p.as("x").join(p.as("y"),
+          col("x.b") === col("y.b") && col("x.t") === col("y.t") &&
+            col("x.k") < col("y.k") &&
+            levenshtein(col("x.n"), col("y.n")) <= 4)
+        .select(col("x.b").as("p_brand"), col("x.t").as("p_type"),
+          col("x.k").as("key_a"), col("y.k").as("key_b"),
+          levenshtein(col("x.n"), col("y.n")).cast("long").as("dist"))
+        .orderBy("p_brand", "p_type", "key_a", "key_b")
+    }),
+
     // Nearest-event as-of join (the bidirectional variant): for each
     // purchase, the click of the same user closest in time, EITHER
     // direction, ties to the earlier (prior) click. Same single-shuffle
@@ -244,6 +267,15 @@ object Joins {
          SELECT grp, COUNT(*) AS n_pairs, CAST(SUM(n_nationkey) AS BIGINT) AS nk_sum
          FROM c JOIN n ON grp IS NOT DISTINCT FROM grp2
          GROUP BY grp ORDER BY grp NULLS FIRST""",
+
+    "q_join_fuzzy_block" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n, p_brand AS b,
+             p_type AS t FROM part)
+         SELECT x.b AS p_brand, x.t AS p_type, x.k AS key_a, y.k AS key_b,
+           CAST(levenshtein(x.n, y.n) AS BIGINT) AS dist
+         FROM p x JOIN p y ON x.b = y.b AND x.t = y.t AND x.k < y.k
+           AND levenshtein(x.n, y.n) <= 4
+         ORDER BY p_brand, p_type, key_a, key_b""",
 
     "q_join_bucketed" ->
       s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oDsum("o_totalprice")} AS total

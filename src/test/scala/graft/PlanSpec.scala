@@ -261,6 +261,15 @@ class PlanSpec extends SparkSpec {
       .findAllIn(qe.executedPlan.toString).length <= 1, qe.executedPlan.toString)
   }
 
+  test("q_join_fuzzy_block joins on the block equi-key with levenshtein residual") {
+    val p = plan("q_join_fuzzy_block")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in:\n$p")
+    assert(p.contains("levenshtein"), s"residual not in the join:\n$p")
+  }
+
   test("q_ts_autocorr: one partitioned window pass feeding one aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     val qe = SparkEntry.queries("q_ts_autocorr")(spark, sf).queryExecution
