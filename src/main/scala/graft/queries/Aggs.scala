@@ -230,6 +230,42 @@ object Aggs {
         .orderBy("l_returnflag")
     }),
 
+    // Higher-moment statistics (skewness + excess kurtosis) from EXACT
+    // raw power sums — Spark's built-in skewness/kurtosis accumulate
+    // doubles in partition order (non-deterministic merge), so instead
+    // the four power sums run in integer cents through DECIMAL(38,0)
+    // (c⁴ ≤ 1e20 per row, totals ≤ ~1e24 — inside 38 digits); the
+    // moment formulas then evaluate in doubles in ONE textual order
+    // mirrored by the oracle (same-order IEEE ⇒ bit-identical), pinned
+    // to the 1e-9 grid. Constant series → NULL explicitly (A = 0 would
+    // hit Spark-Inf-vs-DuckDB-NULL division divergence).
+    "q_agg_skew_kurtosis" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val c9 = round(col("value") * 100).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(9, 0))
+      val a = col("n") * col("s2") - col("s1") * col("s1")
+      val b = col("n") * col("n") * col("s3") -
+        lit(3) * col("n") * col("s1") * col("s2") +
+        lit(2) * col("s1") * col("s1") * col("s1")
+      val cc = col("n") * col("n") * col("n") * col("s4") -
+        lit(4) * col("n") * col("n") * col("s1") * col("s3") +
+        lit(6) * col("n") * col("s1") * col("s1") * col("s2") -
+        lit(3) * col("s1") * col("s1") * col("s1") * col("s1")
+      Tables(s, d, "events")
+        .select(col("event_type"), c9.as("c"))
+        .withColumn("c2", col("c") * col("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(dec38)).cast("double").as("s1"),
+          sum(col("c2").cast(dec38)).cast("double").as("s2"),
+          sum((col("c2") * col("c")).cast(dec38)).cast("double").as("s3"),
+          sum((col("c2") * col("c2")).cast(dec38)).cast("double").as("s4"))
+        .select(col("event_type"), col("n").as("n_events"),
+          when(a > 0, round(sqrt(col("n")) * b / pow(a, 1.5), 9)).as("skewness"),
+          when(a > 0, round(col("n") * cc / (a * a) - 3, 9)).as("kurtosis"))
+        .orderBy("event_type")
+    }),
+
     // Incremental aggregate maintenance — the materialized-view pattern:
     // the per-group PARTIAL state of the history (everything before the
     // split) merges with the current-period delta by partial-sum
@@ -368,6 +404,26 @@ object Aggs {
               sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price,
             median_price
           FROM t ORDER BY l_returnflag""",
+
+    "q_agg_skew_kurtosis" ->
+      """WITH e AS (SELECT event_type,
+             CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+           FROM events),
+         g AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(c * c) AS DOUBLE) AS s2,
+             CAST(SUM(c * c * c) AS DOUBLE) AS s3,
+             CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
+           FROM e GROUP BY event_type)
+         SELECT event_type, n AS n_events,
+           CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             round(sqrt(n) * (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+               / pow(n * s2 - s1 * s1, 1.5), 9) END AS skewness,
+           CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             round(n * (n * n * n * s4 - 4 * n * n * s1 * s3
+                 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+               / ((n * s2 - s1 * s1) * (n * s2 - s1 * s1)) - 3, 9) END AS kurtosis
+         FROM g ORDER BY event_type""",
 
     // deliberately the FULL recompute — the hash compare against the
     // incremental merge proves state + delta ≡ batch

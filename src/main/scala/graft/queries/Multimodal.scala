@@ -139,6 +139,34 @@ object Multimodal {
           md5(col("frame")).as("frame_digest"))
         .orderBy("doc_id", "frame_id")),
 
+    // Longest-silence detection (the trim/segment signal of an audio
+    // pipeline, composing the audio_energy framing with the
+    // gaps-and-islands run finder): frames whose energy is at or below
+    // the active threshold form islands via fid − row_number(); the
+    // longest run per doc wins (ties to the earliest). Both windows ride
+    // the doc_id partitioning; all integer arithmetic.
+    "q_mm_audio_silence" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("fid")
+      val top = Window.partitionBy("doc_id")
+        .orderBy(col("run").desc, col("sfid"))
+      Tables(s, d, "documents")
+        .withColumn("ch", split(col("text"), ""))
+        .where(size(col("ch")) >= 64)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, CAST(size(ch) div 64 AS INT) - 1),
+               k -> aggregate(slice(ch, k * 64 + 1, 64), 0L,
+                      (acc, c) -> acc + CAST((ascii(c) - 32) * (ascii(c) - 32) AS BIGINT)))"""))
+          .as(Seq("fid", "e")))
+        .where(col("e") <= 307000)
+        .withColumn("isl", col("fid") - row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(count(lit(1)).as("run"), min("fid").as("sfid"))
+        .withColumn("rk", row_number().over(top)).where(col("rk") === 1)
+        .select(col("doc_id"), col("run").as("silent_frames"),
+          col("sfid").cast("long").as("start_frame"))
+        .orderBy("doc_id")
+    }),
+
     // Scene-change detection plumbing: per-doc, find the MOST different
     // consecutive-frame boundary (256-byte frames, full frames only so a
     // short tail frame can't fake a cut) by byte-sum delta — the argmax
@@ -302,6 +330,24 @@ object Multimodal {
              AS frame_bytes,
            md5(substring(payload, CAST(frame_id * 256 AS INT) + 1, 256)) AS frame_digest
          FROM f ORDER BY doc_id, frame_id""",
+
+    "q_mm_audio_silence" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '') AS ch FROM documents
+           WHERE len(string_split(text, '')) >= 64),
+         u AS (SELECT doc_id, ch, unnest(range(0, len(ch) // 64)) AS k FROM d),
+         f AS (SELECT doc_id, CAST(k AS INT) AS fid,
+             CAST(list_sum(list_transform(ch[k*64+1 : k*64+64],
+               c -> (ascii(c) - 32) * (ascii(c) - 32))) AS BIGINT) AS e
+           FROM u),
+         s AS (SELECT doc_id, fid FROM f WHERE e <= 307000),
+         i AS (SELECT doc_id, fid, fid - ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY fid) AS isl FROM s),
+         g AS (SELECT doc_id, isl, COUNT(*) AS run, MIN(fid) AS sfid
+           FROM i GROUP BY doc_id, isl),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY run DESC, sfid) AS rk FROM g)
+         SELECT doc_id, run AS silent_frames, CAST(sfid AS BIGINT) AS start_frame
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
 
     "q_mm_scene_cuts" ->
       """WITH d AS (SELECT doc_id, text AS payload,
