@@ -95,8 +95,13 @@ object Scale {
     // without it, per-USER event volume would grow ×F and unbounded
     // per-user windows (asof, ewma, session) would measure the pile-up,
     // not the operator. Accepted trade: copies ≥ 1 have user_ids outside
-    // the fixed customer dim, so an events→customer join would lose
-    // matches on them — no probe query joins events to a dim.
+    // the fixed customer dim, so an events→customer join loses matches on
+    // them. None of the DEFAULT probeSet queries joins events to a dim,
+    // but SPARK_GRAFT_PROBE_ONLY accepts ANY query name — probing
+    // q_stream_join_static or q_dq_referential against a scaled dir
+    // measures a join whose match volume stops growing with F (copy ≥ 1
+    // users are deliberate orphans); their timings are not scaling
+    // evidence for those two.
     val events = Tables(spark, src, "events")
     val evStride = stride(events, "event_id")
     val userStride = stride(events, "user_id")

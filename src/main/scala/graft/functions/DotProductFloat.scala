@@ -45,10 +45,14 @@ case class DotProductFloat(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      // a null ELEMENT propagates NULL, matching the HOF and the DuckDB
-      // list_transform mirror exactly — getFloat on a null slot would
-      // read garbage and produce a plausible-looking dot product (same
-      // rule as graft_l2sq)
+      // a null ELEMENT propagates NULL, matching the Spark HOF (zip_with
+      // yields a null product, + propagates it) — getFloat on a null
+      // slot would read garbage and produce a plausible-looking dot
+      // product (same rule as graft_l2sq). NOTE: DuckDB's list_sum
+      // IGNORES null elements (SQL SUM semantics), so the oracle mirrors
+      // diverge on null-holed vectors; the fixture carries none —
+      // PropertySpec pins that invariant so a data-gen change fails
+      // loudly instead of via a confusing hash mismatch.
       if (xa.isNullAt(i) || ya.isNullAt(i)) return null
       s += xa.getFloat(i).toDouble * ya.getFloat(i).toDouble
       i += 1

@@ -60,8 +60,9 @@ object Aggs {
     // then cutpoints come off the merged cumulative histogram. Exact
     // integer counts + same-order IEEE arithmetic → DuckDB-oracled
     // bit-exactly, unlike a GK/KLL sketch whose merge is
-    // implementation-defined. Accuracy: |cutpoint − exact quantile| ≤
-    // (hi−lo)/256, asserted by PropertySpec against exact percentiles.
+    // implementation-defined. Accuracy: |cutpoint − ceil(p·n)-rank order
+    // statistic| ≤ (hi−lo)/256 (the rank-stat provably lands in the cut
+    // bin), asserted by PropertySpec against the exact order statistics.
     "q_agg_quantile_merge" -> ((s, d) =>
       quantileMergeWith(s, d, col("c_nationkey"))),
 
@@ -238,18 +239,23 @@ object Aggs {
     // moment formulas then evaluate in doubles in ONE textual order
     // mirrored by the oracle (same-order IEEE ⇒ bit-identical), pinned
     // to the 1e-9 grid. Constant series → NULL explicitly (A = 0 would
-    // hit Spark-Inf-vs-DuckDB-NULL division divergence).
+    // hit Spark-Inf-vs-DuckDB-NULL division divergence). n enters the
+    // formulas as DOUBLE: n·n·n in 64-bit integers wraps silently past
+    // n ≈ 2.1M rows/group (the ×100 replica is already at that cliff),
+    // while the double product merely rounds — and rounds identically
+    // in both engines, preserving the bit-identity contract.
     "q_agg_skew_kurtosis" -> ((s, d) => {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val c9 = round(col("value") * 100).cast("long")
         .cast(org.apache.spark.sql.types.DecimalType(9, 0))
-      val a = col("n") * col("s2") - col("s1") * col("s1")
-      val b = col("n") * col("n") * col("s3") -
-        lit(3) * col("n") * col("s1") * col("s2") +
+      val nd = col("n").cast("double")
+      val a = nd * col("s2") - col("s1") * col("s1")
+      val b = nd * nd * col("s3") -
+        lit(3) * nd * col("s1") * col("s2") +
         lit(2) * col("s1") * col("s1") * col("s1")
-      val cc = col("n") * col("n") * col("n") * col("s4") -
-        lit(4) * col("n") * col("n") * col("s1") * col("s3") +
-        lit(6) * col("n") * col("s1") * col("s1") * col("s2") -
+      val cc = nd * nd * nd * col("s4") -
+        lit(4) * nd * nd * col("s1") * col("s3") +
+        lit(6) * nd * col("s1") * col("s1") * col("s2") -
         lit(3) * col("s1") * col("s1") * col("s1") * col("s1")
       Tables(s, d, "events")
         .select(col("event_type"), c9.as("c"))
@@ -261,8 +267,8 @@ object Aggs {
           sum((col("c2") * col("c")).cast(dec38)).cast("double").as("s3"),
           sum((col("c2") * col("c2")).cast(dec38)).cast("double").as("s4"))
         .select(col("event_type"), col("n").as("n_events"),
-          when(a > 0, round(sqrt(col("n")) * b / pow(a, 1.5), 9)).as("skewness"),
-          when(a > 0, round(col("n") * cc / (a * a) - 3, 9)).as("kurtosis"))
+          when(a > 0, round(sqrt(nd) * b / pow(a, 1.5), 9)).as("skewness"),
+          when(a > 0, round(nd * cc / (a * a) - 3, 9)).as("kurtosis"))
         .orderBy("event_type")
     }),
 
@@ -410,19 +416,20 @@ object Aggs {
              CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
            FROM events),
          g AS (SELECT event_type, COUNT(*) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nf,
              CAST(SUM(c) AS DOUBLE) AS s1,
              CAST(SUM(c * c) AS DOUBLE) AS s2,
              CAST(SUM(c * c * c) AS DOUBLE) AS s3,
              CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
            FROM e GROUP BY event_type)
          SELECT event_type, n AS n_events,
-           CASE WHEN n * s2 - s1 * s1 > 0 THEN
-             round(sqrt(n) * (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
-               / pow(n * s2 - s1 * s1, 1.5), 9) END AS skewness,
-           CASE WHEN n * s2 - s1 * s1 > 0 THEN
-             round(n * (n * n * n * s4 - 4 * n * n * s1 * s3
-                 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
-               / ((n * s2 - s1 * s1) * (n * s2 - s1 * s1)) - 3, 9) END AS kurtosis
+           CASE WHEN nf * s2 - s1 * s1 > 0 THEN
+             round(sqrt(nf) * (nf * nf * s3 - 3 * nf * s1 * s2 + 2 * s1 * s1 * s1)
+               / pow(nf * s2 - s1 * s1, 1.5), 9) END AS skewness,
+           CASE WHEN nf * s2 - s1 * s1 > 0 THEN
+             round(nf * (nf * nf * nf * s4 - 4 * nf * nf * s1 * s3
+                 + 6 * nf * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+               / ((nf * s2 - s1 * s1) * (nf * s2 - s1 * s1)) - 3, 9) END AS kurtosis
          FROM g ORDER BY event_type""",
 
     // deliberately the FULL recompute — the hash compare against the

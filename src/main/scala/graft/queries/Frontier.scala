@@ -143,8 +143,13 @@ object Frontier {
       val dt = Tables(s, d, "documents")
         .select(col("doc_id"), explode(array_distinct(textTokens)).as("w"))
       val nd = Tables(s, d, "documents").agg(count(lit(1)).as("nd"))
+      // top feeds THREE consumers (the vocab filter + both marginal
+      // joins): a lazy localCheckpoint (the k-means rule, Learn.scala)
+      // pins the ≤100-row vocab after ONE corpus tokenize+count pass
+      // instead of re-running the full-scan aggregation per consumer.
       val top = dt.groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w")).limit(100)
+        .localCheckpoint(eager = false)
       val t = dt.join(broadcast(top.select("w")), Seq("w"))
       val pairs = t.as("x").join(t.as("y"),
           col("x.doc_id") === col("y.doc_id") && col("x.w") < col("y.w"))

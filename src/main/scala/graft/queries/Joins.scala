@@ -130,9 +130,11 @@ object Joins {
     // d1's bin or the next one, so the left side explodes to exactly two
     // (custkey, bin) probes and the band is a residual INSIDE each hash
     // bucket. The custkey-only form scans every pair a customer ever
-    // made per probe — measured 177× at ×100 input vs 4.2× for this
-    // construction (BASELINE.md "Scaling evidence"); the coarse form
-    // survives only as the A/B probe `thetaRangeCoarse` below.
+    // made per probe — measured 177× at ×100 input vs 9.6× isolated /
+    // 15.9× in-suite for this construction (BASELINE.md "And at ×100";
+    // output rows themselves grow ~×100 there, so ~10× runtime on ×100
+    // input+output is at-linear); the coarse form survives only as the
+    // A/B probe `thetaRangeCoarse` below.
     "q_join_theta_range" -> ((s, d) => {
       val o = Tables(s, d, "orders")
       val o1 = o.select(col("o_custkey").as("ck1"), col("o_orderkey").as("k1"),
@@ -173,7 +175,12 @@ object Joins {
     // all-pairs. A skewed block is one hash bucket: AQE skew-join or a
     // salt on the block key splits it, same playbook as q_join_skew_
     // salted. Both engines' levenshtein is the unweighted
-    // insert/delete/substitute distance — integer, bit-agreeing.
+    // insert/delete/substitute distance — integer, bit-agreeing. The
+    // ||len(a)−len(b)|| ≤ k conjunct SITS BEFORE the levenshtein in the
+    // residual: it is a free lower bound on edit distance, and codegen's
+    // short-circuit And skips the O(len²) DP for every block pair it
+    // rejects — the DP then runs only on length-compatible pairs (and
+    // once more in the projection, only on the few confirmed matches).
     "q_join_fuzzy_block" -> ((s, d) => {
       val p = Tables(s, d, "part")
         .select(col("p_partkey").as("k"), col("p_name").as("n"),
@@ -181,6 +188,7 @@ object Joins {
       p.as("x").join(p.as("y"),
           col("x.b") === col("y.b") && col("x.t") === col("y.t") &&
             col("x.k") < col("y.k") &&
+            abs(length(col("x.n")) - length(col("y.n"))) <= 4 &&
             levenshtein(col("x.n"), col("y.n")) <= 4)
         .select(col("x.b").as("p_brand"), col("x.t").as("p_type"),
           col("x.k").as("key_a"), col("y.k").as("key_b"),
