@@ -89,13 +89,7 @@ object Extras {
         expr("""CAST(size(filter(split(text, ' '),
              x -> x IN ('the', 'a', 'and', 'of', 'to', 'is'))) AS INT)""")
           .as("n_stop"),
-        expr("""CAST(4000 AS BIGINT) * least(size(split(text, ' ')), 100)
-             + (CAST(300000 AS BIGINT) * (size(split(text, ' ')) - size(filter(split(text, ' '),
-                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'is')))))
-               div size(split(text, ' '))
-             + least((CAST(300000 AS BIGINT) * length(replace(text, ' ', '')))
-               div (8 * size(split(text, ' '))), CAST(300000 AS BIGINT))""")
-          .as("quality_e6"))
+        U.qualityE6.as("quality_e6"))
         .orderBy("doc_id")),
 
     "q_llm_token_count" -> ((s, d) =>
@@ -263,11 +257,7 @@ object Extras {
             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
             CAST(len(list_filter(string_split(text, ' '),
               x -> list_contains($oStop, x))) AS INT) AS n_stop,
-            CAST(4000 * least(len(string_split(text, ' ')), 100)
-              + (300000 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
-                  x -> list_contains($oStop, x))))) // len(string_split(text, ' '))
-              + least((300000 * length(replace(text, ' ', '')))
-                // (8 * len(string_split(text, ' '))), 300000) AS BIGINT) AS quality_e6
+            ${U.oQualityE6} AS quality_e6
           FROM documents ORDER BY doc_id""",
 
     "q_llm_token_count" ->

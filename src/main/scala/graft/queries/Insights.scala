@@ -327,6 +327,39 @@ object Insights {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM quality score — the context-aware upgrade of
+    // q_llm_ppl_proxy's unigram model (the actual KenLM-style filter
+    // shape): per-doc mean negative log-likelihood of each bigram under
+    // the corpus's add-1-smoothed conditional P(w2|w1) = (c(w1,w2)+1) /
+    // (c(w1)+V). Unlike the unigram LM, the bigram table is NOT a tiny
+    // broadcast dim at web scale — so the scoring join is an EQUI join
+    // on (w1,w2), co-partitioned with the doc-bigram frame, and the
+    // unigram counts fold into the bigram table once (never per doc
+    // row). Per-bigram nll is rounded to the 1e-9 grid BEFORE the
+    // per-doc decimal sum (the ppl_proxy rule): log2 may differ by an
+    // ulp across engines, and the early rounding pins both. Docs with
+    // fewer than 2 tokens have no bigrams and drop out on both sides.
+    "q_llm_bigram_lm" -> ((s, d) => {
+      val tk = Tables(s, d, "documents").withColumn("tk", textTokens)
+      val big = tk.select(col("doc_id"), explode(expr(
+          """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+               (x, i) -> struct(x AS w1, tk[i + 1] AS w2))""")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val uni = tk.select(explode(col("tk")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("vv"))
+      val lm = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .join(uni, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          expr("CAST(round(log2(c1 + vv) - log2(c2 + 1), 9) AS DECIMAL(18,9))")
+            .as("nll"))
+      big.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Time-series subsequence similarity search (the distributed
     // data-series search shape of the retrieved EDBT'19/VLDB'23 papers):
     // per-user daily totals on a 1e-3 integer grid, sliding 7-day
@@ -657,6 +690,23 @@ object Insights {
            round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
          FROM tok JOIN lm USING (term)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_llm_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         b AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+               FROM tk CROSS JOIN UNNEST(range(1, len(tk))) AS u(i)),
+         c1 AS (SELECT w1, COUNT(*) AS c1
+                FROM (SELECT unnest(tk) AS w1 FROM tk) GROUP BY w1),
+         vv AS (SELECT COUNT(*) AS vv FROM c1),
+         lm AS (SELECT bc.w1, bc.w2,
+                  CAST(round(log2(c1.c1 + vv.vv) - log2(bc.c2 + 1), 9)
+                    AS DECIMAL(18,9)) AS nll
+                FROM (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2) bc
+                JOIN c1 ON bc.w1 = c1.w1 CROSS JOIN vv)
+         SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+         FROM b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     "q_ts_simsearch" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,

@@ -121,6 +121,29 @@ object U {
           + 2.5 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
           + 0.05 * (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk))"""
 
+  /** Integer micro-unit quality score (0..1_000_000, floor division —
+    * exact integers sidestep the engines' round() divergence entirely):
+    * 0.4·len-score + 0.3·(1−stopword ratio) + 0.3·avg-token-length score.
+    * Single definition shared by q_llm_quality and the keep-best dedup
+    * representative pick — the "which doc survives" decision must score
+    * IDENTICALLY to the declared quality signal. Requires `text`. */
+  val qualityE6: Column = expr(
+    """CAST(4000 AS BIGINT) * least(size(split(text, ' ')), 100)
+       + (CAST(300000 AS BIGINT) * (size(split(text, ' ')) - size(filter(split(text, ' '),
+           x -> x IN ('the', 'a', 'and', 'of', 'to', 'is')))))
+         div size(split(text, ' '))
+       + least((CAST(300000 AS BIGINT) * length(replace(text, ' ', '')))
+         div (8 * size(split(text, ' '))), CAST(300000 AS BIGINT))""")
+
+  /** DuckDB twin of [[qualityE6]], over a relation exposing `text`. */
+  val oQualityE6: String =
+    """CAST(4000 * least(len(string_split(text, ' ')), 100)
+        + (300000 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+            x -> list_contains(['the', 'a', 'and', 'of', 'to', 'is'], x)))))
+          // len(string_split(text, ' '))
+        + least((300000 * length(replace(text, ' ', '')))
+          // (8 * len(string_split(text, ' '))), 300000) AS BIGINT)"""
+
   /** Distinct customer↔supplier co-purchase incidence (supplier ids
     * offset 1e6 into the shared node-id space): THE bipartite graph every
     * q_graph_* query walks — one definition (and one DuckDB twin,

@@ -90,6 +90,28 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // EXACT rolling median over a BOUNDED frame (last 10 events per
+    // user): the frame is collected as a sorted array and the median
+    // read by position. The frame is a constant 10 rows, so per-row cost
+    // is O(1) and total cost linear in N; the window partitions by
+    // user_id (full parallelism — never a global sort). No rounding
+    // grid is needed: both median cases are an element pick or one IEEE
+    // mean of two parquet-exact doubles, and the sort canonicalizes
+    // list order, so the result is partition-count independent.
+    "q_win_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-9, 0)
+      val n = size(col("arr"))
+      Tables(s, d, "events")
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .select(col("user_id"), col("event_id"), n.as("n_win"),
+          when(n % 2 === 1, element_at(col("arr"), ((n + 1) / 2).cast("int")))
+            .otherwise((element_at(col("arr"), (n / 2).cast("int"))
+              + element_at(col("arr"), (n / 2).cast("int") + 1)) / 2.0)
+            .as("med"))
+        .orderBy("event_id")
+    }),
+
     // EXACT global ntile/percent_rank/cume_dist WITHOUT a global window:
     // the classic distributed-rank construction. (1) U.gridBin splits
     // c_acctbal into 32 order-aligned equi-width buckets over broadcast
@@ -258,6 +280,17 @@ object Windows {
                    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS trailing_7d
          FROM events ORDER BY event_id""",
+
+    "q_win_rolling_median" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             list_sort(list(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS arr
+           FROM events)
+         SELECT user_id, event_id, CAST(len(arr) AS INT) AS n_win,
+           CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+                ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0 END AS med
+         FROM e ORDER BY event_id""",
 
     "q_win_ntile_pct" ->
       """SELECT c_custkey, c_acctbal,

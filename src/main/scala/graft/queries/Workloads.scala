@@ -160,6 +160,37 @@ object Workloads {
         .limit(20)
     }),
 
+    // Q21 shape — suppliers who kept orders waiting: on multi-supplier
+    // orders where EXACTLY ONE supplier shipped late (> 45 days after
+    // the order date), count such orders per offending supplier, top 20.
+    // The classic correlated EXISTS / NOT EXISTS pair is algebrized into
+    // two cascaded aggregates — per-(order, supplier) any-late, then
+    // per-order supplier/late counts — so the fact table is scanned ONCE
+    // and every shuffle rides a natural key (orderkey, then suppkey);
+    // no correlated re-scans, supplier dim broadcasts for the name. All
+    // day arithmetic in integer datediff days.
+    "q_wl_late_supplier" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 45)
+            .cast("int").as("late"))
+      val perSup = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late"))
+      val perOrd = perSup.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      perSup.where(col("late") === 1)
+        .join(perOrd.where(col("n_supp") >= 2 && col("n_late") === 1),
+          "l_orderkey")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
     // Q14 shape — promo revenue share per month: conditional aggregation
     // over one broadcast-dim join, the numerator/denominator both exact
     // decimal sums so the final double division hash-matches.
@@ -192,6 +223,25 @@ object Workloads {
            AND l_shipdate > TIMESTAMP '1998-06-15'
          GROUP BY l_orderkey, odate, o_orderpriority
          ORDER BY rev DESC, l_orderkey LIMIT 10""",
+
+    "q_wl_late_supplier" ->
+      """WITH j AS (
+           SELECT l_orderkey, l_suppkey,
+             CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 45
+               AS INT) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ps AS (SELECT l_orderkey, l_suppkey, MAX(late) AS late
+                FROM j GROUP BY l_orderkey, l_suppkey),
+         po AS (SELECT l_orderkey, COUNT(*) AS n_supp,
+                  CAST(SUM(late) AS BIGINT) AS n_late
+                FROM ps GROUP BY l_orderkey),
+         w AS (SELECT ps.l_suppkey, COUNT(*) AS numwait
+               FROM ps JOIN po USING (l_orderkey)
+               WHERE ps.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+               GROUP BY ps.l_suppkey)
+         SELECT s_suppkey, s_name, numwait
+         FROM w JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY numwait DESC, s_suppkey LIMIT 20""",
 
     "q_wl_local_volume" ->
       s"""SELECT n_name, ${oDsum(oRev)} AS rev
