@@ -30,21 +30,30 @@ object Tables {
     // SparkSession that analyzed it, so a second session in the same
     // application must get its own entry, not a foreign session's plan.
     Memo(spark, s"table:$sfDir/$name") {
-      val df =
-        if (name == "events") {
-          // events.ts is parquet TIMESTAMP(NANOS), which Spark 4.1 rejects
-          // ([PARQUET_TYPE_ILLEGAL]). Read it as a long (nanos since epoch)
-          // and normalize once, centrally, to a µs TimestampType — the same
-          // truncation DuckDB applies, so both engines see identical values
-          // (SURVEY §7.4.5). nanosAsLong has no per-read DataFrameReader
-          // option (ParquetOptions doesn't expose it), so the session conf
-          // is the only switch; it is inert for every non-NANOS column.
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$sfDir/$name.parquet")
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        } else {
-          spark.read.parquet(s"$sfDir/$name.parquet")
-        }
+      // Timestamp normalization, once and centrally, so every query sees a
+      // µs TimestampType regardless of how the driver generated the file:
+      //  * parquet TIMESTAMP(NANOS) — Spark 4.1 rejects it outright
+      //    ([PARQUET_TYPE_ILLEGAL]); the nanosAsLong legacy conf reads it
+      //    as a long we divide down to µs (the same truncation DuckDB
+      //    applies, SURVEY §7.4.5). No per-read option exists, so the
+      //    session conf is the only switch; inert for non-NANOS columns.
+      //  * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4.1
+      //    infers TIMESTAMP_NTZ. The sessions here all pin
+      //    spark.sql.session.timeZone=UTC, so casting NTZ→TimestampType
+      //    keeps the wall-clock value bit-for-bit and restores the type
+      //    the long/µs arithmetic (unix_micros, epochS) expects — and
+      //    matches DuckDB's naive read of the same file.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df0 =
+        if (name == "events" &&
+            raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val df = df0.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        .foldLeft(df0)((acc, f) =>
+          acc.withColumn(f.name, acc(f.name).cast("timestamp")))
       if (cacheEnabled) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     }
 }
