@@ -22,7 +22,8 @@ object SparkEntry {
       Udx.queries ++ Llm.queries ++ Extras.queries ++ Multimodal.queries ++
       MrCore.queries ++ Reshape.queries ++ Pipeline.queries ++
       Analytics.queries ++ Insights.queries ++ Workloads.queries ++
-      Curation.queries ++ Learn.queries ++ Frontier.queries
+      Curation.queries ++ Learn.queries ++ Frontier.queries ++
+      Signals.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       Udx.oracle ++ Llm.oracle ++ Extras.oracle ++ Multimodal.oracle ++
       MrCore.oracle ++ Reshape.oracle ++ Pipeline.oracle ++
       Analytics.oracle ++ Insights.oracle ++ Workloads.oracle ++
-      Curation.oracle ++ Learn.oracle ++ Frontier.oracle
+      Curation.oracle ++ Learn.oracle ++ Frontier.oracle ++
+      Signals.oracle
 }
