@@ -21,6 +21,29 @@ import U._
 object Analytics {
 
   val queries: Map[String, Q] = Map(
+    // Benford first-digit audit — the classic fabricated-data / unit-mix
+    // screen over a money column: observed first-significant-digit share
+    // vs the Benford expectation log10(1 + 1/d). The digit is extracted
+    // in EXACT integer space (cents → decimal string → first char; both
+    // engines print integers identically, and cents > 0 here) — never
+    // via floor(log10(v)) float gymnastics that can misbin at powers of
+    // ten. One partial+final aggregate over the scan + a broadcast
+    // 1-row total; the only libm call (log10 of 9 constants) is pinned
+    // to the 1e-9 grid. Output is 9 rows at any corpus size.
+    "q_dq_benford" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      o.groupBy("digit").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 9).as("share"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 9)
+            .as("benford_p"))
+        .orderBy("digit")
+    }),
+
 
     // Distribution windows: percent_rank / cume_dist per market segment.
     // custkey tiebreak makes every rank (hence every ratio) unique and
@@ -491,6 +514,15 @@ object Analytics {
   private val oGrams5 = U.oGrams5
 
   val oracle: Map[String, String] = Map(
+    "q_dq_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+         t AS (SELECT COUNT(*) AS n FROM d)
+         SELECT digit, COUNT(*) AS cnt,
+           round(CAST(COUNT(*) AS DOUBLE) / n, 9) AS share,
+           round(log10(1.0 + 1.0 / digit), 9) AS benford_p
+         FROM d, t GROUP BY digit, n ORDER BY digit""",
+
     "q_win_cume_dist" ->
       """SELECT c_custkey, c_mktsegment AS seg, c_acctbal,
            percent_rank() OVER w AS pr, cume_dist() OVER w AS cd

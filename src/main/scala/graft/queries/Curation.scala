@@ -52,6 +52,32 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
 
+    // T5/UL2-style span corruption — the pre-training objective's data
+    // prep: deterministic ~25% of each doc's aligned 2-token spans are
+    // replaced by a single sentinel token (span members drop, the span
+    // head becomes '_MASK_'), selection keyed on md5(doc, span index) so
+    // the mask pattern is reproducible across runs, partitions, and
+    // engines. Pure map-side HOF work (filter + transform over the
+    // position sequence) — no shuffle at all before the output sort;
+    // the corrupted text is emitted as a digest plus mask counts so the
+    // row stays flat-hashable at any doc length.
+    "q_llm_span_corruption" -> ((s, d) => {
+      val mask = (i: String) =>
+        s"${hexFold(s"md5(concat('sc', CAST(doc_id AS STRING), '|', CAST($i div 2 AS STRING)))", 12)} % 4 = 0"
+      Tables(s, d, "documents")
+        .withColumn("tk", textTokens)
+        .select(col("doc_id"), size(col("tk")).as("n_tok"),
+          expr(s"size(filter(sequence(0, size(tk) - 1), i -> ${mask("i")}))")
+            .as("n_masked"),
+          md5(expr(
+            s"""array_join(transform(
+                  filter(sequence(0, size(tk) - 1),
+                    i -> NOT (${mask("i")}) OR i % 2 = 0),
+                  i -> IF(${mask("i")}, '_MASK_', tk[i])), ' ')"""))
+            .as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // URL-canonicalization dedup — the first dedup pass of every web
     // crawl (same page fetched as http/https, with/without www, with
     // tracking params, trailing slash, fragment). Canonicalize, then
@@ -153,6 +179,22 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_span_corruption" -> {
+      def mask(i: String) =
+        s"${U.oHexFold(s"md5('sc' || doc_id::VARCHAR || '|' || (($i) // 2)::VARCHAR)", 12)} % 4 = 0"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             FROM documents)
+         SELECT doc_id, CAST(len(tk) AS INT) AS n_tok,
+           CAST(len(list_filter(range(0, len(tk)), i -> ${mask("i")}))
+             AS INT) AS n_masked,
+           md5(array_to_string(list_transform(
+             list_filter(range(0, len(tk)),
+               i -> NOT (${mask("i")}) OR i % 2 = 0),
+             i -> CASE WHEN ${mask("i")} THEN '_MASK_'
+                  ELSE tk[i + 1] END), ' ')) AS digest
+         FROM d ORDER BY doc_id"""
+    },
+
     "q_llm_dedup_url" ->
       """WITH d AS (SELECT doc_id,
              (CASE WHEN doc_id % 5 = 0 THEN 'https://WWW.' ELSE 'https://' END)

@@ -26,6 +26,35 @@ object Insights {
 
   val queries: Map[String, Q] = Map(
 
+    // Label-propagation community detection (Raghavan et al.) over the
+    // co-purchase graph — the lightweight alternative to modularity
+    // clustering: each node adopts its neighbors' MAJORITY label, ties
+    // to the smallest label, for 3 SYNCHRONOUS rounds. Per round: one
+    // equi-join (edges × labels), one (dst, lbl) count aggregate, one
+    // per-dst window over the handful of labels a node's neighborhood
+    // carries — never a global window, never all-pairs. Label frames
+    // localCheckpoint (lazily) per round, the q_llm_dedup_cc rule, so
+    // lineage stays flat while plan-only consumers never run a job.
+    // Rounds are FIXED (3), not run-to-convergence: the declared query
+    // must be deterministic and one-pass-per-round is the per-round
+    // cost being demonstrated; convergence looping is the same driver
+    // shape as q_llm_dedup_cc.
+    "q_graph_label_prop" -> ((s, d) => {
+      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      var lbl = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to 3) {
+        val cnt = e.join(lbl, e("src") === lbl("id"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("dst").orderBy(col("c").desc, col("lbl"))
+        lbl = cnt.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("dst").as("id"), col("lbl"))
+          .localCheckpoint(false)
+      }
+      lbl.orderBy("id")
+    }),
+
     // Inverted index (the classic IR/MapReduce demo): word → document
     // frequency + comma-joined sorted postings list. Distinct (word, doc)
     // explode, one shuffle on word, postings joined as a string so the
@@ -511,6 +540,22 @@ object Insights {
            FROM nodes n LEFT JOIN i$cur i ON n.id = i.dst)"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_label_prop" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (SELECT id, lbl FROM (
+              SELECT e.dst AS id, l.lbl, COUNT(*) AS c,
+                ROW_NUMBER() OVER (PARTITION BY e.dst
+                  ORDER BY COUNT(*) DESC, l.lbl) AS rk
+              FROM e JOIN $prev l ON e.src = l.id
+              GROUP BY e.dst, l.lbl) WHERE rk = 1)"""
+      s"""WITH ${U.oCoPurchase},
+         e AS (SELECT cust AS src, supp AS dst FROM oi
+               UNION ALL SELECT supp AS src, cust AS dst FROM oi),
+         l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         ${round("l0", "l1")}, ${round("l1", "l2")}, ${round("l2", "l3")}
+         SELECT id, lbl FROM l3 ORDER BY id"""
+    },
+
     "q_mr_inverted_index" ->
       """SELECT word, COUNT(*) AS df,
            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings

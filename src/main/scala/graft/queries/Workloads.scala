@@ -22,6 +22,42 @@ object Workloads {
 
   val queries: Map[String, Q] = Map(
 
+    // Dataset-card composite — the one-row corpus summary every dataset
+    // release ships (docs, tokens, language mix/entropy, source spread,
+    // exact duplicate rate), fused so the corpus is scanned ONCE for the
+    // per-doc facts: the wide aggregate computes counts/sums/distincts in
+    // one partial+final pass, the 5-row language frame folds its entropy
+    // terms on the 1e-9 grid (libm log2 pinned per LANGUAGE, then an
+    // exact decimal sum), and the two 1-row frames meet in a broadcast
+    // cross join. countDistinct here is the exact-dup/dimension audit at
+    // demo scale; the sketch path for 100 TB is the declared
+    // q_agg_approx_distinct / q_agg_sketch_merge pair — a release audit
+    // wants the exact number and pays one extra shuffle for it.
+    "q_wl_dataset_card" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(textTokens).as("nt"), md5(col("text")).as("h"))
+      val base = docs.agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("h")).as("n_uniq"),
+        sum((col("lang") === "en").cast("long")).as("n_en"))
+      val ent = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+        .agg(sum(expr(
+          """CAST(round(-(CAST(c AS DOUBLE) / nn) * log2(CAST(c AS DOUBLE) / nn), 9)
+             AS DECIMAL(18,9))""")).cast("double").as("lang_entropy"))
+      base.crossJoin(broadcast(ent))
+        .select(col("n_docs"), col("total_tokens"),
+          round(col("total_tokens").cast("double") / col("n_docs"), 9)
+            .as("mean_tokens"),
+          round(col("n_en").cast("double") / col("n_docs"), 9).as("pct_en"),
+          col("n_sources"),
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_docs"), 9)
+            .as("dup_rate"),
+          col("lang_entropy"))
+    }),
+
     // Q3 shape — shipping priority: unshipped-as-of-pivot revenue for one
     // market segment, top 10 orders. customer is a broadcast dim; orders
     // and lineitem join on orderkey (their natural co-partitioning at
@@ -212,6 +248,29 @@ object Workloads {
   private val oRev = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q_wl_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS nt, md5(text) AS h
+           FROM documents),
+         b AS (SELECT COUNT(*) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT h) AS n_uniq,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en FROM d),
+         lc AS (SELECT lang, COUNT(*) AS c FROM d GROUP BY lang),
+         nn AS (SELECT COUNT(*) AS nn FROM d),
+         e AS (SELECT CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / nn)
+             * log2(CAST(c AS DOUBLE) / nn), 9) AS DECIMAL(18,9)))
+             AS DOUBLE) AS lang_entropy FROM lc, nn)
+         SELECT n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / n_docs, 9) AS mean_tokens,
+           round(CAST(n_en AS DOUBLE) / n_docs, 9) AS pct_en,
+           n_sources,
+           round(1.0 - CAST(n_uniq AS DOUBLE) / n_docs, 9) AS dup_rate,
+           lang_entropy
+         FROM b, e""",
+
     "q_wl_shipping_priority" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
            o_orderpriority, ${oDsum(oRev)} AS rev

@@ -109,6 +109,55 @@ class SignalsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(2) >= 0.0, s"negative variance: $r"))
   }
 
+  test("q_graph_label_prop: labels are node ids, bipartite sides converge") {
+    val out = SparkEntry.queries("q_graph_label_prop")(spark, sf).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    out.foreach(r => assert(ids.contains(r.getLong(1)),
+      s"label ${r.getLong(1)} is not a node id"))
+    // 3 rounds from self-labels: odd rounds adopt the other side's
+    // majority, so labels concentrate — strictly fewer distinct labels
+    // than nodes (the graph is connected enough in the fixture)
+    assert(out.map(_.getLong(1)).distinct.length < out.length)
+  }
+
+  test("q_dq_benford: 9 digits, shares sum to 1, counts conserve") {
+    val out = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9).filter(dd =>
+      out.exists(_.getInt(0) == dd)).sorted)
+    val n = Tables(spark, sf, "orders").count()
+    assert(out.map(_.getLong(1)).sum == n)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+    // Benford expectation itself sums to 1 over digits 1..9
+    val bp = (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd)).sum
+    assert(math.abs(bp - 1.0) < 1e-12)
+  }
+
+  test("q_wl_dataset_card: one row, internally consistent") {
+    val r = SparkEntry.queries("q_wl_dataset_card")(spark, sf).collect().head
+    val nDocs = r.getLong(0)
+    assert(nDocs == Tables(spark, sf, "documents").count())
+    assert(math.abs(r.getDouble(2) * nDocs - r.getLong(1)) < 1e-3)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= math.log(5.0) / math.log(2.0))
+  }
+
+  test("q_llm_span_corruption: mask counts and digest change with content") {
+    val out = SparkEntry.queries("q_llm_span_corruption")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents").count()
+    assert(out.length == docs)
+    out.foreach { r =>
+      val (nTok, nMasked) = (r.getInt(1), r.getInt(2))
+      assert(nMasked >= 0 && nMasked <= nTok)
+    }
+    // ~25% of positions masked in aggregate (2-token spans, 1-in-4 pick)
+    val frac = out.map(_.getInt(2).toDouble).sum / out.map(_.getInt(1).toDouble).sum
+    assert(frac > 0.15 && frac < 0.35, s"masked fraction $frac")
+    // deterministic
+    val again = SparkEntry.queries("q_llm_span_corruption")(spark, sf).collect()
+    assert(out.map(_.getString(3)).toSeq == again.map(_.getString(3)).toSeq)
+  }
+
   test("signals plan guards: heap top-k, broadcast probes, keyed windows") {
     val bm25 = SparkEntry.queries("q_llm_bm25")(spark, sf)
       .queryExecution.executedPlan.toString
