@@ -24,15 +24,15 @@ object Workloads {
 
     // Dataset-card composite — the one-row corpus summary every dataset
     // release ships (docs, tokens, language mix/entropy, source spread,
-    // exact duplicate rate), fused so the corpus is scanned ONCE for the
-    // per-doc facts: the wide aggregate computes counts/sums/distincts in
-    // one partial+final pass, the 5-row language frame folds its entropy
-    // terms on the 1e-9 grid (libm log2 pinned per LANGUAGE, then an
-    // exact decimal sum), and the two 1-row frames meet in a broadcast
-    // cross join. countDistinct here is the exact-dup/dimension audit at
-    // demo scale; the sketch path for 100 TB is the declared
-    // q_agg_approx_distinct / q_agg_sketch_merge pair — a release audit
-    // wants the exact number and pays one extra shuffle for it.
+    // exact duplicate rate). One shared per-doc projection feeds three
+    // narrow aggregates (the wide count/sum/distinct pass, the ≤5-row
+    // language frame, its 1-row total); the two exact countDistincts
+    // each cost their own hash shuffle — the deliberate release-audit
+    // choice, with the declared q_agg_approx_distinct /
+    // q_agg_sketch_merge pair as the one-pass sketch alternative when
+    // approximate is acceptable. Entropy terms fold on the 1e-9 grid
+    // (libm log2 pinned per LANGUAGE, then an exact decimal sum), and
+    // the 1-row frames meet in broadcast cross joins.
     "q_wl_dataset_card" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
