@@ -57,26 +57,29 @@ object Curation {
     // replaced by a single sentinel token (span members drop, the span
     // head becomes '_MASK_'), selection keyed on md5(doc, span index) so
     // the mask pattern is reproducible across runs, partitions, and
-    // engines. Pure map-side HOF work (filter + transform over the
-    // position sequence) — no shuffle at all before the output sort;
-    // the corrupted text is emitted as a digest plus mask counts so the
-    // row stays flat-hashable at any doc length.
-    "q_llm_span_corruption" -> ((s, d) => {
-      val mask = (i: String) =>
-        s"${hexFold(s"md5(concat('sc', CAST(doc_id AS STRING), '|', CAST($i div 2 AS STRING)))", 12)} % 4 = 0"
+    // engines. Pure map-side HOF work — no shuffle at all before the
+    // output sort. The per-SPAN mask bits are materialized once into a
+    // boolean array (`mk`, one md5 per 2-token span) and the position
+    // lambdas index into it — the naive per-position formulation hashed
+    // 3× per token (n_masked + filter + transform) and was md5-bound at
+    // ×100. The corrupted text is emitted as a digest plus mask counts
+    // so the row stays flat-hashable at any doc length.
+    "q_llm_span_corruption" -> ((s, d) =>
       Tables(s, d, "documents")
         .withColumn("tk", textTokens)
+        .withColumn("mk", expr(
+          s"""transform(sequence(0, (size(tk) + 1) div 2 - 1),
+                b -> ${hexFold("md5(concat('sc', CAST(doc_id AS STRING), '|', CAST(b AS STRING)))", 12)} % 4 = 0)"""))
         .select(col("doc_id"), size(col("tk")).as("n_tok"),
-          expr(s"size(filter(sequence(0, size(tk) - 1), i -> ${mask("i")}))")
+          expr("size(filter(sequence(0, size(tk) - 1), i -> mk[i div 2]))")
             .as("n_masked"),
           md5(expr(
-            s"""array_join(transform(
+            """array_join(transform(
                   filter(sequence(0, size(tk) - 1),
-                    i -> NOT (${mask("i")}) OR i % 2 = 0),
-                  i -> IF(${mask("i")}, '_MASK_', tk[i])), ' ')"""))
+                    i -> NOT mk[i div 2] OR i % 2 = 0),
+                  i -> IF(mk[i div 2], '_MASK_', tk[i])), ' ')"""))
             .as("digest"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // URL-canonicalization dedup — the first dedup pass of every web
     // crawl (same page fetched as http/https, with/without www, with

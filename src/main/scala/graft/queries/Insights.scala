@@ -30,26 +30,27 @@ object Insights {
     // co-purchase graph — the lightweight alternative to modularity
     // clustering: each node adopts its neighbors' MAJORITY label, ties
     // to the smallest label, for 3 SYNCHRONOUS rounds. Per round: one
-    // equi-join (edges × labels), one (dst, lbl) count aggregate, one
-    // per-dst window over the handful of labels a node's neighborhood
-    // carries — never a global window, never all-pairs. Label frames
-    // localCheckpoint (lazily) per round, the q_llm_dedup_cc rule, so
-    // lineage stays flat while plan-only consumers never run a job.
-    // Rounds are FIXED (3), not run-to-convergence: the declared query
-    // must be deterministic and one-pass-per-round is the per-round
-    // cost being demonstrated; convergence looping is the same driver
-    // shape as q_llm_dedup_cc.
+    // equi-join (edges × labels), one (dst, lbl) count aggregate, and
+    // the majority pick as a SECOND-LEVEL aggregate — max of the
+    // (count, −label) struct, whose lexicographic order IS "largest
+    // count, ties to smallest label" — so the pick rides partial
+    // aggregation instead of a per-dst window sort; never a global
+    // window, never all-pairs. Label frames localCheckpoint (lazily)
+    // per round, the q_llm_dedup_cc rule, so lineage stays flat while
+    // plan-only consumers never run a job. Rounds are FIXED (3), not
+    // run-to-convergence: the declared query must be deterministic and
+    // one-pass-per-round is the per-round cost being demonstrated;
+    // convergence looping is the same driver shape as q_llm_dedup_cc.
     "q_graph_label_prop" -> ((s, d) => {
       val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
       var lbl = e.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
       for (_ <- 1 to 3) {
-        val cnt = e.join(lbl, e("src") === lbl("id"))
+        lbl = e.join(lbl, e("src") === lbl("id"))
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("dst").orderBy(col("c").desc, col("lbl"))
-        lbl = cnt.withColumn("rk", row_number().over(w))
-          .where(col("rk") === 1)
-          .select(col("dst").as("id"), col("lbl"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("dst").as("id"), (-col("m").getField("nl")).as("lbl"))
           .localCheckpoint(false)
       }
       lbl.orderBy("id")

@@ -69,23 +69,29 @@ object Signals {
     // Count-min sketch — the mergeable point-frequency summary (the CMS
     // of Cormode & Muthukrishnan) joining the HLL (q_agg_sketch_merge)
     // and KLL-style (q_agg_quantile_merge) rollups in the sketch family.
-    // The sketch is 4 hash rows × 64 buckets = 256 cells built by ONE
-    // partial+final aggregate (each executor folds its token stream into
-    // 256 local counters; merge is cell-wise add — exactly how a 1000-
-    // executor rollup composes). Estimates for the 10 heaviest terms
-    // (TakeOrdered heap) probe the broadcast sketch: est = min over the
-    // 4 rows, and CMS guarantees est ≥ exact with ≤ εN overshoot
-    // (SignalsSpec asserts both). Hashes are md5-derived ⇒ bit-identical
-    // in DuckDB, so even the sketch cells are oracle-comparable.
+    // The sketch is 4 hash rows × 64 buckets = 256 cells. The token
+    // stream collapses to (term, count) FIRST — one partial+final agg,
+    // each executor's map side folding its local stream — and the 4-way
+    // hash explode then runs over VOCAB rows, not token rows (measured
+    // 10.2 s → explode-dominated before this collapse at ×100; vocab ≪
+    // tokens on any real corpus). Cell merge is weighted add — exactly
+    // how a 1000-executor rollup composes. Estimates for the 10
+    // heaviest terms (TakeOrdered heap) probe the broadcast sketch:
+    // est = min over the 4 rows, and CMS guarantees est ≥ exact with
+    // ≤ εN overshoot (SignalsSpec asserts both). Hashes are
+    // md5-derived ⇒ bit-identical in DuckDB, so even the sketch cells
+    // are oracle-comparable.
     "q_agg_countmin" -> ((s, d) => {
-      val tok = Tables(s, d, "documents")
+      val tc = Tables(s, d, "documents")
         .select(explode(textTokens).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tc"))
       val bucket = (j: String) => expr(
         s"${hexFold(s"md5(concat('cm', CAST($j AS STRING), '|', term))", 12)} % 64")
-      val cells = tok.select(explode(expr("sequence(0, 3)")).as("j"), col("term"))
-        .select(col("j"), bucket("j").as("bkt"))
-        .groupBy("j", "bkt").agg(count(lit(1)).as("cell"))
-      val probes = tok.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      val cells = tc.select(col("term"), col("tc"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("j"), bucket("j").as("bkt"), col("tc"))
+        .groupBy("j", "bkt").agg(sum("tc").as("cell"))
+      val probes = tc.select(col("term"), col("tc").as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("term")).limit(10)
       probes.select(col("term"), col("exact_cnt"),
           explode(expr("sequence(0, 3)")).as("j"))
