@@ -29,31 +29,52 @@ object Insights {
     // Label-propagation community detection (Raghavan et al.) over the
     // co-purchase graph — the lightweight alternative to modularity
     // clustering: each node adopts its neighbors' MAJORITY label, ties
-    // to the smallest label, for 3 SYNCHRONOUS rounds. Per round: one
-    // equi-join (edges × labels), one (dst, lbl) count aggregate, and
+    // to the smallest label. Updates are SEMI-SYNCHRONOUS by bipartite
+    // side (odd rounds update suppliers, even rounds customers, 4
+    // rounds = 2 alternations): fully synchronous LPA on a bipartite
+    // graph just SWAPS the sides' labels each round — the known
+    // oscillation pathology, measured here as modularity −0.5 (every
+    // edge cross-community) before the fix. Per round: one equi-join
+    // (side-filtered edges × labels), one (dst, lbl) count aggregate,
     // the majority pick as a SECOND-LEVEL aggregate — max of the
     // (count, −label) struct, whose lexicographic order IS "largest
     // count, ties to smallest label" — so the pick rides partial
-    // aggregation instead of a per-dst window sort; never a global
-    // window, never all-pairs. Label frames localCheckpoint (lazily)
-    // per round, the q_llm_dedup_cc rule, so lineage stays flat while
-    // plan-only consumers never run a job. Rounds are FIXED (3), not
-    // run-to-convergence: the declared query must be deterministic and
-    // one-pass-per-round is the per-round cost being demonstrated;
+    // aggregation instead of a per-dst window sort, and one node-sized
+    // merge join folding updates into the carried frame; never a
+    // global window, never all-pairs. Label frames localCheckpoint
+    // (lazily) per round, the q_llm_dedup_cc rule. Rounds are FIXED,
+    // not run-to-convergence: the declared query must be deterministic
+    // and one-pass-per-round is the per-round cost being demonstrated;
     // convergence looping is the same driver shape as q_llm_dedup_cc.
-    "q_graph_label_prop" -> ((s, d) => {
-      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
-      var lbl = e.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-      for (_ <- 1 to 3) {
-        lbl = e.join(lbl, e("src") === lbl("id"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("dst").as("id"), (-col("m").getField("nl")).as("lbl"))
-          .localCheckpoint(false)
-      }
-      lbl.orderBy("id")
+    "q_graph_label_prop" -> ((s, d) => labelProp(s, d).orderBy("id")),
+
+    // Modularity score of the label-propagation communities — the
+    // quality number every community detection reports: Q = Σ_c
+    // [E2_cc/E2 − (d_c/E2)²] over the directed edge count E2 (= 2m on
+    // this both-directions list), within-community edges E2_cc, and
+    // community degree mass d_c. Two equi-joins tag each edge's
+    // endpoint labels (the label frame is node-sized — co-partitioned
+    // hash joins at any scale, broadcast at demo scale), one per-label
+    // aggregate, per-community terms pinned to the 1e-9 grid before
+    // the exact decimal sum (integer ratios → one libm-free double
+    // expression each). Output is one row at any N.
+    "q_graph_modularity" -> ((s, d) => {
+      val e = U.coPurchaseEdges(s, d)
+      val lbl = labelProp(s, d)
+      val tagged = e
+        .join(lbl.select(col("id"), col("lbl").as("ls")), e("src") === col("id"))
+        .drop("id")
+        .join(lbl.select(col("id"), col("lbl").as("ld")), col("dst") === col("id"))
+      val per = tagged.groupBy("ls")
+        .agg(count(lit(1)).as("dc"),
+          sum((col("ls") === col("ld")).cast("long")).as("within"))
+      val tot = per.agg(sum("dc").as("e2"))
+      per.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_communities"), max(col("e2")).as("e2"),
+          sum(expr(
+            """CAST(round(CAST(within AS DOUBLE) / e2
+               - (CAST(dc AS DOUBLE) / e2) * (CAST(dc AS DOUBLE) / e2), 9)
+               AS DECIMAL(18,9))""")).cast("double").as("modularity"))
     }),
 
     // Inverted index (the classic IR/MapReduce demo): word → document
@@ -494,6 +515,34 @@ object Insights {
     * stays FIXED at 5 (own cell + 4 one-bit flips) at every bit count —
     * probe count is the recall knob, independent of quantizer size — so
     * per-query candidate volume is constant and total work linear in N. */
+  /** 3 synchronous label-propagation rounds over [[U.coPurchaseEdges]]
+    * (see q_graph_label_prop) — shared by the declared query and the
+    * modularity score so both provably walk the same communities, and
+    * memoized per (session, sfDir) (the CC-labels rule, Llm.ccLabels)
+    * so the round loop runs once, not once per consuming query; the
+    * final frame's lazy localCheckpoint makes the memo effective after
+    * its first action. */
+  private[graft] def labelProp(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Memo(s, s"labelprop:$d") {
+      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      var lbl = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (k <- 1 to 4) {
+        val side =
+          if (k % 2 == 1) col("dst") >= 1000000L else col("dst") < 1000000L
+        val upd = e.where(side).join(lbl, col("src") === lbl("id"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("dst").as("id"), (-col("m").getField("nl")).as("nu"))
+        lbl = lbl.join(upd, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nu"), col("lbl")).as("lbl"))
+          .localCheckpoint(false)
+      }
+      lbl
+    }
+
   private[graft] def knnGraphWithBits(s: org.apache.spark.sql.SparkSession,
       d: String, bits: Int): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -540,22 +589,52 @@ object Insights {
            CAST(150000000 + (85 * COALESCE(i.msum, 0)) // 100 AS BIGINT) AS pr
            FROM nodes n LEFT JOIN i$cur i ON n.id = i.dst)"""
 
+  /** DuckDB twin of [[labelProp]]: the CTE chain `oi, e, l0..l4` with
+    * `l4(id, lbl)` as the final labels — shared by the label-prop and
+    * modularity oracles exactly as [[labelProp]] is on the Spark side.
+    * Round k updates only one bipartite side (odd → suppliers, id ≥
+    * 1e6; even → customers), the carried frame merges via LEFT JOIN +
+    * COALESCE, mirroring the semi-synchronous Spark loop. */
+  private def oLabelChain: String = {
+    def round(prev: String, out: String, k: Int): String = {
+      val side = if (k % 2 == 1) "e.dst >= 1000000" else "e.dst < 1000000"
+      s"""$out AS (SELECT l.id, COALESCE(u.nu, l.lbl) AS lbl
+            FROM $prev l LEFT JOIN (
+              SELECT id, lbl AS nu FROM (
+                SELECT e.dst AS id, lp.lbl, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY e.dst
+                    ORDER BY COUNT(*) DESC, lp.lbl) AS rk
+                FROM e JOIN $prev lp ON e.src = lp.id
+                WHERE $side
+                GROUP BY e.dst, lp.lbl) WHERE rk = 1) u ON l.id = u.id)"""
+    }
+    s"""${U.oCoPurchase},
+       e AS (SELECT cust AS src, supp AS dst FROM oi
+             UNION ALL SELECT supp AS src, cust AS dst FROM oi),
+       l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       ${round("l0", "l1", 1)}, ${round("l1", "l2", 2)},
+       ${round("l2", "l3", 3)}, ${round("l3", "l4", 4)}"""
+  }
+
   val oracle: Map[String, String] = Map(
-    "q_graph_label_prop" -> {
-      def round(prev: String, out: String): String =
-        s"""$out AS (SELECT id, lbl FROM (
-              SELECT e.dst AS id, l.lbl, COUNT(*) AS c,
-                ROW_NUMBER() OVER (PARTITION BY e.dst
-                  ORDER BY COUNT(*) DESC, l.lbl) AS rk
-              FROM e JOIN $prev l ON e.src = l.id
-              GROUP BY e.dst, l.lbl) WHERE rk = 1)"""
-      s"""WITH ${U.oCoPurchase},
-         e AS (SELECT cust AS src, supp AS dst FROM oi
-               UNION ALL SELECT supp AS src, cust AS dst FROM oi),
-         l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
-         ${round("l0", "l1")}, ${round("l1", "l2")}, ${round("l2", "l3")}
-         SELECT id, lbl FROM l3 ORDER BY id"""
-    },
+    "q_graph_label_prop" ->
+      s"""WITH $oLabelChain
+         SELECT id, lbl FROM l4 ORDER BY id""",
+
+    "q_graph_modularity" ->
+      s"""WITH $oLabelChain,
+         tagged AS (SELECT ls.lbl AS ls, ld.lbl AS ld
+           FROM e JOIN l4 ls ON e.src = ls.id JOIN l4 ld ON e.dst = ld.id),
+         per AS (SELECT ls, COUNT(*) AS dc,
+             CAST(SUM(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT)
+               AS within
+           FROM tagged GROUP BY ls),
+         t AS (SELECT CAST(SUM(dc) AS BIGINT) AS e2 FROM per)
+         SELECT COUNT(*) AS n_communities, MAX(e2) AS e2,
+           CAST(SUM(CAST(round(CAST(within AS DOUBLE) / e2
+             - (CAST(dc AS DOUBLE) / e2) * (CAST(dc AS DOUBLE) / e2), 9)
+             AS DECIMAL(18,9))) AS DOUBLE) AS modularity
+         FROM per, t""",
 
     "q_mr_inverted_index" ->
       """SELECT word, COUNT(*) AS df,

@@ -120,6 +120,26 @@ class SignalsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length < out.length)
   }
 
+  test("q_graph_modularity: bounded, conserves edge mass, beats random") {
+    val r = SparkEntry.queries("q_graph_modularity")(spark, sf).collect().head
+    val (nc, e2, q) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    assert(e2 == Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count() * 2,
+      "directed edge mass != 2x distinct co-purchase incidence")
+    val labels = SparkEntry.queries("q_graph_label_prop")(spark, sf).collect()
+    assert(nc == labels.map(_.getLong(1)).distinct.length,
+      "community count disagrees with the declared label frame")
+    // the semi-synchronous update must at least kill the bipartite
+    // oscillation (fully synchronous LPA measures exactly −0.5 here:
+    // the two sides swap labels each round, every edge cross-community);
+    // on this dense co-purchase fixture real structure is absent, so
+    // LPA correctly converges to few communities with Q ≥ 0
+    assert(q >= 0.0, s"bipartite oscillation resurfaced: $q")
+  }
+
   test("q_dq_benford: 9 digits, shares sum to 1, counts conserve") {
     val out = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
     assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9).filter(dd =>
