@@ -515,13 +515,15 @@ object Insights {
     * stays FIXED at 5 (own cell + 4 one-bit flips) at every bit count —
     * probe count is the recall knob, independent of quantizer size — so
     * per-query candidate volume is constant and total work linear in N. */
-  /** 3 synchronous label-propagation rounds over [[U.coPurchaseEdges]]
-    * (see q_graph_label_prop) — shared by the declared query and the
-    * modularity score so both provably walk the same communities, and
-    * memoized per (session, sfDir) (the CC-labels rule, Llm.ccLabels)
-    * so the round loop runs once, not once per consuming query; the
-    * final frame's lazy localCheckpoint makes the memo effective after
-    * its first action. */
+  /** 4 SEMI-SYNCHRONOUS label-propagation rounds over
+    * [[U.coPurchaseEdges]] — odd rounds update the supplier side,
+    * even rounds the customer side (see q_graph_label_prop: the fully
+    * synchronous variant oscillates on a bipartite graph) — shared by
+    * the declared query and the modularity score so both provably walk
+    * the same communities, and memoized per (session, sfDir) (the
+    * CC-labels rule, Llm.ccLabels) so the round loop runs once, not
+    * once per consuming query; the final frame's lazy localCheckpoint
+    * makes the memo effective after its first action. */
   private[graft] def labelProp(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Memo(s, s"labelprop:$d") {

@@ -194,11 +194,17 @@ object Signals {
     // in ONE full-outer equi-join: U/I rewrite the price, D drops the
     // row, untouched keys pass through. Overlapping ops on one key
     // (k≡0 mod 5 AND k≡3 mod 17 gets both a U and a later D) resolve by
-    // seq, which is the point of the LWW collapse. Linear: one window
-    // shuffle over the log + one join shuffle, both on the key.
+    // seq, which is the point of the LWW collapse. Insert keys offset by
+    // the snapshot's ACTUAL max key (a broadcast 1-row dim), never a
+    // constant — a fixed 1e7 offset silently collides with real keys on
+    // any input whose key space outgrows it (the ×100 replica's strided
+    // orderkeys reach ~6e7), turning inserts into phantom updates.
+    // Linear: one window shuffle over the log + one join shuffle, both
+    // on the key.
     "q_cdc_apply_log" -> ((s, d) => {
       val snap = Tables(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val mx = snap.agg(max("k").as("mx"))
       val log = snap.where(pmod(col("k"), lit(5L)) === 0)
         .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
           (col("price") + 10.0).as("np"))
@@ -206,7 +212,8 @@ object Signals {
           .select(col("k"), lit(2L).as("seq"), lit("D").as("op"),
             lit(null).cast("double").as("np")))
         .unionByName(snap.where(pmod(col("k"), lit(23L)) === 7)
-          .select((col("k") + 10000000L).as("k"), lit(1L).as("seq"),
+          .crossJoin(broadcast(mx))
+          .select((col("k") + col("mx") + 1L).as("k"), lit(1L).as("seq"),
             lit("I").as("op"), col("price").as("np")))
       val lww = log.withColumn("rn", row_number().over(
           Window.partitionBy("k").orderBy(col("seq").desc, col("op"))))
@@ -326,13 +333,14 @@ object Signals {
     "q_cdc_apply_log" ->
       """WITH snap AS (SELECT o_orderkey AS k, o_totalprice AS price
              FROM orders),
+         mx AS (SELECT MAX(k) AS mx FROM snap),
          log AS (
            SELECT k, 1 AS seq, 'U' AS op, price + 10.0 AS np FROM snap
              WHERE k % 5 = 0
            UNION ALL
            SELECT k, 2, 'D', NULL FROM snap WHERE k % 17 = 3
            UNION ALL
-           SELECT k + 10000000, 1, 'I', price FROM snap WHERE k % 23 = 7),
+           SELECT k + mx + 1, 1, 'I', price FROM snap, mx WHERE k % 23 = 7),
          lww AS (SELECT k, op, np FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY k
                ORDER BY seq DESC, op) AS rn FROM log) WHERE rn = 1)

@@ -82,15 +82,19 @@ class SignalsSpec extends SparkSpec {
     val nOrig = snap.count()
     val nDel = snap.where(pmod(col("k"), lit(17L)) === 3).count()
     val nIns = snap.where(pmod(col("k"), lit(23L)) === 7).count()
+    val maxK = snap.agg(max("k")).collect().head.getLong(0)
     val out = SparkEntry.queries("q_cdc_apply_log")(spark, sf)
     assert(out.count() == nOrig - nDel + nIns)
     // an updated, non-deleted key carries exactly old + 10
     val updated = out.join(snap, out("o_orderkey") === snap("k"))
       .where(pmod(col("k"), lit(5L)) === 0 && pmod(col("k"), lit(17L)) =!= 3)
     assert(updated.where(col("o_totalprice") =!= col("price") + 10.0).count() == 0)
-    // deleted keys are absent even when also updated (LWW: D has seq 2)
+    // deleted keys are absent even when also updated (LWW: D has seq 2);
+    // inserts live strictly above the snapshot's max key, and all of
+    // them arrived
     assert(out.where(pmod(col("o_orderkey"), lit(17L)) === 3
-      && col("o_orderkey") < 10000000L).count() == 0)
+      && col("o_orderkey") <= maxK).count() == 0)
+    assert(out.where(col("o_orderkey") > maxK).count() == nIns)
   }
 
   test("q_agg_covariance matches var_pop/covar_pop on the 1e-9 grid") {
@@ -142,8 +146,8 @@ class SignalsSpec extends SparkSpec {
 
   test("q_dq_benford: 9 digits, shares sum to 1, counts conserve") {
     val out = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
-    assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9).filter(dd =>
-      out.exists(_.getInt(0) == dd)).sorted)
+    assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9),
+      "every first digit 1..9 must appear exactly once")
     val n = Tables(spark, sf, "orders").count()
     assert(out.map(_.getLong(1)).sum == n)
     assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-6)
