@@ -232,6 +232,36 @@ object Joins {
         .orderBy("purchase_id")
     }),
 
+    // Bloom-pruned join — the semi-join reduction every engine's
+    // runtime filters chase, made explicit: when the dim side is
+    // selective but too large to broadcast (forced here with a pinned
+    // shuffle-hash join), a Bloom filter of its JOIN KEYS is small
+    // enough to broadcast at any dim size, and probing it BEFORE the
+    // fact side's exchange drops ~4/5 of the fact rows pre-shuffle
+    // (BUILDING is one of 5 segments) — the shuffle_mb telemetry in
+    // bench_full.json is the receipt. False positives (1%) survive the
+    // probe and die in the real join, so the result is exactly the
+    // plain join's (the oracle proves it); the probe UDF sits below
+    // the Exchange, the same placement PlanSpec pins for the Bloom
+    // decontamination pass. The filter memoizes per (session, dir)
+    // like every other sketch build.
+    "q_join_bloom_prune" -> ((s, d) => {
+      val dim = Tables(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val bloom = graft.Memo(s, s"bloomjoin:$d") {
+        s.sparkContext.broadcast(
+          dim.stat.bloomFilter("c_custkey", 100000L, 0.01))
+      }
+      val probe = udf((k: Long) => bloom.value.mightContainLong(k))
+      Tables(s, d, "orders")
+        .where(probe(col("o_custkey")))
+        .join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("c_custkey")).limit(20)
+    }),
+
     "q_join_asof" -> ((s, d) => {
       // Most recent prior click for each purchase of the same user.
       // events.ts is strictly ascending with event_id, so event_id is a
@@ -369,6 +399,14 @@ object Joins {
                 ELSE least(COALESCE(us - prev_us, 9223372036854775807),
                            COALESCE(next_us - us, 9223372036854775807)) END AS dist_us
          FROM e WHERE event_type = 'purchase' ORDER BY purchase_id""",
+
+    "q_join_bloom_prune" ->
+      s"""SELECT c_custkey, COUNT(*) AS n_orders,
+            ${oDsum("o_totalprice")} AS total
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY c_custkey
+          ORDER BY total DESC, c_custkey LIMIT 20""",
 
     "q_join_asof" ->
       """SELECT user_id, purchase_id, COALESCE(last_click_id, -1) AS last_click_id

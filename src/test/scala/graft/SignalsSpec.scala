@@ -182,6 +182,31 @@ class SignalsSpec extends SparkSpec {
     assert(out.map(_.getString(3)).toSeq == again.map(_.getString(3)).toSeq)
   }
 
+  test("q_join_bloom_prune: probe below the exchange, result = plain join") {
+    val df = SparkEntry.queries("q_join_bloom_prune")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"dim must stay on the shuffle path (the scenario is 'too big to broadcast'):\n$plan")
+    // the Bloom probe must prune the fact side BEFORE its exchange:
+    // scan-side filter string carries the UDF above the orders scan
+    val exchangeIdx = plan.indexOf("Exchange")
+    val probeIdx = plan.indexOf("UDF")
+    assert(probeIdx > exchangeIdx && exchangeIdx >= 0,
+      s"bloom probe filter should sit below (after, in tree print) the exchange:\n$plan")
+    // bloom transparency: false positives die in the join — equality
+    // with the plain (unpruned) join, not just similarity
+    val plain = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer")
+        .where(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        queries.U.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("total").desc, col("c_custkey")).limit(20)
+      .collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
+
   test("signals plan guards: heap top-k, broadcast probes, keyed windows") {
     val bm25 = SparkEntry.queries("q_llm_bm25")(spark, sf)
       .queryExecution.executedPlan.toString
