@@ -234,7 +234,11 @@ object Pipeline {
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).as("n"),
           md5(col("doc_id").cast("string")).as("h"))
-      val gw = Window.partitionBy()
+      // Constant-but-not-foldable key (0·length): same single partition
+      // over the 20-row budget dim, but a non-empty partition spec
+      // keeps WindowExec's move-all-data warning out of every
+      // bench/verify stderr (a plain lit folds away and re-warns)
+      val gw = Window.partitionBy(length(col("source")) * lit(0))
       val budget = docs.groupBy("source").agg(sum(col("n")).as("toks"))
         .withColumn("w", expr("CAST(substring(source, 4) AS INT) + 1"))
         .withColumn("grand", sum(col("toks")).over(gw))

@@ -77,11 +77,13 @@ class PlanSpec extends SparkSpec {
 
   test("no declared batch query plans a global window (tiny-dim allowlist aside)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    // allowlisted: windows that run strictly over a bounded tiny input —
-    // bpe_pairs ranks a .limit(30) heap result, llm_mix windows the
-    // 20-row source dim. Streaming twins are excluded (memory-sink
-    // read-back plans, windows already covered by StreamingSpec).
-    val allow = Set("q_llm_bpe_pairs", "q_llm_mix")
+    // no allowlist: the two windows that legitimately run over bounded
+    // tiny inputs (bpe_pairs' 30-row heap result, llm_mix's 20-row
+    // source dim) now pin partitionBy(lit(1)) — same single partition,
+    // non-empty spec — so even they pass the sweep. Streaming twins are
+    // excluded (memory-sink read-back plans, windows covered by
+    // StreamingSpec).
+    val allow = Set.empty[String]
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream_")).filterNot(allow)
       .filter { n =>
