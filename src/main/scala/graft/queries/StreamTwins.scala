@@ -121,6 +121,29 @@ object StreamTwins {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // RIGHT OUTER stream-stream join twin — the mirror of
+    // q_stream_outer_join completing the left/right/full matrix: every
+    // CLICK is preserved, and one that fed no purchase in its following
+    // 30 minutes emits purchase_id −1 (streaming impl
+    // Streams.streamJoinRightOuter: click state evicts at watermark >
+    // cts + 30 min). (purchase_id, click_id) stays a unique pair, so
+    // the order is total.
+    "q_stream_right_outer" -> ((s, d) => {
+      val ev = Tables(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("pus"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("event_id").as("click_id"), col("us").as("cus"))
+      p.join(c, col("user_id") === col("cuser")
+          && col("cus") >= col("pus") - 1800000000L && col("cus") <= col("pus"),
+          "right_outer")
+        .select(col("cuser").as("user_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          col("click_id"),
+          coalesce(expr("(pus - cus) div 1000000"), lit(-1L)).as("gap_s"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // FULL OUTER stream-stream join twin: unmatched rows emit from BOTH
     // sides — a purchase with no click in its preceding 30 minutes
     // (click_id −1) AND a click that fed no purchase in its following 30
@@ -202,6 +225,20 @@ object StreamTwins {
            COALESCE(click_id, -1) AS click_id,
            COALESCE((pus - cus) // 1000000, -1) AS gap_s
          FROM p LEFT JOIN c ON user_id = cuser
+           AND cus >= pus - 1800000000 AND cus <= pus
+         ORDER BY purchase_id, click_id""",
+
+    "q_stream_right_outer" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         p AS (SELECT user_id, event_id AS purchase_id, us AS pus FROM e
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cuser, event_id AS click_id, us AS cus FROM e
+               WHERE event_type = 'click')
+         SELECT cuser AS user_id,
+           COALESCE(purchase_id, -1) AS purchase_id,
+           click_id,
+           COALESCE((pus - cus) // 1000000, -1) AS gap_s
+         FROM p RIGHT JOIN c ON p.user_id = cuser
            AND cus >= pus - 1800000000 AND cus <= pus
          ORDER BY purchase_id, click_id""",
 

@@ -187,6 +187,30 @@ object Streams {
           .as("gap_s"))
   }
 
+  /** Right-outer stream-stream join — the mirror of [[streamJoinOuter]]
+    * completing the outer matrix (left/right/full): the CLICK side is
+    * preserved, so a click that fed no purchase in its following 30
+    * minutes emits purchase_id −1 once the watermark clears
+    * cts + 30 min (purchase state still drops at watermark > pts).
+    * Converges to the q_stream_right_outer batch twin (StreamingSpec). */
+  def streamJoinRightOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", "30 minutes")
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "30 minutes")
+    p.join(c, col("user_id") === col("cuser")
+        && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+        && col("cts") <= col("pts"), "right_outer")
+      .select(col("cuser").as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("click_id"),
+        coalesce(expr("(unix_micros(pts) - unix_micros(cts)) div 1000000"), lit(-1L))
+          .as("gap_s"))
+  }
+
   case class TsEvent(user_id: Long, ts_us: Long)
   case class SessionOut(user_id: Long, n_events: Long, start_s: Long, end_s: Long)
   case class SessState(start_us: Long, last_us: Long, n: Long)

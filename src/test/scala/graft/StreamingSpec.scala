@@ -237,6 +237,35 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSet(got) == sortedSet(want))
   }
 
+  test("stream-stream RIGHT OUTER join emits unmatched clicks after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val q = Streams.streamJoinRightOuter(pMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("t_ssrouter").outputMode("append").start()
+    chunksInOrder.foreach { ch =>
+      pMem.addData(ch); cMem.addData(ch); q.processAllAvailable()
+    }
+    // same two-push watermark flush as the left-outer test: an
+    // unmatched-click row is withheld until the watermark clears
+    // cts + 30 min, one band later than the matched rows
+    val far = allEvents.map(_.ts.getTime).max
+    def sentinel(id: Long, tp: String, off: Long) =
+      Ev(id, new java.sql.Timestamp(far + off), -1L, tp, 0.0, "{}")
+    Seq(3600000L, 7200000L).foreach { off =>
+      pMem.addData(Seq(sentinel(-1L - off, "purchase", off)))
+      cMem.addData(Seq(sentinel(-2L - off, "click", off)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_ssrouter").where(col("user_id") =!= -1L)
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_right_outer")(spark, sf)
+      .select("user_id", "purchase_id", "click_id", "gap_s").collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
   test("stream-stream FULL OUTER join evicts unmatched rows from both sides") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
