@@ -248,10 +248,14 @@ object Joins {
     "q_join_bloom_prune" -> ((s, d) => {
       val dim = Tables(s, d, "customer")
         .where(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey"), col("c_name"))
+        .select(col("c_custkey"))
       val bloom = graft.Memo(s, s"bloomjoin:$d") {
-        s.sparkContext.broadcast(
-          dim.stat.bloomFilter("c_custkey", 100000L, 0.01))
+        // sized from the dim's ACTUAL key count (one memoized count job)
+        // — a fixed expectedNumItems silently saturates once the dim
+        // outgrows it and the false-positive rate drifts toward 1,
+        // dissolving the pre-shuffle pruning this operator exists for
+        val n = math.max(dim.count(), 1L)
+        s.sparkContext.broadcast(dim.stat.bloomFilter("c_custkey", n, 0.01))
       }
       val probe = udf((k: Long) => bloom.value.mightContainLong(k))
       Tables(s, d, "orders")

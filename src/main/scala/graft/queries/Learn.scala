@@ -111,8 +111,10 @@ object Learn {
         // (the prefixOffsets construction): rank(p) = #rows sorting at
         // or before p. A bare row_number() window here was the one
         // remaining WindowExec move-all-data warning in the bench/verify
-        // stderr (the optimizer strips any constant partition key, so no
-        // spec trick silences it), and 30² comparisons are free.
+        // stderr; for ROW_NUMBER windows the optimizer strips any
+        // constant partition key — foldable or not (tested: llm_mix's
+        // length()*0 trick survives only on AGGREGATE windows) — so no
+        // spec trick silences it, and 30² comparisons are free.
         .orderBy(col("cnt").desc, col("pair")).limit(30)
         .localCheckpoint(false)
         .transform { top =>

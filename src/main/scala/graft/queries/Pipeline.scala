@@ -237,7 +237,10 @@ object Pipeline {
       // Constant-but-not-foldable key (0·length): same single partition
       // over the 20-row budget dim, but a non-empty partition spec
       // keeps WindowExec's move-all-data warning out of every
-      // bench/verify stderr (a plain lit folds away and re-warns)
+      // bench/verify stderr. This survives ONLY because these are
+      // aggregate windows — a plain lit folds away and re-warns, and
+      // for row_number windows the optimizer strips even this
+      // (bpe_pairs went windowless for exactly that reason)
       val gw = Window.partitionBy(length(col("source")) * lit(0))
       val budget = docs.groupBy("source").agg(sum(col("n")).as("toks"))
         .withColumn("w", expr("CAST(substring(source, 4) AS INT) + 1"))

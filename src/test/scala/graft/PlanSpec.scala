@@ -77,12 +77,15 @@ class PlanSpec extends SparkSpec {
 
   test("no declared batch query plans a global window (tiny-dim allowlist aside)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    // no allowlist: the two windows that legitimately run over bounded
-    // tiny inputs (bpe_pairs' 30-row heap result, llm_mix's 20-row
-    // source dim) now pin partitionBy(lit(1)) — same single partition,
-    // non-empty spec — so even they pass the sweep. Streaming twins are
-    // excluded (memory-sink read-back plans, windows covered by
-    // StreamingSpec).
+    // no allowlist: the two bounded-tiny-input windows are gone or
+    // spec-pinned — bpe_pairs ranks its 30-row heap WINDOWLESSLY (a
+    // broadcast triangle join; for row_number the optimizer strips ANY
+    // constant partition key, foldable or not, so no spec survives),
+    // and llm_mix's 20-row aggregate window pins the non-foldable
+    // length(source)*0 key, which DOES survive for aggregate windows
+    // (a plain lit(1) folds away for both kinds and re-warns).
+    // Streaming twins are excluded (memory-sink read-back plans,
+    // windows covered by StreamingSpec).
     val allow = Set.empty[String]
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream_")).filterNot(allow)

@@ -187,12 +187,15 @@ class SignalsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       s"dim must stay on the shuffle path (the scenario is 'too big to broadcast'):\n$plan")
-    // the Bloom probe must prune the fact side BEFORE its exchange:
-    // scan-side filter string carries the UDF above the orders scan
-    val exchangeIdx = plan.indexOf("Exchange")
+    // the Bloom probe must prune the fact side BEFORE its exchange —
+    // anchor on the FACT side's hashpartitioning exchange specifically
+    // (a bare indexOf("Exchange") would match whichever exchange prints
+    // first and go vacuous if the aggregate ever needs its own)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(o_custkey")
     val probeIdx = plan.indexOf("UDF")
-    assert(probeIdx > exchangeIdx && exchangeIdx >= 0,
-      s"bloom probe filter should sit below (after, in tree print) the exchange:\n$plan")
+    assert(exchangeIdx >= 0, s"fact-side exchange not found:\n$plan")
+    assert(probeIdx > exchangeIdx,
+      s"bloom probe filter should sit below (after, in tree print) the fact exchange:\n$plan")
     // bloom transparency: false positives die in the join — equality
     // with the plain (unpruned) join, not just similarity
     val plain = Tables(spark, sf, "orders")
