@@ -37,7 +37,22 @@ object Scale {
     "x_knn_graph_b7" -> ((s, d) => graft.queries.Insights.knnGraphWithBits(s, d, 7)),
     "x_knn_graph_b11" -> ((s, d) => graft.queries.Insights.knnGraphWithBits(s, d, 11)),
     "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
-    "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)))
+    "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)),
+    // A/B control for q_join_skew_salted: the SAME join UNSALTED, left
+    // to Spark's AQE skew-join splitting (adaptive is on by default in
+    // this probe session). Times manual 8-way salting against the
+    // runtime re-plan the platform gives for free — the decision a real
+    // pipeline makes per hot key.
+    "x_join_skew_plain" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables(s, d, "lineitem")
+      val sup = graft.Tables(s, d, "supplier")
+      li.join(sup.hint("shuffle_hash"), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          graft.queries.U.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_name")
+    }))
 
   val probeSet: Seq[String] = Seq(
     "q_agg_groupby", "q_win_rank", "q_join_theta_range", "q_join_asof",
