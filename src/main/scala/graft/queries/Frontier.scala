@@ -323,7 +323,7 @@ object Frontier {
                FROM x GROUP BY bin),
          t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
                  CAST(SUM(c2) AS BIGINT) AS n2 FROM c)
-         SELECT bin, c1, c2,
+         SELECT CAST(bin AS INT) AS bin, c1, c2,
            round((CAST(c1 + 1 AS DOUBLE) / (n1 + 32) -
                   CAST(c2 + 1 AS DOUBLE) / (n2 + 32)) *
              ln(CAST(c1 + 1 AS DOUBLE) * (n2 + 32) /

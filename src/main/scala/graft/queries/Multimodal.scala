@@ -308,8 +308,8 @@ object Multimodal {
              length(text) AS n
            FROM documents)
          SELECT doc_id, in_w, in_h,
-           CAST(greatest(1, (in_w * 224) // greatest(in_w, in_h)) AS INT) AS out_w,
-           CAST(greatest(1, (in_h * 224) // greatest(in_w, in_h)) AS INT) AS out_h,
+           CAST(greatest(1, (in_w * 224) // greatest(in_w, in_h)) AS BIGINT) AS out_w,
+           CAST(greatest(1, (in_h * 224) // greatest(in_w, in_h)) AS BIGINT) AS out_h,
            CAST(length(sig) AS INT) AS sig_len,
            md5(sig) AS sig_digest
          FROM (SELECT *, list_aggregate(list_transform(range(0, 64),
@@ -368,7 +368,7 @@ object Multimodal {
              ROW_NUMBER() OVER (PARTITION BY doc_id
                ORDER BY delta DESC, frame_id) AS rk
            FROM l WHERE delta IS NOT NULL)
-         SELECT doc_id, frame_id AS cut_frame, delta AS cut_delta
+         SELECT doc_id, frame_id AS cut_frame, CAST(delta AS BIGINT) AS cut_delta
          FROM r WHERE rk = 1 ORDER BY doc_id""",
 
     "q_mm_dedup_phash" ->

@@ -59,8 +59,23 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in ours.columns:
             a, b = ours[c], theirs[c]
             try:
+                # Dtype-strict, like the driver's hash compare: a float64
+                # oracle column against an int64 Spark column is a FAIL even
+                # when values coincide (e.g. DuckDB list_sum promoting to
+                # HUGEINT -> float64 fetch), because the hashed value repr
+                # differs (2190.0 vs 2190). Same-KIND width skew (int32 vs
+                # int64) hashes identically at the driver, so it only warns
+                # here; object-vs-object (strings, dates, nested lists)
+                # compares by value alone.
                 if a.dtype != b.dtype:
-                    b = b.astype(a.dtype)
+                    if a.dtype == object and b.dtype == object:
+                        pass
+                    elif a.dtype.kind == b.dtype.kind:
+                        print(f"dtypewarn {name}.{c}: {a.dtype} vs {b.dtype}")
+                        b = b.astype(a.dtype)
+                    else:
+                        bad.append(f"{c}: DTYPE {a.dtype} vs {b.dtype}")
+                        continue
                 eq = (a.values == b.values) | (a.isna().values & b.isna().values)
                 if not eq.all():
                     i = (~eq).argmax()
