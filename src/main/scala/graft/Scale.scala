@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * linear-scaling table in BASELINE.md.
   *
   * Usage:
-  *   runMain graft.Scale gen   <srcDir> <outDir> [factor]
-  *   runMain graft.Scale probe <dir> [dir ...]
+  *   runMain graft.Scale gen    <srcDir> <outDir> [factor]
+  *   runMain graft.Scale probe  <dir> [dir ...]
+  *   runMain graft.Scale recall <dir> [dir ...]
   */
 object Scale {
 
@@ -30,6 +31,13 @@ object Scale {
     * binned `q_join_theta_range` replaced). */
   val extraProbes: Map[String, graft.queries.U.Q] = Map(
     "x_join_theta_coarse" -> graft.queries.Joins.thetaRangeCoarse,
+    // checkpoint-strategy A/B behind the r4 kmeans bench regression: the
+    // r4 "lazy" two-consumer form measured 2× the fused declared plan
+    // (both broadcast builds race the unmaterialized checkpoint and each
+    // executes the full lineage); eager ≈ fused + one wasted cache write
+    "x_kmeans_lazy_ckpt" -> ((s, d) => graft.queries.Learn.kmeansWith(s, d, "lazy")),
+    "x_kmeans_eager_ckpt" -> ((s, d) => graft.queries.Learn.kmeansWith(s, d, "eager")),
+    "x_kmeans_no_ckpt" -> ((s, d) => graft.queries.Learn.kmeansWith(s, d, "none")),
     // IVF quantizer-growth probes: bits chosen so 2^bits tracks N
     // (base 4 bits / 16 cells at sf0.1's 2k vectors → 7 bits at ×10,
     // 11 bits at ×100), holding per-cell population ~constant — the
@@ -165,6 +173,72 @@ object Scale {
     println(s"""{"gen":"$out","factor":$f}""")
   }
 
+  /** Measured ANN recall vs GLOBAL brute force — the number the declared
+    * queries' property tests (equivalence over probed cells only) cannot
+    * show: how much the fixed 5-probe budget gives up against an exact
+    * scan, at each scale with the quantizer-growth rule applied.
+    *
+    * Per dir: bits = round(log2(N/125)) (the cells ∝ N rule anchored at
+    * the fixture's 2k vectors → 4 bits), queries = a ~128-vector
+    * deterministic stride sample, truth = exact top-k over ALL other
+    * vectors with the SAME rounded-dot ordering the ANN path ranks by.
+    * recall@k = |ann ∩ truth| / (k·|queries|). Also reports the fixed
+    * 16-cell `q_llm_simsearch_ivf` surface (its own label-0 query set,
+    * k=5). One JSON line per (dir, probe) → BASELINE.md. */
+  def recall(spark: SparkSession, dirs: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    def bruteTopK(emb: DataFrame, qs: DataFrame, k: Int): DataFrame = {
+      val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+      // broadcast the capped query set against the full candidate scan —
+      // the one place a crossJoin is the honest plan: exact truth needs
+      // every (q, cand) dot, and |qs| is bounded (~128) by construction
+      cand.crossJoin(broadcast(qs)).where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          expr("round(graft_dot(qe, ce), 6)").as("dot"))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+        .select("qid", "cid")
+    }
+    def report(dir: String, probe: String, k: Int,
+        ann: DataFrame, qs: DataFrame, emb: DataFrame): Unit = {
+      val truth = bruteTopK(emb, qs, k)
+      val annK = ann.join(qs.select("qid"), Seq("qid"), "left_semi")
+        .select("qid", "cid")
+      val hits = annK.join(truth, Seq("qid", "cid"), "left_semi").count()
+      val nq = qs.count()
+      val r = hits.toDouble / (k * nq)
+      println(f"""{"dir":"$dir","probe":"$probe","k":$k,"n_queries":$nq,"recall":$r%.4f}""")
+    }
+    dirs.foreach { d =>
+      val emb = Tables(spark, d, "embeddings")
+      val n = emb.count()
+      val bits = math.max(4,
+        math.round(math.log(n / 125.0) / math.log(2.0)).toInt)
+      val step = math.max(1L, n / 128L)
+      val sample = emb.where(col("vec_id") % step === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      // two probe budgets per scale: the declared fixed-5 rule, and the
+      // budget grown with the quantizer (all single-bit flips) — the
+      // recall/cost tradeoff a deployment tunes
+      report(d, s"knn_graph_b${bits}_p5", 3,
+        graft.queries.Insights.knnGraphWithBits(spark, d, bits), sample, emb)
+      if (bits > 4) {
+        report(d, s"knn_graph_b${bits}_p${bits + 1}", 3,
+          graft.queries.Insights.knnGraphWithBits(spark, d, bits, bits),
+          sample, emb)
+        val h2 = bits + bits * (bits - 1) / 2 // full Hamming-≤2 ball
+        report(d, s"knn_graph_b${bits}_p${h2 + 1}", 3,
+          graft.queries.Insights.knnGraphWithBits(spark, d, bits, h2),
+          sample, emb)
+      }
+      val ivfQs = emb.where(col("label") === 0 && col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      report(d, "simsearch_ivf_16cell", 5,
+        SparkEntry.queries("q_llm_simsearch_ivf")(spark, d), ivfQs, emb)
+    }
+  }
+
   /** Evaluate EVERY output column (noop sink). A bare count() would let
     * ColumnPruning drop unreferenced window/projection expressions and
     * the final sort — timing a scan, not the operator. */
@@ -202,7 +276,8 @@ object Scale {
       case "gen" => gen(spark, args(1), args(2),
         if (args.length > 3) args(3).toInt else 10)
       case "probe" => probe(spark, args.drop(1).toSeq)
-      case other => sys.error(s"unknown mode $other (gen|probe)")
+      case "recall" => recall(spark, args.drop(1).toSeq)
+      case other => sys.error(s"unknown mode $other (gen|probe|recall)")
     }
     spark.stop()
   }

@@ -103,7 +103,8 @@ object Insights {
     "q_graph_pagerank" -> ((s, d) => {
       val edges = U.coPurchaseEdges(s, d)
       val nodes = Tables(s, d, "customer").select(col("c_custkey").as("id"))
-        .unionAll(Tables(s, d, "supplier").select((col("s_suppkey") + 1000000L).as("id")))
+        .unionAll(Tables(s, d, "supplier")
+          .select((col("s_suppkey") + U.supplierIdOffset).as("id")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val e = edges.join(deg, "src")
       var r = nodes.select(col("id"), lit(1000000000L).as("pr"))
@@ -303,7 +304,8 @@ object Insights {
       val nodes = Tables(s, d, "customer")
         .select(col("c_custkey").as("id"), lit("customer").as("side"))
         .unionAll(Tables(s, d, "supplier")
-          .select((col("s_suppkey") + 1000000L).as("id"), lit("supplier").as("side")))
+          .select((col("s_suppkey") + U.supplierIdOffset).as("id"),
+            lit("supplier").as("side")))
       // one pass over oi (explode both endpoints), not a unionAll of two
       // branches — the union re-evaluated the join+distinct twice
       val deg = oi.select(explode(array(col("cust"), col("supp"))).as("id"))
@@ -532,7 +534,8 @@ object Insights {
         .select(col("id"), col("id").as("lbl"))
       for (k <- 1 to 4) {
         val side =
-          if (k % 2 == 1) col("dst") >= 1000000L else col("dst") < 1000000L
+          if (k % 2 == 1) col("dst") >= U.supplierIdOffset
+          else col("dst") < U.supplierIdOffset
         val upd = e.where(side).join(lbl, col("src") === lbl("id"))
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
           .groupBy(col("dst"))
@@ -545,12 +548,24 @@ object Insights {
       lbl
     }
 
+  /** `flips` = how many neighbor cells to probe besides the query's own
+    * (the probe BUDGET — the recall knob): first the `bits` single-bit
+    * flips, then two-bit flips in index order. The declared query uses 4
+    * (5 probes total); Scale.recall measures what the budget buys: with
+    * cells ∝ N and the budget FIXED, cost stays linear but the probed
+    * fraction (1+flips)/2^bits shrinks and recall@k decays with it, so a
+    * constant-recall deployment grows flips with bits. */
   private[graft] def knnGraphWithBits(s: org.apache.spark.sql.SparkSession,
-      d: String, bits: Int): org.apache.spark.sql.DataFrame = {
+      d: String, bits: Int, flips: Int = 4): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val singles = (0 until bits).map(b => 1 << b)
+    val doubles = for { i <- 0 until bits; j <- i + 1 until bits }
+      yield (1 << i) | (1 << j)
+    val probes = "cell" +: (singles ++ doubles).take(flips)
+      .map(m => s"cell ^ $m")
     val emb = Tables(s, d, "embeddings").withColumn("cell", cellOfBits(bits))
     val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      explode(expr("array(cell, cell ^ 1, cell ^ 2, cell ^ 4, cell ^ 8)")).as("probe"))
+      explode(expr(probes.mkString("array(", ", ", ")"))).as("probe"))
     val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       col("cell").as("ccell"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))

@@ -46,48 +46,80 @@ object Learn {
       .where(col("rk") === 1)
       .select(col("vec_id"), col("q"), col("cid"))
 
-  val queries: Map[String, Q] = Map(
-
-    // Distributed Lloyd k-means (k=8, 2 iterations, deterministic seeds =
-    // the first k vectors) over the 64-dim embeddings, entirely in 1e-6
-    // fixed point. Per iteration: broadcast centroids → argmin assignment
-    // (ties to the lower cluster id) → component-wise partial-sum
-    // recompute. Output: one row per cluster with population, smallest
-    // member id, and the centroid's exact L1 norm.
-    "q_llm_cluster_kmeans" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val vecs = Tables(s, d, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
-      var cent = vecs.where(col("vec_id") < K)
-        .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
-      for (_ <- 1 to ITERS) {
-        cent = assign(vecs, cent)
-          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos")
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-          .withColumn("cv", expr(fdiv("sv", "n")))
-          .groupBy("cid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+  /** Distributed Lloyd k-means (k=8, 2 iterations, deterministic seeds =
+    * the first k vectors) over the 64-dim embeddings, entirely in 1e-6
+    * fixed point. Per iteration: broadcast centroids → argmin assignment
+    * (ties to the lower cluster id) → component-wise partial-sum
+    * recompute. Output: one row per cluster with population, smallest
+    * member id, and the centroid's exact L1 norm.
+    *
+    * `ckpt` picks the plan shape for the final report:
+    *  - "fused" (declared): the L1 norm is computed INSIDE the final
+    *    centroid projection and rides the scoring broadcast, so the
+    *    centroid table has exactly ONE consumer — no materialization
+    *    needed, nothing executes at plan-build time, and the lineage runs
+    *    once. (Every r4 strategy below was measurably worse.)
+    *  - "lazy" (the r4 declared form, kept as the A/B control): TWO
+    *    consumers (scoring broadcast + a second L1 broadcast join) over a
+    *    localCheckpoint(eager=false). MEASURED 2× the fused time at
+    *    sf0.1: the two broadcast builds race on the not-yet-materialized
+    *    checkpoint and BOTH execute the full 2-iteration lineage — lazy
+    *    materialization dedupes only consumers that start after the
+    *    first one finishes.
+    *  - "eager"/"none": the same two-consumer plan with an eager
+    *    checkpoint (one lineage run, but it executes at plan-BUILD time,
+    *    which the plan-only consumers PlanSpec/Explain must not trigger)
+    *    / no checkpoint. Probe-able as x_kmeans_{lazy,eager,no}_ckpt. */
+  private[graft] def kmeansWith(s: org.apache.spark.sql.SparkSession,
+      d: String, ckpt: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val vecs = Tables(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+    var cent = vecs.where(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    for (_ <- 1 to ITERS) {
+      cent = assign(vecs, cent)
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", expr(fdiv("sv", "n")))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+    }
+    if (ckpt == "fused") {
+      // one broadcast carries both the scoring vector and its L1 (the L1
+      // is evaluated once per centroid in the broadcast relation build,
+      // not per (vec, cid) pair); first() is deterministic — every row
+      // of a cid group carries the same broadcast value
+      val centL1 = cent.select(col("cid"), col("c"),
+        expr("aggregate(c, 0L, (acc, v) -> acc + abs(v))").as("centroid_l1"))
+      vecs.crossJoin(broadcast(centL1))
+        .select(col("vec_id"), col("cid"), col("centroid_l1"), d2.as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+        .where(col("rk") === 1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"),
+          first(col("centroid_l1")).as("centroid_l1"))
+        .orderBy("cid")
+    } else {
+      cent = ckpt match {
+        case "lazy"  => cent.localCheckpoint(eager = false)
+        case "eager" => cent.localCheckpoint(eager = true)
+        case _       => cent
       }
-      // the final centroid table feeds TWO consumers (assignment + the
-      // L1 report join); without materialization each would re-execute
-      // the whole 2-iteration lineage, turning 3 scoring passes into 5.
-      // localCheckpoint, NOT persist: the blocks are reference-tracked
-      // and reclaimed by the ContextCleaner once the result is dropped —
-      // persist would leave one CacheManager relation registered per
-      // invocation for the application lifetime (Bench calls this
-      // repeatedly). LAZY (eager=false): plan-only consumers (PlanSpec's
-      // inventory sweep, Explain) must not execute the 2-iteration
-      // lineage just to look at the plan; the first real action
-      // materializes it once for both consumers.
-      cent = cent.localCheckpoint(eager = false)
       assign(vecs, cent)
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
         .join(broadcast(cent.select(col("cid"),
           expr("aggregate(c, 0L, (acc, v) -> acc + abs(v))").as("centroid_l1"))), "cid")
         .orderBy("cid")
-    }),
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    "q_llm_cluster_kmeans" -> ((s, d) => kmeansWith(s, d, "fused")),
 
     // BPE pair counting — the selection step of byte-pair-encoding
     // tokenizer training: corpus → vocabulary with frequencies (the
@@ -262,7 +294,8 @@ object Learn {
          c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY pair),
          r AS (SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
                FROM c)
-         SELECT rank, pair, cnt FROM r WHERE rank <= 30 ORDER BY rank""",
+         SELECT CAST(rank AS INT) AS rank, pair, cnt
+         FROM r WHERE rank <= 30 ORDER BY rank""",
 
     // list() over a ROWS frame collects in frame order; prepending the
     // 0.0 init makes list_reduce ≡ Spark's aggregate(…, 0.0, fold)

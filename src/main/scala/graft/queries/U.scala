@@ -144,15 +144,24 @@ object U {
         + least((300000 * length(replace(text, ' ', '')))
           // (8 * len(string_split(text, ' '))), 300000) AS BIGINT)"""
 
+  /** Supplier-id offset into the shared bipartite node-id space: node ids
+    * `< supplierIdOffset` are customers, `>= supplierIdOffset` suppliers.
+    * One constant for BOTH the edge construction ([[coPurchase]]) and the
+    * side classification (Insights.labelProp) — a divergent literal would
+    * silently misclassify sides. PropertySpec guards
+    * `max(c_custkey) < offset` on the generated data. */
+  val supplierIdOffset: Long = 1000000L
+
   /** Distinct customer↔supplier co-purchase incidence (supplier ids
-    * offset 1e6 into the shared node-id space): THE bipartite graph every
-    * q_graph_* query walks — one definition (and one DuckDB twin,
-    * [[oCoPurchase]]) so pagerank, the degree histogram, and BFS provably
-    * walk the same graph. */
+    * offset [[supplierIdOffset]] into the shared node-id space): THE
+    * bipartite graph every q_graph_* query walks — one definition (and
+    * one DuckDB twin, [[oCoPurchase]]) so pagerank, the degree histogram,
+    * and BFS provably walk the same graph. */
   def coPurchase(s: SparkSession, d: String): DataFrame =
     graft.Tables(s, d, "orders")
       .join(graft.Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + supplierIdOffset).as("supp"))
       .distinct()
 
   /** Both-direction edge list (src, dst) over [[coPurchase]]. */
