@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables' TIMESTAMP_NTZ normalization assumes a UTC session (same
+      // pin as Verify/Explain/Scale); on a non-UTC host the cast would
+      // read shifted instants.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

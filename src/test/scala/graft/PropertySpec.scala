@@ -176,6 +176,20 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0L, s"$bad embeddings carry null elements/arrays")
   }
 
+  test("customer keys stay below the bipartite supplier-id offset") {
+    import org.apache.spark.sql.functions._
+    // U.coPurchase shifts supplier ids by U.supplierIdOffset into the
+    // shared node-id space, and labelProp classifies sides by comparing
+    // against the same constant. A regenerated fixture whose custkeys
+    // reach the offset would silently corrupt every q_graph_* result —
+    // fail HERE instead.
+    val maxCust = Tables(spark, sf, "customer")
+      .agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    assert(maxCust < queries.U.supplierIdOffset,
+      s"max c_custkey $maxCust collides with supplier offset " +
+        s"${queries.U.supplierIdOffset}")
+  }
+
   test("quantile merge is shard-invariant (merge associativity) and within one bin of exact") {
     import org.apache.spark.sql.functions._
     val declared = SparkEntry.queries("q_agg_quantile_merge")(spark, sf).collect()
