@@ -232,6 +232,11 @@ object Scale {
           graft.queries.Insights.knnGraphWithBits(spark, d, bits, h2),
           sample, emb)
       }
+      // the trained coarse quantizer at the SAME cell count and the
+      // sign-bit rule's FIXED 5-probe budget — data-adaptive cells vs
+      // fixed hyperplanes, cost law identical
+      report(d, s"knn_trained_c${1 << bits}_p5", 3,
+        graft.queries.Learn.knnGraphTrained(spark, d, 1 << bits), sample, emb)
       val ivfQs = emb.where(col("label") === 0 && col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       report(d, "simsearch_ivf_16cell", 5,

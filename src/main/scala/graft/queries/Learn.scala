@@ -46,6 +46,74 @@ object Learn {
       .where(col("rk") === 1)
       .select(col("vec_id"), col("q"), col("cid"))
 
+  /** Doc-to-doc kNN graph over a TRAINED coarse quantizer — the
+    * documented scale path where the sign-bit IVF's recall decays
+    * (BASELINE "ANN recall"): `cells` k-means centroids trained by 2
+    * Lloyd rounds on a ~32·cells deterministic stride sample of the 1e-6
+    * grid vectors (training on a sample is the standard IVF recipe —
+    * cost cells·|sample|, independent of N), then ONE cells×N scoring
+    * pass ranks every vector's nearest centroids: rank 1 is its cell
+    * assignment, ranks 1..probes are its probe list — so probe selection
+    * costs nothing beyond the assignment pass every IVF build already
+    * pays. Candidates then come from a bucketed equi-join exactly like
+    * the sign-bit variant: same join shape, same budget knob, but cells
+    * that track the data distribution instead of fixed hyperplanes.
+    * Per-query work: `probes` cells × (N/cells avg population) — linear
+    * in N at cells ∝ N with a FIXED budget, the same cost law whose
+    * recall the sign-bit quantizer could not hold (measured side by side
+    * in BASELINE's recall table). */
+  private[graft] def knnGraphTrained(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, probes: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val vecs = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+    val step = greatest(lit(1L),
+      (count(lit(1)) / (32L * cells)).cast("long"))
+    val sampleStep = vecs.agg(step.as("st"))
+    val sample = vecs.crossJoin(broadcast(sampleStep))
+      .where(col("vec_id") % col("st") === 0).select(col("vec_id"), col("q"))
+    // seeds: the `cells` lowest sample ids (single-partition window over
+    // the ~32·cells-row sample only — never over N)
+    var cent = sample
+      .withColumn("srk", row_number().over(Window.orderBy("vec_id")))
+      .where(col("srk") <= cells)
+      .select((col("srk") - 1).cast("int").as("cid"), col("q").as("c"))
+    for (_ <- 1 to ITERS) {
+      cent = assign(sample, cent)
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", expr(fdiv("sv", "n")))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+    }
+    // one cells×N pass: per-vector nearest-centroid ranking. EAGER
+    // localCheckpoint: `ranked` feeds both join sides below, and lazy
+    // materialization lets concurrent stage launches race into double
+    // lineage execution (the k-means r4 lesson); this is a probe-harness
+    // helper, so executing at build time is fine.
+    val ranked = vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+      .where(col("rk") <= probes)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("rk"))
+      .localCheckpoint(eager = true)
+    val qs = ranked.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("cid").as("probe"))
+    val cand = ranked.where(col("rk") === 1)
+      .select(col("vec_id").as("cid2"), col("embedding").as("ce"),
+        col("cid").as("ccell"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    qs.join(cand.hint("shuffle_hash"),
+        col("probe") === col("ccell") && col("qid") =!= col("cid2"))
+      .select(col("qid"), col("cid2").as("cid"),
+        expr("round(graft_dot(qe, ce), 6)").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy("qid", "rnk")
+  }
+
   /** Distributed Lloyd k-means (k=8, 2 iterations, deterministic seeds =
     * the first k vectors) over the 64-dim embeddings, entirely in 1e-6
     * fixed point. Per iteration: broadcast centroids → argmin assignment

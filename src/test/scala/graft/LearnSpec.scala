@@ -16,6 +16,39 @@ class LearnSpec extends SparkSpec {
     assert(out.collect().toSeq === again.collect().toSeq)
   }
 
+  test("kmeans checkpoint strategies are result-equivalent (fused = lazy = eager = none)") {
+    // the declared fused plan must compute EXACTLY what the r4
+    // two-consumer forms computed — the fusion is a plan change only
+    val fused = Learn.kmeansWith(spark, sf, "fused").collect().toSeq
+    Seq("lazy", "eager", "none").foreach { v =>
+      assert(Learn.kmeansWith(spark, sf, v).collect().toSeq === fused,
+        s"strategy $v diverges from the declared fused plan")
+    }
+  }
+
+  test("trained-IVF kNN: neighbors come from probed cells, dots ranked, ≤3 per query") {
+    val out = Learn.knnGraphTrained(spark, sf, 8, probes = 3).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getInt(3))
+      val dots = sorted.map(_.getDouble(2))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        "dot must be non-increasing in rank")
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length),
+        "ranks must be dense from 1")
+    }
+    // no self-edges; neighbor ids are real vectors
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    val ids = Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => ids(r.getLong(1))))
+    // deterministic: sampled training + integer grid + tie-broken ranks
+    val again = Learn.knnGraphTrained(spark, sf, 8, probes = 3).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("q_llm_bpe_pairs: ranked top-30 with a verifiable champion count") {
     val out = Learn.queries("q_llm_bpe_pairs")(spark, sf).collect()
     assert(out.length === 30)
