@@ -27,6 +27,13 @@ class LearnSpec extends SparkSpec {
   }
 
   test("trained-IVF kNN: neighbors come from probed cells, dots ranked, ≤3 per query") {
+    // the arithmetic seed indexing (cid = vec_id div stride) assumes
+    // dense vec_ids from 0 — a regenerated fixture that breaks density
+    // must fail HERE, not as a shrunken quantizer
+    val mm = Tables(spark, sf, "embeddings")
+      .agg(min("vec_id"), max("vec_id"), count(lit(1))).first()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == mm.getLong(2) - 1,
+      s"embeddings vec_ids not dense from 0: $mm")
     val out = Learn.knnGraphTrained(spark, sf, 8, probes = 3).collect()
     assert(out.nonEmpty)
     val byQ = out.groupBy(_.getLong(0))
@@ -47,6 +54,16 @@ class LearnSpec extends SparkSpec {
     // deterministic: sampled training + integer grid + tie-broken ranks
     val again = Learn.knnGraphTrained(spark, sf, 8, probes = 3).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // plan shape: the candidate join must be the bucketed equi-join on
+    // the cell id (shuffle_hash) — the only cross joins allowed are the
+    // bounded cells×sample / cells×N scoring passes against the
+    // broadcast centroid table
+    val plan = Learn.knnGraphTrained(spark, sf, 8, probes = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"candidate generation must be the cell equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast-bounded scoring crossJoins are allowed:\n$plan")
   }
 
   test("q_llm_bpe_pairs: ranked top-30 with a verifiable champion count") {
