@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Round-5 batch (SURVEY §2.25): corpus/tokenizer-model operators — the
+  * steps between "cleaned documents" and "training batches" that round 4's
+  * dedup/quality/packing families feed into.
+  *
+  * Scale notes, per operator:
+  *  - vocab_coverage: token counts are ONE shuffle over terms; the
+  *    coverage curve is computed entirely on the capped top-1000 frame
+  *    (constant-size triangle rank join, the bpe_pairs construction) plus
+  *    one broadcast of the 1-row corpus totals. Linear in tokens.
+  *  - kneser_ney: bigram counts + three keyed marginal aggregates, all
+  *    partial-agg shuffles on w1/w2 — linear in bigram tokens; marginals
+  *    are vocab-bounded and join back on their own keys (equi-joins, no
+  *    broadcast needed — at web scale the bigram TYPE table itself is
+  *    huge, the bigram-LM lesson from q_llm_bigram_lm).
+  *  - sample_weighted: the Efraimidis–Spirakis one-pass shape — a map
+  *    computes each row's exponential key from a deterministic md5
+  *    uniform, then TakeOrdered's per-partition heaps keep k rows per
+  *    partition and the driver merges k. No global sort, no shuffle of
+  *    the data itself, any N.
+  *  - ts_holt: identical window shape to q_ts_ewma (trailing 50 rows per
+  *    user key); the 2-component [level, trend] fold state rides a
+  *    DOUBLE[] accumulator because DuckDB v1.0 list_reduce corrupts
+  *    STRUCT accumulators (multi-field dependencies read stale fields —
+  *    probed during this round's design) while LIST accumulators fold
+  *    correctly.
+  */
+object Corpus {
+
+  /** Vocabulary budget curve points (tokens covered by a top-V vocab). */
+  private val vocabSizes = Seq(100, 300, 1000)
+
+  val queries: Map[String, Q] = Map(
+
+    // Vocabulary coverage / OOV curve: what fraction of corpus tokens (and
+    // of distinct types) does a top-V frequency vocabulary cover, for the
+    // budget ladder V ∈ {100, 300, 1000}? The tokenizer-budget planning
+    // query every vocab decision starts from. Ranks are computed on the
+    // capped top-1000 frame with the WINDOWLESS broadcast triangle join
+    // (rank(t) = #rows sorting at-or-before t — the bpe_pairs
+    // construction; a bare row_number() here would be the single-partition
+    // window PlanSpec bans). Coverage ratios are exact integer micro-units
+    // (floor div) — no float, no rounding divergence.
+    "q_llm_vocab_coverage" -> ((s, d) => {
+      val tf = Tables(s, d, "documents")
+        .select(explode(textTokens).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val tot = tf.agg(sum(col("cnt")).as("tot_tok"),
+        count(lit(1)).as("tot_types"))
+      val top = tf.orderBy(col("cnt").desc, col("term")).limit(1000)
+        .localCheckpoint(false)
+      val ranked = top.join(
+          broadcast(top.select(col("cnt").as("c2"), col("term").as("t2"))),
+          col("c2") > col("cnt") ||
+            (col("c2") === col("cnt") && col("t2") <= col("term")))
+        .groupBy("term", "cnt").agg(count(lit(1)).as("rank"))
+      ranked
+        .select(col("cnt"), col("rank"),
+          explode(array(vocabSizes.map(v => lit(v)): _*)).as("vocab_size"))
+        .where(col("rank") <= col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(sum(col("cnt")).as("covered_tokens"),
+          count(lit(1)).as("covered_types"))
+        .crossJoin(broadcast(tot))
+        .select(col("vocab_size"), col("covered_tokens"), col("covered_types"),
+          expr("(1000000 * covered_tokens) div tot_tok").as("token_cov_e6"),
+          expr("(1000000 * covered_types) div tot_types").as("type_cov_e6"))
+        .orderBy("vocab_size")
+    }),
+
+    // Kneser–Ney smoothed bigram probabilities (absolute discount
+    // d = 0.75) for the corpus's top-50 bigrams — the n-gram-LM step up
+    // from q_llm_bigram_lm's raw MLE: P(w2|w1) interpolates the
+    // discounted bigram estimate with the CONTINUATION probability (how
+    // many distinct contexts w2 follows, not how often — the KN insight
+    // that makes "Francisco" rare outside "San _"). The probability is
+    // one fixed-order libm-free IEEE expression over exact integer
+    // marginals ⇒ bit-identical cross-engine (the qualityLogit
+    // discipline); output rounded to the 1e-9 grid anyway.
+    "q_llm_kneser_ney" -> ((s, d) => {
+      val c12 = Tables(s, d, "documents")
+        .select(textTokens.as("tk"))
+        .select(explode(expr(
+          """CASE WHEN size(tk) < 2 THEN array()
+             ELSE transform(sequence(1, size(tk) - 1),
+                    i -> named_struct('w1', tk[i-1], 'w2', tk[i])) END""")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val left = c12.groupBy("w1")
+        .agg(sum(col("c")).as("c1"), count(lit(1)).as("nfollow"))
+      val cont = c12.groupBy("w2").agg(count(lit(1)).as("nprec"))
+      val types = c12.agg(count(lit(1)).as("ntypes"))
+      c12.join(left, "w1").join(cont, "w2")
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("c"),
+          round(
+            expr("greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)") +
+            expr("(0.75 * CAST(nfollow AS DOUBLE) / CAST(c1 AS DOUBLE))") *
+            expr("(CAST(nprec AS DOUBLE) / CAST(ntypes AS DOUBLE))"), 9).as("p_kn"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(50)
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws a deterministic uniform u from md5(doc_id) and is
+    // ranked by ln(u)/w (monotone in u^(1/w)); the global top-100 of that
+    // key IS an exact weighted sample without replacement. Weights are
+    // the shared qualityE6 score (quality-proportional sampling, the
+    // data-mixing primitive). ln() is the one libm call: both engines
+    // evaluate it on the SAME double, and selection could only diverge if
+    // two keys at the cutoff sat within an ulp (md5-derived keys are
+    // ~1e-3 apart at this k/N; the output key is grid-rounded besides).
+    // u ∈ (0, 1]: the +1 on the 13-hex-digit fold excludes ln(0).
+    "q_sample_weighted" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("w_e6", qualityE6)
+        .withColumn("u", expr(
+          s"(CAST(${hexFold("md5(concat('ws', CAST(doc_id AS STRING)))", 13)} AS DOUBLE) + 1.0)" +
+            " / 4503599627370496.0"))
+        .select(col("doc_id"), col("w_e6"),
+          expr("ln(u) / (CAST(w_e6 AS DOUBLE) / 1000000.0)").as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("w_e6"), round(col("es_key"), 9).as("es_key"))),
+
+    // Holt linear-trend smoothing (double exponential smoothing,
+    // α = 1/2, β = 1/4) per user over the trailing-50 event window — the
+    // level+trend upgrade of q_ts_ewma, with a one-step-ahead forecast.
+    // Same window shape (keyed, constant 50-row state per output row ⇒
+    // linear); the fold state is the DOUBLE[2] [level, trend] vector,
+    // seeded [first value, 0]. Every step is the same fixed-order IEEE
+    // expression in both engines ⇒ bit-identical outputs, no grid needed
+    // (the ewma precedent; α, β are exact binary fractions so the scale
+    // factors themselves are exact too).
+    "q_ts_holt" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-49, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("vs", collect_list(col("value")).over(w))
+        .withColumn("st", expr(
+          """aggregate(
+               CASE WHEN size(vs) < 2 THEN CAST(array() AS ARRAY<DOUBLE>)
+                    ELSE slice(vs, 2, size(vs) - 1) END,
+               array(vs[0], CAST(0.0 AS DOUBLE)),
+               (acc, v) -> array(
+                 v * 0.5 + (acc[0] + acc[1]) * 0.5,
+                 ((v * 0.5 + (acc[0] + acc[1]) * 0.5) - acc[0]) * 0.25
+                   + acc[1] * 0.75))"""))
+        .select(col("user_id"), col("event_id"),
+          col("st")(0).as("level"), col("st")(1).as("trend"),
+          (col("st")(0) + col("st")(1)).as("fc1"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_vocab_coverage" ->
+      s"""WITH tf AS (SELECT term, COUNT(*) AS cnt
+             FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+             GROUP BY term),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot_tok,
+                   COUNT(*) AS tot_types FROM tf),
+         top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 1000),
+         r AS (SELECT a.term, a.cnt, COUNT(*) AS rank
+               FROM top a JOIN top b
+                 ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.term <= a.term)
+               GROUP BY a.term, a.cnt),
+         c AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+                 COUNT(*) AS covered_types
+               FROM r, unnest(${vocabSizes.mkString("[", ", ", "]")}) AS t(v)
+               WHERE rank <= v GROUP BY v)
+         SELECT CAST(v AS INT) AS vocab_size, covered_tokens, covered_types,
+           (1000000 * covered_tokens) // tot_tok AS token_cov_e6,
+           (1000000 * covered_types) // tot_types AS type_cov_e6
+         FROM c, tot ORDER BY vocab_size""",
+
+    "q_llm_kneser_ney" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         b AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+               FROM tk, unnest(range(1, greatest(len(tk), 1))) AS t(i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY w1, w2),
+         lft AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+                   COUNT(*) AS nfollow FROM c12 GROUP BY w1),
+         ct AS (SELECT w2, COUNT(*) AS nprec FROM c12 GROUP BY w2),
+         nt AS (SELECT COUNT(*) AS ntypes FROM c12)
+         SELECT c12.w1, c12.w2, c,
+           round(greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+             + (0.75 * CAST(nfollow AS DOUBLE) / CAST(c1 AS DOUBLE))
+               * (CAST(nprec AS DOUBLE) / CAST(ntypes AS DOUBLE)), 9) AS p_kn
+         FROM c12 JOIN lft USING (w1) JOIN ct USING (w2), nt
+         ORDER BY c DESC, w1, w2 LIMIT 50""",
+
+    "q_sample_weighted" ->
+      s"""WITH k AS (SELECT doc_id,
+             $oQualityE6 AS w_e6,
+             (CAST(${oHexFold("md5('ws' || CAST(doc_id AS VARCHAR))", 13)} AS DOUBLE) + 1.0)
+               / 4503599627370496.0 AS u
+           FROM documents)
+         SELECT doc_id, w_e6,
+           round(ln(u) / (CAST(w_e6 AS DOUBLE) / 1000000.0), 9) AS es_key
+         FROM k
+         ORDER BY ln(u) / (CAST(w_e6 AS DOUBLE) / 1000000.0) DESC, doc_id
+         LIMIT 100""",
+
+    // list accumulator, NOT struct: DuckDB v1.0 list_reduce reads stale
+    // fields from STRUCT accumulators with cross-field dependencies
+    // (probed: a fib fold returns (6,6) instead of (5,3)); DOUBLE[]
+    // accumulators fold correctly. Elements lift to 1-lists so the
+    // accumulator and element types unify, seed prepended (ewma pattern).
+    "q_ts_holt" ->
+      """WITH w AS (SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS vs
+           FROM events),
+         f AS (SELECT user_id, event_id,
+             list_reduce(
+               list_prepend([vs[1], 0.0],
+                 list_transform(vs[2:], x -> [x])),
+               (acc, e) -> [e[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+                 ((e[1] * 0.5 + (acc[1] + acc[2]) * 0.5) - acc[1]) * 0.25
+                   + acc[2] * 0.75]) AS st
+           FROM w)
+         SELECT user_id, event_id, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS fc1
+         FROM f ORDER BY event_id"""
+  )
+}
