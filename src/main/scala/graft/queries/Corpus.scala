@@ -36,6 +36,39 @@ object Corpus {
   /** Vocabulary budget curve points (tokens covered by a top-V vocab). */
   private val vocabSizes = Seq(100, 300, 1000)
 
+  /** BPE training rounds (merge → recount → merge …). */
+  private val bpeRounds = 3
+
+  /** Pair counts over space-joined symbol states `toks` weighted by word
+    * frequency — the recount step of every BPE round. */
+  private def bpePairCounts(wf: org.apache.spark.sql.DataFrame) =
+    wf.select(col("freq"), expr("split(toks, ' ')").as("tk"))
+      .select(col("freq"), explode(expr(
+        """CASE WHEN size(tk) < 2 THEN array()
+           ELSE transform(sequence(1, size(tk) - 1),
+                  i -> named_struct('l', tk[i-1], 'r', tk[i])) END""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Greedy left-to-right application of the broadcast winning pair (l, r)
+    * to every word's symbol state: fold the symbol list into a
+    * space-joined string, replacing each `… l` suffix followed by `r` with
+    * the merged symbol `lr`. Token-level suffix equality (`acc = l` or
+    * `acc` ends in ` l`) is what makes the merge NON-OVERLAPPING: after
+    * 'a a' → 'aa' the last token is 'aa', not 'a', so 'a a a' becomes
+    * 'aa a' exactly as a real BPE trainer merges. */
+  private def bpeApply(wf: org.apache.spark.sql.DataFrame,
+      best: org.apache.spark.sql.DataFrame) =
+    wf.crossJoin(broadcast(best))
+      .select(expr(
+        """aggregate(split(toks, ' '), '',
+             (acc, c) -> CASE
+               WHEN (acc = l OR endswith(acc, concat(' ', l))) AND c = r
+               THEN concat(substring(acc, 1, length(acc) - length(l)), l, r)
+               ELSE CASE WHEN acc = '' THEN c
+                         ELSE concat(acc, ' ', c) END END)""").as("toks"),
+        col("freq"))
+
   val queries: Map[String, Q] = Map(
 
     // Vocabulary coverage / OOV curve: what fraction of corpus tokens (and
@@ -130,6 +163,38 @@ object Corpus {
         .orderBy(col("es_key").desc, col("doc_id")).limit(100)
         .select(col("doc_id"), col("w_e6"), round(col("es_key"), 9).as("es_key"))),
 
+    // BPE tokenizer TRAINING — the full merge loop, not just the pair
+    // scan (q_llm_bpe_pairs is the one-round selection step): 3 rounds of
+    // count adjacent symbol pairs (weighted by word frequency) → pick the
+    // global argmax (cnt desc, pair asc tiebreak — a 1-row TakeOrdered) →
+    // broadcast the winner and greedily re-merge every word's symbol
+    // string → recount. The corpus compresses to its DISTINCT-word
+    // vocabulary before any character work (the classic trainer
+    // optimization — per-round cost is vocab-sized, not corpus-sized),
+    // each recount is one partial-agg shuffle over pairs, and the merge
+    // itself is a map with a 1-row broadcast: the pagerank-style
+    // driver-loop shape, linear per round at any corpus size. Output: the
+    // 3 learned merges in order with their support counts.
+    "q_llm_bpe_train" -> ((s, d) => {
+      var wf = Tables(s, d, "documents")
+        .select(explode(textTokens).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(expr(
+          "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')")
+          .as("toks"), col("freq"))
+      val merges = (1 to bpeRounds).map { r =>
+        // lazy checkpoint: the 1-row winner feeds BOTH the output union
+        // and the next round's merge map; without it round 3's plan
+        // re-derives rounds 1-2 once per consumer
+        val b = bpePairCounts(wf)
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .localCheckpoint(false)
+        wf = bpeApply(wf, b)
+        b.select(lit(r).as("merge_round"), col("l"), col("r"), col("cnt"))
+      }
+      merges.reduce(_ unionAll _).orderBy("merge_round")
+    }),
+
     // Holt linear-trend smoothing (double exponential smoothing,
     // α = 1/2, β = 1/4) per user over the trailing-50 event window — the
     // level+trend upgrade of q_ts_ewma, with a one-step-ahead forecast.
@@ -160,7 +225,40 @@ object Corpus {
     })
   )
 
+  /** DuckDB mirror of one BPE round: pair recount over `w{k-1}` → winner
+    * `b{k}` → merged states `w{k}`. The merge fold is a VARCHAR
+    * accumulator (homogeneous with the symbol elements — the list_reduce
+    * type rule), seed '' prepended. */
+  private def oBpeRound(k: Int): String =
+    s"""p$k AS (SELECT s.tk[i] AS l, s.tk[i+1] AS r,
+             CAST(SUM(s.freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(toks, ' ') AS tk, freq FROM w${k - 1}) s,
+             unnest(range(1, greatest(len(s.tk), 1))) AS t(i)
+           GROUP BY l, r),
+         b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         w$k AS (SELECT list_reduce(list_prepend('', string_split(toks, ' ')),
+             (acc, c) -> CASE
+               WHEN (acc = l OR ends_with(acc, ' ' || l)) AND c = r
+               THEN substring(acc, 1, length(acc) - length(l)) || l || r
+               ELSE CASE WHEN acc = '' THEN c
+                         ELSE acc || ' ' || c END END) AS toks, freq
+           FROM w${k - 1}, b$k)"""
+
   val oracle: Map[String, String] = Map(
+    "q_llm_bpe_train" ->
+      s"""WITH wd AS (SELECT word, COUNT(*) AS freq
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             GROUP BY word),
+         w0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+                  i -> substring(word, i, 1)), ' ') AS toks, freq
+                FROM wd),
+         ${(1 to bpeRounds).map(oBpeRound).mkString(",\n         ")}
+         SELECT merge_round, l, r, cnt FROM (
+           ${(1 to bpeRounds).map(k =>
+             s"SELECT $k AS merge_round, l, r, cnt FROM b$k")
+             .mkString(" UNION ALL ")})
+         ORDER BY merge_round""",
+
     "q_llm_vocab_coverage" ->
       s"""WITH tf AS (SELECT term, COUNT(*) AS cnt
              FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
