@@ -163,6 +163,42 @@ object Corpus {
         .orderBy(col("es_key").desc, col("doc_id")).limit(100)
         .select(col("doc_id"), col("w_e6"), round(col("es_key"), 9).as("es_key"))),
 
+    // Curriculum ordering: every doc gets a difficulty TIER (quartile of
+    // the shared qualityE6 score, ascending — hardest first is tier 4)
+    // and an interleaved SHARD within its tier — the "order the corpus
+    // easy→hard, then stripe each phase across workers" step a curriculum
+    // training schedule needs. Exact global quartiles WITHOUT a global
+    // window: the q_win_ntile_pct construction (U.gridBin equi-width
+    // buckets over broadcast bounds → U.prefixOffsets triangle join →
+    // per-bucket window), then tier and tier-position are pure integer
+    // arithmetic on the global pos — bit-identical to NTILE, at any N,
+    // with bucket count scaling with the cluster.
+    "q_llm_curriculum" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), qualityE6.as("q"))
+      val bounds = docs.agg(min("q").as("lo"), max("q").as("hi"),
+        count(lit(1)).as("ntot"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .withColumn("b", gridBin(col("q"), col("lo"), col("hi"), 32))
+      val offs = prefixOffsets(
+        bucketed.groupBy("b").agg(count(lit(1)).as("cnt")), "b", "cnt")
+        .select("b", "off")
+      val wb = Window.partitionBy("b").orderBy("q", "doc_id")
+      bucketed.join(broadcast(offs), "b")
+        .withColumn("pos", col("off") + row_number().over(wb))
+        .withColumn("qq", expr("ntot div 4"))
+        .withColumn("rr", expr("ntot % 4"))
+        .withColumn("tier", expr(
+          """CAST(CASE WHEN pos <= rr * (qq + 1) THEN (pos + qq) div (qq + 1)
+                  ELSE rr + (pos - rr * (qq + 1) + qq - 1) div qq END AS INT)"""))
+        .withColumn("tier_pos", expr(
+          """pos - (CASE WHEN tier <= rr + 1 THEN (tier - 1) * (qq + 1)
+                    ELSE rr * (qq + 1) + (tier - 1 - rr) * qq END)"""))
+        .select(col("doc_id"), col("q"), col("tier"), col("tier_pos"),
+          expr("CAST((tier_pos - 1) % 8 AS INT)").as("shard"))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer TRAINING — the full merge loop, not just the pair
     // scan (q_llm_bpe_pairs is the one-round selection step): 3 rounds of
     // count adjacent symbol pairs (weighted by word frequency) → pick the
@@ -278,6 +314,18 @@ object Corpus {
            (1000000 * covered_tokens) // tot_tok AS token_cov_e6,
            (1000000 * covered_types) // tot_types AS type_cov_e6
          FROM c, tot ORDER BY vocab_size""",
+
+    "q_llm_curriculum" ->
+      s"""WITH k AS (SELECT doc_id, $oQualityE6 AS q FROM documents),
+         r AS (SELECT doc_id, q,
+                 CAST(NTILE(4) OVER (ORDER BY q, doc_id) AS INT) AS tier
+               FROM k),
+         t AS (SELECT doc_id, q, tier,
+                 ROW_NUMBER() OVER (PARTITION BY tier ORDER BY q, doc_id) AS tier_pos
+               FROM r)
+         SELECT doc_id, q, tier, tier_pos,
+           CAST((tier_pos - 1) % 8 AS INT) AS shard
+         FROM t ORDER BY doc_id""",
 
     "q_llm_kneser_ney" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),

@@ -63,9 +63,11 @@ object Learn {
     * recall the sign-bit quantizer could not hold (measured side by side
     * in BASELINE's recall table). */
   private[graft] def knnGraphTrained(s: org.apache.spark.sql.SparkSession,
-      d: String, cells: Int, probes: Int = 5): DataFrame = {
+      d: String, cells: Int, probes: Int = 5,
+      negatives: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val vecs = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+    val vecs = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
     // integer `div` (not double-divide-then-cast) so the DuckDB twin's
     // `//` agrees exactly at any N
@@ -103,25 +105,38 @@ object Learn {
     // broadcasting the frozen model; in-plan training keeps the declared
     // query self-contained and DuckDB-oracle-able.
     val scored = vecs.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cid"),
+        d2.as("d2"))
     val qs = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
       .where(col("rk") <= probes)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cid").as("probe"))
+        col("label").as("qlabel"), col("cid").as("probe"))
     val cand = scored.groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("ccell"),
-        first(col("embedding")).as("ce"))
-      .select(col("vec_id").as("cid2"), col("ce"), col("ccell"))
+        first(col("embedding")).as("ce"), first(col("label")).as("clabel"))
+      .select(col("vec_id").as("cid2"), col("ce"), col("clabel"), col("ccell"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
-    qs.join(cand.hint("shuffle_hash"),
-        col("probe") === col("ccell") && col("qid") =!= col("cid2"))
-      .select(col("qid"), col("cid2").as("cid"),
-        expr("round(graft_dot(qe, ce), 6)").as("dot"))
+    // negatives mode adds ONE map-side predicate to the same bucketed
+    // equi-join: candidates must carry a DIFFERENT class label than the
+    // query (hard-negative mining — the nearest wrong-class neighbors are
+    // the contrastive pairs a retrieval trainer wants). Same probe
+    // budget, same cost law; the filter only thins the candidate stream.
+    val scoredJoin = qs.join(cand.hint("shuffle_hash"),
+        col("probe") === col("ccell") && col("qid") =!= col("cid2") &&
+          (if (negatives) col("qlabel") =!= col("clabel") else lit(true)))
+      .select(col("qid"), col("cid2").as("cid"), col("qlabel"),
+        col("clabel"), expr("round(graft_dot(qe, ce), 6)").as("dot"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
-      .orderBy("qid", "rnk")
+    if (negatives)
+      scoredJoin.select(col("qid"), col("cid"), col("qlabel"),
+        col("clabel").as("neg_label"), col("dot"), col("rnk"))
+        .orderBy("qid", "rnk")
+    else
+      scoredJoin.select(col("qid"), col("cid"), col("dot"), col("rnk"))
+        .orderBy("qid", "rnk")
   }
 
   /** Distributed Lloyd k-means (k=8, 2 iterations, deterministic seeds =
@@ -208,6 +223,15 @@ object Learn {
     // bit-identical cross-engine, the dot is the established rounded
     // float mirror.
     "q_llm_knn_graph_trained" -> ((s, d) => knnGraphTrained(s, d, 16)),
+
+    // Hard-negative mining for contrastive retrieval training: for each
+    // embedding, the top-3 most-similar vectors whose class label
+    // DIFFERS — the same trained-quantizer ANN machinery as
+    // q_llm_knn_graph_trained with one extra label predicate on the
+    // bucketed candidate join (near-but-wrong neighbors are exactly what
+    // a bi-encoder trainer pairs against each anchor).
+    "q_llm_hard_negatives" -> ((s, d) =>
+      knnGraphTrained(s, d, 16, negatives = true)),
 
     // BPE pair counting — the selection step of byte-pair-encoding
     // tokenizer training: corpus → vocabulary with frequencies (the
@@ -357,6 +381,46 @@ object Learn {
                  GROUP BY cid, i))
          GROUP BY cid)"""
 
+  /** DuckDB mirror of the trained-quantizer kNN (sampled Lloyd training,
+    * cells×N ranking pass, rounded-float dot scoring). `negatives = true`
+    * adds the hard-negative label predicate + label output columns. */
+  private def oKnnTrained(negatives: Boolean): String = {
+    val negPred = if (negatives) " AND qr.label <> cand.clabel" else ""
+    val negCols = if (negatives) ", qlabel, neg_label" else ""
+    val negSel =
+      if (negatives) ", qr.label AS qlabel, cand.clabel AS neg_label" else ""
+    s"""WITH v AS (SELECT vec_id, embedding, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         st AS (SELECT greatest(1, COUNT(*) // 512) AS s FROM v),
+         samp AS (SELECT vec_id, q, st.s FROM v, st WHERE vec_id % st.s = 0),
+         c0 AS (SELECT CAST(vec_id // s AS INT) AS cid, q AS c
+                FROM samp WHERE vec_id < 16 * s),
+         ${oAssign("a1", "c0", "samp")},
+         ${oRecompute("c1", "a1")},
+         ${oAssign("a2", "c1", "samp")},
+         ${oRecompute("c2", "a2")},
+         ranked AS (SELECT vec_id, embedding, label, cid, rk FROM (
+             SELECT v.vec_id, v.embedding, v.label, c2.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65),
+                   i -> (v.q[i] - c2.c[i]) * (v.q[i] - c2.c[i]))), c2.cid) AS rk
+             FROM v CROSS JOIN c2) WHERE rk <= 5),
+         cand AS (SELECT vec_id, embedding AS ce, label AS clabel,
+                    cid AS ccell
+                  FROM ranked WHERE rk = 1),
+         scored AS (SELECT qr.vec_id AS qid, cand.vec_id AS cid$negSel,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(qr.embedding[i] AS DOUBLE) * CAST(cand.ce[i] AS DOUBLE))), 6) AS dot
+               FROM ranked qr JOIN cand
+                 ON qr.cid = cand.ccell AND qr.vec_id <> cand.vec_id$negPred),
+         r AS (SELECT qid, cid$negCols, dot,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INT) AS rnk
+               FROM scored)
+         SELECT qid, cid$negCols, dot, rnk FROM r WHERE rnk <= 3
+         ORDER BY qid, rnk"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_llm_cluster_kmeans" ->
       s"""WITH v AS (SELECT vec_id,
@@ -378,35 +442,11 @@ object Learn {
     // `//` floor ≡ Spark's `div` for positive operands), then one
     // cells×N ranking pass (rank 1 = assignment, ranks 1..5 = probes)
     // and the established rounded-float dot for scoring
-    "q_llm_knn_graph_trained" ->
-      s"""WITH v AS (SELECT vec_id, embedding,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-           FROM embeddings),
-         st AS (SELECT greatest(1, COUNT(*) // 512) AS s FROM v),
-         samp AS (SELECT vec_id, q, st.s FROM v, st WHERE vec_id % st.s = 0),
-         c0 AS (SELECT CAST(vec_id // s AS INT) AS cid, q AS c
-                FROM samp WHERE vec_id < 16 * s),
-         ${oAssign("a1", "c0", "samp")},
-         ${oRecompute("c1", "a1")},
-         ${oAssign("a2", "c1", "samp")},
-         ${oRecompute("c2", "a2")},
-         ranked AS (SELECT vec_id, embedding, cid, rk FROM (
-             SELECT v.vec_id, v.embedding, c2.cid,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 list_sum(list_transform(range(1, 65),
-                   i -> (v.q[i] - c2.c[i]) * (v.q[i] - c2.c[i]))), c2.cid) AS rk
-             FROM v CROSS JOIN c2) WHERE rk <= 5),
-         cand AS (SELECT vec_id, embedding AS ce, cid AS ccell
-                  FROM ranked WHERE rk = 1),
-         scored AS (SELECT qr.vec_id AS qid, cand.vec_id AS cid,
-                 round(list_sum(list_transform(range(1, 65),
-                   i -> CAST(qr.embedding[i] AS DOUBLE) * CAST(cand.ce[i] AS DOUBLE))), 6) AS dot
-               FROM ranked qr JOIN cand
-                 ON qr.cid = cand.ccell AND qr.vec_id <> cand.vec_id),
-         r AS (SELECT qid, cid, dot,
-                 CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INT) AS rnk
-               FROM scored)
-         SELECT qid, cid, dot, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""",
+    "q_llm_knn_graph_trained" -> oKnnTrained(negatives = false),
+
+    // the same CTE chain with the label predicate and label output
+    // columns — one builder, no drift between the two mirrors
+    "q_llm_hard_negatives" -> oKnnTrained(negatives = true),
 
     "q_llm_bpe_pairs" ->
       """WITH w AS (SELECT word, COUNT(*) AS freq

@@ -37,6 +37,25 @@ object StreamTwins {
         .agg(count(lit(1)).as("cnt"), davg(col("value")).as("avg_value"))
         .orderBy("win_start")),
 
+    // CHAINED windowed aggregation (Spark 4 multiple-stateful-operators):
+    // 10-min tumbling per-type counts re-aggregated to hourly rollups —
+    // the two-level pre-aggregation every metrics pipeline runs (fine
+    // buckets near the edge, coarse rollups downstream) without landing
+    // the intermediate. The twin re-sums the 10-min decimal-exact totals
+    // through the same DECIMAL(18,6) grid, so the hourly total is
+    // order-independent too. Streaming impl: Streams.chainedAgg (window
+    // → window-on-window, both stateful, append mode).
+    "q_stream_chained_agg" -> ((s, d) =>
+      withEs(s, d)
+        .groupBy((col("es") - pmod(col("es"), lit(600L))).as("b10"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+        .groupBy((col("b10") - pmod(col("b10"), lit(3600L))).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("cnt")).as("max_bucket"),
+          sum(col("cnt")).as("cnt"), dsum(col("total")).as("total"))
+        .orderBy("hour", "event_type")),
+
     "q_stream_session" -> ((s, d) => {
       val byId = Window.partitionBy("user_id").orderBy("event_id")
       val cum = byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -178,6 +197,16 @@ object StreamTwins {
             COUNT(*) AS cnt, ${oDsum("value")} AS total
           FROM events GROUP BY bucket, event_type
           ORDER BY bucket, event_type""",
+
+    "q_stream_chained_agg" ->
+      s"""WITH b AS (SELECT $esSql - ($esSql % 600) AS b10, event_type,
+              COUNT(*) AS cnt, ${oDsum("value")} AS total
+            FROM events GROUP BY b10, event_type)
+          SELECT b10 - (b10 % 3600) AS hour, event_type,
+            COUNT(*) AS n_buckets, MAX(cnt) AS max_bucket,
+            CAST(SUM(cnt) AS BIGINT) AS cnt, ${oDsum("total")} AS total
+          FROM b GROUP BY hour, event_type
+          ORDER BY hour, event_type""",
 
     "q_stream_sliding" ->
       s"""WITH e AS (SELECT $esSql AS es, value FROM events)

@@ -227,6 +227,41 @@ object Workloads {
         .limit(20)
     }),
 
+    // Q2 shape — min-cost supplier per part within a region: the
+    // correlated "cost = (SELECT min(cost) …)" subquery algebrized into
+    // one keyed aggregate + an argmin, with every dimension broadcast and
+    // BOTH reductions applied before the fact-side shuffle (region
+    // filter on the supplier dim, part-type filter as a broadcast
+    // key-join on the fact). Unit cost is an exact integer:
+    // extendedprice is exact cents via the DECIMAL(18,2) cast, scaled
+    // and floor-divided by the integral quantity — no float min, no
+    // rounding divergence. The argmin is the house min(struct) —
+    // lexicographic (cost, suppkey), so ties break to the smallest
+    // supplier in both engines.
+    "q_wl_min_cost_supplier" -> ((s, d) => {
+      val eurSupp = Tables(s, d, "supplier")
+        .join(broadcast(Tables(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val largeParts = Tables(s, d, "part")
+        .where(col("p_type") === "LARGE").select("p_partkey", "p_name")
+      Tables(s, d, "lineitem")
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("p_name"), col("l_suppkey"),
+          expr("""(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * 100) div CAST(l_quantity AS BIGINT)""").as("cost_e4"))
+        .groupBy("l_partkey")
+        .agg(first(col("p_name")).as("p_name"),
+          min(struct(col("cost_e4"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey").as("p_partkey"), col("p_name"),
+          col("m.cost_e4").as("min_cost_e4"),
+          col("m.l_suppkey").as("best_suppkey"))
+        .orderBy("p_partkey")
+    }),
+
     // Q14 shape — promo revenue share per month: conditional aggregation
     // over one broadcast-dim join, the numerator/denominator both exact
     // decimal sums so the final double division hash-matches.
@@ -248,6 +283,29 @@ object Workloads {
   private val oRev = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q_wl_min_cost_supplier" ->
+      """WITH es AS (SELECT s_suppkey FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         o AS (SELECT l_partkey, l_suppkey,
+                 (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * 100) // CAST(l_quantity AS BIGINT) AS cost_e4
+               FROM lineitem
+                 JOIN es ON l_suppkey = s_suppkey
+                 JOIN part ON l_partkey = p_partkey
+               WHERE p_type = 'LARGE'),
+         b AS (SELECT l_partkey, MIN(cost_e4) AS min_cost_e4
+               FROM o GROUP BY l_partkey),
+         bs AS (SELECT o.l_partkey, b.min_cost_e4,
+                  MIN(o.l_suppkey) AS best_suppkey
+                FROM o JOIN b ON o.l_partkey = b.l_partkey
+                  AND o.cost_e4 = b.min_cost_e4
+                GROUP BY o.l_partkey, b.min_cost_e4)
+         SELECT p_partkey, p_name, min_cost_e4, best_suppkey
+         FROM bs JOIN part ON l_partkey = p_partkey
+         ORDER BY p_partkey""",
+
     "q_wl_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang, source,
              len(string_split(text, ' ')) AS nt, md5(text) AS h

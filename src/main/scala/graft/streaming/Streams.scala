@@ -41,6 +41,26 @@ object Streams {
       .select(col("window.start").cast("long").as("win_start"), col("cnt"),
         col("avg_value"))
 
+  /** Chained windowed aggregation — 10-min tumbling per-type counts
+    * re-aggregated to hourly rollups in ONE streaming query (Spark 4
+    * multiple stateful operators): the second `window()` consumes the
+    * first's window struct, so the hourly state only ever sees
+    * watermark-CLOSED 10-min buckets (append semantics between the two
+    * operators). Both states are keyed (window, event_type) and
+    * watermark-bounded. Output requires append mode — an hourly row
+    * emits once its hour closes. */
+  def chainedAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(D)).cast("double").as("total"))
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("cnt")).as("max_bucket"),
+        sum(col("cnt")).as("cnt"),
+        sum(col("total").cast(D)).cast("double").as("total"))
+      .select(col("window.start").cast("long").as("hour"), col("event_type"),
+        col("n_buckets"), col("max_bucket"), col("cnt"), col("total"))
+
   /** Per-user session windows with a 15-minute gap. */
   def session(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")

@@ -207,6 +207,31 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSet(got) == sortedSet(want))
   }
 
+  test("chained windowed aggregation (two stateful ops) converges to batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.chainedAgg(mem.toDF()).writeStream.format("memory")
+      .queryName("t_chained").outputMode("append").start()
+    chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+    // append mode: an hourly row emits only when the watermark clears its
+    // hour END. Far-future sentinels (distinct event_type, excluded from
+    // the comparison) push the watermark past every real hour; each
+    // sentinel's own windows stay open forever, so no sentinel row leaks.
+    val far = allEvents.map(_.ts.getTime).max
+    Seq(3600000L, 7200000L, 10800000L).foreach { off =>
+      mem.addData(Seq(Ev(-1L - off, new java.sql.Timestamp(far + off),
+        -1L, "zz_flush", 0.0, "{}")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_chained")
+      .where(col("event_type") =!= "zz_flush").collect().toSeq
+    val want = queries.StreamTwins.queries("q_stream_chained_agg")(spark, sf)
+      .collect().toSeq
+    assert(sortedSet(got) == sortedSet(want))
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched purchases after watermark eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
