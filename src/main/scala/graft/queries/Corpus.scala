@@ -50,6 +50,35 @@ object Corpus {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** The distinct-word vocabulary with char-split symbol states — round 0
+    * of BPE training; `word` rides along so trained states can join back
+    * to the corpus (bpe_apply). */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables(s, d, "documents")
+      .select(explode(textTokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), expr(
+        "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')")
+        .as("toks"), col("freq"))
+
+  /** Run `bpeRounds` merge rounds; returns (per-round winner frames,
+    * final per-word symbol states). */
+  private def bpeLoop(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    var wf = bpeWords(s, d)
+    val merges = (1 to bpeRounds).map { r =>
+      // lazy checkpoint: the 1-row winner feeds BOTH the output union
+      // and the next round's merge map; without it round 3's plan
+      // re-derives rounds 1-2 once per consumer
+      val b = bpePairCounts(wf)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint(false)
+      wf = bpeApply(wf, b)
+      b.select(lit(r).as("merge_round"), col("l"), col("r"), col("cnt"))
+    }
+    (merges, wf)
+  }
+
   /** Greedy left-to-right application of the broadcast winning pair (l, r)
     * to every word's symbol state: fold the symbol list into a
     * space-joined string, replacing each `… l` suffix followed by `r` with
@@ -60,7 +89,7 @@ object Corpus {
   private def bpeApply(wf: org.apache.spark.sql.DataFrame,
       best: org.apache.spark.sql.DataFrame) =
     wf.crossJoin(broadcast(best))
-      .select(expr(
+      .select(col("word"), expr(
         """aggregate(split(toks, ' '), '',
              (acc, c) -> CASE
                WHEN (acc = l OR endswith(acc, concat(' ', l))) AND c = r
@@ -211,24 +240,33 @@ object Corpus {
     // itself is a map with a 1-row broadcast: the pagerank-style
     // driver-loop shape, linear per round at any corpus size. Output: the
     // 3 learned merges in order with their support counts.
-    "q_llm_bpe_train" -> ((s, d) => {
-      var wf = Tables(s, d, "documents")
-        .select(explode(textTokens).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(expr(
-          "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')")
-          .as("toks"), col("freq"))
-      val merges = (1 to bpeRounds).map { r =>
-        // lazy checkpoint: the 1-row winner feeds BOTH the output union
-        // and the next round's merge map; without it round 3's plan
-        // re-derives rounds 1-2 once per consumer
-        val b = bpePairCounts(wf)
-          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-          .localCheckpoint(false)
-        wf = bpeApply(wf, b)
-        b.select(lit(r).as("merge_round"), col("l"), col("r"), col("cnt"))
-      }
-      merges.reduce(_ unionAll _).orderBy("merge_round")
+    "q_llm_bpe_train" -> ((s, d) =>
+      bpeLoop(s, d)._1.reduce(_ unionAll _).orderBy("merge_round")),
+
+    // APPLY the learned merges back to the corpus — the tokenizer
+    // evaluation step: per source, how many symbols did the 3 merges
+    // save? The trained per-word states (vocab-sized, `word` keyed) join
+    // the corpus's (source, token) stream on the word key — a plain
+    // equi-join, build side vocab-bounded (broadcastable when the vocab
+    // is small, keyed shuffle when it is web-scale; the join key is the
+    // honest choice either way). Savings are exact integer micro-units.
+    "q_llm_bpe_apply" -> ((s, d) => {
+      val sym = bpeLoop(s, d)._2
+        .select(col("word"),
+          length(col("word")).cast("long").as("n_before"),
+          expr("size(split(toks, ' '))").cast("long").as("n_after"))
+      Tables(s, d, "documents")
+        .select(col("source"), explode(textTokens).as("word"))
+        .join(sym, "word")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_before")).as("symbols_before"),
+          sum(col("n_after")).as("symbols_after"))
+        .select(col("source"), col("n_words"), col("symbols_before"),
+          col("symbols_after"),
+          expr("(1000000 * (symbols_before - symbols_after)) div symbols_before")
+            .as("saved_e6"))
+        .orderBy("source")
     }),
 
     // Holt linear-trend smoothing (double exponential smoothing,
@@ -272,7 +310,7 @@ object Corpus {
              unnest(range(1, greatest(len(s.tk), 1))) AS t(i)
            GROUP BY l, r),
          b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         w$k AS (SELECT list_reduce(list_prepend('', string_split(toks, ' ')),
+         w$k AS (SELECT word, list_reduce(list_prepend('', string_split(toks, ' ')),
              (acc, c) -> CASE
                WHEN (acc = l OR ends_with(acc, ' ' || l)) AND c = r
                THEN substring(acc, 1, length(acc) - length(l)) || l || r
@@ -280,20 +318,41 @@ object Corpus {
                          ELSE acc || ' ' || c END END) AS toks, freq
            FROM w${k - 1}, b$k)"""
 
-  val oracle: Map[String, String] = Map(
-    "q_llm_bpe_train" ->
-      s"""WITH wd AS (SELECT word, COUNT(*) AS freq
+  /** Shared CTE prefix: distinct-word vocab + char-split states + the
+    * `bpeRounds` unrolled merge rounds, ending at `w$bpeRounds`. */
+  private def oBpeChain: String =
+    s"""wd AS (SELECT word, COUNT(*) AS freq
              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
              GROUP BY word),
-         w0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+         w0 AS (SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
                   i -> substring(word, i, 1)), ' ') AS toks, freq
                 FROM wd),
-         ${(1 to bpeRounds).map(oBpeRound).mkString(",\n         ")}
+         ${(1 to bpeRounds).map(oBpeRound).mkString(",\n         ")}"""
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_bpe_train" ->
+      s"""WITH $oBpeChain
          SELECT merge_round, l, r, cnt FROM (
            ${(1 to bpeRounds).map(k =>
              s"SELECT $k AS merge_round, l, r, cnt FROM b$k")
              .mkString(" UNION ALL ")})
          ORDER BY merge_round""",
+
+    "q_llm_bpe_apply" ->
+      s"""WITH $oBpeChain,
+         sym AS (SELECT word, CAST(length(word) AS BIGINT) AS n_before,
+                   CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_after
+                 FROM w$bpeRounds),
+         dw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+         SELECT source, COUNT(*) AS n_words,
+           CAST(SUM(n_before) AS BIGINT) AS symbols_before,
+           CAST(SUM(n_after) AS BIGINT) AS symbols_after,
+           (1000000 * (CAST(SUM(n_before) AS BIGINT)
+              - CAST(SUM(n_after) AS BIGINT)))
+             // CAST(SUM(n_before) AS BIGINT) AS saved_e6
+         FROM dw JOIN sym USING (word)
+         GROUP BY source ORDER BY source""",
 
     "q_llm_vocab_coverage" ->
       s"""WITH tf AS (SELECT term, COUNT(*) AS cnt

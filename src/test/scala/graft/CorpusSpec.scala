@@ -40,6 +40,21 @@ class CorpusSpec extends SparkSpec {
     assert(r1.getLong(3) === top.getLong(2))
   }
 
+  test("bpe_apply: every token joined, merges strictly compress") {
+    val out = Corpus.queries("q_llm_bpe_apply")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalTokens = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    // the vocab join must cover the whole corpus (inner join loses
+    // nothing because sym is built from the same tokenizer)
+    assert(out.map(_.getLong(1)).sum == totalTokens)
+    out.foreach { r =>
+      assert(r.getLong(3) < r.getLong(2),
+        s"merges must strictly compress ${r.getString(0)}")
+      assert(r.getLong(4) > 0 && r.getLong(4) < 1000000L)
+    }
+  }
+
   test("kneser-ney: ≤50 rows, probabilities in (0, 1]") {
     val out = Corpus.queries("q_llm_kneser_ney")(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 50)
