@@ -23,7 +23,7 @@ object SparkEntry {
       MrCore.queries ++ Reshape.queries ++ Pipeline.queries ++
       Analytics.queries ++ Insights.queries ++ Workloads.queries ++
       Curation.queries ++ Learn.queries ++ Frontier.queries ++
-      Signals.queries ++ Corpus.queries
+      Signals.queries ++ Corpus.queries ++ Refine.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       MrCore.oracle ++ Reshape.oracle ++ Pipeline.oracle ++
       Analytics.oracle ++ Insights.oracle ++ Workloads.oracle ++
       Curation.oracle ++ Learn.oracle ++ Frontier.oracle ++
-      Signals.oracle ++ Corpus.oracle
+      Signals.oracle ++ Corpus.oracle ++ Refine.oracle
 }

@@ -1,0 +1,351 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Round-5 batch 3 (SURVEY §2.27): product-quantized ANN, corpus
+  * reweighting, CUSUM drift, and tokenizer fertility — the remaining
+  * steps a 100 TB curation pipeline runs between "deduped corpus" and
+  * "training mixture".
+  *
+  * Scale notes, per operator:
+  *  - simsearch_pq: the IVF-PQ memory story. Codebooks are M×K tiny
+  *    tables trained on a stride SAMPLE (cost independent of N, the
+  *    trained-quantizer recipe from q_llm_knn_graph_trained), encoding
+  *    is one broadcast map pass (each vector → M one-byte codes — a
+  *    64-float vector compresses 64× to 4 bytes + id), and ADC scoring
+  *    reads the M·K distance table instead of the raw vectors, so the
+  *    query side touches codes only. Everything stays on the 1e-6
+  *    integer grid — squared-distance sums are exact BIGINTs, no float
+  *    order sensitivity anywhere. At 100 TB the same codes would join
+  *    through the trained coarse cells (IVF-PQ proper — compose with
+  *    q_llm_knn_graph_trained's cell equi-join); the declared query
+  *    keeps the capped-query ADC form so the oracle stays exact.
+  *  - importance_resample: DoReMi-style domain reweighting — acceptance
+  *    probability per language = target share / actual share, normalized
+  *    so the most under-represented language keeps everything. Shares,
+  *    ratios and the md5 acceptance draw are all integer micro-units
+  *    (exact div, no float), the per-lang table is dim-bounded and
+  *    broadcasts, and the corpus makes ONE pass: u < p(lang) is a
+  *    map-side predicate. Linear at any N.
+  *  - ts_cusum: two-sided CUSUM drift detector over the q_ts_ewma
+  *    trailing-50 window shape (keyed window + HOF fold — constant
+  *    state per row); the [s+, s−, crossings] fold state rides a
+  *    DOUBLE[] accumulator (the q_ts_holt lesson: DuckDB list_reduce
+  *    corrupts STRUCT accumulators; LIST state folds correctly).
+  *  - tokenizer_fertility: per-language tokenizer cost report (subword
+  *    estimate / whitespace tokens — the fertility number multilingual
+  *    tokenizer evals report): one partial-agg shuffle over 5 language
+  *    keys; ratios exact integer micro-units.
+  */
+object Refine {
+
+  /** PQ geometry: 64 dims → M=4 subspaces × 16 dims, K=8 codes each,
+    * 2 Lloyd rounds on a ~32·K stride sample. */
+  private val M = 4
+  private val SUBDIM = 16
+  private val KPQ = 8
+  private val ROUNDS = 2
+  /** Capped ADC query set (the q_llm_simsearch_topk convention). */
+  private val QCAP = 32
+
+  /** exact BIGINT floor division (numerator adjusted to divisibility) —
+    * truncating (Spark `div`) ≡ flooring (DuckDB `//`) engines agree. */
+  private def fdiv(s: String, n: String): String =
+    s"($s - ((($s % $n) + $n) % $n)) div $n"
+
+  /** Per-language target mix in micro-units (Σ = 1e6): the re-balance a
+    * multilingual pretraining run wants against this corpus's ~44% en
+    * skew. Kept as (lang, target) pairs so Spark and DuckDB literal
+    * tables are generated from ONE definition. */
+  private val targetMix: Seq[(String, Long)] = Seq(
+    "en" -> 250000L, "es" -> 250000L, "de" -> 200000L,
+    "fr" -> 150000L, "zh" -> 150000L)
+
+  private val targetCase: String =
+    targetMix.map { case (l, t) => s"WHEN '$l' THEN CAST($t AS BIGINT)" }
+      .mkString("CASE lang ", " ", " END")
+
+  val queries: Map[String, Q] = Map(
+
+    // Product-quantization similarity search: train M per-subspace
+    // codebooks (sampled Lloyd — the knn_graph_trained machinery on dim
+    // slices), encode every vector as M argmin codes, then answer the
+    // capped query set with asymmetric distance computation: per query,
+    // an M×K table of exact subspace distances; per candidate, the sum
+    // of M table lookups keyed by its codes. The candidate side never
+    // touches a raw vector after encoding.
+    "q_llm_simsearch_pq" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables(s, d, "embeddings").select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("q"))
+      val sampleStep = vecs.agg(
+        expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * KPQ})").as("st"))
+      val sample = vecs.crossJoin(broadcast(sampleStep))
+        .where(col("vec_id") % col("st") === 0)
+        .select(col("vec_id"), col("q"), col("st"))
+      // one codebook per subspace: seeds indexed arithmetically from the
+      // stride construction (no window), then ROUNDS Lloyd iterations
+      // entirely on the sample — constant work at any N
+      val cbs = (0 until M).map { m =>
+        val sub = sample.select(col("vec_id"),
+          slice(col("q"), m * SUBDIM + 1, SUBDIM).as("sq"), col("st"))
+        var cent = sub.where(col("vec_id") < lit(KPQ.toLong) * col("st"))
+          .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("sq").as("c"))
+        for (_ <- 1 to ROUNDS) {
+          val asg = sub.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("sq"), col("cid"),
+              expr("graft_l2sq(sq, c)").as("d2"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+            .where(col("rk") === 1)
+          cent = asg
+            .select(col("cid"), posexplode(col("sq")).as(Seq("pos", "v")))
+            .groupBy("cid", "pos")
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .withColumn("cv", expr(fdiv("sv", "n")))
+            .groupBy("cid")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+              .as("c"))
+        }
+        cent.select(lit(m).as("m"), col("cid"), col("c"))
+      }.reduce(_ unionAll _)
+      // every vector's M subvectors, reused by the encode pass and the
+      // query-side distance tables
+      val subs = vecs.select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${M - 1}), m -> named_struct(
+               'm', CAST(m AS INT), 'sq', slice(q, m * $SUBDIM + 1, $SUBDIM)))"""))
+          .as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
+      // encode: argmin code per (vector, subspace) — a broadcast map pass
+      val codes = subs.join(broadcast(cbs), "m")
+        .select(col("vec_id"), col("m"), col("cid"),
+          expr("graft_l2sq(sq, c)").as("d2"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code"))
+      // ADC tables: exact subspace distances query × codebook (Q·M·K rows)
+      val dtab = subs.where(col("vec_id") < QCAP)
+        .join(broadcast(cbs), "m")
+        .select(col("vec_id").as("qid"), col("m"), col("cid").as("code"),
+          expr("graft_l2sq(sq, c)").as("d2"))
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+      codes.join(broadcast(dtab), Seq("m", "code"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("cid"), col("d2"))
+        .groupBy("qid", "cid")
+        .agg(sum(col("d2")).as("adc"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("qid", "rnk")
+    }),
+
+    // Language-mix importance resampling: p(lang) ∝ target/actual,
+    // normalized to keep the most under-represented language whole;
+    // accept iff the doc's deterministic md5 micro-draw clears p.
+    "q_llm_importance_resample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("t_e6", expr(targetCase))
+        .crossJoin(broadcast(tot))
+        .withColumn("ratio_e6", expr("(t_e6 * n) div cnt"))
+      val maxR = byLang.agg(max(col("ratio_e6")).as("mr"))
+      val pl = byLang.crossJoin(broadcast(maxR))
+        .select(col("lang"), col("cnt").as("n_docs"), col("t_e6"),
+          expr("(ratio_e6 * 1000000) div mr").as("p_e6"))
+      val kept = docs
+        .withColumn("u_e6", expr(
+          s"${hexFold("md5(concat('ir', CAST(doc_id AS STRING)))", 13)} % 1000000"))
+        .join(broadcast(pl.select("lang", "p_e6")), "lang")
+        .where(col("u_e6") < col("p_e6"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      pl.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("t_e6"), col("p_e6"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // Two-sided CUSUM over the trailing-50 per-user window: s+ and s−
+    // accumulate deviations beyond the slack k around the grid-exact
+    // global mean; `crossings` counts threshold exceedances (no reset —
+    // the monitoring-report variant). One keyed window + one 1-row
+    // broadcast; fold order = frame order, deterministic.
+    "q_ts_cusum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-49, Window.currentRow)
+      val mu = Tables(s, d, "events")
+        .agg(round(davg(col("value")), 6).as("mu"))
+      Tables(s, d, "events")
+        .withColumn("vs", collect_list(col("value")).over(w))
+        .crossJoin(broadcast(mu))
+        .withColumn("st", expr(
+          """aggregate(vs,
+               array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+               (acc, v) -> array(
+                 greatest(0.0, acc[0] + (v - mu) - 12.5),
+                 greatest(0.0, acc[1] + (mu - v) - 12.5),
+                 acc[2] + CASE WHEN greatest(0.0, acc[0] + (v - mu) - 12.5) > 100.0
+                     OR greatest(0.0, acc[1] + (mu - v) - 12.5) > 100.0
+                   THEN 1.0 ELSE 0.0 END))"""))
+        .select(col("user_id"), col("event_id"),
+          round(col("st")(0), 6).as("cusum_hi"),
+          round(col("st")(1), 6).as("cusum_lo"),
+          col("st")(2).cast("long").as("crossings"))
+        .orderBy("event_id")
+    }),
+
+    // Tokenizer fertility per language: subword-estimate tokens per
+    // whitespace token (the q_llm_token_count estimator aggregated to
+    // the report a multilingual tokenizer eval publishes), plus mean
+    // token length — exact integer micro-unit ratios.
+    "q_llm_tokenizer_fertility" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"),
+          size(textTokens).cast("long").as("ws"),
+          ceil(length(regexp_replace(col("text"), " ", "")) / lit(4.0))
+            .cast("long").as("sw"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("ch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("sw")).as("subword_tokens"),
+          expr("(sum(sw) * 1000000) div sum(ws)").as("fertility_e6"),
+          expr("(sum(ch) * 1000000) div sum(ws)").as("token_chars_e6"))
+        .orderBy("lang"))
+  )
+
+  /** DuckDB mirror of one subspace assignment round over 16-dim slices:
+    * `a(vec_id, sq, cid)` from sample CTE `src` and centroids `c`. */
+  private def oAssign16(a: String, c: String, src: String): String =
+    s"""$a AS (SELECT vec_id, sq, cid FROM (
+           SELECT $src.vec_id, $src.sq, $c.cid,
+             row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+               list_sum(list_transform(range(1, ${SUBDIM + 1}),
+                 i -> ($src.sq[i] - $c.c[i]) * ($src.sq[i] - $c.c[i]))), $c.cid) AS rk
+           FROM $src CROSS JOIN $c) WHERE rk = 1)"""
+
+  /** DuckDB mirror of the 16-dim centroid recompute from assignment `a`. */
+  private def oRecompute16(c: String, a: String): String =
+    s"""$c AS (SELECT cid, list(cv ORDER BY pos) AS c FROM (
+           SELECT cid, pos,
+             (sv - (((sv % n) + n) % n)) // n AS cv
+           FROM (SELECT cid, i AS pos, CAST(SUM(sq[i]) AS BIGINT) AS sv,
+                   COUNT(*) AS n
+                 FROM $a, unnest(range(1, ${SUBDIM + 1})) AS t(i)
+                 GROUP BY cid, i))
+         GROUP BY cid)"""
+
+  /** One subspace's full training chain (sample slice → seeds → 2 Lloyd
+    * rounds), CTE names suffixed `_m`. */
+  private def oSubspace(m: Int): String = {
+    val lo = m * SUBDIM + 1
+    val hi = (m + 1) * SUBDIM
+    s"""s_$m AS (SELECT vec_id, q[$lo:$hi] AS sq, s FROM samp),
+       c0_$m AS (SELECT CAST(vec_id // s AS INT) AS cid, sq AS c
+                 FROM s_$m WHERE vec_id < $KPQ * s),
+       ${oAssign16(s"a1_$m", s"c0_$m", s"s_$m")},
+       ${oRecompute16(s"c1_$m", s"a1_$m")},
+       ${oAssign16(s"a2_$m", s"c1_$m", s"s_$m")},
+       ${oRecompute16(s"c2_$m", s"a2_$m")}"""
+  }
+
+  private val oTargetTable: String =
+    targetMix.map { case (l, t) => s"('$l', CAST($t AS BIGINT))" }
+      .mkString("(VALUES ", ", ", ") AS tm(lang, t_e6)")
+
+  val oracle: Map[String, String] = Map(
+
+    "q_llm_simsearch_pq" ->
+      s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         st AS (SELECT greatest(1, COUNT(*) // ${32 * KPQ}) AS s FROM v),
+         samp AS (SELECT vec_id, q, st.s FROM v, st WHERE vec_id % st.s = 0),
+         ${(0 until M).map(oSubspace).mkString(",\n         ")},
+         cb AS (${(0 until M).map(m =>
+             s"SELECT $m AS m, cid, c FROM c2_$m").mkString(" UNION ALL ")}),
+         sub AS (SELECT vec_id, CAST(t.m AS INT) AS m,
+             list_transform(range(t.m * $SUBDIM + 1, (t.m + 1) * $SUBDIM + 1),
+               i -> q[i]) AS sq
+           FROM v, unnest(range(0, $M)) AS t(m)),
+         codes AS (SELECT vec_id, m, cid AS code FROM (
+             SELECT sub.vec_id, sub.m, cb.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                 list_sum(list_transform(range(1, ${SUBDIM + 1}),
+                   i -> (sub.sq[i] - cb.c[i]) * (sub.sq[i] - cb.c[i]))), cb.cid) AS rk
+             FROM sub JOIN cb ON sub.m = cb.m) WHERE rk = 1),
+         dtab AS (SELECT sub.vec_id AS qid, sub.m, cb.cid AS code,
+             list_sum(list_transform(range(1, ${SUBDIM + 1}),
+               i -> (sub.sq[i] - cb.c[i]) * (sub.sq[i] - cb.c[i]))) AS d2
+           FROM sub JOIN cb ON sub.m = cb.m WHERE sub.vec_id < $QCAP),
+         adc AS (SELECT dtab.qid, codes.vec_id AS cid,
+             CAST(SUM(d2) AS BIGINT) AS adc
+           FROM codes JOIN dtab ON codes.m = dtab.m AND codes.code = dtab.code
+           WHERE dtab.qid <> codes.vec_id
+           GROUP BY dtab.qid, codes.vec_id),
+         r AS (SELECT qid, cid, adc,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS INT) AS rnk
+           FROM adc)
+         SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 3
+         ORDER BY qid, rnk""",
+
+    "q_llm_importance_resample" ->
+      s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+         bl AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         tm AS (SELECT * FROM $oTargetTable),
+         rl AS (SELECT bl.lang, bl.cnt AS n_docs, tm.t_e6,
+                  (tm.t_e6 * tot.n) // bl.cnt AS ratio_e6
+                FROM bl JOIN tm ON bl.lang = tm.lang, tot),
+         mr AS (SELECT MAX(ratio_e6) AS mr FROM rl),
+         pl AS (SELECT lang, n_docs, t_e6,
+                  (ratio_e6 * 1000000) // mr.mr AS p_e6
+                FROM rl, mr),
+         kept AS (SELECT d.lang, COUNT(*) AS n_kept
+                  FROM documents d JOIN pl ON d.lang = pl.lang
+                  WHERE ${oHexFold("md5('ir' || CAST(doc_id AS VARCHAR))", 13)}
+                    % 1000000 < pl.p_e6
+                  GROUP BY d.lang)
+         SELECT pl.lang, pl.n_docs, pl.t_e6, pl.p_e6,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+         FROM pl LEFT JOIN kept ON pl.lang = kept.lang
+         ORDER BY pl.lang""",
+
+    "q_ts_cusum" ->
+      s"""WITH mu AS (SELECT round(${oDavg("value")}, 6) AS mu FROM events),
+         w AS (SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS vs
+           FROM events),
+         f AS (SELECT user_id, event_id,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0],
+                 list_transform(vs, x -> [x])),
+               (acc, e) -> [greatest(0.0, acc[1] + (e[1] - mu.mu) - 12.5),
+                 greatest(0.0, acc[2] + (mu.mu - e[1]) - 12.5),
+                 acc[3] + CASE WHEN greatest(0.0, acc[1] + (e[1] - mu.mu) - 12.5) > 100.0
+                     OR greatest(0.0, acc[2] + (mu.mu - e[1]) - 12.5) > 100.0
+                   THEN 1.0 ELSE 0.0 END]) AS st
+           FROM w, mu)
+         SELECT user_id, event_id,
+           round(st[1], 6) AS cusum_hi, round(st[2], 6) AS cusum_lo,
+           CAST(st[3] AS BIGINT) AS crossings
+         FROM f ORDER BY event_id""",
+
+    "q_llm_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS sw,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(sw) AS BIGINT) AS subword_tokens,
+           CAST((SUM(sw) * 1000000) // SUM(ws) AS BIGINT) AS fertility_e6,
+           CAST((SUM(ch) * 1000000) // SUM(ws) AS BIGINT) AS token_chars_e6
+         FROM t GROUP BY lang ORDER BY lang"""
+  )
+}

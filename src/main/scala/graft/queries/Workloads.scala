@@ -262,6 +262,77 @@ object Workloads {
         .orderBy("p_partkey")
     }),
 
+    // Q4 shape — order-priority checking: orders placed in one quarter
+    // that had at least one slow line (shipped > 60 days after the order
+    // date; this schema carries no commit/receipt dates, so lateness is
+    // ship-vs-order — the q_wl_late_supplier convention), counted per
+    // priority. The quarter predicate prunes the orders scan BEFORE the
+    // join, and the existence test is a LEFT SEMI join — one probe per
+    // order, no duplicate counting, no distinct — with the date band as
+    // the join residual. One keyed shuffle on orderkey; the aggregate
+    // output is dim-bounded (5 priorities).
+    "q_wl_order_priority" -> ((s, d) => {
+      val ords = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1997-04-01"))
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      val lines = Tables(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      ords.join(lines,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q17 shape — small-quantity-order revenue: lines whose quantity is
+    // under 20% of their part's average, for one brand of small parts.
+    // The correlated avg subquery algebrizes to one keyed aggregate over
+    // the SAME brand-filtered line set, and the 20% test is exact
+    // integer cross-multiplication (5·qty·cnt < Σqty — quantities are
+    // integral, the Q2 cast discipline) so no float average ever enters
+    // a predicate. The brand filter broadcasts onto both lineitem
+    // passes; the per-part stats frame is bounded by the filtered part
+    // count, so it broadcasts too — the fact rows never shuffle.
+    "q_wl_small_qty_revenue" -> ((s, d) => {
+      val pr = Tables(s, d, "part")
+        .where(col("p_brand") === "Brand#4" && col("p_size") < 6)
+        .select("p_partkey")
+      val li = Tables(s, d, "lineitem")
+        .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+      val st = li.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+      li.join(broadcast(st), "l_partkey")
+        .where(col("qty") * lit(5L) * col("cq") < col("sq"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    }),
+
+    // Q22 shape — idle high-balance customers: in three market segments,
+    // customers whose balance beats the segment-set's positive-balance
+    // average and who have NO orders. The scalar avg subquery is a 1-row
+    // broadcast (exact decimal sum / count, so both engines derive the
+    // identical double threshold); the NOT EXISTS is a LEFT ANTI join on
+    // custkey — one keyed shuffle, no distinct pass on orders. Output is
+    // dim-bounded (3 segments).
+    "q_wl_idle_customers" -> ((s, d) => {
+      val segs = Seq("BUILDING", "MACHINERY", "AUTOMOBILE")
+      val cust = Tables(s, d, "customer")
+        .where(col("c_mktsegment").isin(segs: _*))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("ab"))
+        .join(Tables(s, d, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Q14 shape — promo revenue share per month: conditional aggregation
     // over one broadcast-dim join, the numerator/denominator both exact
     // decimal sums so the final double division hash-matches.
@@ -420,6 +491,40 @@ object Workloads {
          JOIN hot ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+
+    "q_wl_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_wl_small_qty_revenue" ->
+      s"""WITH pr AS (SELECT p_partkey FROM part
+             WHERE p_brand = 'Brand#4' AND p_size < 6),
+         li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                  l_extendedprice
+                FROM lineitem JOIN pr ON l_partkey = p_partkey),
+         st AS (SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS cq
+                FROM li GROUP BY l_partkey)
+         SELECT ${oDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         FROM li JOIN st USING (l_partkey)
+         WHERE qty * 5 * cq < sq""",
+
+    "q_wl_idle_customers" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+         ab AS (SELECT ${oDavg("c_acctbal")} AS ab FROM c
+                WHERE c_acctbal > 0)
+         SELECT c_mktsegment, COUNT(*) AS n_cust,
+           ${oDsum("c_acctbal")} AS total_bal
+         FROM c, ab
+         WHERE c_acctbal > ab
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_wl_promo_share" ->
       s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS ym,
