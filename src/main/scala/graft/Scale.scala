@@ -241,6 +241,28 @@ object Scale {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       report(d, "simsearch_ivf_16cell", 5,
         SparkEntry.queries("q_llm_simsearch_ivf")(spark, d), ivfQs, emb)
+      // PQ ADC recall: the declared q_llm_simsearch_pq ranks by
+      // asymmetric L2² over 4×8 codebooks (64× compression) — report
+      // what that compression costs against the EXACT integer-grid L2
+      // top-3 over all candidates, on the query set the declared query
+      // caps (vec_id < 32). Truth uses L2 ordering (not dot): that is
+      // the metric PQ approximates.
+      val grid = emb.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("g"))
+      val pqQs = grid.where(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("g").as("qg"))
+      val wL2 = Window.partitionBy("qid").orderBy(col("d2"), col("cid"))
+      val truthL2 = grid.select(col("vec_id").as("cid"), col("g").as("cg"))
+        .crossJoin(broadcast(pqQs)).where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr("graft_l2sq(qg, cg)").as("d2"))
+        .withColumn("rnk", row_number().over(wL2)).where(col("rnk") <= 3)
+        .select("qid", "cid")
+      val pq = SparkEntry.queries("q_llm_simsearch_pq")(spark, d)
+        .select("qid", "cid")
+      val pqHits = pq.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+      val nPq = pqQs.count()
+      println(f"""{"dir":"$d","probe":"simsearch_pq_m4k8","k":3,"n_queries":$nPq,"recall":${pqHits.toDouble / (3 * nPq)}%.4f}""")
     }
   }
 

@@ -71,39 +71,47 @@ object Learn {
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
     // integer `div` (not double-divide-then-cast) so the DuckDB twin's
     // `//` agrees exactly at any N
-    val sampleStep = vecs.agg(
-      expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * cells})").as("st"))
-    val sample = vecs.crossJoin(broadcast(sampleStep))
-      .where(col("vec_id") % col("st") === 0)
-      .select(col("vec_id"), col("q"), col("st"))
-    // seeds: the `cells` lowest sample members, indexed ARITHMETICALLY
-    // (cid = vec_id div stride — the stride construction makes the rank
-    // a closed form, so no window at all, global or otherwise; vec_ids
-    // are dense from 0, which LearnSpec guards)
-    var cent = sample.where(col("vec_id") < lit(cells.toLong) * col("st"))
-      .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("q").as("c"))
-    for (_ <- 1 to ITERS) {
-      cent = assign(sample, cent)
-        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .withColumn("cv", expr(fdiv("sv", "n")))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+    // The trained centroid frame (KB-sized, fully deterministic) is
+    // memoized per (session, sfDir, cells) and lazily persist()ed: every
+    // consumer — the two scoring shapes below, q_llm_hard_negatives, and
+    // any other query sharing the quantizer geometry — references the
+    // SAME DataFrame instance, so the DAGScheduler shares its stages and
+    // the cache manager's per-block locks guarantee the sample-bounded
+    // Lloyd lineage materializes once per JVM. persist() is lazy, so
+    // plan-only consumers (PlanSpec, Explain) remain execution-free —
+    // unlike an eager checkpoint (trains at plan-build) or a lazy
+    // localCheckpoint (two racing broadcast builds each ran the full
+    // lineage — the measured r4/r5 lesson). This is the in-plan analogue
+    // of a production pipeline training the frozen quantizer once and
+    // broadcasting the model.
+    val cent = graft.Memo(s, s"quantizer:$d:$cells") {
+      val sampleStep = vecs.agg(
+        expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * cells})").as("st"))
+      val sample = vecs.crossJoin(broadcast(sampleStep))
+        .where(col("vec_id") % col("st") === 0)
+        .select(col("vec_id"), col("q"), col("st"))
+      // seeds: the `cells` lowest sample members, indexed ARITHMETICALLY
+      // (cid = vec_id div stride — the stride construction makes the rank
+      // a closed form, so no window at all, global or otherwise; vec_ids
+      // are dense from 0, which LearnSpec guards)
+      var c0 = sample.where(col("vec_id") < lit(cells.toLong) * col("st"))
+        .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("q").as("c"))
+      for (_ <- 1 to ITERS) {
+        c0 = assign(sample, c0)
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .withColumn("cv", expr(fdiv("sv", "n")))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      }
+      c0.persist()
     }
     // cells×N scoring feeds two shapes: the probe list (top-`probes`
     // cells per vector, a keyed window) and the assignment (argmin cell,
     // a partial-agg groupBy — min over struct(d2, cid) ≡ the window's
-    // rank 1 with the same tie-break). NO materialization: each side
-    // carries its own copy of the training subtree (measured: AQE does
-    // not stage-reuse these broadcasts), so the SAMPLE-BOUNDED Lloyd
-    // loop runs twice — constant work at any N, accepted to keep
-    // plan-only consumers (PlanSpec, Explain) execution-free (an eager
-    // checkpoint would train at plan-build; a lazy one races — the
-    // k-means r4 lesson). A production pipeline sidesteps the choice by
-    // training the KB-sized quantizer once in a separate step and
-    // broadcasting the frozen model; in-plan training keeps the declared
-    // query self-contained and DuckDB-oracle-able.
+    // rank 1 with the same tie-break); both read the persisted centroid
+    // cache after its single materialization.
     val scored = vecs.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("label"), col("cid"),
         d2.as("d2"))

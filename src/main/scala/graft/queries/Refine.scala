@@ -52,6 +52,26 @@ object Refine {
   /** Capped ADC query set (the q_llm_simsearch_topk convention). */
   private val QCAP = 32
 
+  /** CUSUM slack (k) and decision threshold (h) — single definitions
+    * interpolated into BOTH the Spark fold and the DuckDB oracle so the
+    * two sides cannot desynchronize. */
+  private[graft] val SLACK = "12.5"
+  private[graft] val THRESH = "100.0"
+
+  /** The two-sided CUSUM fold over a DOUBLE array column `vs` around mean
+    * column `mu` → [s⁺, s⁻, crossings]. Exposed so RefineSpec can drive
+    * it over constructed drift fixtures (the declared query binds it to
+    * the per-user trailing-50 window over `events`). */
+  private[graft] def cusumFold(vs: String, mu: String): String =
+    s"""aggregate($vs,
+         array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+         (acc, v) -> array(
+           greatest(0.0, acc[0] + (v - $mu) - $SLACK),
+           greatest(0.0, acc[1] + ($mu - v) - $SLACK),
+           acc[2] + CASE WHEN greatest(0.0, acc[0] + (v - $mu) - $SLACK) > $THRESH
+               OR greatest(0.0, acc[1] + ($mu - v) - $SLACK) > $THRESH
+             THEN 1.0 ELSE 0.0 END))"""
+
   /** exact BIGINT floor division (numerator adjusted to divisibility) —
     * truncating (Spark `div`) ≡ flooring (DuckDB `//`) engines agree. */
   private def fdiv(s: String, n: String): String =
@@ -83,37 +103,45 @@ object Refine {
       val vecs = Tables(s, d, "embeddings").select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
         .as("q"))
-      val sampleStep = vecs.agg(
-        expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * KPQ})").as("st"))
-      val sample = vecs.crossJoin(broadcast(sampleStep))
-        .where(col("vec_id") % col("st") === 0)
-        .select(col("vec_id"), col("q"), col("st"))
       // one codebook per subspace: seeds indexed arithmetically from the
       // stride construction (no window), then ROUNDS Lloyd iterations
-      // entirely on the sample — constant work at any N
-      val cbs = (0 until M).map { m =>
-        val sub = sample.select(col("vec_id"),
-          slice(col("q"), m * SUBDIM + 1, SUBDIM).as("sq"), col("st"))
-        var cent = sub.where(col("vec_id") < lit(KPQ.toLong) * col("st"))
-          .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("sq").as("c"))
-        for (_ <- 1 to ROUNDS) {
-          val asg = sub.crossJoin(broadcast(cent))
-            .select(col("vec_id"), col("sq"), col("cid"),
-              expr("graft_l2sq(sq, c)").as("d2"))
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-            .where(col("rk") === 1)
-          cent = asg
-            .select(col("cid"), posexplode(col("sq")).as(Seq("pos", "v")))
-            .groupBy("cid", "pos")
-            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-            .withColumn("cv", expr(fdiv("sv", "n")))
-            .groupBy("cid")
-            .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
-              .as("c"))
-        }
-        cent.select(lit(m).as("m"), col("cid"), col("c"))
-      }.reduce(_ unionAll _)
+      // entirely on the sample — constant work at any N. The M·K-row
+      // codebook frame is memoized per (session, sfDir) and lazily
+      // persist()ed (the q_llm_knn_graph_trained quantizer discipline),
+      // so its two consumers below — the encode pass and the query-side
+      // distance tables — share ONE training materialization instead of
+      // each re-running the sampled Lloyd subplan; plan-only consumers
+      // stay execution-free because persist() is lazy.
+      val cbs = graft.Memo(s, s"pq-codebooks:$d") {
+        val sampleStep = vecs.agg(
+          expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * KPQ})").as("st"))
+        val sample = vecs.crossJoin(broadcast(sampleStep))
+          .where(col("vec_id") % col("st") === 0)
+          .select(col("vec_id"), col("q"), col("st"))
+        (0 until M).map { m =>
+          val sub = sample.select(col("vec_id"),
+            slice(col("q"), m * SUBDIM + 1, SUBDIM).as("sq"), col("st"))
+          var cent = sub.where(col("vec_id") < lit(KPQ.toLong) * col("st"))
+            .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("sq").as("c"))
+          for (_ <- 1 to ROUNDS) {
+            val asg = sub.crossJoin(broadcast(cent))
+              .select(col("vec_id"), col("sq"), col("cid"),
+                expr("graft_l2sq(sq, c)").as("d2"))
+              .withColumn("rk", row_number().over(
+                Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+              .where(col("rk") === 1)
+            cent = asg
+              .select(col("cid"), posexplode(col("sq")).as(Seq("pos", "v")))
+              .groupBy("cid", "pos")
+              .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+              .withColumn("cv", expr(fdiv("sv", "n")))
+              .groupBy("cid")
+              .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+                .as("c"))
+          }
+          cent.select(lit(m).as("m"), col("cid"), col("c"))
+        }.reduce(_ unionAll _).persist()
+      }
       // every vector's M subvectors, reused by the encode pass and the
       // query-side distance tables
       val subs = vecs.select(col("vec_id"), explode(expr(
@@ -149,7 +177,11 @@ object Refine {
     "q_llm_importance_resample" -> ((s, d) => {
       val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
       val tot = docs.agg(count(lit(1)).as("n"))
+      // restrict to the targetMix languages (mirrors the oracle's inner
+      // join on tm): a language absent from the mix must drop out here,
+      // not flow through with a NULL target
       val byLang = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .where(col("lang").isin(targetMix.map(_._1): _*))
         .withColumn("t_e6", expr(targetCase))
         .crossJoin(broadcast(tot))
         .withColumn("ratio_e6", expr("(t_e6 * n) div cnt"))
@@ -182,15 +214,7 @@ object Refine {
       Tables(s, d, "events")
         .withColumn("vs", collect_list(col("value")).over(w))
         .crossJoin(broadcast(mu))
-        .withColumn("st", expr(
-          """aggregate(vs,
-               array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-               (acc, v) -> array(
-                 greatest(0.0, acc[0] + (v - mu) - 12.5),
-                 greatest(0.0, acc[1] + (mu - v) - 12.5),
-                 acc[2] + CASE WHEN greatest(0.0, acc[0] + (v - mu) - 12.5) > 100.0
-                     OR greatest(0.0, acc[1] + (mu - v) - 12.5) > 100.0
-                   THEN 1.0 ELSE 0.0 END))"""))
+        .withColumn("st", expr(cusumFold("vs", "mu")))
         .select(col("user_id"), col("event_id"),
           round(col("st")(0), 6).as("cusum_hi"),
           round(col("st")(1), 6).as("cusum_lo"),
@@ -324,10 +348,10 @@ object Refine {
              list_reduce(
                list_prepend([0.0, 0.0, 0.0],
                  list_transform(vs, x -> [x])),
-               (acc, e) -> [greatest(0.0, acc[1] + (e[1] - mu.mu) - 12.5),
-                 greatest(0.0, acc[2] + (mu.mu - e[1]) - 12.5),
-                 acc[3] + CASE WHEN greatest(0.0, acc[1] + (e[1] - mu.mu) - 12.5) > 100.0
-                     OR greatest(0.0, acc[2] + (mu.mu - e[1]) - 12.5) > 100.0
+               (acc, e) -> [greatest(0.0, acc[1] + (e[1] - mu.mu) - $SLACK),
+                 greatest(0.0, acc[2] + (mu.mu - e[1]) - $SLACK),
+                 acc[3] + CASE WHEN greatest(0.0, acc[1] + (e[1] - mu.mu) - $SLACK) > $THRESH
+                     OR greatest(0.0, acc[2] + (mu.mu - e[1]) - $SLACK) > $THRESH
                    THEN 1.0 ELSE 0.0 END]) AS st
            FROM w, mu)
          SELECT user_id, event_id,

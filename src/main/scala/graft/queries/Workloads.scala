@@ -20,6 +20,11 @@ object Workloads {
 
   private val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  // Single definition shared by the Spark plan and the DuckDB oracle for
+  // q_wl_idle_customers: a customer is "idle" with no orders on/after
+  // this date. Chosen so the query is non-empty at every gate scale.
+  private val IdleCutoff = "2000-01-01"
+
   val queries: Map[String, Q] = Map(
 
     // Dataset-card composite — the one-row corpus summary every dataset
@@ -312,11 +317,15 @@ object Workloads {
 
     // Q22 shape — idle high-balance customers: in three market segments,
     // customers whose balance beats the segment-set's positive-balance
-    // average and who have NO orders. The scalar avg subquery is a 1-row
-    // broadcast (exact decimal sum / count, so both engines derive the
-    // identical double threshold); the NOT EXISTS is a LEFT ANTI join on
-    // custkey — one keyed shuffle, no distinct pass on orders. Output is
-    // dim-bounded (3 segments).
+    // average and who have placed NO orders since IdleCutoff (every
+    // customer in this corpus has SOME order, so "no orders ever" is
+    // vacuous at every gate scale — recency-idleness is the predicate
+    // the data actually exhibits: 5/32/395 rows at sf0.001/0.01/0.1).
+    // The scalar avg subquery is a 1-row broadcast (exact decimal sum /
+    // count, so both engines derive the identical double threshold);
+    // the NOT EXISTS is a LEFT ANTI join on custkey against the
+    // date-filtered orders — the filter pushes to the parquet scan, then
+    // one keyed shuffle. Output is dim-bounded (3 segments).
     "q_wl_idle_customers" -> ((s, d) => {
       val segs = Seq("BUILDING", "MACHINERY", "AUTOMOBILE")
       val cust = Tables(s, d, "customer")
@@ -326,7 +335,9 @@ object Workloads {
         .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
       cust.crossJoin(broadcast(avgBal))
         .where(col("c_acctbal") > col("ab"))
-        .join(Tables(s, d, "orders").select("o_custkey"),
+        .join(Tables(s, d, "orders")
+            .where(col("o_orderdate") >= ts(IdleCutoff))
+            .select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
@@ -523,7 +534,8 @@ object Workloads {
            ${oDsum("c_acctbal")} AS total_bal
          FROM c, ab
          WHERE c_acctbal > ab
-           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '$IdleCutoff')
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_wl_promo_share" ->

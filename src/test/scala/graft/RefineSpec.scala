@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Refine
+
+/** Per-operator invariants for the §2.27 batch (PQ ANN, importance
+  * resampling, CUSUM, fertility) — the properties the global
+  * determinism/plan sweeps cannot show. */
+class RefineSpec extends SparkSpec {
+
+  private def grid(): Map[Long, Array[Long]] =
+    Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+
+  private def l2sq(a: Array[Long], b: Array[Long]): BigInt =
+    a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+
+  test("q_llm_simsearch_pq: structure — ranks dense, no self-match, ADC non-decreasing") {
+    val out = Refine.queries("q_llm_simsearch_pq")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "no self-neighbors")
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length), "dense ranks")
+      val adcs = sorted.map(_.getLong(2))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        "ADC distance must be non-decreasing in rank")
+    }
+  }
+
+  test("q_llm_simsearch_pq: ADC beats random — recall@3 vs exact L2 truth; chosen candidates closer than average") {
+    val g = grid()
+    val qids = g.keys.filter(_ < 32).toSeq
+    // exact L2² top-3 per query (brute force on the ≤500-vector fixture)
+    val truth: Map[Long, Set[Long]] = qids.map { q =>
+      q -> g.filter(_._1 != q).toSeq
+        .map { case (c, v) => (l2sq(g(q), v), c) }
+        .sortBy(identity).take(3).map(_._2).toSet
+    }.toMap
+    val pq = Refine.queries("q_llm_simsearch_pq")(spark, sf)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = qids.map(q => (truth(q) & pq.getOrElse(q, Set.empty)).size).sum
+    val recall = hits.toDouble / (3.0 * qids.size)
+    // 12-bit codes over 64 dims lose a lot, but must beat chance by a
+    // wide margin: random top-3 of ~500 candidates would land ~0.006;
+    // measured 0.146 at sf0.001 — gate at 0.05 (3× margin below measured)
+    assert(recall >= 0.05, f"PQ recall@3 $recall%.3f below the 0.05 floor")
+    // rank-quality bound: across the query set, the exact distance of
+    // PQ-chosen neighbors must average well below the distance of a
+    // random candidate — ADC orders by a real (if lossy) distance
+    // estimate, not noise. (Per-query ∀-bounds are too strict: 12-bit
+    // codes legitimately let an occasional far candidate through.)
+    val ratios = qids.map { q =>
+      val all = g.filter(_._1 != q).map { case (_, v) => l2sq(g(q), v) }
+      val meanAll = BigDecimal(all.sum) / all.size
+      val chosen = pq.getOrElse(q, Set.empty).map(c => l2sq(g(q), g(c)))
+      assert(chosen.nonEmpty, s"query $q returned no neighbors")
+      (BigDecimal(chosen.sum) / chosen.size / meanAll).toDouble
+    }
+    // high-dim concentration keeps ALL pairwise distances near the mean
+    // (even exact top-3 sits ~0.75 on this fixture), so the bound is
+    // 0.9, not 0.5 — random selection would measure 1.0; the fixture is
+    // deterministic, measured 0.837
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio < 0.9,
+      f"PQ-chosen neighbors average $meanRatio%.3f of the mean candidate " +
+        "distance — barely better than random selection")
+  }
+
+  test("q_ts_cusum: matches an independent Scala fold over the same windows") {
+    val rows = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the query's grid-exact mean: exact decimal sum / count, rounded 6
+    val mu = Tables(spark, sf, "events")
+      .agg(round(graft.queries.U.davg(col("value")), 6)).first().getDouble(0)
+    val k = Refine.SLACK.toDouble
+    val h = Refine.THRESH.toDouble
+    val expect = rows.groupBy(_._1).flatMap { case (_, es) =>
+      val ordered = es.sortBy(_._2)
+      ordered.indices.map { i =>
+        val win = ordered.slice(math.max(0, i - 49), i + 1).map(_._3)
+        var (hi, lo, cr) = (0.0, 0.0, 0.0)
+        win.foreach { v =>
+          hi = math.max(0.0, hi + (v - mu) - k)
+          lo = math.max(0.0, lo + (mu - v) - k)
+          if (hi > h || lo > h) cr += 1.0
+        }
+        (ordered(i)._2,
+          (math.rint(hi * 1e6) / 1e6, math.rint(lo * 1e6) / 1e6, cr.toLong))
+      }
+    }
+    val got = Refine.queries("q_ts_cusum")(spark, sf).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got.size === rows.length)
+    expect.foreach { case (eid, (ehi, elo, ecr)) =>
+      val (ghi, glo, gcr) = got(eid)
+      assert(math.abs(ghi - ehi) < 2e-6 && math.abs(glo - elo) < 2e-6,
+        s"event $eid: cusum ($ghi,$glo) != expected ($ehi,$elo)")
+      assert(gcr === ecr, s"event $eid: crossings $gcr != $ecr")
+    }
+    // the fixture must actually exercise the threshold: at least one
+    // window crosses somewhere, and at least one does not
+    val crs = got.values.map(_._3)
+    assert(crs.exists(_ > 0) && crs.exists(_ == 0),
+      "fixture exercises neither/both sides of the threshold")
+  }
+
+  test("q_ts_cusum fold: constructed drift fixture crosses exactly when expected") {
+    // mean 0, slack 12.5, threshold 100: twenty +20 deviations push s⁺ by
+    // 7.5 each (s⁺ = 7.5n), crossing while 7.5n > 100 → steps 14..20 = 7
+    // crossings, s⁺ = 150 at the end of the drift; the flat tail (v = mu)
+    // decays s⁺ by 12.5/step: 137.5, 125, 112.5 still cross (3 more),
+    // 100.0 does not (strict >), so 10 total and s⁺ ends at 25
+    val drift = (1 to 20).map(_ => "20.0") ++ (1 to 10).map(_ => "0.0")
+    val st = spark.sql(
+      s"SELECT ${Refine.cusumFold(s"array(${drift.mkString(",")})", "0.0")} AS st")
+      .first().getSeq[Double](0)
+    assert(st(2) === 10.0, s"expected 10 crossings, got ${st(2)}")
+    assert(st(0) === 25.0, "tail decay must bring s⁺ back to 25")
+    assert(st(1) === 0.0, "one-sided drift must leave s⁻ at zero")
+    // symmetric: pure negative drift crosses on the low side only
+    val neg = (1 to 20).map(_ => "-20.0")
+    val st2 = spark.sql(
+      s"SELECT ${Refine.cusumFold(s"array(${neg.mkString(",")})", "0.0")} AS st")
+      .first().getSeq[Double](0)
+    assert(st2(2) === 7.0 && st2(0) === 0.0 && st2(1) === 150.0)
+  }
+
+  test("q_llm_importance_resample: kept mix is closer to target than the raw mix") {
+    val out = Refine.queries("q_llm_importance_resample")(spark, sf).collect()
+    val target = Map("en" -> 0.25, "es" -> 0.25, "de" -> 0.2,
+      "fr" -> 0.15, "zh" -> 0.15)
+    assert(out.map(_.getString(0)).toSet === target.keySet,
+      "output must cover exactly the target-mix languages")
+    val nDocs = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nKept = out.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(target.keys.forall(l => nKept(l) <= nDocs(l)), "kept ≤ docs per lang")
+    assert(out.map(_.getLong(3)).max === 1000000L,
+      "the most under-represented language must keep everything (p = 1e6)")
+    def tv(shares: Map[String, Double]): Double =
+      target.map { case (l, t) => math.abs(shares(l) - t) }.sum / 2
+    val totD = nDocs.values.sum.toDouble
+    val totK = nKept.values.sum.toDouble
+    val tvBefore = tv(nDocs.map { case (l, n) => l -> n / totD })
+    val tvAfter = tv(nKept.map { case (l, n) => l -> n / totK })
+    assert(tvAfter < tvBefore,
+      f"resampling must move the mix toward target (TV $tvBefore%.3f → $tvAfter%.3f)")
+    assert(tvAfter < 0.1, f"kept mix TV distance $tvAfter%.3f too far from target")
+  }
+
+  test("q_llm_tokenizer_fertility: ratio identities hold per language") {
+    val out = Refine.queries("q_llm_tokenizer_fertility")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = Tables(spark, sf, "documents").count()
+    assert(out.map(_.getLong(1)).sum === total, "per-lang docs sum to corpus")
+    out.foreach { r =>
+      val (ws, sw) = (r.getLong(2), r.getLong(3))
+      val (fert, tokChars) = (r.getLong(4), r.getLong(5))
+      // every whitespace token has ≥ 1 char, subwords are ceil(chars/4):
+      // 4·sw ≥ chars ≥ ws, so fertility ≥ 0.25 and chars/token ≥ 1
+      assert(4 * sw >= ws, s"${r.getString(0)}: 4·subwords < whitespace tokens")
+      assert(fert >= 250000L, s"${r.getString(0)}: fertility below the ¼ floor")
+      assert(tokChars >= 1000000L, s"${r.getString(0)}: < 1 char per token")
+      assert(fert === sw * 1000000L / ws, "fertility is the exact floor ratio")
+    }
+  }
+}
