@@ -23,7 +23,8 @@ object SparkEntry {
       MrCore.queries ++ Reshape.queries ++ Pipeline.queries ++
       Analytics.queries ++ Insights.queries ++ Workloads.queries ++
       Curation.queries ++ Learn.queries ++ Frontier.queries ++
-      Signals.queries ++ Corpus.queries ++ Refine.queries
+      Signals.queries ++ Corpus.queries ++ Refine.queries ++
+      Marts.queries ++ Basis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       MrCore.oracle ++ Reshape.oracle ++ Pipeline.oracle ++
       Analytics.oracle ++ Insights.oracle ++ Workloads.oracle ++
       Curation.oracle ++ Learn.oracle ++ Frontier.oracle ++
-      Signals.oracle ++ Corpus.oracle ++ Refine.oracle
+      Signals.oracle ++ Corpus.oracle ++ Refine.oracle ++
+      Marts.oracle ++ Basis.oracle
 }
