@@ -146,14 +146,21 @@ object Basis {
       // below every customer degree would make the ≥k filter vacuously
       // green (the idle-customers lesson)
       val k = 8
+      // each round references its input edge frame THREE times (degree
+      // agg + two semi-join probes): without a barrier the co-purchase
+      // lineage re-executes 3^rounds times (measured 48 s at sf0.1 —
+      // the round-6 bench caught it). Lazy localCheckpoints (the BFS/CC
+      // discipline) flatten every round to one materialization while
+      // keeping the first plan reference execution-free.
       def peel(e: DataFrame): DataFrame = {
         val surv = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .where(col("deg") >= k).select("src")
         e.join(surv, Seq("src"), "left_semi")
           .join(surv.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-          .select("src", "dst")
+          .select("src", "dst").localCheckpoint(false)
       }
-      val e3 = peel(peel(peel(U.coPurchaseEdges(s, d))))
+      val e0 = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      val e3 = peel(peel(peel(e0)))
       e3.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
         .orderBy("node")
