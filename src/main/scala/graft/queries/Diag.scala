@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Round-6 additions, batch 2 (SURVEY §2.29): corpus and signal
+  * diagnostics — the gram-novelty curve (is the crawl saturating?), a
+  * per-key scalar Kalman filter (the trailing-window state-fold family:
+  * EWMA → Holt → CUSUM → Kalman), and a Zipf-law fit over the term
+  * frequencies (the one-row corpus health number every scaling-law
+  * paper quotes).
+  */
+object Diag {
+
+  // Kalman constants, single-defined and interpolated into BOTH engines
+  // (the CUSUM convention): random-walk process noise Q, observation
+  // noise R, prior variance P0.
+  private val KQ = "4.0"
+  private val KR = "25.0"
+  private val KP0 = "100.0"
+
+  /** One Kalman step over accumulator [x, P]: predict P+Q, gain
+    * K=(P+Q)/(P+Q+R), correct toward observation `z`. Spark HOF lambda
+    * body and DuckDB list_reduce body are generated from THIS template so
+    * the two engines provably fold the same arithmetic. `acc(i)`/`e`
+    * spellings differ per engine, hence the two parameter slots. */
+  private def kalmanStep(acc: Int => String, z: String): (String, String) = {
+    val pp = s"(${acc(1)} + $KQ)"
+    val k = s"($pp / ($pp + $KR))"
+    (s"${acc(0)} + $k * ($z - ${acc(0)})", s"(1.0 - $k) * $pp")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Gram-novelty curve: per (source, 100-doc bucket), the share of
+    // distinct 5-grams whose FIRST corpus occurrence falls in that
+    // bucket — the saturation diagnostic a crawl pipeline watches (new
+    // data stops contributing novel n-grams ⇒ stop crawling that
+    // source). First-occurrence is one gram-keyed aggregate
+    // (min doc_id), membership is the same equi-join the contamination
+    // report uses — two gram shuffles, no broadcast of corpus-scale
+    // state, output ∝ N/100 buckets.
+    "q_llm_gram_novelty" -> ((s, d) => {
+      val g = Tables(s, d, "documents").withColumn("tk", textTokens)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(grams5)).as("g"))
+      val first = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      g.join(first, "g")
+        .groupBy(col("source"), expr("doc_id div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
+        .select(col("source"), col("bucket"), col("n_grams"), col("n_novel"),
+          round(col("n_novel") * lit(100.0) / col("n_grams"), 6)
+            .as("novelty_pct"))
+        .orderBy("source", "bucket")
+    }),
+
+    // Scalar Kalman filter per user over the trailing-50 window
+    // (random-walk state, noisy observation): the [x̂, P] fold seeded at
+    // [first value, P0], every step the same predict/gain/correct
+    // arithmetic in BOTH engines via the shared step template. Keyed
+    // window + in-order HOF fold — constant state per row, the
+    // EWMA/Holt/CUSUM scaling story.
+    "q_ts_kalman" -> ((s, d) => {
+      val (xs, ps) = kalmanStep(i => s"acc[$i]", "v")
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-49, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("vs", collect_list(col("value")).over(w))
+        .withColumn("st", expr(
+          s"""aggregate(
+               CASE WHEN size(vs) < 2 THEN CAST(array() AS ARRAY<DOUBLE>)
+                    ELSE slice(vs, 2, size(vs) - 1) END,
+               array(vs[0], CAST($KP0 AS DOUBLE)),
+               (acc, v) -> array($xs, $ps))"""))
+        .select(col("user_id"), col("event_id"),
+          col("st")(0).as("x_hat"), col("st")(1).as("p_cov"),
+          ((col("st")(1) + lit(KQ.toDouble)) /
+            (col("st")(1) + lit(KQ.toDouble) + lit(KR.toDouble))).as("gain"))
+        .orderBy("event_id")
+    }),
+
+    // Zipf-law fit: least-squares slope/intercept of log(freq) against
+    // log(rank) over the top-1000 terms — the corpus-health scalar
+    // (natural text ⇒ slope ≈ −1). Top-1000 via TakeOrdered heap (never
+    // a vocabulary sort), rank WINDOWLESSLY via the 1000×1000 broadcast
+    // triangle count (the bpe_pairs rule — no single-partition window),
+    // log terms rounded to the 1e-9 grid and summed exactly so the
+    // closed-form slope is the same double in both engines.
+    "q_llm_zipf_fit" -> ((s, d) => {
+      val top = Tables(s, d, "documents")
+        .select(explode(textTokens).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(1000)
+      val ranked = top.join(
+          broadcast(top.select(col("term").as("t2"), col("cnt").as("c2"))),
+          col("c2") > col("cnt") ||
+            (col("c2") === col("cnt") && col("t2") < col("term")), "left")
+        .groupBy("term", "cnt")
+        .agg((count(col("t2")) + 1).as("rnk"))
+        .select(
+          expr("round(ln(CAST(rnk AS DOUBLE)), 9)").as("lx"),
+          expr("round(ln(CAST(cnt AS DOUBLE)), 9)").as("ly"))
+      def s9(c: org.apache.spark.sql.Column) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 9))).cast("double")
+      ranked.agg(count(lit(1)).as("n"), s9(col("lx")).as("sx"),
+          s9(col("ly")).as("sy"),
+          s9(round(col("lx") * col("ly"), 9)).as("sxy"),
+          s9(round(col("lx") * col("lx"), 9)).as("sxx"))
+        .select(col("n").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 6).as("intercept"))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    // DuckDB lists are 1-based — shift the accumulator accessor
+    val (xs, ps) = kalmanStep(i => s"acc[${i + 1}]", "e[1]")
+    Map(
+      "q_llm_gram_novelty" ->
+        s"""WITH dtk AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+               FROM documents),
+           gr AS (SELECT doc_id, source,
+               unnest(list_distinct($oGrams5)) AS g FROM dtk),
+           fo AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g)
+           SELECT source, CAST(doc_id // 100 AS BIGINT) AS bucket,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             round(CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+               AS BIGINT) * 100.0 / COUNT(*), 6) AS novelty_pct
+           FROM gr JOIN fo USING (g)
+           GROUP BY source, bucket ORDER BY source, bucket""",
+
+      "q_ts_kalman" ->
+        s"""WITH w AS (SELECT user_id, event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS vs
+             FROM events),
+           f AS (SELECT user_id, event_id,
+               list_reduce(
+                 list_prepend([vs[1], $KP0],
+                   list_transform(vs[2:], x -> [x])),
+                 (acc, e) -> [$xs, $ps]) AS st
+             FROM w)
+           SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov,
+             (st[2] + $KQ) / (st[2] + $KQ + $KR) AS gain
+           FROM f ORDER BY event_id""",
+
+      "q_llm_zipf_fit" ->
+        """WITH tf AS (SELECT term, COUNT(*) AS cnt
+             FROM (SELECT unnest(string_split(text, ' ')) AS term
+                   FROM documents)
+             GROUP BY term ORDER BY cnt DESC, term LIMIT 1000),
+           rk AS (SELECT a.term, a.cnt, 1 + COUNT(b.term) AS rnk
+                  FROM tf a LEFT JOIN tf b
+                    ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.term < a.term)
+                  GROUP BY a.term, a.cnt),
+           xy AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS lx,
+                    round(ln(CAST(cnt AS DOUBLE)), 9) AS ly FROM rk),
+           sm AS (SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(lx AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(lx * ly, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(lx * lx, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+             FROM xy)
+           SELECT n AS n_terms,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept
+           FROM sm"""
+    )
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.queries.Diag
+
+/** Scala-mirror and conservation checks for the round-6 Diag batch
+  * (the BasisSpec convention: recompute with plain Scala arithmetic on
+  * the collected sf0.001 fixture — fine HERE, never in the queries). */
+class DiagSpec extends SparkSpec {
+
+  test("q_llm_gram_novelty: novel counts conserve the distinct-gram total") {
+    val out = Diag.queries("q_llm_gram_novelty")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2)))
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    def grams(tk: Seq[String]): Set[String] =
+      if (tk.length < 5) Set.empty else tk.sliding(5).map(_.mkString(" ")).toSet
+    // every distinct gram is novel in EXACTLY one (its first) bucket
+    val universe = docs.flatMap(d => grams(d._3)).toSet
+    assert(out.map(_.getLong(3)).sum === universe.size.toLong,
+      "sum of novel counts must equal the distinct-gram universe")
+    // full mirror: per (source, bucket) counts from set arithmetic
+    val firstDoc = docs.flatMap { case (id, _, tk) => grams(tk).map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).min }
+    val expect = docs.flatMap { case (id, src, tk) =>
+      // toSeq: mapping over the Set would DEDUPE the (bucket, flag) pairs
+      grams(tk).toSeq.map(g => ((src, id / 100), firstDoc(g) == id))
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> (v.length.toLong, v.count(_._2).toLong)
+    }
+    out.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(expect(k) === ((r.getLong(2), r.getLong(3))), s"bucket $k")
+    }
+  }
+
+  test("q_ts_kalman matches the scalar fold mirror; gain and variance bounded") {
+    val out = Diag.queries("q_ts_kalman")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) > 0.0, "posterior variance must stay positive")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0, "gain out of (0,1)")
+    }
+    val events = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = events.groupBy(_._1).map { case (u, v) =>
+      u -> v.sortBy(_._2)
+    }
+    val (q, rr, p0) = (4.0, 25.0, 100.0)
+    val mirror = byUser.flatMap { case (u, rows) =>
+      rows.indices.map { i =>
+        val vs = rows.slice(math.max(0, i - 49), i + 1).map(_._3)
+        val (x, p) = vs.tail.foldLeft((vs.head, p0)) { case ((x, p), z) =>
+          val pp = p + q
+          val k = pp / (pp + rr)
+          (x + k * (z - x), (1.0 - k) * pp)
+        }
+        (rows(i)._2, (x, p))
+      }
+    }
+    out.foreach { r =>
+      val (x, p) = mirror(r.getLong(1))
+      assert(r.getDouble(2) === x, s"x_hat at event ${r.getLong(1)}")
+      assert(r.getDouble(3) === p, s"p_cov at event ${r.getLong(1)}")
+    }
+  }
+
+  test("q_llm_zipf_fit: negative slope, matches the closed-form mirror") {
+    val out = Diag.queries("q_llm_zipf_fit")(spark, sf).collect()
+    assert(out.length === 1)
+    val (n, slope, intercept) =
+      (out(0).getLong(0), out(0).getDouble(1), out(0).getDouble(2))
+    assert(slope < 0.0, "term frequencies must decay with rank")
+    val tf = Tables(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).groupBy(identity)
+      .map { case (t, v) => (t, v.length.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    assert(n === tf.length.toLong)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xy = tf.zipWithIndex.map { case ((_, c), i) =>
+      (r9(math.log(i + 1.0)), r9(math.log(c.toDouble)))
+    }
+    def sum9(v: Seq[Double]) = v.map(BigDecimal(_)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val (sx, sy) = (sum9(xy.map(_._1)), sum9(xy.map(_._2)))
+    val sxy = sum9(xy.map(p => r9(p._1 * p._2)))
+    val sxx = sum9(xy.map(p => r9(p._1 * p._1)))
+    val nn = n.toDouble
+    val sl = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(math.abs(slope - BigDecimal(sl).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, "slope mirror")
+    assert(math.abs(intercept - BigDecimal((sy - sl * sx) / nn).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, "intercept mirror")
+  }
+}
