@@ -263,6 +263,17 @@ object Scale {
       val pqHits = pq.join(truthL2, Seq("qid", "cid"), "left_semi").count()
       val nPq = pqQs.count()
       println(f"""{"dir":"$d","probe":"simsearch_pq_m4k8","k":3,"n_queries":$nPq,"recall":${pqHits.toDouble / (3 * nPq)}%.4f}""")
+      // PQ as DESIGNED — an ADC shortlist feeding an exact re-rank
+      // (IVF-PQ's serving architecture): recall@3 of the 50-deep
+      // shortlist re-ranked by exact L2, against the same truth. The
+      // gap between this row and the pure-ADC row is the honest answer
+      // to "what does 64× compression cost": ADC alone cannot order
+      // top-3, but it concentrates the true neighbors into a 50-row
+      // candidate set the exact pass then ranks for free (50 ≪ N raw
+      // vectors touched per query).
+      val rr = graft.queries.Refine.pqRerank(spark, d, 50)
+      val rrHits = rr.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+      println(f"""{"dir":"$d","probe":"simsearch_pq_rerank50","k":3,"n_queries":$nPq,"recall":${rrHits.toDouble / (3 * nPq)}%.4f}""")
     }
   }
 

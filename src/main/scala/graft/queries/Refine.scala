@@ -89,83 +89,121 @@ object Refine {
     targetMix.map { case (l, t) => s"WHEN '$l' THEN CAST($t AS BIGINT)" }
       .mkString("CASE lang ", " ", " END")
 
+  /** The 1e-6-grid BIGINT view of the embedding table — shared by the
+    * PQ training/encode passes and the re-rank probe. */
+  private def gridVecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "embeddings").select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+      .as("q"))
+
+  /** Shortlist-then-re-rank PQ retrieval (IVF-PQ's actual serving
+    * architecture): ADC ranks a `shortlist`-deep candidate set per query
+    * (compressed codes only), then ONLY those ≤shortlist rows join back
+    * their raw grid vectors for an exact L2² re-rank to top-3. The probe
+    * `Scale recall` reports alongside the pure-ADC recall: what the 64×
+    * compression costs when PQ is used as designed (a shortlist stage),
+    * not as the final ranking. */
+  private[graft] def pqRerank(s: org.apache.spark.sql.SparkSession, d: String,
+      shortlist: Int): org.apache.spark.sql.DataFrame = {
+    val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+    val short = pqAdcScores(s, d)
+      .withColumn("rk", row_number().over(wA)).where(col("rk") <= shortlist)
+      .select("qid", "cid")
+    val grid = gridVecs(s, d)
+    val wE = Window.partitionBy("qid").orderBy(col("d2x"), col("cid"))
+    short
+      .join(grid.select(col("vec_id").as("cid"), col("q").as("cg")), "cid")
+      .join(broadcast(grid.where(col("vec_id") < QCAP)
+        .select(col("vec_id").as("qid"), col("q").as("qg"))), "qid")
+      .select(col("qid"), col("cid"), expr("graft_l2sq(qg, cg)").as("d2x"))
+      .withColumn("rnk", row_number().over(wE)).where(col("rnk") <= 3)
+      .select("qid", "cid")
+  }
+
+  /** The full PQ pipeline up to the per-(query, candidate) ADC score:
+    * train M per-subspace codebooks (sampled Lloyd — the
+    * knn_graph_trained machinery on dim slices), encode every vector as
+    * M argmin codes, then score the capped query set by asymmetric
+    * distance computation: per query an M×K table of exact subspace
+    * distances, per candidate the sum of M table lookups keyed by its
+    * codes. The candidate side never touches a raw vector after
+    * encoding. Shared by the declared top-3 query and the re-rank
+    * probe. */
+  private def pqAdcScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val vecs = gridVecs(s, d)
+    // one codebook per subspace: seeds indexed arithmetically from the
+    // stride construction (no window), then ROUNDS Lloyd iterations
+    // entirely on the sample — constant work at any N. The M·K-row
+    // codebook frame is memoized per (session, sfDir) and lazily
+    // persist()ed (the q_llm_knn_graph_trained quantizer discipline),
+    // so its two consumers below — the encode pass and the query-side
+    // distance tables — share ONE training materialization instead of
+    // each re-running the sampled Lloyd subplan; plan-only consumers
+    // stay execution-free because persist() is lazy.
+    val cbs = graft.Memo(s, s"pq-codebooks:$d") {
+      val sampleStep = vecs.agg(
+        expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * KPQ})").as("st"))
+      val sample = vecs.crossJoin(broadcast(sampleStep))
+        .where(col("vec_id") % col("st") === 0)
+        .select(col("vec_id"), col("q"), col("st"))
+      (0 until M).map { m =>
+        val sub = sample.select(col("vec_id"),
+          slice(col("q"), m * SUBDIM + 1, SUBDIM).as("sq"), col("st"))
+        var cent = sub.where(col("vec_id") < lit(KPQ.toLong) * col("st"))
+          .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("sq").as("c"))
+        for (_ <- 1 to ROUNDS) {
+          val asg = sub.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("sq"), col("cid"),
+              expr("graft_l2sq(sq, c)").as("d2"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+            .where(col("rk") === 1)
+          cent = asg
+            .select(col("cid"), posexplode(col("sq")).as(Seq("pos", "v")))
+            .groupBy("cid", "pos")
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .withColumn("cv", expr(fdiv("sv", "n")))
+            .groupBy("cid")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+              .as("c"))
+        }
+        cent.select(lit(m).as("m"), col("cid"), col("c"))
+      }.reduce(_ unionAll _).persist()
+    }
+    // every vector's M subvectors, reused by the encode pass and the
+    // query-side distance tables
+    val subs = vecs.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${M - 1}), m -> named_struct(
+             'm', CAST(m AS INT), 'sq', slice(q, m * $SUBDIM + 1, $SUBDIM)))"""))
+        .as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
+    // encode: argmin code per (vector, subspace) — a broadcast map pass
+    val codes = subs.join(broadcast(cbs), "m")
+      .select(col("vec_id"), col("m"), col("cid"),
+        expr("graft_l2sq(sq, c)").as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code"))
+    // ADC tables: exact subspace distances query × codebook (Q·M·K rows)
+    val dtab = subs.where(col("vec_id") < QCAP)
+      .join(broadcast(cbs), "m")
+      .select(col("vec_id").as("qid"), col("m"), col("cid").as("code"),
+        expr("graft_l2sq(sq, c)").as("d2"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), col("d2"))
+      .groupBy("qid", "cid")
+      .agg(sum(col("d2")).as("adc"))
+  }
+
   val queries: Map[String, Q] = Map(
 
-    // Product-quantization similarity search: train M per-subspace
-    // codebooks (sampled Lloyd — the knn_graph_trained machinery on dim
-    // slices), encode every vector as M argmin codes, then answer the
-    // capped query set with asymmetric distance computation: per query,
-    // an M×K table of exact subspace distances; per candidate, the sum
-    // of M table lookups keyed by its codes. The candidate side never
-    // touches a raw vector after encoding.
+    // Product-quantization similarity search — the declared top-3-by-ADC
+    // surface over the shared [[pqAdcScores]] pipeline.
     "q_llm_simsearch_pq" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val vecs = Tables(s, d, "embeddings").select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
-        .as("q"))
-      // one codebook per subspace: seeds indexed arithmetically from the
-      // stride construction (no window), then ROUNDS Lloyd iterations
-      // entirely on the sample — constant work at any N. The M·K-row
-      // codebook frame is memoized per (session, sfDir) and lazily
-      // persist()ed (the q_llm_knn_graph_trained quantizer discipline),
-      // so its two consumers below — the encode pass and the query-side
-      // distance tables — share ONE training materialization instead of
-      // each re-running the sampled Lloyd subplan; plan-only consumers
-      // stay execution-free because persist() is lazy.
-      val cbs = graft.Memo(s, s"pq-codebooks:$d") {
-        val sampleStep = vecs.agg(
-          expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * KPQ})").as("st"))
-        val sample = vecs.crossJoin(broadcast(sampleStep))
-          .where(col("vec_id") % col("st") === 0)
-          .select(col("vec_id"), col("q"), col("st"))
-        (0 until M).map { m =>
-          val sub = sample.select(col("vec_id"),
-            slice(col("q"), m * SUBDIM + 1, SUBDIM).as("sq"), col("st"))
-          var cent = sub.where(col("vec_id") < lit(KPQ.toLong) * col("st"))
-            .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("sq").as("c"))
-          for (_ <- 1 to ROUNDS) {
-            val asg = sub.crossJoin(broadcast(cent))
-              .select(col("vec_id"), col("sq"), col("cid"),
-                expr("graft_l2sq(sq, c)").as("d2"))
-              .withColumn("rk", row_number().over(
-                Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-              .where(col("rk") === 1)
-            cent = asg
-              .select(col("cid"), posexplode(col("sq")).as(Seq("pos", "v")))
-              .groupBy("cid", "pos")
-              .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-              .withColumn("cv", expr(fdiv("sv", "n")))
-              .groupBy("cid")
-              .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
-                .as("c"))
-          }
-          cent.select(lit(m).as("m"), col("cid"), col("c"))
-        }.reduce(_ unionAll _).persist()
-      }
-      // every vector's M subvectors, reused by the encode pass and the
-      // query-side distance tables
-      val subs = vecs.select(col("vec_id"), explode(expr(
-          s"""transform(sequence(0, ${M - 1}), m -> named_struct(
-               'm', CAST(m AS INT), 'sq', slice(q, m * $SUBDIM + 1, $SUBDIM)))"""))
-          .as("e"))
-        .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
-      // encode: argmin code per (vector, subspace) — a broadcast map pass
-      val codes = subs.join(broadcast(cbs), "m")
-        .select(col("vec_id"), col("m"), col("cid"),
-          expr("graft_l2sq(sq, c)").as("d2"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code"))
-      // ADC tables: exact subspace distances query × codebook (Q·M·K rows)
-      val dtab = subs.where(col("vec_id") < QCAP)
-        .join(broadcast(cbs), "m")
-        .select(col("vec_id").as("qid"), col("m"), col("cid").as("code"),
-          expr("graft_l2sq(sq, c)").as("d2"))
       val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-      codes.join(broadcast(dtab), Seq("m", "code"))
-        .where(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("cid"), col("d2"))
-        .groupBy("qid", "cid")
-        .agg(sum(col("d2")).as("adc"))
+      pqAdcScores(s, d)
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .orderBy("qid", "rnk")
