@@ -515,6 +515,49 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 6, s"exchange count grew to $exchanges — lineage doubled?\n$p")
   }
 
+  test("q_wl_volume_shipping / market_share / product_profit: dims broadcast, one fact join") {
+    Seq("q_wl_volume_shipping", "q_wl_market_share", "q_wl_product_profit")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$n: dims must broadcast:\n$p")
+        // only the orders×lineitem fact join may shuffle both sides
+        assert("SortMergeJoin".r.findAllIn(p).size +
+          "ShuffledHashJoin".r.findAllIn(p).size <= 1,
+          s"$n: more than one shuffled join:\n$p")
+      }
+  }
+
+  test("q_wl_bracket_revenue: the OR-of-brackets stays ONE broadcast join pass") {
+    val p = plan("q_wl_bracket_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Union"), s"disjunction forked the scan:\n$p")
+  }
+
+  test("q_llm_zipf_fit: heap top-k, triangle rank, no global window") {
+    val p = plan("q_llm_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary must reach top-1000 via heap:\n$p")
+    assert(!p.contains("Window"), s"global window over the vocabulary:\n$p")
+  }
+
+  test("q_graph_kcore_peel and q_llm_gram_novelty never go all-pairs") {
+    Seq("q_graph_kcore_peel", "q_llm_gram_novelty").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
+
+  test("q_llm_pca_power: the Gram product is aggregated, never materialized as a join") {
+    val p = plan("q_llm_pca_power")
+    assert(!p.contains("CartesianProduct"), p)
+    // 64-group aggregates must combine map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
