@@ -17,16 +17,26 @@ object Diag {
   // Kalman constants, single-defined and interpolated into BOTH engines
   // (the CUSUM convention): random-walk process noise Q, observation
   // noise R, prior variance P0.
-  private val KQ = "4.0"
-  private val KR = "25.0"
-  private val KP0 = "100.0"
+  private[graft] val KQ = "4.0"
+  private[graft] val KR = "25.0"
+  private[graft] val KP0 = "100.0"
+
+  /** The same predict/gain/correct step as plain JVM arithmetic —
+    * operation-for-operation the fold template above, so the streaming
+    * processor (Streams.KalmanProcessor) and the SQL folds are bitwise
+    * comparable. */
+  private[graft] def kalmanScalaStep(x: Double, p: Double, z: Double): (Double, Double) = {
+    val pp = p + KQ.toDouble
+    val k = pp / (pp + KR.toDouble)
+    (x + k * (z - x), (1.0 - k) * pp)
+  }
 
   /** One Kalman step over accumulator [x, P]: predict P+Q, gain
     * K=(P+Q)/(P+Q+R), correct toward observation `z`. Spark HOF lambda
     * body and DuckDB list_reduce body are generated from THIS template so
     * the two engines provably fold the same arithmetic. `acc(i)`/`e`
     * spellings differ per engine, hence the two parameter slots. */
-  private def kalmanStep(acc: Int => String, z: String): (String, String) = {
+  private[graft] def kalmanStep(acc: Int => String, z: String): (String, String) = {
     val pp = s"(${acc(1)} + $KQ)"
     val k = s"($pp / ($pp + $KR))"
     (s"${acc(0)} + $k * ($z - ${acc(0)})", s"(1.0 - $k) * $pp")

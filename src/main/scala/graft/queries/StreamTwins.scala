@@ -186,6 +186,32 @@ object StreamTwins {
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(expr("(pus - cus) div 1000000"), lit(-1L)).as("gap_s"))
         .orderBy("purchase_id", "click_id")
+    }),
+
+    // Full-history running Kalman filter per user (round 6): the batch
+    // twin of Streams.kalmanTws — per event, the filtered estimate and
+    // posterior variance after folding the user's ENTIRE value history
+    // up to that event in event_id order. The twin materializes prefix
+    // windows (the oracle vehicle at test scale); the streaming
+    // implementation carries O(1) [x̂, P] state per user in the RocksDB
+    // store — THAT is the 100 TB deployment, proven equivalent in
+    // StreamingSpec on the same micro-batches. Constants and fold body
+    // are Diag's single-definition Kalman step.
+    "q_stream_kalman" -> ((s, d) => {
+      val (xs, ps) = Diag.kalmanStep(i => s"acc[$i]", "v")
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("vs", collect_list(col("value")).over(w))
+        .withColumn("st", expr(
+          s"""aggregate(
+               CASE WHEN size(vs) < 2 THEN CAST(array() AS ARRAY<DOUBLE>)
+                    ELSE slice(vs, 2, size(vs) - 1) END,
+               array(vs[0], CAST(${Diag.KP0} AS DOUBLE)),
+               (acc, v) -> array($xs, $ps))"""))
+        .select(col("user_id"), col("event_id"),
+          col("st")(0).as("x_hat"), col("st")(1).as("p_cov"))
+        .orderBy("event_id")
     })
   )
 
@@ -294,6 +320,23 @@ object StreamTwins {
          SELECT user_id, purchase_id, click_id, (pus - cus) // 1000000 AS gap_s
          FROM p JOIN c ON user_id = cuser
            AND cus >= pus - 1800000000 AND cus <= pus
-         ORDER BY purchase_id, click_id"""
+         ORDER BY purchase_id, click_id""",
+
+    "q_stream_kalman" -> {
+      // DuckDB lists are 1-based — shift the accumulator accessor
+      val (xs, ps) = Diag.kalmanStep(i => s"acc[${i + 1}]", "e[1]")
+      s"""WITH w AS (SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs
+           FROM events),
+         f AS (SELECT user_id, event_id,
+             list_reduce(
+               list_prepend([vs[1], ${Diag.KP0}],
+                 list_transform(vs[2:], x -> [x])),
+               (acc, e) -> [$xs, $ps]) AS st
+           FROM w)
+         SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov
+         FROM f ORDER BY event_id"""
+    }
   )
 }

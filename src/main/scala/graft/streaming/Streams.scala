@@ -310,4 +310,44 @@ object Streams {
       .transformWithState(new SessionTimerProcessor(900000000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class ValObs(user_id: Long, event_id: Long, value: Double)
+  case class KalmanOut(user_id: Long, event_id: Long, x_hat: Double, p_cov: Double)
+  case class KalmanState(x: Double, p: Double, seeded: Boolean)
+
+  /** Per-user running Kalman filter on transformWithState (twin:
+    * q_stream_kalman): O(1) [x̂, P] state per user in the RocksDB store —
+    * the streaming form of the twin's full-prefix fold, emitting the
+    * filtered estimate per observation. The arithmetic is
+    * Diag.kalmanScalaStep — operation-for-operation the SQL fold both
+    * engines run — so in-order micro-batches converge to the twin
+    * BITWISE, not approximately. */
+  class KalmanProcessor
+    extends StatefulProcessor[Long, ValObs, KalmanOut] {
+    @transient private var st: ValueState[KalmanState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KalmanState]("kalman",
+        Encoders.product[KalmanState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[ValObs],
+        timers: TimerValues): Iterator[KalmanOut] = {
+      var s = if (st.exists()) st.get()
+        else KalmanState(0.0, graft.queries.Diag.KP0.toDouble, seeded = false)
+      val out = rows.toSeq.sortBy(_.event_id).map { e =>
+        s = if (!s.seeded) KalmanState(e.value, s.p, seeded = true)
+        else {
+          val (x, p) = graft.queries.Diag.kalmanScalaStep(s.x, s.p, e.value)
+          KalmanState(x, p, seeded = true)
+        }
+        KalmanOut(user, e.event_id, s.x, s.p)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def kalmanTws(events: Dataset[ValObs]): Dataset[KalmanOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new KalmanProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

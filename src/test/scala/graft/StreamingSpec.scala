@@ -189,6 +189,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState Kalman filter converges to the batch twin bitwise") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val ds = mem.toDS().map(e => Streams.ValObs(e.user_id, e.event_id, e.value))
+      val q = Streams.kalmanTws(ds).toDF().writeStream.format("memory")
+        .queryName("t_kalman").outputMode("append").start()
+      chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_kalman")
+        .select("user_id", "event_id", "x_hat", "p_cov").collect().toSeq
+      // in-order arrival ⇒ the O(1)-state stream must reproduce the
+      // twin's full-prefix fold EXACTLY (same IEEE ops in the same
+      // order), not within a tolerance
+      val want = queries.StreamTwins.queries("q_stream_kalman")(spark, sf)
+        .select("user_id", "event_id", "x_hat", "p_cov").collect().toSeq
+      assert(sortedSet(got) == sortedSet(want))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join (purchases × clicks, 30-min band) converges to batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
