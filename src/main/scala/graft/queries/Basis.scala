@@ -131,6 +131,48 @@ object Basis {
         .orderBy("doc_id")
     }),
 
+    // HITS hubs/authorities (two fixed iterations) on the bipartite
+    // co-purchase graph — customers are pure hubs, suppliers pure
+    // authorities, so the mutual-reinforcement update is two keyed
+    // aggregates per round (a ← Σ h over in-edges, h ← Σ a over
+    // out-edges), each followed by an L2 renormalization on the 1e-6
+    // grid (the pca_power discipline: exact integer/decimal norm sums,
+    // IEEE-identical sqrt/div, round to 6). Iteration 1's authority
+    // update from h₀ = 𝟙 is exactly the in-degree — integer, so the
+    // first norm is an exact BIGINT sum of squares. Output: top-20
+    // authorities with scores. Never materializes anything wider than
+    // the node frames; both aggregates ride the edge key.
+    "q_graph_hits" -> ((s, d) => {
+      val oi = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+        .distinct()
+      // round 1: authority = in-degree (h0 = 1), L2-normalized exactly
+      val deg = oi.groupBy("p").agg(count(lit(1)).as("deg"))
+      val n1 = deg.agg(
+        sqrt(sum(col("deg") * col("deg")).cast("double")).as("nrm"))
+      val a1 = deg.crossJoin(broadcast(n1))
+        .select(col("p"), round(col("deg") / col("nrm"), 6).as("a"))
+      // hub update: h(c) = Σ a(p) over c's suppliers, renormalized
+      val h1r = oi.join(a1, "p").groupBy("c").agg(dsum(col("a")).as("h"))
+        .select(col("c"), round(col("h"), 6).as("h6"))
+      val n2 = h1r.agg(sqrt(sum((col("h6") * col("h6"))
+        .cast(org.apache.spark.sql.types.DecimalType(32, 12)))
+        .cast("double")).as("nrm"))
+      val h1 = h1r.crossJoin(broadcast(n2))
+        .select(col("c"), round(col("h6") / col("nrm"), 6).as("h"))
+      // round 2: authority from the renormalized hubs
+      val a2r = oi.join(h1, "c").groupBy("p").agg(dsum(col("h")).as("a"))
+        .select(col("p"), round(col("a"), 6).as("a6"))
+      val n3 = a2r.agg(sqrt(sum((col("a6") * col("a6"))
+        .cast(org.apache.spark.sql.types.DecimalType(32, 12)))
+        .cast("double")).as("nrm"))
+      a2r.crossJoin(broadcast(n3))
+        .select(col("p").as("node"), round(col("a6") / col("nrm"), 6).as("authority"))
+        .orderBy(col("authority").desc, col("node"))
+        .limit(20)
+    }),
+
     // k-core peeling (k=8, three fixed rounds) on the co-purchase graph:
     // each round drops nodes of degree < k and keeps only edges between
     // survivors — the standard iterative-peeling recipe, declared at a
@@ -224,6 +266,26 @@ object Basis {
          SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_hit,
            round(CAST(SUM(hit) AS BIGINT) * 100.0 / COUNT(*), 6) AS overlap_pct
          FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_graph_hits" ->
+      """WITH oi AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         deg AS (SELECT p, COUNT(*) AS deg FROM oi GROUP BY p),
+         n1 AS (SELECT sqrt(CAST(SUM(deg * deg) AS DOUBLE)) AS nrm FROM deg),
+         a1 AS (SELECT p, round(deg / nrm, 6) AS a FROM deg, n1),
+         h1r AS (SELECT c, round(CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS h6
+                 FROM oi JOIN a1 USING (p) GROUP BY c),
+         n2 AS (SELECT sqrt(CAST(SUM(CAST(h6 * h6 AS DECIMAL(32,12))) AS DOUBLE))
+                  AS nrm FROM h1r),
+         h1 AS (SELECT c, round(h6 / nrm, 6) AS h FROM h1r, n2),
+         a2r AS (SELECT p, round(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS a6
+                 FROM oi JOIN h1 USING (c) GROUP BY p),
+         n3 AS (SELECT sqrt(CAST(SUM(CAST(a6 * a6 AS DECIMAL(32,12))) AS DOUBLE))
+                  AS nrm FROM a2r)
+         SELECT p AS node, round(a6 / nrm, 6) AS authority
+         FROM a2r, n3 ORDER BY authority DESC, node LIMIT 20""",
 
     "q_graph_kcore_peel" ->
       s"""WITH ${U.oCoPurchase},

@@ -92,6 +92,41 @@ object Diag {
         .orderBy("event_id")
     }),
 
+    // Lagged cross-correlation between the hourly purchase-value and
+    // click-value series: Pearson r at lags 0..5 hours — the "does
+    // clicking lead buying" diagnostic. Hourly sums are exact decimal
+    // (one keyed agg over events), the lag alignment is an equi-join on
+    // the shifted hour (lag explodes 6× on the BOUNDED hourly frame,
+    // never on raw events), and r comes off the zipf_fit discipline:
+    // products rounded to the 1e-6 grid, exact decimal sums, one
+    // closed-form double per lag.
+    "q_ts_xcorr" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .groupBy((epochS(col("ts")) - pmod(epochS(col("ts")), lit(3600L)))
+          .as("hr"), col("event_type"))
+        .agg(dsum(col("value")).as("v"))
+      val p = hourly.where(col("event_type") === "purchase")
+        .select(col("hr"), round(col("v"), 6).as("x"))
+      val c = hourly.where(col("event_type") === "click")
+        .select(col("hr").as("chr"), round(col("v"), 6).as("y"))
+      def s6(cc: org.apache.spark.sql.Column) =
+        sum(cc.cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double")
+      p.select(col("hr"), col("x"),
+          explode(sequence(lit(0), lit(5))).as("lag"))
+        .join(c, col("chr") === col("hr") - col("lag") * 3600L)
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_hours"), s6(col("x")).as("sx"),
+          s6(col("y")).as("sy"), s6(round(col("x") * col("y"), 6)).as("sxy"),
+          s6(round(col("x") * col("x"), 6)).as("sxx"),
+          s6(round(col("y") * col("y"), 6)).as("syy"))
+        .select(col("lag"), col("n_hours"),
+          round((col("n_hours") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_hours") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r"))
+        .orderBy("lag")
+    }),
+
     // Zipf-law fit: least-squares slope/intercept of log(freq) against
     // log(rank) over the top-1000 terms — the corpus-health scalar
     // (natural text ⇒ slope ≈ −1). Top-1000 via TakeOrdered heap (never
@@ -161,6 +196,30 @@ object Diag {
            SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov,
              (st[2] + $KQ) / (st[2] + $KQ + $KR) AS gain
            FROM f ORDER BY event_id""",
+
+      "q_ts_xcorr" ->
+        """WITH es AS (SELECT (epoch_ms(ts) // 1000) AS s, event_type, value
+             FROM events),
+           hourly AS (SELECT s - (s % 3600) AS hr, event_type,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+             FROM es GROUP BY hr, event_type),
+           p AS (SELECT hr, v AS x FROM hourly WHERE event_type = 'purchase'),
+           c AS (SELECT hr AS chr, v AS y FROM hourly WHERE event_type = 'click'),
+           px AS (SELECT hr, x, lag FROM p, range(0, 6) t(lag)),
+           j AS (SELECT lag, hr, x, y
+                 FROM px JOIN c ON chr = hr - lag * 3600),
+           sm AS (SELECT lag, COUNT(*) AS n_hours,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+             FROM j GROUP BY lag)
+           SELECT CAST(lag AS INT) AS lag, n_hours,
+             round((n_hours * sxy - sx * sy) /
+               sqrt((n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy)), 6)
+               AS r
+           FROM sm ORDER BY lag""",
 
       "q_llm_zipf_fit" ->
         """WITH tf AS (SELECT term, COUNT(*) AS cnt

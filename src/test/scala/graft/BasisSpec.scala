@@ -101,6 +101,43 @@ class BasisSpec extends SparkSpec {
     }
   }
 
+  test("q_graph_hits matches the two-round mirror; scores ranked and bounded") {
+    val out = Basis.queries("q_graph_hits")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall { case (_, a) => a > 0.0 && a <= 1.0 })
+    assert(out.sliding(2).forall {
+      case Array((n1, a1), (n2, a2)) => a1 > a2 || (a1 == a2 && n1 < n2)
+      case _ => true
+    }, "authorities must come out in (score desc, node) order")
+    // mirror: the same two HITS rounds in Scala with the same rounding
+    val oi = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1000000L))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(xs: Iterable[Double]) = xs.map(BigDecimal(_)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val deg = oi.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val n1 = math.sqrt(deg.values.map(d => (d * d).toDouble).sum)
+    val a1 = deg.map { case (p, dg) => p -> r6(dg / n1) }
+    val h1r = oi.groupBy(_._1).map { case (c, v) =>
+      c -> r6(d6(v.map(e => a1(e._2)))) }
+    val n2 = math.sqrt(h1r.values.map(h => h * h).sum)
+    val h1 = h1r.map { case (c, h) => c -> r6(h / n2) }
+    val a2r = oi.groupBy(_._2).map { case (p, v) =>
+      p -> r6(d6(v.map(e => h1(e._1)))) }
+    val n3 = math.sqrt(a2r.values.map(a => a * a).sum)
+    val expect = a2r.map { case (p, a) => (p, r6(a / n3)) }.toSeq
+      .sortBy { case (p, a) => (-a, p) }.take(20)
+    out.zip(expect).foreach { case ((gn, ga), (en, ea)) =>
+      assert(gn === en && math.abs(ga - ea) < 2e-6, s"node $gn: $ga vs $ea")
+    }
+  }
+
   test("q_graph_kcore_peel matches the set-arithmetic peel and is non-vacuous") {
     val out = Basis.queries("q_graph_kcore_peel")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

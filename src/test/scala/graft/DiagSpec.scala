@@ -67,6 +67,42 @@ class DiagSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_xcorr: r bounded, lag-0 pairs complete, matches the closed-form mirror") {
+    val out = Diag.queries("q_ts_xcorr")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 6)
+    out.foreach { case (_, n, r) =>
+      assert(n > 2 && r >= -1.0 && r <= 1.0, s"degenerate row ($n, $r)")
+    }
+    // mirror off the hourly decimal sums
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(xs: Iterable[Double]) = xs.map(BigDecimal(_)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val hourly = Tables(spark, sf, "events")
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getDouble(2)))
+      .map { case (s, t, v) => (s - s % 3600, t, v) }
+      .groupBy(e => (e._1, e._2)).map { case ((hr, t), v) =>
+        (hr, t) -> r6(d6(v.map(_._3)))
+      }
+    val p = hourly.collect { case ((hr, "purchase"), v) => hr -> v }
+    val c = hourly.collect { case ((hr, "click"), v) => hr -> v }
+    out.foreach { case (lag, n, r) =>
+      val pairs = p.toSeq.flatMap { case (hr, x) =>
+        c.get(hr - lag * 3600L).map(y => (x, y)) }
+      assert(n === pairs.length.toLong, s"n_hours at lag $lag")
+      val nn = n.toDouble
+      val (sx, sy) = (d6(pairs.map(_._1)), d6(pairs.map(_._2)))
+      val sxy = d6(pairs.map(pr => r6(pr._1 * pr._2)))
+      val sxx = d6(pairs.map(pr => r6(pr._1 * pr._1)))
+      val syy = d6(pairs.map(pr => r6(pr._2 * pr._2)))
+      val expect = r6((nn * sxy - sx * sy) /
+        math.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)))
+      assert(math.abs(r - expect) < 2e-6, s"lag $lag: $r vs $expect")
+    }
+  }
+
   test("q_llm_zipf_fit: negative slope, matches the closed-form mirror") {
     val out = Diag.queries("q_llm_zipf_fit")(spark, sf).collect()
     assert(out.length === 1)
