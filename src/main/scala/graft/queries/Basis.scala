@@ -131,6 +131,60 @@ object Basis {
         .orderBy("doc_id")
     }),
 
+    // MMR diversified re-ranking (Carbonell–Goldstein maximal marginal
+    // relevance): for each capped query, greedily pick k=5 of its
+    // top-20-by-similarity candidates maximizing λ·sim(q,c) −
+    // (1−λ)·max_{s∈selected} sim(c,s) — the diversity re-rank every
+    // retrieval-augmented pipeline runs after ANN. The candidate pull is
+    // the simsearch_topk shape (broadcast queries, heap-bounded top-20);
+    // everything after operates on KB-scale per-query frames: the 20×20
+    // pairwise-similarity table and four unrolled greedy rounds, each
+    // one bounded left-anti + max-aggregate + argmax (house
+    // min(struct)). Lazy checkpoints keep the accumulating selection's
+    // lineage flat. All similarities and MMR scores on the 1e-6 grid.
+    "q_llm_mmr_rerank" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      val cands = broadcast(qs)
+        .crossJoin(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          expr("round(graft_dot(qe, ce), 6)").as("sim"), col("ce"))
+        .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 20)
+        .select("qid", "cid", "sim", "ce")
+        .localCheckpoint(false)
+      val pairs = cands.select(col("qid"), col("cid").as("a"), col("ce").as("ae"))
+        .join(cands.select(col("qid"), col("cid").as("b"), col("ce").as("be")), "qid")
+        .where(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          expr("round(graft_dot(ae, be), 6)").as("psim"))
+        .localCheckpoint(false)
+      val c = cands.select("qid", "cid", "sim")
+      def argmax(df: org.apache.spark.sql.DataFrame, score: org.apache.spark.sql.Column) =
+        df.withColumn("negs", -score)
+          .groupBy("qid").agg(min(struct(col("negs"), col("cid"))).as("m"))
+          .select(col("qid"), col("m.cid").as("cid"), (-col("m.negs")).as("score"))
+      var sel = argmax(c, col("sim")).withColumn("r", lit(1))
+      for (r <- 2 to 5) {
+        val mp = pairs
+          .join(sel.select(col("qid"), col("cid").as("b")), Seq("qid", "b"))
+          .groupBy(col("qid"), col("a").as("cid"))
+          .agg(max(col("psim")).as("mp"))
+        val scored = c.join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+          .join(mp, Seq("qid", "cid"))
+          .select(col("qid"), col("cid"),
+            round(lit(0.7) * col("sim") - lit(0.3) * col("mp"), 6).as("mmr"))
+        sel = sel.unionAll(argmax(scored, col("mmr")).withColumn("r", lit(r)))
+          .localCheckpoint(false)
+      }
+      sel.select(col("qid"), col("r"), col("cid"), col("score"))
+        .orderBy("qid", "r")
+    }),
+
     // HITS hubs/authorities (two fixed iterations) on the bipartite
     // co-purchase graph — customers are pure hubs, suppliers pure
     // authorities, so the mutual-reinforcement update is two keyed
@@ -266,6 +320,51 @@ object Basis {
          SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_hit,
            round(CAST(SUM(hit) AS BIGINT) * 100.0 / COUNT(*), 6) AS overlap_pct
          FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_llm_mmr_rerank" -> {
+      // one greedy MMR round: max-sim-to-selected over sAll{r-1}, score
+      // remaining candidates, argmax → s{r}; selection accumulates
+      def round(r: Int): String = {
+        val prev = s"sall${r - 1}"
+        s"""m$r AS (SELECT p.qid, p.a AS cid, MAX(p.psim) AS mp
+               FROM pairs p JOIN $prev s ON p.qid = s.qid AND p.b = s.cid
+               GROUP BY p.qid, p.a),
+           sc$r AS (SELECT c.qid, c.cid,
+                 round(0.7 * c.sim - 0.3 * m.mp, 6) AS mmr
+               FROM cands c JOIN m$r m ON c.qid = m.qid AND c.cid = m.cid
+               WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                 WHERE s.qid = c.qid AND s.cid = c.cid)),
+           s$r AS (SELECT qid, cid, mmr AS score, $r AS r
+               FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY mmr DESC, cid) AS rk FROM sc$r) WHERE rk = 1),
+           sall$r AS (SELECT qid, cid, score, r FROM $prev
+                      UNION ALL SELECT qid, cid, score, r FROM s$r)"""
+      }
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe
+             FROM embeddings WHERE vec_id < 8),
+         cd AS (SELECT qid, c.vec_id AS cid,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), 6)
+                 AS sim
+             FROM qs, embeddings c WHERE c.vec_id <> qid),
+         cands AS (SELECT qid, cid, sim
+             FROM (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) AS rk FROM cd) WHERE rk <= 20),
+         pairs AS (SELECT x.qid, x.cid AS a, y.cid AS b,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(ea.embedding[i] AS DOUBLE)
+                   * CAST(eb.embedding[i] AS DOUBLE))), 6) AS psim
+             FROM cands x
+             JOIN cands y ON x.qid = y.qid AND x.cid <> y.cid
+             JOIN embeddings ea ON ea.vec_id = x.cid
+             JOIN embeddings eb ON eb.vec_id = y.cid),
+         sall1 AS (SELECT qid, cid, sim AS score, 1 AS r
+             FROM (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) AS rk FROM cands) WHERE rk = 1),
+         ${(2 to 5).map(round).mkString(",\n         ")}
+         SELECT qid, CAST(r AS INT) AS r, cid, score
+         FROM sall5 ORDER BY qid, r"""
+    },
 
     "q_graph_hits" ->
       """WITH oi AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p

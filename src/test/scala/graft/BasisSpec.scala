@@ -101,6 +101,39 @@ class BasisSpec extends SparkSpec {
     }
   }
 
+  test("q_llm_mmr_rerank matches the greedy MMR mirror; picks are distinct") {
+    val out = Basis.queries("q_llm_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 5))
+    byQ.values.foreach(v =>
+      assert(v.map(_._3).distinct.length == 5, "duplicate pick"))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = embeddings().toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      r6(a.zip(b).map(p => p._1 * p._2).sum)
+    byQ.foreach { case (qid, rows) =>
+      val qe = vecs(qid)
+      val cands = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, dot(qe, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(20)
+      var sel = List(cands.head)
+      (2 to 5).foreach { _ =>
+        val pick = cands.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (id, s) =>
+            val mp = sel.map(x => dot(vecs(id), vecs(x._1))).max
+            (id, r6(0.7 * s - 0.3 * mp))
+          }.minBy { case (id, m) => (-m, id) }
+        sel = sel :+ pick
+      }
+      rows.sortBy(_._2).zip(sel).foreach { case ((_, r, cid, sc), (eid, es)) =>
+        assert(cid === eid, s"q$qid round $r picked $cid, mirror $eid")
+        assert(math.abs(sc - es) < 2e-6, s"q$qid round $r score")
+      }
+    }
+  }
+
   test("q_graph_hits matches the two-round mirror; scores ranked and bounded") {
     val out = Basis.queries("q_graph_hits")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
