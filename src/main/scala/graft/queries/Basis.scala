@@ -197,10 +197,14 @@ object Basis {
     // authorities with scores. Never materializes anything wider than
     // the node frames; both aggregates ride the edge key.
     "q_graph_hits" -> ((s, d) => {
+      // three consumers (degree + two propagation joins) — lazy
+      // checkpoint or the distinct-join lineage re-executes per consumer
+      // (the kcore_peel lesson, caught by the round-6 bench)
       val oi = Tables(s, d, "orders")
         .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
         .distinct()
+        .localCheckpoint(false)
       // round 1: authority = in-degree (h0 = 1), L2-normalized exactly
       val deg = oi.groupBy("p").agg(count(lit(1)).as("deg"))
       val n1 = deg.agg(
