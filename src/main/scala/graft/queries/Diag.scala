@@ -92,6 +92,52 @@ object Diag {
         .orderBy("event_id")
     }),
 
+    // Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    // purchase-value and click-value distributions — the distribution-
+    // shift test a pipeline runs between two crawls/snapshots before
+    // mixing them. ENTIRELY integer-exact: values on the 1e-6 grid,
+    // D = max |F̂x − F̂y| evaluated at every distinct value as the cross-
+    // multiplied numerator |cumx·ny − cumy·nx| (no float CDFs compared
+    // anywhere). Global running counts WITHOUT a global window: the
+    // curriculum/ntile distributed-rank construction — gridBin equi-width
+    // buckets over broadcast bounds, prefixOffsets triangle join for the
+    // per-bin starting counts of EACH sample, then per-bin windows. The
+    // argmax is a 1-row struct-min aggregate. Output: one row with both
+    // sample sizes, the exact numerator, the attaining grid value, and
+    // the derived double D.
+    "q_dq_ks_drift" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .where(col("event_type").isin("purchase", "click"))
+        .select((col("event_type") === "purchase").cast("long").as("g"),
+          expr("CAST(round(value * 1000000.0) AS BIGINT)").as("v"))
+      val dv = ev.groupBy("v").agg(sum(col("g")).as("cx"),
+        (count(lit(1)) - sum(col("g"))).as("cy"))
+      val tot = dv.agg(sum("cx").as("nx"), sum("cy").as("ny"))
+      val bounds = dv.agg(min("v").as("lo"), max("v").as("hi"))
+      val binned = dv.crossJoin(broadcast(bounds))
+        .withColumn("b", gridBin(col("v"), col("lo"), col("hi"), 32))
+      val counts = binned.groupBy("b")
+        .agg(sum("cx").as("sx"), sum("cy").as("sy"))
+      val offx = prefixOffsets(counts.select(col("b"), col("sx").as("cnt")),
+        "b", "cnt").select(col("b"), col("off").as("offx"))
+      val offy = prefixOffsets(counts.select(col("b"), col("sy").as("cnt")),
+        "b", "cnt").select(col("b"), col("off").as("offy"))
+      val wb = Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      binned.join(broadcast(offx), "b").join(broadcast(offy), "b")
+        .withColumn("cumx", col("offx") + sum(col("cx")).over(wb))
+        .withColumn("cumy", col("offy") + sum(col("cy")).over(wb))
+        .crossJoin(broadcast(tot))
+        .withColumn("dnum",
+          abs(col("cumx") * col("ny") - col("cumy") * col("nx")))
+        .groupBy("nx", "ny")
+        .agg(min(struct((-col("dnum")).as("nd"), col("v").as("v"))).as("m"))
+        .select(col("nx").as("n_x"), col("ny").as("n_y"),
+          (-col("m.nd")).as("d_num"), col("m.v").as("at_v"),
+          ((-col("m.nd")).cast("double") /
+            (col("nx") * col("ny")).cast("double")).as("d_stat"))
+    }),
+
     // Lagged cross-correlation between the hourly purchase-value and
     // click-value series: Pearson r at lags 0..5 hours — the "does
     // clicking lead buying" diagnostic. Hourly sums are exact decimal
@@ -196,6 +242,29 @@ object Diag {
            SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov,
              (st[2] + $KQ) / (st[2] + $KQ + $KR) AS gain
            FROM f ORDER BY event_id""",
+
+      "q_dq_ks_drift" ->
+        """WITH ev AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS g,
+               CAST(round(value * 1000000.0) AS BIGINT) AS v
+             FROM events WHERE event_type IN ('purchase', 'click')),
+           dv AS (SELECT v, CAST(SUM(g) AS BIGINT) AS cx,
+                    CAST(COUNT(*) - SUM(g) AS BIGINT) AS cy
+                  FROM ev GROUP BY v),
+           tt AS (SELECT CAST(SUM(cx) AS BIGINT) AS nx,
+                    CAST(SUM(cy) AS BIGINT) AS ny FROM dv),
+           cum AS (SELECT v,
+                    CAST(SUM(cx) OVER (ORDER BY v) AS BIGINT) AS cumx,
+                    CAST(SUM(cy) OVER (ORDER BY v) AS BIGINT) AS cumy
+                  FROM dv),
+           dd AS (SELECT v, abs(cumx * ny - cumy * nx) AS dnum, nx, ny
+                  FROM cum, tt),
+           mx AS (SELECT nx, ny, dnum, v FROM dd
+                  ORDER BY dnum DESC, v LIMIT 1)
+           SELECT nx AS n_x, ny AS n_y, CAST(dnum AS BIGINT) AS d_num,
+             v AS at_v,
+             CAST(dnum AS DOUBLE) / CAST(nx * ny AS DOUBLE) AS d_stat
+           FROM mx""",
 
       "q_ts_xcorr" ->
         """WITH es AS (SELECT (epoch_ms(ts) // 1000) AS s, event_type, value

@@ -67,6 +67,31 @@ class DiagSpec extends SparkSpec {
     }
   }
 
+  test("q_dq_ks_drift matches the exact sorted-merge KS mirror") {
+    val out = Diag.queries("q_dq_ks_drift")(spark, sf).collect()
+    assert(out.length === 1)
+    val (nx, ny, dnum, atv, dstat) = (out(0).getLong(0), out(0).getLong(1),
+      out(0).getLong(2), out(0).getLong(3), out(0).getDouble(4))
+    assert(dstat > 0.0 && dstat < 1.0)
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .filter(r => r.getString(0) == "purchase" || r.getString(0) == "click")
+      .map(r => (r.getString(0) == "purchase",
+        math.round(r.getDouble(1) * 1e6)))
+    val xs = ev.filter(_._1).map(_._2)
+    val ys = ev.filterNot(_._1).map(_._2)
+    assert(nx === xs.length.toLong && ny === ys.length.toLong)
+    // exact D over all distinct pooled values, cross-multiplied integers
+    val best = (xs ++ ys).distinct.sorted.map { v =>
+      val dn = math.abs(xs.count(_ <= v).toLong * ny -
+        ys.count(_ <= v).toLong * nx)
+      (dn, v)
+    }.maxBy { case (dn, v) => (dn, -v) }
+    assert(dnum === best._1, "KS numerator")
+    assert(atv === best._2, "attaining value")
+    assert(dstat === dnum.toDouble / (nx * ny).toDouble)
+  }
+
   test("q_ts_xcorr: r bounded, lag-0 pairs complete, matches the closed-form mirror") {
     val out = Diag.queries("q_ts_xcorr")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
