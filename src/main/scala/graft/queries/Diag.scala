@@ -92,6 +92,59 @@ object Diag {
         .orderBy("event_id")
     }),
 
+    // Differential-privacy release mechanism over the per-language
+    // counts: the Laplace mechanism (ε=1, sensitivity 1 — one document
+    // changes one count by one) applied through the inverse-CDF
+    // transform of a keyed md5 micro-draw. The DRAW is deterministic
+    // here — the house testability discipline for anything
+    // "random" (the weighted-sampling / shard-shuffle convention); a
+    // production release swaps the keyed hash for a fresh RNG per
+    // release and nothing else changes. Dim-bounded aggregate, one
+    // corpus pass, noise on the 1e-6 grid via the entropy round-then-sum
+    // libm rule.
+    "q_dq_dp_release" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_true"))
+        .withColumn("u", expr(
+          s"CAST((${hexFold("md5(concat('dp', lang))", 13)} % 999999) + 1 AS DOUBLE) / 1000000.0"))
+        .withColumn("noise", expr(
+          "round(-(1.0 / 1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)"))
+        .select(col("lang"), col("n_true"), col("noise"),
+          round(col("n_true") + col("noise"), 6).as("released"))
+        .orderBy("lang")),
+
+    // Filter-cascade attrition funnel: the per-stage survival card every
+    // curation pipeline logs (token-length band → target language →
+    // quality logit). The THREE stages are counted in ONE corpus pass as
+    // nested conditional sums (a doc survives stage k iff it survives
+    // all previous), then the 1-row aggregate reshapes to one row per
+    // stage via a bounded inline explode — the corpus is never scanned
+    // per stage. Quality scoring is the shared U.qualityLogit, so the
+    // funnel can never drift from the declared classifier.
+    "q_llm_filter_cascade" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").withColumn("tk", textTokens)
+        .select(size(col("tk")).as("ntok"), col("lang"),
+          qualityLogit.as("logit"))
+      val c1 = col("ntok").between(5, 500)
+      val c2 = c1 && col("lang").isin("en", "es", "de", "fr", "zh")
+      val c3 = c2 && col("logit") > 0.0
+      docs.agg(count(lit(1)).as("n0"),
+          sum(c1.cast("long")).as("n1"),
+          sum(c2.cast("long")).as("n2"),
+          sum(c3.cast("long")).as("n3"))
+        .select(explode(expr(
+          """array(named_struct('stage', 1, 'stage_name', 'length_band',
+                     'n_in', n0, 'n_kept', n1),
+                   named_struct('stage', 2, 'stage_name', 'target_lang',
+                     'n_in', n1, 'n_kept', n2),
+                   named_struct('stage', 3, 'stage_name', 'quality_logit',
+                     'n_in', n2, 'n_kept', n3))""")).as("e"))
+        .select(col("e.stage").as("stage"), col("e.stage_name").as("stage_name"),
+          col("e.n_in").as("n_in"), col("e.n_kept").as("n_kept"),
+          round(col("e.n_kept") * lit(100.0) / col("e.n_in"), 6).as("pct_kept"))
+        .orderBy("stage")
+    }),
+
     // Exact two-sample Kolmogorov–Smirnov drift statistic between the
     // purchase-value and click-value distributions — the distribution-
     // shift test a pipeline runs between two crawls/snapshots before
@@ -242,6 +295,43 @@ object Diag {
            SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov,
              (st[2] + $KQ) / (st[2] + $KQ + $KR) AS gain
            FROM f ORDER BY event_id""",
+
+      "q_dq_dp_release" ->
+        s"""WITH c AS (SELECT lang, COUNT(*) AS n_true FROM documents
+               GROUP BY lang),
+           u AS (SELECT lang, n_true,
+               CAST((${oHexFold("md5('dp' || lang)", 13)} % 999999) + 1
+                 AS DOUBLE) / 1000000.0 AS u
+             FROM c),
+           n AS (SELECT lang, n_true,
+               round(-(1.0 / 1.0) * sign(u - 0.5)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+             FROM u)
+           SELECT lang, n_true, noise, round(n_true + noise, 6) AS released
+           FROM n ORDER BY lang""",
+
+      "q_llm_filter_cascade" ->
+        s"""WITH d AS (SELECT len(string_split(text, ' ')) AS ntok, lang,
+               text, string_split(text, ' ') AS tk FROM documents),
+           q AS (SELECT ntok, lang, $oQualityLogit AS logit FROM d),
+           agg AS (SELECT COUNT(*) AS n0,
+               CAST(SUM(CASE WHEN ntok BETWEEN 5 AND 500 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN ntok BETWEEN 5 AND 500
+                   AND lang IN ('en','es','de','fr','zh')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN ntok BETWEEN 5 AND 500
+                   AND lang IN ('en','es','de','fr','zh') AND logit > 0.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+             FROM q)
+           SELECT stage, stage_name, n_in, n_kept,
+             round(n_kept * 100.0 / n_in, 6) AS pct_kept
+           FROM (
+             SELECT 1 AS stage, 'length_band' AS stage_name,
+               n0 AS n_in, n1 AS n_kept FROM agg
+             UNION ALL SELECT 2, 'target_lang', n1, n2 FROM agg
+             UNION ALL SELECT 3, 'quality_logit', n2, n3 FROM agg)
+           ORDER BY stage""",
 
       "q_dq_ks_drift" ->
         """WITH ev AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END

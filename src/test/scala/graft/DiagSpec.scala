@@ -67,6 +67,49 @@ class DiagSpec extends SparkSpec {
     }
   }
 
+  test("q_llm_filter_cascade chains exactly and matches sequential filtering") {
+    val out = Diag.queries("q_llm_filter_cascade")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(out.length === 3)
+    // attrition must chain: stage k's n_in is stage k-1's n_kept
+    assert(out(1).getLong(2) === out(0).getLong(3))
+    assert(out(2).getLong(2) === out(1).getLong(3))
+    assert(out.forall(r => r.getLong(3) <= r.getLong(2)))
+    // independent formulation: apply the filters as successive queries
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("tk", graft.queries.U.textTokens)
+      .withColumn("ntok", size(col("tk")))
+      .withColumn("logit", graft.queries.U.qualityLogit)
+    val s1 = docs.where(col("ntok").between(5, 500))
+    val s2 = s1.where(col("lang").isin("en", "es", "de", "fr", "zh"))
+    val s3 = s2.where(col("logit") > 0.0)
+    assert(out(0).getLong(2) === docs.count())
+    assert(out(0).getLong(3) === s1.count())
+    assert(out(1).getLong(3) === s2.count())
+    assert(out(2).getLong(3) === s3.count())
+  }
+
+  test("q_dq_dp_release: noise matches the inverse-CDF mirror off the keyed draw") {
+    val out = Diag.queries("q_dq_dp_release")(spark, sf).collect()
+    assert(out.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    out.foreach { r =>
+      val (lang, n, noise, released) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val u = ((java.lang.Long.parseLong(
+        md5hex("dp" + lang).substring(0, 13), 16) % 999999L) + 1L) / 1e6
+      val expect = BigDecimal(-1.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(noise === expect, s"noise for $lang")
+      assert(math.abs(released - (n + noise)) < 1e-6)
+      assert(n > 0)
+    }
+  }
+
   test("q_dq_ks_drift matches the exact sorted-merge KS mirror") {
     val out = Diag.queries("q_dq_ks_drift")(spark, sf).collect()
     assert(out.length === 1)
