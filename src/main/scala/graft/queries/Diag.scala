@@ -92,6 +92,44 @@ object Diag {
         .orderBy("event_id")
     }),
 
+    // Two-proportion z-test over a deterministic A/B split: users hash
+    // into arms by md5 parity (the house keyed-draw discipline), a
+    // "conversion" is ≥14 purchase events (the corpus's median purchase
+    // count — every user here has SOME purchase, so "any purchase"
+    // would put both rates at 1.0 and the pooled variance at 0: the
+    // idle-customers vacuity lesson applied to a test statistic), and
+    // the readout
+    // is the pooled two-proportion z — the experiment-readout primitive
+    // next to the KS drift test. One pass over events (per-user
+    // any-purchase aggregate rides the user_id shuffle), then a 2-row
+    // arm aggregate and a 1-row closed form off exact integers;
+    // divisions/sqrt are IEEE-identical cross-engine.
+    "q_dq_ab_test" -> ((s, d) => {
+      val users = Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg((sum((col("event_type") === "purchase").cast("long")) >= 14)
+          .cast("long").as("conv"))
+        .withColumn("arm", expr(
+          s"${hexFold("md5(concat('ab', CAST(user_id AS STRING)))", 13)} % 2"))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val a = arms.where(col("arm") === 0)
+        .select(col("n").as("n_a"), col("c").as("conv_a"))
+      val b = arms.where(col("arm") === 1)
+        .select(col("n").as("n_b"), col("c").as("conv_b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("p_a", round(col("conv_a").cast("double") / col("n_a"), 6))
+        .withColumn("p_b", round(col("conv_b").cast("double") / col("n_b"), 6))
+        .withColumn("pp",
+          (col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          col("p_a"), col("p_b"),
+          round((col("p_a") - col("p_b")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+    }),
+
     // Differential-privacy release mechanism over the per-language
     // counts: the Laplace mechanism (ε=1, sensitivity 1 — one document
     // changes one count by one) applied through the inverse-CDF
@@ -295,6 +333,29 @@ object Diag {
            SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov,
              (st[2] + $KQ) / (st[2] + $KQ + $KR) AS gain
            FROM f ORDER BY event_id""",
+
+      "q_dq_ab_test" ->
+        s"""WITH u AS (SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 >= 14 THEN 1 ELSE 0 END AS conv,
+               ${oHexFold("md5('ab' || CAST(user_id AS VARCHAR))", 13)} % 2 AS arm
+             FROM events GROUP BY user_id),
+           arms AS (SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+                    FROM u GROUP BY arm),
+           ab AS (SELECT
+               (SELECT n FROM arms WHERE arm = 0) AS n_a,
+               (SELECT c FROM arms WHERE arm = 0) AS conv_a,
+               (SELECT n FROM arms WHERE arm = 1) AS n_b,
+               (SELECT c FROM arms WHERE arm = 1) AS conv_b),
+           p AS (SELECT *, round(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+                   round(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+                   CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE) AS pp
+                 FROM ab)
+           SELECT n_a, conv_a, n_b, conv_b, p_a, p_b,
+             round((p_a - p_b) / sqrt(pp * (1.0 - pp)
+               * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+           FROM p""",
 
       "q_dq_dp_release" ->
         s"""WITH c AS (SELECT lang, COUNT(*) AS n_true FROM documents

@@ -90,6 +90,38 @@ class DiagSpec extends SparkSpec {
     assert(out(2).getLong(3) === s3.count())
   }
 
+  test("q_dq_ab_test matches the exact two-proportion mirror; rates non-degenerate") {
+    val out = Diag.queries("q_dq_ab_test")(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // both arms populated, both rates strictly inside (0,1) — a
+    // degenerate rate would zero the pooled variance (the vacuity rule)
+    assert(na > 0 && nb > 0)
+    assert(ca > 0 && ca < na && cb > 0 && cb < nb)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val users = Tables(spark, sf, "events")
+      .select("user_id", "event_type").collect()
+      .map(rr => (rr.getLong(0), rr.getString(1)))
+      .groupBy(_._1).toSeq.map { case (u, v) =>
+        (java.lang.Long.parseLong(md5hex("ab" + u).substring(0, 13), 16) % 2,
+          if (v.count(_._2 == "purchase") >= 14) 1L else 0L)
+      }
+    val (aArm, bArm) = users.partition(_._1 == 0)
+    assert(na === aArm.length.toLong && nb === bArm.length.toLong)
+    assert(ca === aArm.map(_._2).sum && cb === bArm.map(_._2).sum)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pa, pb) = (r6(ca.toDouble / na), r6(cb.toDouble / nb))
+    val pp = (ca + cb).toDouble / (na + nb).toDouble
+    val z = r6((pa - pb) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)))
+    assert(r.getDouble(4) === pa && r.getDouble(5) === pb)
+    assert(r.getDouble(6) === z)
+  }
+
   test("q_dq_dp_release: noise matches the inverse-CDF mirror off the keyed draw") {
     val out = Diag.queries("q_dq_dp_release")(spark, sf).collect()
     assert(out.nonEmpty)
