@@ -92,6 +92,28 @@ object Diag {
         .orderBy("event_id")
     }),
 
+    // Preference-pair construction — the DPO/RLHF data-prep step: per
+    // prompt group (source), pair the highest- and lowest-quality
+    // documents as (chosen, rejected) with their score margin. Quality
+    // is the shared integer-micro-unit U.qualityE6 (no float ordering
+    // anywhere), the per-group arg-extremes are house min/max(struct)
+    // with doc_id tiebreaks, and the whole thing is one keyed aggregate
+    // over the corpus — dim-bounded output, margin > 0 guaranteed by
+    // construction unless a group is single-valued (none at gate
+    // scales; DiagSpec asserts).
+    "q_llm_preference_pairs" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), qualityE6.as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("b"),
+          min(struct(col("q").as("q"), col("doc_id").as("did"))).as("w"))
+        .select(col("source"), col("n_docs"),
+          (-col("b.nid")).as("chosen_doc"), col("b.q").as("chosen_q"),
+          col("w.did").as("rejected_doc"), col("w.q").as("rejected_q"),
+          (col("b.q") - col("w.q")).as("margin_e6"))
+        .orderBy("source")),
+
     // Two-proportion z-test over a deterministic A/B split: users hash
     // into arms by md5 parity (the house keyed-draw discipline), a
     // "conversion" is ≥14 purchase events (the corpus's median purchase
@@ -333,6 +355,21 @@ object Diag {
            SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov,
              (st[2] + $KQ) / (st[2] + $KQ + $KR) AS gain
            FROM f ORDER BY event_id""",
+
+      "q_llm_preference_pairs" ->
+        s"""WITH k AS (SELECT source, doc_id, $oQualityE6 AS q FROM documents),
+           b AS (SELECT source, doc_id AS chosen_doc, q AS chosen_q
+                 FROM (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY q DESC, doc_id) AS rk FROM k) WHERE rk = 1),
+           w AS (SELECT source, doc_id AS rejected_doc, q AS rejected_q
+                 FROM (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY q, doc_id) AS rk FROM k) WHERE rk = 1),
+           n AS (SELECT source, COUNT(*) AS n_docs FROM k GROUP BY source)
+           SELECT source, n_docs, chosen_doc, chosen_q,
+             rejected_doc, rejected_q,
+             chosen_q - rejected_q AS margin_e6
+           FROM n JOIN b USING (source) JOIN w USING (source)
+           ORDER BY source""",
 
       "q_dq_ab_test" ->
         s"""WITH u AS (SELECT user_id,

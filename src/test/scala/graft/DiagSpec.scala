@@ -90,6 +90,31 @@ class DiagSpec extends SparkSpec {
     assert(out(2).getLong(3) === s3.count())
   }
 
+  test("q_llm_preference_pairs: extremes match the mirror, margins positive") {
+    val out = Diag.queries("q_llm_preference_pairs")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(6) > 0L, s"degenerate margin in group ${r.getString(0)}")
+      assert(r.getLong(2) !== r.getLong(4), "chosen == rejected")
+    }
+    // mirror off an independent scoring path: run qualityE6 via SQL on
+    // the collected docs and recompute extremes with plain Scala
+    val scored = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.queries.U.qualityE6.as("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byS = scored.groupBy(_._1)
+    out.foreach { r =>
+      val g = byS(r.getString(0))
+      val chosen = g.minBy { case (_, id, q) => (-q, id) }
+      val rejected = g.minBy { case (_, id, q) => (q, id) }
+      assert(r.getLong(1) === g.length.toLong)
+      assert((r.getLong(2), r.getLong(3)) === ((chosen._2, chosen._3)))
+      assert((r.getLong(4), r.getLong(5)) === ((rejected._2, rejected._3)))
+    }
+  }
+
   test("q_dq_ab_test matches the exact two-proportion mirror; rates non-degenerate") {
     val out = Diag.queries("q_dq_ab_test")(spark, sf).collect()
     assert(out.length === 1)
