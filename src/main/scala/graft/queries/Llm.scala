@@ -209,6 +209,18 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // Cluster-size distribution of the transitive near-dup components —
+    // the one-line dedup health report (how much of the corpus sits in
+    // clusters of 2, 3, …; a heavy tail means a boilerplate family the
+    // banding thresholds are missing). Rides the SAME memoized
+    // propagation as q_llm_dedup_cc / keep_best: two dim-bounded
+    // aggregates on top, zero extra corpus passes.
+    "q_llm_dup_cluster_hist" -> ((s, d) =>
+      ccLabels(s, d)
+        .groupBy("component_id").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("csize")),
+
     // The production endgame of every dedup pass: per transitive dup
     // group keep the HIGHEST-QUALITY member (U.qualityE6 — the same
     // integer score q_llm_quality declares, ties to the smaller doc_id)
@@ -454,6 +466,21 @@ object Llm {
          SELECT doc_id, component_id, component_size
          FROM comp JOIN csz USING (component_id)
          ORDER BY doc_id""",
+
+    "q_llm_dup_cluster_hist" ->
+      s"""WITH RECURSIVE $oConfCte,
+         edges AS (SELECT a AS src, b AS dst FROM conf
+                   UNION ALL SELECT b AS src, a AS dst FROM conf),
+         reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst AS doc_id, r.lbl
+           FROM reach r JOIN edges e ON e.src = r.doc_id),
+         comp AS (SELECT doc_id, MIN(lbl) AS component_id FROM reach GROUP BY doc_id),
+         csz AS (SELECT component_id, COUNT(*) AS csize
+                 FROM comp GROUP BY component_id)
+         SELECT csize, COUNT(*) AS n_clusters
+         FROM csz GROUP BY csize ORDER BY csize""",
 
     // same exact closure as q_llm_dedup_cc, then the per-component
     // quality argmax via FIRST_VALUE over (quality DESC, doc_id)

@@ -257,6 +257,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dup-cluster histogram partitions the corpus and matches the CC labels") {
+    val cc = queries.Llm.queries("q_llm_dedup_cc")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val hist = queries.Llm.queries("q_llm_dup_cluster_hist")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Σ csize · n_clusters = corpus size: the histogram is a partition
+    assert(hist.map { case (sz, n) => sz * n }.sum === cc.length.toLong)
+    // and it must agree exactly with the per-doc component sizes
+    val expect = cc.groupBy(_._1).map { case (_, v) => v.head._2 }
+      .groupBy(identity).map { case (sz, v) => sz -> v.size.toLong }
+    assert(hist === expect)
+    // non-vacuous on this corpus: real near-dup clusters exist (size ≥ 2)
+    assert(hist.keySet.exists(_ >= 2L), "no non-singleton cluster found")
+  }
+
   test("hash split assignment is invariant under repartitioning") {
     // the point of content-hash splitting vs rand(seed): the assignment is
     // a pure function of the key, so physical layout cannot change it
