@@ -112,6 +112,29 @@ object Aggs {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
         .orderBy("event_type")),
 
+    // Sketch-based audience-overlap estimate: |purchasers ∩ clickers| by
+    // inclusion–exclusion over HLL sketches (est_a + est_b − est_union).
+    // THE segment-overlap question every audience/report system answers
+    // without ever shuffling raw user sets: two KB-scale sketches meet in
+    // a broadcast cross join, the union is a register-wise max (so the
+    // whole pipeline is order-independent and deterministic — HLL state
+    // is a commutative max over deterministic hashes). Self-checked like
+    // the other sketch ops (SURVEY Oracle "—"): PropertySpec bounds the
+    // estimate against the exact intersection.
+    "q_agg_hll_intersect" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val a = ev.where(col("event_type") === "purchase")
+        .agg(hll_sketch_agg(col("user_id")).as("sa"))
+      val b = ev.where(col("event_type") === "click")
+        .agg(hll_sketch_agg(col("user_id")).as("sb"))
+      a.crossJoin(broadcast(b))
+        .select(hll_sketch_estimate(col("sa")).as("est_a"),
+          hll_sketch_estimate(col("sb")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("sa"), col("sb"))).as("est_union"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+    }),
+
     // Numeric binning / histogram over an exact decimal grid: bucket =
     // cents div 3_750_000 (37 500.00-wide bins). The decimal cast makes
     // the boundary arithmetic integer-exact in both engines — a raw

@@ -257,6 +257,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("HLL intersection estimate brackets the exact audience overlap") {
+    val r = queries.Aggs.queries("q_agg_hll_intersect")(spark, sf).collect()
+    assert(r.length === 1)
+    val (ea, eb, eu, ei) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3))
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val xa = ev.filter(_._1 == "purchase").map(_._2).toSet
+    val xb = ev.filter(_._1 == "click").map(_._2).toSet
+    val exact = (xa intersect xb).size
+    assert(exact > 0, "overlap must be non-vacuous on this corpus")
+    // inclusion-exclusion compounds three ±~2% HLL estimates; 15% of the
+    // exact overlap (min 5 absolute) is the conservative bracket at this
+    // cardinality
+    val tol = math.max(5.0, 0.15 * exact)
+    assert(math.abs(ei - exact) <= tol, s"est $ei vs exact $exact")
+    assert(math.abs(ea - xa.size) <= math.max(3.0, 0.05 * xa.size))
+    assert(math.abs(eb - xb.size) <= math.max(3.0, 0.05 * xb.size))
+    assert(eu <= ea + eb && ei <= math.min(ea, eb) + tol)
+  }
+
   test("dup-cluster histogram partitions the corpus and matches the CC labels") {
     val cc = queries.Llm.queries("q_llm_dedup_cc")(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
