@@ -188,6 +188,11 @@ object Scale {
   def recall(spark: SparkSession, dirs: Seq[String]): Unit = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
+    // SPARK_GRAFT_RECALL_ONLY=substr,substr: compute only matching probes
+    // (every frame here is lazy, so skipped probes cost nothing)
+    val only = sys.env.get("SPARK_GRAFT_RECALL_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    def want(p: String): Boolean = only.forall(_.exists(p.contains))
     def bruteTopK(emb: DataFrame, qs: DataFrame, k: Int): DataFrame = {
       val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
@@ -202,6 +207,7 @@ object Scale {
     }
     def report(dir: String, probe: String, k: Int,
         ann: DataFrame, qs: DataFrame, emb: DataFrame): Unit = {
+      if (!want(probe)) return
       val truth = bruteTopK(emb, qs, k)
       val annK = ann.join(qs.select("qid"), Seq("qid"), "left_semi")
         .select("qid", "cid")
@@ -241,6 +247,29 @@ object Scale {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       report(d, "simsearch_ivf_16cell", 5,
         SparkEntry.queries("q_llm_simsearch_ivf")(spark, d), ivfQs, emb)
+      // q_llm_mmr_rerank's candidate pull (round 7: routed through the
+      // trained quantizer instead of a full-table broadcast-NLJ) —
+      // recall@20 of the probed pull vs the brute-force top-20 it
+      // replaced, on the declared 8-query set. Reported at the declared
+      // 16 cells AND at the quantizer-growth cell count, pricing the
+      // fixed-cell recall decay the growth rule exists to stop.
+      def mmrPull(cells: Int): DataFrame = {
+        val (pf, cf) = graft.queries.Learn.trainedProbeFrames(spark, d, cells, 5)
+        cf.join(broadcast(pf.where(col("qid") < 8)
+            .select(col("qid"), col("qe"), col("probe"))),
+            col("probe") === col("ccell") && col("qid") =!= col("cid2"))
+          .select(col("qid"), col("cid2").as("cid"),
+            expr("round(graft_dot(qe, ce), 6)").as("dot"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))))
+          .where(col("rnk") <= 20).select("qid", "cid")
+      }
+      val mmrQs = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      report(d, "mmr_cand_pull_c16_p5", 20, mmrPull(16), mmrQs, emb)
+      if (bits > 4)
+        report(d, s"mmr_cand_pull_c${1 << bits}_p5", 20, mmrPull(1 << bits),
+          mmrQs, emb)
       // PQ ADC recall: the declared q_llm_simsearch_pq ranks by
       // asymmetric L2² over 4×8 codebooks (64× compression) — report
       // what that compression costs against the EXACT integer-grid L2
@@ -260,9 +289,11 @@ object Scale {
         .select("qid", "cid")
       val pq = SparkEntry.queries("q_llm_simsearch_pq")(spark, d)
         .select("qid", "cid")
-      val pqHits = pq.join(truthL2, Seq("qid", "cid"), "left_semi").count()
-      val nPq = pqQs.count()
-      println(f"""{"dir":"$d","probe":"simsearch_pq_m4k8","k":3,"n_queries":$nPq,"recall":${pqHits.toDouble / (3 * nPq)}%.4f}""")
+      if (want("simsearch_pq_m4k8")) {
+        val pqHits = pq.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+        val nPq = pqQs.count()
+        println(f"""{"dir":"$d","probe":"simsearch_pq_m4k8","k":3,"n_queries":$nPq,"recall":${pqHits.toDouble / (3 * nPq)}%.4f}""")
+      }
       // PQ as DESIGNED — an ADC shortlist feeding an exact re-rank
       // (IVF-PQ's serving architecture): recall@3 of the 50-deep
       // shortlist re-ranked by exact L2, against the same truth. The
@@ -271,10 +302,31 @@ object Scale {
       // top-3, but it concentrates the true neighbors into a 50-row
       // candidate set the exact pass then ranks for free (50 ≪ N raw
       // vectors touched per query).
-      val rr = graft.queries.Refine.pqRerank(spark, d, 50)
-      val rrHits = rr.join(truthL2, Seq("qid", "cid"), "left_semi").count()
-      println(f"""{"dir":"$d","probe":"simsearch_pq_rerank50","k":3,"n_queries":$nPq,"recall":${rrHits.toDouble / (3 * nPq)}%.4f}""")
+      if (want("simsearch_pq_rerank50")) {
+        val rr = graft.queries.Refine.pqRerank(spark, d, 50)
+        val rrHits = rr.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+        val nPq2 = pqQs.count()
+        println(f"""{"dir":"$d","probe":"simsearch_pq_rerank50","k":3,"n_queries":$nPq2,"recall":${rrHits.toDouble / (3 * nPq2)}%.4f}""")
+      }
     }
+  }
+
+  /** The sketch-family error bracket the property test asserts only at
+    * fixture scale: q_agg_hll_intersect's inclusion–exclusion estimate
+    * vs the EXACT |purchasers ∩ clickers| (distinct semi-join — the
+    * shuffle the sketch path exists to avoid), per dir. One JSON line
+    * each → the BASELINE.md sketch table. */
+  def hll(spark: SparkSession, dirs: Seq[String]): Unit = dirs.foreach { d =>
+    val r = SparkEntry.queries("q_agg_hll_intersect")(spark, d).first()
+    // hll_sketch_estimate returns BIGINT; inclusion–exclusion stays long
+    val est = r.getLong(r.fieldIndex("est_intersect")).toDouble
+    val ev = Tables(spark, d, "events")
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select("user_id").distinct()
+    val exact = side("purchase")
+      .join(side("click"), Seq("user_id"), "left_semi").count()
+    val err = math.abs(est - exact) / math.max(exact, 1L).toDouble
+    println(f"""{"dir":"$d","probe":"hll_intersect","est":$est%.1f,"exact":$exact,"rel_err":$err%.4f}""")
   }
 
   /** Evaluate EVERY output column (noop sink). A bare count() would let
@@ -315,7 +367,8 @@ object Scale {
         if (args.length > 3) args(3).toInt else 10)
       case "probe" => probe(spark, args.drop(1).toSeq)
       case "recall" => recall(spark, args.drop(1).toSeq)
-      case other => sys.error(s"unknown mode $other (gen|probe|recall)")
+      case "hll" => hll(spark, args.drop(1).toSeq)
+      case other => sys.error(s"unknown mode $other (gen|probe|recall|hll)")
     }
     spark.stop()
   }

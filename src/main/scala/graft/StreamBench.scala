@@ -1,29 +1,59 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Replayed event row (top-level so Catalyst can derive its Encoder). */
-case class BenchEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+case class BenchEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double)
 
-/** Bench-scale RocksDB state-store run (BASELINE.md "Streaming state").
+/** Bench-scale RocksDB state-store runs (BASELINE.md "Streaming state").
   *
-  * StreamingSpec proves transformWithState CORRECT on micro-fixtures; this
+  * StreamingSpec proves the processors CORRECT on micro-fixtures; this
   * main produces the SCALE evidence: the full events table of an sf dir
-  * (SPARK_GRAFT_SF_DIR, default sf0.1) replayed through the event-time-
-  * timer sessionizer (`Streams.sessionTimers` — per-user open-interval
-  * state + one timer per key, the heaviest state shape in the repo) with
-  * the RocksDB provider, then one JSON line: wall time, rows/sec, and the
-  * state operator's reported metrics (rows in state, memory used, and the
-  * rocksdb* custom metrics a capacity plan needs).
+  * (SPARK_GRAFT_SF_DIR, default sf0.1) replayed through each bench
+  * scenario with the RocksDB provider, then one JSON line per scenario:
+  * wall time, rows/sec, and the state operators' reported metrics (rows
+  * in state, memory used, and the rocksdb* custom metrics a capacity
+  * plan needs).
   *
-  * Run: sbt -batch "runMain graft.StreamBench"
+  * Scenarios (args; default = all):
+  *  - session: `Streams.sessionTimers` — per-user open-interval state +
+  *    one event-time timer per key, the heaviest state shape in the repo
+  *  - kalman:  `Streams.kalmanTws` — the O(1)-state [x̂, P] processor
+  *    (q_stream_kalman's engine), one ValueState[Array[Double]] per user
+  *  - chained: `Streams.chainedAgg` — Spark 4 multiple stateful
+  *    operators in ONE query (10-min tumbling → hourly rollup), TWO
+  *    watermark-bounded window states back to back
+  *
+  * Run: sbt -batch "runMain graft.StreamBench [scenario ...]"
   */
 object StreamBench {
+
+  private def stateJson(q: StreamingQuery): String = {
+    val ops = Option(q.lastProgress).map(_.stateOperators.toSeq)
+      .getOrElse(Seq.empty)
+    if (ops.isEmpty) "\"state_rows\":-1"
+    else {
+      val rows = ops.map(_.numRowsTotal).sum
+      val bytes = ops.map(_.memoryUsedBytes).sum
+      val keys = Seq("rocksdbSstFileSize", "rocksdbTotalBytesRead",
+        "rocksdbTotalBytesWritten", "rocksdbPinnedBlocksMemoryUsage")
+      val custom = keys.flatMap { k =>
+        val vs = ops.flatMap(o => Option(o.customMetrics.get(k)))
+        if (vs.isEmpty) None else Some(s""""$k":${vs.map(_.longValue).sum}""")
+      }.mkString(",")
+      s""""n_state_ops":${ops.size},"state_rows":$rows,"state_bytes":$bytes,$custom"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "5000").toInt
+    val scenarios =
+      if (args.nonEmpty) args.toSeq else Seq("session", "kalman", "chained")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,33 +70,39 @@ object StreamBench {
 
     // replay in event_id order (the generator co-orders event_id and ts,
     // so this is arrival order with bounded disorder — the realistic feed)
-    val events = Tables(spark, sfDir, "events")
-      .select("event_id", "ts", "user_id")
+    val rows = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
-    val rows = events.as[BenchEv].collect()
-    val mem = MemoryStream[BenchEv]
-    val q = graft.streaming.Streams.sessionTimers(mem.toDF()).toDF()
-      .writeStream.format("noop").outputMode("append").start()
-    val t0 = System.nanoTime()
-    rows.grouped(batchRows).foreach { c =>
-      mem.addData(c.toSeq); q.processAllAvailable()
+      .as[BenchEv].collect()
+
+    def run(name: String)(mk: DataFrame => DataFrame): Unit = {
+      val mem = MemoryStream[BenchEv]
+      val q = mk(mem.toDF()).writeStream.format("noop")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      rows.grouped(batchRows).foreach { c =>
+        mem.addData(c.toSeq); q.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val st = stateJson(q)
+      q.stop()
+      val rps = if (dt > 0) rows.length / dt else 0.0
+      println(f"""{"metric":"stream_${name}_rocksdb","rows":${rows.length},"batches":${(rows.length + batchRows - 1) / batchRows},"sec":$dt%.2f,"rows_per_sec":$rps%.0f,$st,"sf":"$sfDir"}""")
     }
-    val dt = (System.nanoTime() - t0) / 1e9
-    val prog = q.lastProgress
-    val stateJson = Option(prog)
-      .flatMap(p => p.stateOperators.headOption)
-      .map { so =>
-        val custom = so.customMetrics
-        val keys = Seq("rocksdbSstFileSize", "rocksdbTotalBytesRead",
-          "rocksdbTotalBytesWritten", "rocksdbPinnedBlocksMemoryUsage")
-        val customJson = keys.flatMap { k =>
-          Option(custom.get(k)).map(v => s""""$k":$v""")
-        }.mkString(",")
-        s""""state_rows":${so.numRowsTotal},"state_bytes":${so.memoryUsedBytes},$customJson"""
-      }.getOrElse("\"state_rows\":-1")
-    q.stop()
-    val rps = if (dt > 0) rows.length / dt else 0.0
-    println(f"""{"metric":"stream_session_rocksdb","rows":${rows.length},"batches":${(rows.length + batchRows - 1) / batchRows},"sec":$dt%.2f,"rows_per_sec":$rps%.0f,$stateJson,"sf":"$sfDir"}""")
+
+    scenarios.foreach {
+      case "session" => run("session")(df =>
+        graft.streaming.Streams.sessionTimers(
+          df.select("event_id", "ts", "user_id")).toDF())
+      case "kalman" => run("kalman")(df =>
+        graft.streaming.Streams.kalmanTws(
+          df.select("user_id", "event_id", "value")
+            .as[graft.streaming.Streams.ValObs]).toDF())
+      case "chained" => run("chained")(df =>
+        graft.streaming.Streams.chainedAgg(
+          df.select("ts", "event_type", "value")))
+      case other => sys.error(s"unknown scenario $other (session|kalman|chained)")
+    }
     spark.stop()
   }
 }

@@ -32,6 +32,42 @@ object Basis {
         col("xf").cast("double").as("x"),
         expr("CAST(round(CAST(xf AS DOUBLE) * 1000000.0) AS BIGINT)").as("g"))
 
+  /** One k-core peeling round, exposed pre-checkpoint so PlanSpec can
+    * pin the per-round shape (one keyed degree aggregate + two left-semi
+    * endpoint joins — never all-pairs; the declared query
+    * localCheckpoints each round, which hides the joins from the final
+    * plan). */
+  private[graft] def kcoreRound(e: DataFrame, k: Int): DataFrame = {
+    val surv = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k).select("src")
+    e.join(surv, Seq("src"), "left_semi")
+      .join(surv.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  /** q_llm_mmr_rerank's candidate pull, exposed pre-checkpoint so
+    * PlanSpec can pin its shape (the declared query localCheckpoints
+    * this frame, which hides the join from the final plan): per capped
+    * query, the top-20-by-similarity candidates drawn from the trained
+    * quantizer's bucketed probe⋈assignment equi-join — 8 queries × 5
+    * probed cells is a 40-row broadcast against the assignment frame,
+    * and a candidate carries ONE cell, so it matches at most one probe
+    * row (no post-join dedup needed). */
+  private[graft] def mmrCandidatePull(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val (probesAll, cand) = Learn.trainedProbeFrames(s, d, 16, 5)
+    val qs = probesAll.where(col("qid") < 8)
+      .select(col("qid"), col("qe"), col("probe"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    cand.join(broadcast(qs),
+        col("probe") === col("ccell") && col("qid") =!= col("cid2"))
+      .select(col("qid"), col("cid2").as("cid"),
+        expr("round(graft_dot(qe, ce), 6)").as("sim"), col("ce"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 20)
+      .select("qid", "cid", "sim", "ce")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Per-dimension z-score standardization — the feature-normalization
@@ -79,8 +115,13 @@ object Basis {
       // array<double> column expression available on `emb`), then the
       // matrix-free product, norm, and renormalized (d, v) frame + norm
       def round1(scores: DataFrame): (DataFrame, DataFrame) = {
+        // per-row product ROUNDED to the 1e-6 grid BEFORE the decimal
+        // cast (the ts_xcorr/zipf_fit discipline): x·sc carries ~12+
+        // significant decimals, and U.D's exactness precondition is ≤6 —
+        // an unrounded cast would leave rows near a 0.5e-6 boundary to
+        // the engines' (differing) double→decimal tie behavior
         val w = ex.join(scores, "vec_id")
-          .groupBy("d").agg(dsum(col("x") * col("sc")).as("w"))
+          .groupBy("d").agg(dsum(round(col("x") * col("sc"), 6)).as("w"))
           .select(col("d"), round(col("w"), 6).as("w6"))
         val nrm = w.agg(
           sqrt(sum((col("w6") * col("w6")).cast(DecimalType(32, 12)))
@@ -135,28 +176,22 @@ object Basis {
     // relevance): for each capped query, greedily pick k=5 of its
     // top-20-by-similarity candidates maximizing λ·sim(q,c) −
     // (1−λ)·max_{s∈selected} sim(c,s) — the diversity re-rank every
-    // retrieval-augmented pipeline runs after ANN. The candidate pull is
-    // the simsearch_topk shape (broadcast queries, heap-bounded top-20);
-    // everything after operates on KB-scale per-query frames: the 20×20
+    // retrieval-augmented pipeline runs after ANN. The candidate pull
+    // rides the memoized TRAINED quantizer exactly like
+    // q_llm_hard_negatives (Learn.trainedProbeFrames): each query probes
+    // its 5 nearest cells and candidates come from the bucketed
+    // probe⋈assignment equi-join — ~5/16 of the table at fixture scale,
+    // a FIXED probe budget (probes × N/cells rows) at any N — replacing
+    // the round-6 full-table broadcast-NLJ, the last brute-force scan in
+    // the ANN family (measured recall of the probed top-20 vs the
+    // brute-force pull: BASELINE.md "ANN recall"). Everything after
+    // operates on KB-scale per-query frames: the 20×20
     // pairwise-similarity table and four unrolled greedy rounds, each
     // one bounded left-anti + max-aggregate + argmax (house
     // min(struct)). Lazy checkpoints keep the accumulating selection's
     // lineage flat. All similarities and MMR scores on the 1e-6 grid.
     "q_llm_mmr_rerank" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables(s, d, "embeddings")
-      val qs = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-      val cands = broadcast(qs)
-        .crossJoin(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")))
-        .where(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          expr("round(graft_dot(qe, ce), 6)").as("sim"), col("ce"))
-        .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 20)
-        .select("qid", "cid", "sim", "ce")
-        .localCheckpoint(false)
+      val cands = mmrCandidatePull(s, d).localCheckpoint(false)
       val pairs = cands.select(col("qid"), col("cid").as("a"), col("ce").as("ae"))
         .join(cands.select(col("qid"), col("cid").as("b"), col("ce").as("be")), "qid")
         .where(col("a") =!= col("b"))
@@ -197,14 +232,13 @@ object Basis {
     // authorities with scores. Never materializes anything wider than
     // the node frames; both aggregates ride the edge key.
     "q_graph_hits" -> ((s, d) => {
-      // three consumers (degree + two propagation joins) — lazy
-      // checkpoint or the distinct-join lineage re-executes per consumer
-      // (the kcore_peel lesson, caught by the round-6 bench)
-      val oi = Tables(s, d, "orders")
-        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
-        .distinct()
-        .localCheckpoint(false)
+      // three consumers (degree + two propagation joins) ride the
+      // memoized+persisted shared incidence — one derivation per JVM for
+      // the whole q_graph_* family, and the supplier-id offset stays
+      // single-sourced in U.supplierIdOffset (a divergent literal here
+      // would silently desync HITS's node ids from the rest)
+      val oi = U.coPurchase(s, d)
+        .select(col("cust").as("c"), col("supp").as("p"))
       // round 1: authority = in-degree (h0 = 1), L2-normalized exactly
       val deg = oi.groupBy("p").agg(count(lit(1)).as("deg"))
       val n1 = deg.agg(
@@ -252,13 +286,8 @@ object Basis {
       // the round-6 bench caught it). Lazy localCheckpoints (the BFS/CC
       // discipline) flatten every round to one materialization while
       // keeping the first plan reference execution-free.
-      def peel(e: DataFrame): DataFrame = {
-        val surv = e.groupBy("src").agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= k).select("src")
-        e.join(surv, Seq("src"), "left_semi")
-          .join(surv.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-          .select("src", "dst").localCheckpoint(false)
-      }
+      def peel(e: DataFrame): DataFrame =
+        kcoreRound(e, k).localCheckpoint(false)
       val e0 = U.coPurchaseEdges(s, d).localCheckpoint(false)
       val e3 = peel(peel(peel(e0)))
       e3.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -294,7 +323,7 @@ object Basis {
          s1 AS (SELECT vec_id, round(list_reduce(
              list_transform(embedding, e -> CAST(e AS DOUBLE) * 0.125),
              (a, b) -> a + b), 6) AS sc FROM embeddings),
-         w1 AS (SELECT d, CAST(SUM(CAST(x.x * sc AS DECIMAL(18,6))) AS DOUBLE) AS w
+         w1 AS (SELECT d, CAST(SUM(CAST(round(x.x * sc, 6) AS DECIMAL(18,6))) AS DOUBLE) AS w
                 FROM x JOIN s1 USING (vec_id) GROUP BY d),
          w1r AS (SELECT d, round(w, 6) AS w6 FROM w1),
          n1 AS (SELECT sqrt(CAST(SUM(CAST(w6 * w6 AS DECIMAL(32,12))) AS DOUBLE))
@@ -305,7 +334,7 @@ object Basis {
              list_transform(range(1, 65),
                i -> CAST(embedding[i] AS DOUBLE) * vv[i]),
              (a, b) -> a + b), 6) AS sc FROM embeddings, vv1),
-         w2 AS (SELECT d, CAST(SUM(CAST(x.x * sc AS DECIMAL(18,6))) AS DOUBLE) AS w
+         w2 AS (SELECT d, CAST(SUM(CAST(round(x.x * sc, 6) AS DECIMAL(18,6))) AS DOUBLE) AS w
                 FROM x JOIN s2 USING (vec_id) GROUP BY d),
          w2r AS (SELECT d, round(w, 6) AS w6 FROM w2),
          n2 AS (SELECT sqrt(CAST(SUM(CAST(w6 * w6 AS DECIMAL(32,12))) AS DOUBLE))
@@ -344,13 +373,14 @@ object Basis {
            sall$r AS (SELECT qid, cid, score, r FROM $prev
                       UNION ALL SELECT qid, cid, score, r FROM s$r)"""
       }
-      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe
-             FROM embeddings WHERE vec_id < 8),
-         cd AS (SELECT qid, c.vec_id AS cid,
+      s"""WITH ${Learn.oTrainedCtes},
+         cd AS (SELECT qr.vec_id AS qid, cand.vec_id AS cid,
                round(list_sum(list_transform(range(1, 65),
-                 i -> CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), 6)
+                 i -> CAST(qr.embedding[i] AS DOUBLE) * CAST(cand.ce[i] AS DOUBLE))), 6)
                  AS sim
-             FROM qs, embeddings c WHERE c.vec_id <> qid),
+             FROM ranked qr JOIN cand
+               ON qr.cid = cand.ccell AND qr.vec_id <> cand.vec_id
+             WHERE qr.vec_id < 8),
          cands AS (SELECT qid, cid, sim
              FROM (SELECT *, row_number() OVER (PARTITION BY qid
                ORDER BY sim DESC, cid) AS rk FROM cd) WHERE rk <= 20),
@@ -371,20 +401,20 @@ object Basis {
     },
 
     "q_graph_hits" ->
-      """WITH oi AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
-             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         deg AS (SELECT p, COUNT(*) AS deg FROM oi GROUP BY p),
+      s"""WITH ${U.oCoPurchase},
+         cp AS (SELECT cust AS c, supp AS p FROM oi),
+         deg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY p),
          n1 AS (SELECT sqrt(CAST(SUM(deg * deg) AS DOUBLE)) AS nrm FROM deg),
          a1 AS (SELECT p, round(deg / nrm, 6) AS a FROM deg, n1),
          h1r AS (SELECT c, round(CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE), 6)
                    AS h6
-                 FROM oi JOIN a1 USING (p) GROUP BY c),
+                 FROM cp JOIN a1 USING (p) GROUP BY c),
          n2 AS (SELECT sqrt(CAST(SUM(CAST(h6 * h6 AS DECIMAL(32,12))) AS DOUBLE))
                   AS nrm FROM h1r),
          h1 AS (SELECT c, round(h6 / nrm, 6) AS h FROM h1r, n2),
          a2r AS (SELECT p, round(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE), 6)
                    AS a6
-                 FROM oi JOIN h1 USING (c) GROUP BY p),
+                 FROM cp JOIN h1 USING (c) GROUP BY p),
          n3 AS (SELECT sqrt(CAST(SUM(CAST(a6 * a6 AS DECIMAL(32,12))) AS DOUBLE))
                   AS nrm FROM a2r)
          SELECT p AS node, round(a6 / nrm, 6) AS authority

@@ -217,7 +217,15 @@ object Diag {
     // per-bin starting counts of EACH sample, then per-bin windows. The
     // argmax is a 1-row struct-min aggregate. Output: one row with both
     // sample sizes, the exact numerator, the attaining grid value, and
-    // the derived double D.
+    // the derived double D. BIGINT bound (the embed_standardize
+    // discipline): the cross-multiplied numerator is ≤ nx·ny, which
+    // overflows 2^63 once BOTH samples exceed ~3e9 rows — far past every
+    // probed scale, and ~100× past the 100 TB events table's row count
+    // per event_type. Past that bound the same query runs with the
+    // products in DECIMAL(38,0) (nx·ny ≤ 8.5e37 < 10^38) on both
+    // engines; BIGINT keeps the argmax in codegen'd long arithmetic at
+    // every realistic scale, exactly as the Σg² note on
+    // q_llm_embed_standardize prescribes.
     "q_dq_ks_drift" -> ((s, d) => {
       val ev = Tables(s, d, "events")
         .where(col("event_type").isin("purchase", "click"))

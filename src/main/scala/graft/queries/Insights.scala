@@ -467,7 +467,11 @@ object Insights {
     // max), and per-part degree inside it is density-constant as SF
     // grows, so edges/wedges/triangles all scale LINEARLY (measured:
     // ×10.5/×10.9 edges/triangles from sf0.01→sf0.1). Output: per-node
-    // triangle support — the local clustering numerator.
+    // triangle support — the local clustering numerator. This is the ONE
+    // graph query that deliberately does NOT ride U.coPurchase: that
+    // graph is bipartite (customer↔supplier) and therefore triangle-free
+    // by construction — counting on it would be vacuously zero — so
+    // triangles declares its own unipartite part-co-occurrence graph.
     "q_graph_triangles" -> ((s, d) => {
       val l0 = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_shipdate")
       val hi = l0.agg(max("l_shipdate").as("mx"))

@@ -46,44 +46,36 @@ object Learn {
       .where(col("rk") === 1)
       .select(col("vec_id"), col("q"), col("cid"))
 
-  /** Doc-to-doc kNN graph over a TRAINED coarse quantizer — the
-    * documented scale path where the sign-bit IVF's recall decays
-    * (BASELINE "ANN recall"): `cells` k-means centroids trained by 2
-    * Lloyd rounds on a ~32·cells deterministic stride sample of the 1e-6
-    * grid vectors (training on a sample is the standard IVF recipe —
-    * cost cells·|sample|, independent of N), then ONE cells×N scoring
-    * pass ranks every vector's nearest centroids: rank 1 is its cell
-    * assignment, ranks 1..probes are its probe list — so probe selection
-    * costs nothing beyond the assignment pass every IVF build already
-    * pays. Candidates then come from a bucketed equi-join exactly like
-    * the sign-bit variant: same join shape, same budget knob, but cells
-    * that track the data distribution instead of fixed hyperplanes.
-    * Per-query work: `probes` cells × (N/cells avg population) — linear
-    * in N at cells ∝ N with a FIXED budget, the same cost law whose
-    * recall the sign-bit quantizer could not hold (measured side by side
-    * in BASELINE's recall table). */
-  private[graft] def knnGraphTrained(s: org.apache.spark.sql.SparkSession,
-      d: String, cells: Int, probes: Int = 5,
-      negatives: Boolean = false): DataFrame = {
+  /** The two frames every trained-quantizer consumer joins: the probe
+    * list (one row per (vector, probed cell), ranks 1..`probes` of the
+    * cells×N scoring pass — a keyed window) and the cell assignment (one
+    * row per vector with its argmin cell — a partial-agg groupBy; min
+    * over struct(d2, cid) ≡ the window's rank 1 with the same
+    * tie-break). Both read the memoized centroid cache after its single
+    * materialization. Shared by q_llm_knn_graph_trained,
+    * q_llm_hard_negatives, and q_llm_mmr_rerank's candidate pull — the
+    * candidate stage is ALWAYS the bucketed probe⋈assignment equi-join,
+    * never a full-table scan.
+    *
+    * The trained centroid frame (KB-sized, fully deterministic) is
+    * memoized per (session, sfDir, cells) and lazily persist()ed: every
+    * consumer references the SAME DataFrame instance, so the
+    * DAGScheduler shares its stages and the cache manager's per-block
+    * locks guarantee the sample-bounded Lloyd lineage materializes once
+    * per JVM. persist() is lazy, so plan-only consumers (PlanSpec,
+    * Explain) remain execution-free — unlike an eager checkpoint
+    * (trains at plan-build) or a lazy localCheckpoint (two racing
+    * broadcast builds each ran the full lineage — the measured r4/r5
+    * lesson). This is the in-plan analogue of a production pipeline
+    * training the frozen quantizer once and broadcasting the model. */
+  private[graft] def trainedProbeFrames(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, probes: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val vecs = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
     // integer `div` (not double-divide-then-cast) so the DuckDB twin's
     // `//` agrees exactly at any N
-    // The trained centroid frame (KB-sized, fully deterministic) is
-    // memoized per (session, sfDir, cells) and lazily persist()ed: every
-    // consumer — the two scoring shapes below, q_llm_hard_negatives, and
-    // any other query sharing the quantizer geometry — references the
-    // SAME DataFrame instance, so the DAGScheduler shares its stages and
-    // the cache manager's per-block locks guarantee the sample-bounded
-    // Lloyd lineage materializes once per JVM. persist() is lazy, so
-    // plan-only consumers (PlanSpec, Explain) remain execution-free —
-    // unlike an eager checkpoint (trains at plan-build) or a lazy
-    // localCheckpoint (two racing broadcast builds each ran the full
-    // lineage — the measured r4/r5 lesson). This is the in-plan analogue
-    // of a production pipeline training the frozen quantizer once and
-    // broadcasting the model.
     val cent = graft.Memo(s, s"quantizer:$d:$cells") {
       val sampleStep = vecs.agg(
         expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * cells})").as("st"))
@@ -107,11 +99,6 @@ object Learn {
       }
       c0.persist()
     }
-    // cells×N scoring feeds two shapes: the probe list (top-`probes`
-    // cells per vector, a keyed window) and the assignment (argmin cell,
-    // a partial-agg groupBy — min over struct(d2, cid) ≡ the window's
-    // rank 1 with the same tie-break); both read the persisted centroid
-    // cache after its single materialization.
     val scored = vecs.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("label"), col("cid"),
         d2.as("d2"))
@@ -125,6 +112,29 @@ object Learn {
       .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("ccell"),
         first(col("embedding")).as("ce"), first(col("label")).as("clabel"))
       .select(col("vec_id").as("cid2"), col("ce"), col("clabel"), col("ccell"))
+    (qs, cand)
+  }
+
+  /** Doc-to-doc kNN graph over a TRAINED coarse quantizer — the
+    * documented scale path where the sign-bit IVF's recall decays
+    * (BASELINE "ANN recall"): `cells` k-means centroids trained by 2
+    * Lloyd rounds on a ~32·cells deterministic stride sample of the 1e-6
+    * grid vectors (training on a sample is the standard IVF recipe —
+    * cost cells·|sample|, independent of N), then ONE cells×N scoring
+    * pass ranks every vector's nearest centroids: rank 1 is its cell
+    * assignment, ranks 1..probes are its probe list — so probe selection
+    * costs nothing beyond the assignment pass every IVF build already
+    * pays. Candidates then come from a bucketed equi-join exactly like
+    * the sign-bit variant: same join shape, same budget knob, but cells
+    * that track the data distribution instead of fixed hyperplanes.
+    * Per-query work: `probes` cells × (N/cells avg population) — linear
+    * in N at cells ∝ N with a FIXED budget, the same cost law whose
+    * recall the sign-bit quantizer could not hold (measured side by side
+    * in BASELINE's recall table). */
+  private[graft] def knnGraphTrained(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, probes: Int = 5,
+      negatives: Boolean = false): DataFrame = {
+    val (qs, cand) = trainedProbeFrames(s, d, cells, probes)
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
     // negatives mode adds ONE map-side predicate to the same bucketed
     // equi-join: candidates must carry a DIFFERENT class label than the
@@ -389,15 +399,13 @@ object Learn {
                  GROUP BY cid, i))
          GROUP BY cid)"""
 
-  /** DuckDB mirror of the trained-quantizer kNN (sampled Lloyd training,
-    * cells×N ranking pass, rounded-float dot scoring). `negatives = true`
-    * adds the hard-negative label predicate + label output columns. */
-  private def oKnnTrained(negatives: Boolean): String = {
-    val negPred = if (negatives) " AND qr.label <> cand.clabel" else ""
-    val negCols = if (negatives) ", qlabel, neg_label" else ""
-    val negSel =
-      if (negatives) ", qr.label AS qlabel, cand.clabel AS neg_label" else ""
-    s"""WITH v AS (SELECT vec_id, embedding, label,
+  /** The shared trained-quantizer oracle CTE chain (16 cells, 5 probes):
+    * grid vectors → stride sample → 2 Lloyd rounds → `ranked` (every
+    * vector's 5 nearest cells) → `cand` (rank-1 assignment + embedding).
+    * One builder for q_llm_knn_graph_trained, q_llm_hard_negatives, and
+    * q_llm_mmr_rerank's candidate pull — the mirrors cannot drift. */
+  private[graft] val oTrainedCtes: String =
+    s"""v AS (SELECT vec_id, embedding, label,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
            FROM embeddings),
          st AS (SELECT greatest(1, COUNT(*) // 512) AS s FROM v),
@@ -416,7 +424,17 @@ object Learn {
              FROM v CROSS JOIN c2) WHERE rk <= 5),
          cand AS (SELECT vec_id, embedding AS ce, label AS clabel,
                     cid AS ccell
-                  FROM ranked WHERE rk = 1),
+                  FROM ranked WHERE rk = 1)"""
+
+  /** DuckDB mirror of the trained-quantizer kNN (sampled Lloyd training,
+    * cells×N ranking pass, rounded-float dot scoring). `negatives = true`
+    * adds the hard-negative label predicate + label output columns. */
+  private def oKnnTrained(negatives: Boolean): String = {
+    val negPred = if (negatives) " AND qr.label <> cand.clabel" else ""
+    val negCols = if (negatives) ", qlabel, neg_label" else ""
+    val negSel =
+      if (negatives) ", qr.label AS qlabel, cand.clabel AS neg_label" else ""
+    s"""WITH $oTrainedCtes,
          scored AS (SELECT qr.vec_id AS qid, cand.vec_id AS cid$negSel,
                  round(list_sum(list_transform(range(1, 65),
                    i -> CAST(qr.embedding[i] AS DOUBLE) * CAST(cand.ce[i] AS DOUBLE))), 6) AS dot

@@ -156,20 +156,37 @@ object U {
     * offset [[supplierIdOffset]] into the shared node-id space): THE
     * bipartite graph every q_graph_* query walks — one definition (and
     * one DuckDB twin, [[oCoPurchase]]) so pagerank, the degree histogram,
-    * and BFS provably walk the same graph. */
+    * HITS, and BFS provably walk the same graph.
+    *
+    * Memoized per (session, sfDir) and lazily persist()ed (the Tables /
+    * trained-quantizer discipline): 6+ graph queries each used to
+    * re-derive this orders⋈lineitem distinct frame — the top shuffle
+    * writers in the round-6 bench (kcore 86 MB, bfs 83 MB, hits 43 MB,
+    * modularity 42 MB of repeated shuffle). One derivation per JVM now;
+    * persist() is lazy, so plan-only consumers (PlanSpec, Explain) stay
+    * execution-free. Gated on the same SPARK_GRAFT_CACHE knob as Tables:
+    * at true 100 TB you re-derive (or bucket-write) instead of caching. */
   def coPurchase(s: SparkSession, d: String): DataFrame =
-    graft.Tables(s, d, "orders")
-      .join(graft.Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + supplierIdOffset).as("supp"))
-      .distinct()
+    graft.Memo(s, s"copurchase:$d") {
+      val oi = graft.Tables(s, d, "orders")
+        .join(graft.Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + supplierIdOffset).as("supp"))
+        .distinct()
+      if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
+        oi.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else oi
+    }
 
-  /** Both-direction edge list (src, dst) over [[coPurchase]]. */
-  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val oi = coPurchase(s, d)
-    oi.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
-  }
+  /** Both-direction edge list (src, dst) over [[coPurchase]] — a plan-level
+    * memo (the union reads the persisted incidence twice; no second cache
+    * layer, the bytes are already resident once). */
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    graft.Memo(s, s"copurchase-edges:$d") {
+      val oi = coPurchase(s, d)
+      oi.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
+    }
 
   /** DuckDB twin of [[coPurchase]] — a CTE body ending at `oi(cust, supp)`. */
   val oCoPurchase: String =

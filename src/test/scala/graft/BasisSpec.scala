@@ -113,9 +113,20 @@ class BasisSpec extends SparkSpec {
     val vecs = embeddings().toMap
     def dot(a: Array[Double], b: Array[Double]) =
       r6(a.zip(b).map(p => p._1 * p._2).sum)
+    // candidate pull mirrors the PROBED semantics: each query's candidate
+    // set is the vectors assigned to its 5 probed cells (the quantizer's
+    // own geometry is independently oracled via q_llm_knn_graph_trained);
+    // the greedy selection below stays a pure-Scala mirror
+    val (probeF, candF) = graft.queries.Learn.trainedProbeFrames(spark, sf, 16, 5)
+    val probed = probeF.select("qid", "probe").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+    val cellOf = candF.select("cid2", "ccell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
     byQ.foreach { case (qid, rows) =>
       val qe = vecs(qid)
-      val cands = vecs.toSeq.filter(_._1 != qid)
+      val cands = vecs.toSeq
+        .filter { case (id, _) => id != qid && probed(qid).contains(cellOf(id)) }
         .map { case (id, v) => (id, dot(qe, v)) }
         .sortBy { case (id, s) => (-s, id) }.take(20)
       var sel = List(cands.head)

@@ -558,6 +558,147 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  // ---- round-6 batch (§2.28/§2.29) per-operator plan-shape guards ----
+
+  test("q_llm_embed_standardize: broadcast stats join over partial+final 64-group aggs") {
+    val p = plan("q_llm_embed_standardize")
+    assert(p.contains("BroadcastHashJoin"), s"per-dim stats not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_llm_contamination_report: gram probe is an equi-join, never nested-loop") {
+    // at fixture scale the optimizer may broadcast the train gram set
+    // (size-estimate call — at 100 TB stats push it to SMJ); what the
+    // posture forbids is a non-equi/nested-loop formulation
+    val p = plan("q_llm_contamination_report")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_ts_kalman: one per-user framed window, no join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_kalman")(spark, sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+  }
+
+  test("kcore peel round: one degree aggregate + two left-semi endpoint joins") {
+    // the declared query localCheckpoints each round (lineage barrier),
+    // so the per-round shape is pinned on the exposed builder
+    val p = queries.Basis.kcoreRound(
+      queries.U.coPurchaseEdges(spark, sf), 8)
+      .queryExecution.executedPlan.toString
+    // two endpoint semi-joins — Catalyst may push the pair below the
+    // both-directions edge Union (2 per branch), which is the same shape
+    val semis = "LeftSemi".r.findAllIn(p).size
+    assert(semis == 2 || semis == 4, s"expected the two endpoint semi-joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"degree agg not partial+final:\n$p")
+  }
+
+  test("q_llm_mmr_rerank candidate pull: bucketed cell equi-join, no full-table NLJ") {
+    // the round-7 routing: candidates come from the trained quantizer's
+    // probe⋈assignment equi-join (the hard_negatives shape), NOT the
+    // round-6 broadcast nested loop over the whole embedding table
+    val df = queries.Basis.mmrCandidatePull(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"cell equi-join missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop allowed is the KB-scale centroid broadcast
+    // (cells×N scoring); the candidate join itself must be hash-keyed
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"top-20 rank must stay per-query:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q_graph_hits: keyed propagation aggs, 1-row norm broadcasts, heap top-20") {
+    val p = plan("q_graph_hits")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be a heap:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every nested loop is a 1-row L2-norm broadcast (BuildRight), never
+    // a shuffled NLJ over the node frames
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_llm_dup_cluster_hist: two bounded aggs over the memoized labels, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_llm_dup_cluster_hist")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_llm_preference_pairs is ONE partial+final keyed aggregate — no join, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_llm_preference_pairs")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    // struct arg-extremes plan as partial+final sort aggregates
+    val p = qe.executedPlan.toString
+    assert("Aggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_dq_ab_test: per-user pass rides one shuffle; arm frames cross only as 1-row broadcasts") {
+    val p = plan("q_dq_ab_test")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"per-user and per-arm aggs must both combine map-side:\n$p")
+  }
+
+  test("q_dq_dp_release / q_llm_filter_cascade: one corpus pass, no join, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    Seq("q_dq_dp_release", "q_llm_filter_cascade").foreach { n =>
+      val qe = SparkEntry.queries(n)(spark, sf).queryExecution
+      assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+        s"$n: unexpected join in:\n${qe.optimizedPlan}")
+      assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        s"$n: unexpected window in:\n${qe.optimizedPlan}")
+      assert("HashAggregate".r.findAllIn(qe.executedPlan.toString).size >= 2,
+        s"$n: no map-side combine")
+    }
+  }
+
+  test("q_dq_ks_drift: distributed-rank construction — per-bin windows only, no global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_dq_ks_drift")(spark, sf).queryExecution
+    // the global running CDFs must come from gridBin + prefixOffsets +
+    // per-bin windows (the curriculum/ntile construction), never a
+    // single-partition window over the distinct values
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort in:\n$p")
+    // triangle joins and scalar totals are broadcast builds only
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+  }
+
+  test("q_ts_xcorr: bounded lag equi-join over the hourly frame — no window, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_xcorr")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"hourly agg not partial+final:\n$p")
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
