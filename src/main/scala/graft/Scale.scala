@@ -44,6 +44,12 @@ object Scale {
     // scale rule the declared queries' notes prescribe
     "x_knn_graph_b7" -> ((s, d) => graft.queries.Insights.knnGraphWithBits(s, d, 7)),
     "x_knn_graph_b11" -> ((s, d) => graft.queries.Insights.knnGraphWithBits(s, d, 11)),
+    // label-noise at the quantizer-growth cell counts (declared = 16
+    // cells at fixture N; total candidate work is N·probes·(N/cells),
+    // so a fixed cell count goes quadratic at ×100 — measured 28 s at
+    // ×10/16c; these are the cells ∝ N geometry the IVF rule prescribes)
+    "x_label_noise_c128" -> ((s, d) => graft.queries.Assay.labelNoiseWith(s, d, 128)),
+    "x_label_noise_c2048" -> ((s, d) => graft.queries.Assay.labelNoiseWith(s, d, 2048)),
     "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
     "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)),
     // A/B control for q_join_skew_salted: the SAME join UNSALTED, left

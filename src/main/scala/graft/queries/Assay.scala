@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import U._
+
+/** Round-7 additions (SURVEY §2.30): dataset-assay operators — the
+  * checks a training-data pipeline runs on its OWN artifacts before
+  * shipping them. Johnson–Lindenstrauss random-sign projection (the
+  * cheap dimensionality reduction in front of clustering/ANN at 100 TB),
+  * kNN label-noise detection (neighborhood label agreement over the
+  * memoized trained quantizer — the mislabeled-example sweep every
+  * classifier-training pipeline wants), and last-touch attribution (the
+  * click→purchase credit assignment every events pipeline reports).
+  *
+  * Exactness posture: house rules throughout — deterministic md5-keyed
+  * signs, in-order HOF folds rounded to the 1e-6 grid, integer
+  * agreement counts with exact ratio output, window carry-forwards on
+  * exact epoch seconds.
+  */
+object Assay {
+
+  val queries: Map[String, Q] = Map(
+
+    // Johnson–Lindenstrauss random-sign projection 64 → 16 dims:
+    // y_j = (Σ_i x_i · s_ij) / √16 with deterministic ±1 signs from md5
+    // parity of (i, j) — the Achlioptas database-friendly JL variant
+    // (signs instead of Gaussians; the distance-preservation guarantee
+    // is the same up to constants). The projection is a pure per-row
+    // expression — no shuffle, no state, embarrassingly parallel at any
+    // N — and the report caps output to the first 20 vectors exploded
+    // to scalars (the embed_standardize shape; filter pushdown means
+    // only those rows compute here, while the operator itself maps the
+    // full table in a pipeline). The in-lambda md5 keeps the sign
+    // matrix oracle-exact and code-free; a production run hoists the
+    // 64×16 sign matrix into a broadcast literal once — same output,
+    // one md5 per MATRIX cell instead of per (row, cell). In-order
+    // fold + round-to-1e-6 before the division keeps both engines
+    // bit-identical (the graft_dot convention).
+    "q_llm_embed_project" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"), posexplode(expr(
+          s"""transform(sequence(0, 15), j ->
+                round(aggregate(zip_with(embedding, sequence(0, 63), (e, i) ->
+                    CAST(e AS DOUBLE) * IF(${hexFold(
+                      "md5(concat('jl|', CAST(i AS STRING), '|', CAST(j AS STRING)))", 1)}
+                      % 2 = 0, 1.0D, -1.0D)),
+                  0D, (a, p) -> a + p) / 4.0D, 6))"""))
+          .as(Seq("j", "y")))
+        .orderBy("vec_id", "j")),
+
+    // kNN label-noise detection: for every vector, how many of its 3
+    // nearest (trained-quantizer ANN) neighbors carry the SAME class
+    // label — per-label agreement rates and suspect counts (agreement
+    // 0 ⇒ the vector sits in a wrong-label neighborhood: either
+    // mislabeled or boundary — the confident-learning style sweep a
+    // classifier-training pipeline runs before fitting). Rides the SAME
+    // memoized quantizer as knn_graph_trained/hard_negatives/mmr — the
+    // bucketed probe⋈assignment equi-join, probes×N/cells cost per
+    // query — with two integer aggregates on top; the agreement ratio
+    // is an exact integer division rounded on the 1e-6 grid. Declared
+    // at 16 cells (the fixture geometry); like every all-queries IVF
+    // shape, TOTAL work is N·probes·(N/cells), so cells must grow ∝ N
+    // (the measured quantizer-growth rule) — `labelNoiseWith` is the
+    // parameterized form `Scale.extraProbes` measures at ×10/×100 cell
+    // counts.
+    "q_llm_label_noise" -> ((s, d) => labelNoiseWith(s, d, 16)),
+
+    // Last-touch attribution: for every purchase, the user's most recent
+    // PRIOR click (the credit-assignment primitive behind every
+    // marketing/referral report), attributed only within a 7-day
+    // window. ONE per-user window pass — the conditional carry-forward
+    // (max of CASE over the unbounded-preceding frame) rides the same
+    // user_id shuffle the asof_nearest family uses; no join, no second
+    // scan. event_id and ts are strictly co-ordered per the generator
+    // (PropertySpec pins it), so the max click event_id and max click
+    // epoch both name the same latest click. Output ∝ purchases; lag
+    // and attribution flag are exact integer seconds.
+    "q_ts_attribution" -> ((s, d) => {
+      val wPrev = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .withColumn("click_event_id",
+          max(when(col("event_type") === "click", col("event_id"))).over(wPrev))
+        .withColumn("ck_ts",
+          max(when(col("event_type") === "click", epochS(col("ts")))).over(wPrev))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("click_event_id"),
+          (epochS(col("ts")) - col("ck_ts")).as("lag_s"),
+          (col("click_event_id").isNotNull &&
+            (epochS(col("ts")) - col("ck_ts")) <= 604800L)
+            .cast("long").as("attributed"))
+        .orderBy("event_id")
+    })
+  )
+
+  /** Parameterized label-noise sweep — the declared query is cells=16;
+    * `Scale.extraProbes` measures the cells ∝ N geometry at ×10/×100. */
+  private[graft] def labelNoiseWith(s: SparkSession, d: String,
+      cells: Int): DataFrame = {
+    val (qs, cand) = Learn.trainedProbeFrames(s, d, cells, 5)
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    val nn = qs.join(cand.hint("shuffle_hash"),
+        col("probe") === col("ccell") && col("qid") =!= col("cid2"))
+      .select(col("qid"), col("qlabel"), col("clabel"),
+        col("cid2").as("cid"), expr("round(graft_dot(qe, ce), 6)").as("dot"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+    nn.groupBy("qid", "qlabel")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum((col("clabel") === col("qlabel")).cast("long")).as("n_agree"))
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n_nbrs")).as("n_nbrs"),
+        sum(col("n_agree")).as("n_agree"),
+        round(sum(col("n_agree")) * lit(100.0) / sum(col("n_nbrs")), 6)
+          .as("agree_pct"),
+        sum((col("n_agree") === 0).cast("long")).as("n_suspect"))
+      .orderBy("label")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_embed_project" ->
+      s"""WITH p AS (SELECT vec_id,
+             list_transform(range(0, 16), j ->
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(0, 64), i ->
+                   CAST(embedding[i + 1] AS DOUBLE) * CASE WHEN ${oHexFold(
+                     "md5('jl|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR))", 1)}
+                     % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+                 (a, x) -> a + x) / 4.0, 6)) AS ys
+           FROM embeddings WHERE vec_id < 20)
+         SELECT vec_id, CAST(j AS INT) AS j, ys[j + 1] AS y
+         FROM p, unnest(range(0, 16)) AS t(j)
+         ORDER BY vec_id, j""",
+
+    "q_llm_label_noise" ->
+      s"""WITH ${Learn.oTrainedCtes},
+         scored AS (SELECT qr.vec_id AS qid, qr.label AS qlabel,
+               cand.clabel, cand.vec_id AS cid,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(qr.embedding[i] AS DOUBLE) * CAST(cand.ce[i] AS DOUBLE))), 6) AS dot
+             FROM ranked qr JOIN cand
+               ON qr.cid = cand.ccell AND qr.vec_id <> cand.vec_id),
+         nn AS (SELECT qid, qlabel, clabel FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY dot DESC, cid) AS rnk FROM scored) WHERE rnk <= 3),
+         per AS (SELECT qid, qlabel, COUNT(*) AS n_nbrs,
+               CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree
+             FROM nn GROUP BY qid, qlabel)
+         SELECT qlabel AS label, COUNT(*) AS n_vecs,
+           CAST(SUM(n_nbrs) AS BIGINT) AS n_nbrs,
+           CAST(SUM(n_agree) AS BIGINT) AS n_agree,
+           round(CAST(SUM(n_agree) AS BIGINT) * 100.0
+             / CAST(SUM(n_nbrs) AS BIGINT), 6) AS agree_pct,
+           CAST(SUM(CASE WHEN n_agree = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspect
+         FROM per GROUP BY qlabel ORDER BY qlabel""",
+
+    "q_ts_attribution" ->
+      """WITH w AS (SELECT event_id, user_id, event_type,
+             epoch_ms(ts) // 1000 AS es,
+             max(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_event_id,
+             max(CASE WHEN event_type = 'click'
+                   THEN epoch_ms(ts) // 1000 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck_ts
+           FROM events)
+         SELECT event_id, user_id, click_event_id,
+           es - ck_ts AS lag_s,
+           CAST(coalesce(click_event_id IS NOT NULL
+             AND es - ck_ts <= 604800, FALSE) AS BIGINT) AS attributed
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.queries.Assay
+
+/** Mirrors and invariants for the round-7 Assay batch (SURVEY §2.30):
+  * each query recomputed with plain Scala arithmetic under the same
+  * grid/rounding discipline (the BasisSpec convention) on the collected
+  * sf0.001 fixture, plus the non-vacuity checks the vacuity rule
+  * demands (an attribution flag that is always 1, or a suspect count
+  * that is always 0, would leave the predicate untested). */
+class AssaySpec extends SparkSpec {
+
+  private def r6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_llm_embed_project matches the sign-fold mirror and preserves norms (JL)") {
+    val out = Assay.queries("q_llm_embed_project")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out.size === 20 * 16)
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").where("vec_id < 20").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // the sign matrix from the same md5 parity (Spark's md5 ≡ JVM MD5)
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$i|$j".getBytes("UTF-8"))
+      val hex = Integer.parseInt(f"${h(0) & 0xff}%02x".take(1), 16)
+      if (hex % 2 == 0) 1.0 else -1.0
+    }
+    val signs = Array.tabulate(64, 16)((i, j) => sign(i, j))
+    var ratios = List.empty[Double]
+    vecs.foreach { case (id, x) =>
+      val y = (0 until 16).map { j =>
+        r6(x.indices.foldLeft(0.0)((a, i) => a + x(i) * signs(i)(j)) / 4.0)
+      }
+      (0 until 16).foreach { j =>
+        assert(math.abs(out((id, j)) - y(j)) < 2e-6, s"vec $id dim $j")
+      }
+      ratios ::= y.map(v => v * v).sum / x.map(v => v * v).sum
+    }
+    // Achlioptas/JL: E‖y‖² = ‖x‖² — the fixture average must sit near 1
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"norm preservation broke: $mean")
+  }
+
+  test("q_llm_label_noise matches the probed-kNN agreement mirror") {
+    val out = Assay.queries("q_llm_label_noise")(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))).toMap
+    assert(out.nonEmpty)
+    // non-vacuity in both directions: some suspects, but never all
+    assert(out.values.exists(_._5 > 0) &&
+      out.values.forall { case (nv, _, _, _, ns) => ns < nv })
+    // mirror over the SAME collected probe/assignment frames (the
+    // quantizer geometry is independently oracled; this pins the top-3
+    // selection and the agreement arithmetic)
+    val (probeF, candF) = graft.queries.Learn.trainedProbeFrames(spark, sf, 16, 5)
+    val probed = probeF.select("qid", "qlabel", "probe").collect()
+      .groupBy(_.getLong(0))
+    val cands = candF.select("cid2", "clabel", "ccell").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getInt(2)))
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      r6(a.zip(b).map(p => p._1 * p._2).sum)
+    val per = probed.toSeq.map { case (qid, rows) =>
+      val qlabel = rows.head.getAs[Number](1).longValue
+      val cells = rows.map(_.getInt(2)).toSet
+      val top3 = cands
+        .filter(c => c._1 != qid && cells.contains(c._3))
+        .map(c => (c._1, c._2, dot(emb(qid), emb(c._1))))
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(3)
+      (qid, qlabel, top3.size.toLong,
+        top3.count(_._2 == qlabel).toLong)
+    }
+    val byLabel = per.groupBy(_._2).map { case (l, xs) =>
+      l -> (xs.size.toLong, xs.map(_._3).sum, xs.map(_._4).sum,
+        r6(xs.map(_._4).sum * 100.0 / xs.map(_._3).sum),
+        xs.count(_._4 == 0).toLong)
+    }
+    assert(out === byLabel)
+  }
+
+  test("q_ts_attribution matches the carry-forward mirror; flag is non-vacuous") {
+    val out = Assay.queries("q_ts_attribution")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    assert(out.nonEmpty)
+    // both flag values and the no-prior-click null must occur
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L))
+    assert(out.exists(_._3.isEmpty))
+    val ev = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val expect = byUser.values.flatMap { rows =>
+      val sorted = rows.sortBy(_._1)
+      var lastClick: Option[(Long, Long)] = None
+      sorted.flatMap { case (eid, uid, tpe, es) =>
+        val r = if (tpe == "purchase")
+          Some((eid, uid, lastClick.map(_._1), lastClick.map(es - _._2),
+            if (lastClick.exists(c => es - c._2 <= 604800L)) 1L else 0L))
+        else None
+        if (tpe == "click") lastClick = Some((eid, es))
+        r
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq === expect)
+  }
+}

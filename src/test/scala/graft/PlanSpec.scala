@@ -699,6 +699,46 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"hourly agg not partial+final:\n$p")
   }
 
+  // ---- round-7 batch (§2.30) plan-shape guards ----
+
+  test("q_llm_embed_project is a pure per-row expression — no join, no window, no agg shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_llm_embed_project")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    // the projection explodes in place; the only exchange is the output sort
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("q_llm_label_noise: candidates via the bucketed cell equi-join, windows per query") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_llm_label_noise")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"cell join lost its hint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+  }
+
+  test("q_ts_attribution: one per-user window pass — no join, one user shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_attribution")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"attribution must not join:\n${qe.optimizedPlan}")
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"both carry-forwards must ride ONE user shuffle:\n$p")
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
