@@ -232,13 +232,18 @@ object Basis {
     // authorities with scores. Never materializes anything wider than
     // the node frames; both aggregates ride the edge key.
     "q_graph_hits" -> ((s, d) => {
-      // three consumers (degree + two propagation joins) ride the
-      // memoized+persisted shared incidence — one derivation per JVM for
-      // the whole q_graph_* family, and the supplier-id offset stays
-      // single-sourced in U.supplierIdOffset (a divergent literal here
-      // would silently desync HITS's node ids from the rest)
+      // the incidence derivation rides the memoized+persisted shared
+      // frame — one orders⋈lineitem DISTINCT per JVM for the whole
+      // q_graph_* family, supplier-id offset single-sourced in
+      // U.supplierIdOffset (a divergent literal here would silently
+      // desync HITS's node ids from the rest). The lazy localCheckpoint
+      // ON TOP of it is hits-local: six propagation/norm jobs consume
+      // oi, and raw RDD blocks beat re-decompressing the columnar cache
+      // six times (measured: 4.6 s cache-only vs 2.4 s checkpointed in
+      // the r7 bench).
       val oi = U.coPurchase(s, d)
         .select(col("cust").as("c"), col("supp").as("p"))
+        .localCheckpoint(false)
       // round 1: authority = in-degree (h0 = 1), L2-normalized exactly
       val deg = oi.groupBy("p").agg(count(lit(1)).as("deg"))
       val n1 = deg.agg(
