@@ -69,6 +69,21 @@ object Learn {
     * lesson). This is the in-plan analogue of a production pipeline
     * training the frozen quantizer once and broadcasting the model. */
   private[graft] def trainedProbeFrames(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, probes: Int): (DataFrame, DataFrame) =
+    // the probe/assignment frames themselves are memoized + lazily
+    // persisted one level ABOVE the centroid memo: FOUR consumers
+    // (knn_graph_trained, hard_negatives, mmr_rerank's pull,
+    // label_noise) each used to re-run the cells×N scoring, the
+    // per-vector rank window, and the assignment aggregate (~9 MB of
+    // identical shuffle each in the r7 bench). Node-frame-sized
+    // caches; persist() stays lazy so plan-only consumers remain
+    // execution-free.
+    graft.Memo(s, s"probeframes:$d:$cells:$probes") {
+      val (qs, cand) = buildProbeFrames(s, d, cells, probes)
+      (qs.persist(), cand.persist())
+    }
+
+  private def buildProbeFrames(s: org.apache.spark.sql.SparkSession,
       d: String, cells: Int, probes: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val vecs = Tables(s, d, "embeddings")
