@@ -69,6 +69,47 @@ object Assay {
     // counts.
     "q_llm_label_noise" -> ((s, d) => labelNoiseWith(s, d, 16)),
 
+    // Cohen's kappa between the declared label and its NEIGHBORHOOD
+    // prediction (majority label of the 3 trained-quantizer ANN
+    // neighbors, ties to the smallest label) — the chance-corrected
+    // agreement score that turns q_llm_label_noise's per-label rates
+    // into one comparable scalar (kappa ≈ 0 ⇒ labels are independent of
+    // embedding geometry; the label-quality red flag). Same memoized
+    // probe frames; majority via the house count+struct-argmax (no
+    // per-qid sort), and kappa is a PURE INTEGER ratio:
+    // (diag·n − Σ row_k·col_k) / (n² − Σ row_k·col_k) — observed and
+    // expected agreement never pass through intermediate doubles.
+    "q_dq_cohens_kappa" -> ((s, d) => {
+      val (qs, cand) = Learn.trainedProbeFrames(s, d, 16, 5)
+      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+      val nn = qs.join(cand.hint("shuffle_hash"),
+          col("probe") === col("ccell") && col("qid") =!= col("cid2"))
+        .select(col("qid"), col("qlabel"),
+          col("clabel"), col("cid2").as("cid"),
+          expr("round(graft_dot(qe, ce), 6)").as("dot"))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      val pred = nn.groupBy("qid", "qlabel", "clabel")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("qid", "qlabel")
+        .agg(max(struct(col("c"), (-col("clabel")).cast("long").as("nl")))
+          .as("m"))
+        .select(col("qid"), col("qlabel").as("a"), (-col("m.nl")).as("p"))
+      val agg = pred.agg(count(lit(1)).as("n"),
+        sum((col("a") === col("p")).cast("long")).as("n_agree"))
+      val ra = pred.groupBy(col("a").as("k")).agg(count(lit(1)).as("ra"))
+      val cp = pred.groupBy(col("p").as("k")).agg(count(lit(1)).as("cp"))
+      val pe = ra.join(cp, "k")
+        .agg(coalesce(sum(col("ra") * col("cp")), lit(0L)).as("penum"))
+      agg.crossJoin(broadcast(pe))
+        .select(col("n"), col("n_agree"),
+          round(col("n_agree").cast("double") / col("n"), 9).as("p_o"),
+          round(col("penum").cast("double") / (col("n") * col("n")), 9)
+            .as("p_e"),
+          round((col("n_agree") * col("n") - col("penum")).cast("double") /
+            (col("n") * col("n") - col("penum")).cast("double"), 6)
+            .as("kappa"))
+    }),
+
     // Last-touch attribution: for every purchase, the user's most recent
     // PRIOR click (the credit-assignment primitive behind every
     // marketing/referral report), attributed only within a 7-day
@@ -159,6 +200,37 @@ object Assay {
            CAST(SUM(CASE WHEN n_agree = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_suspect
          FROM per GROUP BY qlabel ORDER BY qlabel""",
+
+    "q_dq_cohens_kappa" ->
+      s"""WITH ${Learn.oTrainedCtes},
+         scored AS (SELECT qr.vec_id AS qid, qr.label AS qlabel,
+               cand.clabel, cand.vec_id AS cid,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(qr.embedding[i] AS DOUBLE) * CAST(cand.ce[i] AS DOUBLE))), 6) AS dot
+             FROM ranked qr JOIN cand
+               ON qr.cid = cand.ccell AND qr.vec_id <> cand.vec_id),
+         nn AS (SELECT qid, qlabel, clabel FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY dot DESC, cid) AS rnk FROM scored) WHERE rnk <= 3),
+         cnt AS (SELECT qid, qlabel, clabel, COUNT(*) AS c
+                 FROM nn GROUP BY qid, qlabel, clabel),
+         pred AS (SELECT qid, qlabel AS a, clabel AS p FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY c DESC, clabel) AS rk FROM cnt) WHERE rk = 1),
+         agg AS (SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN a = p THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree
+             FROM pred),
+         ra AS (SELECT a AS k, COUNT(*) AS ra FROM pred GROUP BY a),
+         cp AS (SELECT p AS k, COUNT(*) AS cp FROM pred GROUP BY p),
+         pe AS (SELECT CAST(coalesce(SUM(ra * cp), 0) AS BIGINT) AS penum
+                FROM ra JOIN cp USING (k))
+         SELECT n, n_agree,
+           round(CAST(n_agree AS DOUBLE) / n, 9) AS p_o,
+           round(CAST(penum AS DOUBLE) / (n * n), 9) AS p_e,
+           round(CAST(n_agree * n - penum AS DOUBLE)
+             / CAST(n * n - penum AS DOUBLE), 6) AS kappa
+         FROM agg, pe""",
 
     "q_ts_attribution" ->
       """WITH w AS (SELECT event_id, user_id, event_type,

@@ -259,6 +259,42 @@ object Diag {
             (col("nx") * col("ny")).cast("double")).as("d_stat"))
     }),
 
+    // Population stability index — the bin-based drift metric next to
+    // the exact KS statistic (PSI is what a feature-monitoring system
+    // actually alerts on; KS is the hypothesis test): the purchase and
+    // click value distributions over the SAME 1e-6-grid values and the
+    // SAME gridBin equi-width construction as q_dq_ks_drift (10 bins,
+    // broadcast min/max bounds), Laplace-smoothed proportions
+    // (p = (n+1)/(N+nbins) — the standard guard against empty-bin
+    // log-of-zero), per-bin term (pa − pb)·ln(pa/pb) on the 1e-9 grid
+    // (the zipf/dp_release libm round rule). One keyed aggregate over
+    // the events scan + a 10-row report; the consumer sums psi_term.
+    // Output per bin — the report a drift dashboard renders — never a
+    // global window anywhere (bins come from the broadcast-bounds
+    // formula, not a rank).
+    "q_dq_psi" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .where(col("event_type").isin("purchase", "click"))
+        .select((col("event_type") === "purchase").cast("long").as("g"),
+          expr("CAST(round(value * 1000000.0) AS BIGINT)").as("v"))
+      val bounds = ev.agg(min("v").as("lo"), max("v").as("hi"))
+      val counts = ev.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          gridBin(col("v"), col("lo"), col("hi"), 10).cast("long"))
+        .groupBy("bin")
+        .agg(sum(col("g")).as("n_a"),
+          (count(lit(1)) - sum(col("g"))).as("n_b"))
+      val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("pa", (col("n_a") + 1).cast("double") / (col("ta") + 10))
+        .withColumn("pb", (col("n_b") + 1).cast("double") / (col("tb") + 10))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          round(col("pa"), 9).as("p_a"), round(col("pb"), 9).as("p_b"),
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+            .as("psi_term"))
+        .orderBy("bin")
+    }),
+
     // Lagged cross-correlation between the hourly purchase-value and
     // click-value series: Pearson r at lags 0..5 hours — the "does
     // clicking lead buying" diagnostic. Hourly sums are exact decimal
@@ -438,6 +474,29 @@ object Diag {
              UNION ALL SELECT 2, 'target_lang', n1, n2 FROM agg
              UNION ALL SELECT 3, 'quality_logit', n2, n3 FROM agg)
            ORDER BY stage""",
+
+      "q_dq_psi" ->
+        """WITH ev AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS g,
+               CAST(round(value * 1000000.0) AS BIGINT) AS v
+             FROM events WHERE event_type IN ('purchase', 'click')),
+           bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev),
+           counts AS (SELECT
+                 CAST(CASE WHEN hi <= lo THEN 9
+                      ELSE least(9, CAST(floor((v - lo) / ((hi - lo) / 10))
+                        AS INT)) END AS BIGINT) AS bin,
+                 CAST(SUM(g) AS BIGINT) AS n_a,
+                 CAST(COUNT(*) - SUM(g) AS BIGINT) AS n_b
+               FROM ev, bounds GROUP BY 1),
+           tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                     CAST(SUM(n_b) AS BIGINT) AS tb FROM counts),
+           p AS (SELECT bin, n_a, n_b,
+                   CAST(n_a + 1 AS DOUBLE) / (ta + 10) AS pa,
+                   CAST(n_b + 1 AS DOUBLE) / (tb + 10) AS pb
+                 FROM counts, tot)
+           SELECT bin, n_a, n_b, round(pa, 9) AS p_a, round(pb, 9) AS p_b,
+             round((pa - pb) * ln(pa / pb), 9) AS psi_term
+           FROM p ORDER BY bin""",
 
       "q_dq_ks_drift" ->
         """WITH ev AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END

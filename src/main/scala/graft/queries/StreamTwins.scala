@@ -212,6 +212,30 @@ object StreamTwins {
         .select(col("user_id"), col("event_id"),
           col("st")(0).as("x_hat"), col("st")(1).as("p_cov"))
         .orderBy("event_id")
+    }),
+
+    // Last-touch attribution twin (streaming impl:
+    // Streams.attributionTws — O(1) per-user last-click ValueState on
+    // transformWithState, one credited row per purchase): the
+    // q_ts_attribution carry-forward with −1 sentinels instead of
+    // NULLs, because the streaming processor emits concrete rows (the
+    // streamJoinOuter convention) and the equivalence test compares
+    // exactly. Same single user-keyed window pass, no join.
+    "q_stream_attribution" -> ((s, d) => {
+      val wPrev = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withEs(s, d)
+        .withColumn("ck",
+          max(when(col("event_type") === "click", col("event_id"))).over(wPrev))
+        .withColumn("ck_es",
+          max(when(col("event_type") === "click", col("es"))).over(wPrev))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("ck"), lit(-1L)).as("click_event_id"),
+          coalesce(col("es") - col("ck_es"), lit(-1L)).as("lag_s"),
+          (col("ck").isNotNull && (col("es") - col("ck_es")) <= 604800L)
+            .cast("long").as("attributed"))
+        .orderBy("event_id")
     })
   )
 
@@ -337,6 +361,22 @@ object StreamTwins {
            FROM w)
          SELECT user_id, event_id, st[1] AS x_hat, st[2] AS p_cov
          FROM f ORDER BY event_id"""
-    }
+    },
+
+    "q_stream_attribution" ->
+      s"""WITH w AS (SELECT event_id, user_id, event_type, $esSql AS es,
+             max(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck,
+             max(CASE WHEN event_type = 'click' THEN $esSql END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck_es
+           FROM events)
+         SELECT user_id, event_id,
+           coalesce(ck, -1) AS click_event_id,
+           coalesce(es - ck_es, -1) AS lag_s,
+           CAST(coalesce(ck IS NOT NULL AND es - ck_es <= 604800, FALSE)
+             AS BIGINT) AS attributed
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
   )
 }

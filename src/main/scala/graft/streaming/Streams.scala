@@ -350,4 +350,51 @@ object Streams {
     events.groupByKey(_.user_id)
       .transformWithState(new KalmanProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
+    es: Long)
+  case class AttrOut(user_id: Long, event_id: Long, click_event_id: Long,
+    lag_s: Long, attributed: Long)
+  case class ClickState(click_id: Long, click_es: Long)
+
+  /** Last-touch attribution on transformWithState (twin:
+    * q_stream_attribution): O(1) per-user state — the most recent click
+    * (id, epoch-s) — emitting one credited row per purchase, attributed
+    * within the 7-day window. The −1 sentinel stands in for the batch
+    * form's no-prior-click NULLs (streaming state emits concrete rows;
+    * the twin uses the same sentinel so in-order equivalence is exact,
+    * the streamJoinOuter convention). Clicks update state, purchases
+    * read it; other event types pass through untouched. */
+  class AttributionProcessor
+    extends StatefulProcessor[Long, AttrEvent, AttrOut] {
+    @transient private var st: ValueState[ClickState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ClickState]("lastclick",
+        Encoders.product[ClickState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[AttrEvent],
+        timers: TimerValues): Iterator[AttrOut] = {
+      val out = rows.toSeq.sortBy(_.event_id).flatMap { e =>
+        e.event_type match {
+          case "purchase" =>
+            val o = if (st.exists()) {
+              val c = st.get()
+              AttrOut(user, e.event_id, c.click_id, e.es - c.click_es,
+                if (e.es - c.click_es <= 604800L) 1L else 0L)
+            } else AttrOut(user, e.event_id, -1L, -1L, 0L)
+            Some(o)
+          case "click" =>
+            st.update(ClickState(e.event_id, e.es)); None
+          case _ => None
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def attributionTws(events: Dataset[AttrEvent]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -83,6 +83,50 @@ class AssaySpec extends SparkSpec {
     assert(out === byLabel)
   }
 
+  test("q_dq_cohens_kappa matches the majority-vote mirror; kappa in [-1, 1]") {
+    val out = Assay.queries("q_dq_cohens_kappa")(spark, sf).collect()
+    assert(out.length === 1)
+    val (n, nAgree, po, pe, kappa) = (out(0).getLong(0), out(0).getLong(1),
+      out(0).getDouble(2), out(0).getDouble(3), out(0).getDouble(4))
+    assert(kappa >= -1.0 && kappa <= 1.0 && nAgree <= n)
+    // mirror over the SAME collected probe/assignment frames (the
+    // label_noise convention): per-qid top-3, majority label with
+    // smallest-label tie-break, integer-ratio kappa
+    val (probeF, candF) = graft.queries.Learn.trainedProbeFrames(spark, sf, 16, 5)
+    val probed = probeF.select("qid", "qlabel", "probe").collect()
+      .groupBy(_.getLong(0))
+    val cands = candF.select("cid2", "clabel", "ccell").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getInt(2)))
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      r6(a.zip(b).map(p => p._1 * p._2).sum)
+    val pred = probed.toSeq.map { case (qid, rows) =>
+      val qlabel = rows.head.getAs[Number](1).longValue
+      val cells = rows.map(_.getInt(2)).toSet
+      val top3 = cands.filter(c => c._1 != qid && cells.contains(c._3))
+        .map(c => (c._1, c._2, dot(emb(qid), emb(c._1))))
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(3)
+      val p = top3.groupBy(_._2).toSeq
+        .map { case (l, xs) => (xs.size, l) }
+        .sortBy { case (c, l) => (-c, l) }.head._2
+      (qlabel, p)
+    }
+    val mN = pred.size.toLong
+    val mAgree = pred.count { case (a, p) => a == p }.toLong
+    val ra = pred.groupBy(_._1).map { case (_, v) => v.size.toLong }
+    val penum = pred.groupBy(_._1).map { case (k, v) =>
+      v.size.toLong * pred.count(_._2 == k).toLong }.sum
+    assert(n === mN && nAgree === mAgree)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(po === r9(mAgree.toDouble / mN))
+    assert(pe === r9(penum.toDouble / (mN * mN)))
+    assert(kappa === r6((mAgree * mN - penum).toDouble / (mN * mN - penum)))
+    assert(ra.sum == mN)
+  }
+
   test("q_ts_attribution matches the carry-forward mirror; flag is non-vacuous") {
     val out = Assay.queries("q_ts_attribution")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1),

@@ -192,6 +192,43 @@ class DiagSpec extends SparkSpec {
     assert(dstat === dnum.toDouble / (nx * ny).toDouble)
   }
 
+  test("q_dq_psi matches the binned mirror; counts conserve the samples") {
+    val out = Diag.queries("q_dq_psi")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.length <= 10)
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .filter(r => r.getString(0) == "purchase" || r.getString(0) == "click")
+      .map(r => (r.getString(0) == "purchase",
+        math.round(r.getDouble(1) * 1e6)))
+    // counts conserve both samples
+    assert(out.map(_._2).sum === ev.count(_._1).toLong)
+    assert(out.map(_._3).sum === ev.count(!_._1).toLong)
+    // mirror: same gridBin formula, Laplace smoothing, per-bin term
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    def bin(v: Long): Long =
+      if (hi <= lo) 9L
+      else math.min(9L, math.floor((v - lo).toDouble / ((hi - lo).toDouble / 10)).toLong)
+    val byBin = ev.groupBy(e => bin(e._2))
+    val ta = ev.count(_._1).toLong; val tb = ev.count(!_._1).toLong
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (b, na, nb, pa, pb, term) =>
+      val g = byBin(b)
+      assert(na === g.count(_._1).toLong && nb === g.count(!_._1).toLong,
+        s"bin $b counts")
+      val mpa = (na + 1).toDouble / (ta + 10)
+      val mpb = (nb + 1).toDouble / (tb + 10)
+      assert(pa === r9(mpa) && pb === r9(mpb), s"bin $b proportions")
+      assert(math.abs(term - (mpa - mpb) * math.log(mpa / mpb)) < 2e-9,
+        s"bin $b term")
+    }
+    // drift direction is non-vacuous on this corpus: at least one bin
+    // where the two distributions actually differ
+    assert(out.exists { case (_, na, nb, _, _, _) => na != nb })
+  }
+
   test("q_ts_xcorr: r bounded, lag-0 pairs complete, matches the closed-form mirror") {
     val out = Diag.queries("q_ts_xcorr")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

@@ -739,6 +739,44 @@ class PlanSpec extends SparkSpec {
       s"both carry-forwards must ride ONE user shuffle:\n$p")
   }
 
+  test("q_dq_psi: one binned aggregate over broadcast bounds — no window, no rank") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_dq_psi")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // bounds and totals meet the stream as 1-row broadcasts only
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_dq_cohens_kappa: bucketed cell equi-join, per-query rank, scalar broadcasts") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_dq_cohens_kappa")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"cell join lost its hint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+  }
+
+  test("q_stream_attribution twin: per-user window pass, no join, one user shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_stream_attribution")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"attribution twin must not join:\n${qe.optimizedPlan}")
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"global window in:\n${qe.optimizedPlan}")
+    assert("hashpartitioning\\(user_id".r
+      .findAllIn(qe.executedPlan.toString).size == 1, qe.executedPlan.toString)
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s

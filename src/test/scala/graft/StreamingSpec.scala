@@ -189,6 +189,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState last-touch attribution converges to the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the multi-column-family store (RocksDB)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      // epochS ≡ floor-seconds: getTime is epoch ms, / 1000 floors for
+      // the positive timestamps the generator emits
+      val ds = mem.toDS().map(e =>
+        Streams.AttrEvent(e.user_id, e.event_id, e.event_type, e.ts.getTime / 1000))
+      val q = Streams.attributionTws(ds).toDF().writeStream.format("memory")
+        .queryName("t_attr").outputMode("append").start()
+      // in-order arrival: the carry-forward is order-sensitive by
+      // definition (the same reason the Kalman twin feeds in order)
+      chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val cols = Seq("user_id", "event_id", "click_event_id", "lag_s", "attributed")
+      val got = spark.table("t_attr").select(cols.head, cols.tail: _*).collect().toSeq
+      val want = queries.StreamTwins.queries("q_stream_attribution")(spark, sf)
+        .select(cols.head, cols.tail: _*).collect().toSeq
+      assert(got.nonEmpty && sortedSet(got) == sortedSet(want))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState Kalman filter converges to the batch twin bitwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
