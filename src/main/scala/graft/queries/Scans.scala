@@ -131,6 +131,35 @@ object Scans {
           sum(expr(hexFold("payload", 2))).as("hexsum"))
         .orderBy("bucket")),
 
+    // graft's own DataSource V2 SINK (graft.sources.GraftCommitSink): the
+    // write-side connector twin of q_source_custom_dsv2, exercising the
+    // two-phase commit protocol a 1000-executor sink must get right —
+    // attempt-unique task temps, task commit = a message (nothing
+    // visible), driver commit = rename + manifest-last publish, abort =
+    // temp sweep (SinksSpec drives the retry/abort paths directly). The
+    // query writes an exact integer-cents projection of orders through
+    // the sink (overwrite → SupportsTruncate), reads the published
+    // part files back as text, and aggregates — the oracle computes the
+    // same rollup straight from orders, so a torn/duplicated/dropped
+    // publish would hash-mismatch.
+    "q_sink_custom_dsv2" -> ((s, d) => {
+      val out = tmpDir(s"dsv2w_${d.replaceAll("[^0-9.]", "")}")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      s.read.text(s"$out/part-*.tsv")
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f")(0).cast("long").as("k"), col("f")(1).as("st"),
+          col("f")(2).cast("long").as("cents"))
+        .groupBy(col("st").as("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Schema evolution: two parquet generations (v2 adds a column) read
     // as one dataset via mergeSchema — v1 rows surface NULL for the new
     // column. At 100 TB this is how a long-lived table absorbs schema
@@ -306,6 +335,13 @@ object Scans {
          SELECT bucket, COUNT(*) AS cnt, MIN(id) AS min_id, MAX(id) AS max_id,
            CAST(SUM(${oHexFold("payload", 2)}) AS BIGINT) AS hexsum
          FROM g GROUP BY bucket ORDER BY bucket""",
+
+    "q_sink_custom_dsv2" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+           MIN(o_orderkey) AS min_key,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS total_cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_source_schema_evolution" ->
       s"""WITH m AS (

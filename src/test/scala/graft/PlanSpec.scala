@@ -777,6 +777,12 @@ class PlanSpec extends SparkSpec {
       .findAllIn(qe.executedPlan.toString).size == 1, qe.executedPlan.toString)
   }
 
+  test("q_sink_custom_dsv2 read-back: partial+final rollup over the published parts") {
+    val p = plan("q_sink_custom_dsv2")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+    assert(!p.contains("Join"), s"read-back must not join:\n$p")
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.{GraftCommitWrite, GraftCommitWriterFactory, GraftTempFile}
+
+/** Commit-protocol tests for the DSv2 sink (q_sink_custom_dsv2's
+  * engine): the retry/speculation/abort paths the end-to-end query
+  * cannot exercise are driven here directly against the writer factory
+  * and the driver-side BatchWrite. */
+class SinksSpec extends SparkSpec {
+
+  private val schema = new StructType()
+    .add("k", LongType).add("s", StringType)
+
+  private def row(k: Long, s: String) =
+    new GenericInternalRow(Array[Any](k, UTF8String.fromString(s)))
+
+  private def freshDir(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt/sinkspec_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    p
+  }
+
+  private def partFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("part-")).sorted.toSeq
+  }
+
+  private def manifest(dir: String): Seq[(String, Long)] =
+    new String(Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+      .map { l => val Array(f, n) = l.split("\t"); (f, n.toLong) }
+
+  test("end-to-end write publishes parts + trailing manifest, sweeps temps") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("e2e")
+    val df = spark.range(100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("s"))
+    df.write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("overwrite").save()
+    val parts = partFiles(dir)
+    assert(parts.nonEmpty, "no parts published")
+    val man = manifest(dir)
+    assert(man.map(_._1) === parts, "manifest must list exactly the parts")
+    assert(man.map(_._2).sum === 100L, "manifest row counts must sum to input")
+    assert(!new java.io.File(dir, "_temp").exists(), "temps not swept")
+    // round-trip through the published files
+    val back = spark.read.text(s"$dir/part-*.tsv").count()
+    assert(back === 100L)
+  }
+
+  test("overwrite truncates the previous generation before publishing") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("trunc")
+    def gen(n: Int) = spark.range(n).select(col("id").as("k"),
+      lit("x").as("s"))
+    gen(50).write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("overwrite").save()
+    gen(7).repartition(1).write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("overwrite").save()
+    assert(manifest(dir).map(_._2).sum === 7L)
+    assert(spark.read.text(s"$dir/part-*.tsv").count() === 7L)
+  }
+
+  test("duplicate attempts for one partition: driver publishes exactly one") {
+    val dir = freshDir("dup")
+    val fac = new GraftCommitWriterFactory(dir, schema)
+    // two attempts of partition 0 (speculation): different row contents
+    val w1 = fac.createWriter(0, 11L)
+    w1.write(row(1L, "attempt11")); val m1 = w1.commit()
+    val w2 = fac.createWriter(0, 22L)
+    w2.write(row(2L, "attempt22")); w2.write(row(3L, "attempt22b"))
+    val m2 = w2.commit()
+    val w3 = fac.createWriter(1, 33L)
+    w3.write(row(4L, "p1")); val m3 = w3.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m2, m1, m3))
+    val parts = partFiles(dir)
+    assert(parts === Seq("part-00000.tsv", "part-00001.tsv"))
+    // first attempt (lowest taskId) wins for partition 0
+    val p0 = new String(Files.readAllBytes(Paths.get(dir, "part-00000.tsv")), "UTF-8")
+    assert(p0 === "1\tattempt11\n", s"wrong attempt published: $p0")
+    assert(manifest(dir) === Seq(("part-00000.tsv", 1L), ("part-00001.tsv", 1L)))
+    assert(!new java.io.File(dir, "_temp").exists(), "losing attempt not swept")
+  }
+
+  test("task abort and driver abort leave nothing visible") {
+    val dir = freshDir("abort")
+    val fac = new GraftCommitWriterFactory(dir, schema)
+    val w1 = fac.createWriter(0, 1L)
+    w1.write(row(1L, "doomed"))
+    w1.abort()
+    assert(partFiles(dir).isEmpty)
+    // a committed TASK that the JOB then aborts must also vanish
+    val w2 = fac.createWriter(0, 2L)
+    w2.write(row(2L, "also doomed"))
+    val m2 = w2.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .abort(Array[WriterCommitMessage](m2))
+    assert(partFiles(dir).isEmpty)
+    assert(!new java.io.File(dir, "_temp").exists())
+    assert(m2.isInstanceOf[GraftTempFile])
+  }
+}
