@@ -80,14 +80,7 @@ object Assay {
     // (diag·n − Σ row_k·col_k) / (n² − Σ row_k·col_k) — observed and
     // expected agreement never pass through intermediate doubles.
     "q_dq_cohens_kappa" -> ((s, d) => {
-      val (qs, cand) = Learn.trainedProbeFrames(s, d, 16, 5)
-      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
-      val nn = qs.join(cand.hint("shuffle_hash"),
-          col("probe") === col("ccell") && col("qid") =!= col("cid2"))
-        .select(col("qid"), col("qlabel"),
-          col("clabel"), col("cid2").as("cid"),
-          expr("round(graft_dot(qe, ce), 6)").as("dot"))
-        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      val nn = nnTop3(s, d, 16)
       val pred = nn.groupBy("qid", "qlabel", "clabel")
         .agg(count(lit(1)).as("c"))
         .groupBy("qid", "qlabel")
@@ -138,17 +131,29 @@ object Assay {
     })
   )
 
+  /** The labeled top-3-neighbor frame (qid, qlabel, clabel, cid, dot)
+    * over the trained quantizer — memoized + lazily persisted per
+    * (session, sfDir, cells): q_llm_label_noise and q_dq_cohens_kappa
+    * both reduce THIS frame (agreement rates vs the kappa scalar), so
+    * the probe join + per-query rank run once per JVM, not per query. */
+  private[graft] def nnTop3(s: SparkSession, d: String,
+      cells: Int): DataFrame =
+    graft.Memo(s, s"nn3:$d:$cells") {
+      val (qs, cand) = Learn.trainedProbeFrames(s, d, cells, 5)
+      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+      qs.join(cand.hint("shuffle_hash"),
+          col("probe") === col("ccell") && col("qid") =!= col("cid2"))
+        .select(col("qid"), col("qlabel"), col("clabel"),
+          col("cid2").as("cid"), expr("round(graft_dot(qe, ce), 6)").as("dot"))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .persist()
+    }
+
   /** Parameterized label-noise sweep — the declared query is cells=16;
     * `Scale.extraProbes` measures the cells ∝ N geometry at ×10/×100. */
   private[graft] def labelNoiseWith(s: SparkSession, d: String,
       cells: Int): DataFrame = {
-    val (qs, cand) = Learn.trainedProbeFrames(s, d, cells, 5)
-    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
-    val nn = qs.join(cand.hint("shuffle_hash"),
-        col("probe") === col("ccell") && col("qid") =!= col("cid2"))
-      .select(col("qid"), col("qlabel"), col("clabel"),
-        col("cid2").as("cid"), expr("round(graft_dot(qe, ce), 6)").as("dot"))
-      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+    val nn = nnTop3(s, d, cells)
     nn.groupBy("qid", "qlabel")
       .agg(count(lit(1)).as("n_nbrs"),
         sum((col("clabel") === col("qlabel")).cast("long")).as("n_agree"))

@@ -713,17 +713,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
 
-  test("q_llm_label_noise: candidates via the bucketed cell equi-join, windows per query") {
+  test("nnTop3 (label_noise/kappa's shared frame): bucketed cell equi-join, per-query rank") {
+    // the labeled top-3-neighbor frame is memoized+persisted; its two
+    // consumers reduce the cache, so the join/window shape is pinned on
+    // the builder itself (the mmrCandidatePull convention)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = queries.Assay.nnTop3(spark, sf, 16)
+    val inner = df.queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString }
+      .headOption.getOrElse(df.queryExecution.executedPlan.toString)
+    assert(inner.contains("ShuffledHashJoin"), s"cell join lost its hint:\n$inner")
+    assert(!inner.contains("CartesianProduct"), inner)
+    assert(inner.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), inner)
+    // the rank window rides the qid shuffle (the training lineage's
+    // 1-row scalar aggregates legitimately use SinglePartition)
+    assert(inner.contains("windowspecdefinition(qid"),
+      s"per-query rank shape lost:\n$inner")
+  }
+
+  test("q_llm_label_noise reduces the shared cached neighbor frame — no fresh join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     val qe = SparkEntry.queries("q_llm_label_noise")(spark, sf).queryExecution
-    val p = qe.executedPlan.toString
-    assert(p.contains("ShuffledHashJoin"), s"cell join lost its hint:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
-      .forall(_.contains("BuildRight")), p)
-    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
-    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
-      s"global window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"label_noise must reduce the cache, not re-join:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window above the cache:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.toString.contains("InMemoryRelation"),
+      s"shared neighbor frame not reused:\n${qe.optimizedPlan}")
   }
 
   test("q_ts_attribution: one per-user window pass — no join, one user shuffle") {
@@ -752,17 +770,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }
 
-  test("q_dq_cohens_kappa: bucketed cell equi-join, per-query rank, scalar broadcasts") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+  test("q_dq_cohens_kappa reduces the shared cached neighbor frame; scalars broadcast") {
     val qe = SparkEntry.queries("q_dq_cohens_kappa")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
-    assert(p.contains("ShuffledHashJoin"), s"cell join lost its hint:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    // the only joins above the cache are the label-bounded pe join and
+    // the 1-row scalar cross — every nested loop a broadcast build
     assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
       .forall(_.contains("BuildRight")), p)
-    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
-    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
-      s"global window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.toString.contains("InMemoryRelation"),
+      s"shared neighbor frame not reused:\n${qe.optimizedPlan}")
   }
 
   test("q_stream_attribution twin: per-user window pass, no join, one user shuffle") {
