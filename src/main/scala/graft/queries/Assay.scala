@@ -69,6 +69,34 @@ object Assay {
     // counts.
     "q_llm_label_noise" -> ((s, d) => labelNoiseWith(s, d, 16)),
 
+    // Cluster labeling — "what is each k-means cluster ABOUT": the top-5
+    // TF-IDF terms per cluster, treating each cluster as one
+    // mega-document (tf = term count in the cluster's docs, idf over the
+    // 8 clusters) — the human-readable summary every embedding-clustering
+    // pipeline ships next to the assignment table. Assignments come from
+    // the SAME converged Lloyd lineage as q_llm_cluster_kmeans
+    // (Learn.kmeansAssignments — one loop definition, one oracle CTE
+    // chain, so the labels provably describe the declared clustering).
+    // Shapes: one linear (cid, term) shuffle, a vocab-bounded df join,
+    // and the top-5 via graft's OWN GroupedTopK plan node — bounded
+    // per-group heaps, never an 8-partition window sort (the
+    // low-cardinality-partition trap q_win_rank_salted documents).
+    // Scores exact: integer tf × ln(8/df) on the 1e-9 grid.
+    "q_llm_cluster_terms" -> ((s, d) => {
+      val asg = Learn.kmeansAssignments(s, d)
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      val tf = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(textTokens).as("term"))
+        .join(asg, "doc_id")
+        .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+      val scored = tf.join(dfc, "term")
+        .select(col("cid"), col("term"), col("tf"),
+          round(col("tf") * expr("round(ln(8.0 / dfc), 9)"), 9).as("score"))
+      graft.plans.GraftPlans.groupedTopK(scored, "cid", "score", "term", 5)
+        .orderBy("cid", "rn")
+    }),
+
     // Cohen's kappa between the declared label and its NEIGHBORHOOD
     // prediction (majority label of the 3 trained-quantizer ANN
     // neighbors, ties to the smallest label) — the chance-corrected
@@ -205,6 +233,24 @@ object Assay {
            CAST(SUM(CASE WHEN n_agree = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_suspect
          FROM per GROUP BY qlabel ORDER BY qlabel""",
+
+    "q_llm_cluster_terms" ->
+      s"""WITH ${Learn.oKmeansAssignCtes},
+         tok AS (SELECT d.doc_id, a3.cid,
+               unnest(string_split(d.text, ' ')) AS term
+             FROM documents d JOIN a3 ON a3.vec_id = d.doc_id),
+         tf AS (SELECT cid, term, COUNT(*) AS tf
+                FROM tok GROUP BY cid, term),
+         dfc AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term),
+         sc AS (SELECT cid, term, tf,
+                  round(tf * round(ln(8.0 / dfc), 9), 9) AS score
+                FROM tf JOIN dfc USING (term)),
+         r AS (SELECT cid, term, CAST(tf AS BIGINT) AS tf, score,
+                 CAST(row_number() OVER (PARTITION BY cid
+                   ORDER BY score DESC, term) AS INT) AS rn
+               FROM sc)
+         SELECT cid, term, tf, score, rn FROM r WHERE rn <= 5
+         ORDER BY cid, rn""",
 
     "q_dq_cohens_kappa" ->
       s"""WITH ${Learn.oTrainedCtes},

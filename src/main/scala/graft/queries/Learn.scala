@@ -196,11 +196,19 @@ object Learn {
     *    checkpoint (one lineage run, but it executes at plan-BUILD time,
     *    which the plan-only consumers PlanSpec/Explain must not trigger)
     *    / no checkpoint. Probe-able as x_kmeans_{lazy,eager,no}_ckpt. */
-  private[graft] def kmeansWith(s: org.apache.spark.sql.SparkSession,
-      d: String, ckpt: String): DataFrame = {
+  /** The 1e-6-grid vector view the k-means family scores on. */
+  private def kmeansVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val vecs = Tables(s, d, "embeddings").select(col("vec_id"),
+    Tables(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+  }
+
+  /** The converged (ITERS-round) centroid frame — one definition for the
+    * declared report, its A/B probes, and the cluster-labeling
+    * assignment (a divergent loop would silently decouple the labels
+    * from the declared clustering). */
+  private def kmeansCent(vecs: DataFrame): DataFrame = {
     var cent = vecs.where(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
     for (_ <- 1 to ITERS) {
@@ -212,6 +220,21 @@ object Learn {
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
     }
+    cent
+  }
+
+  /** (vec_id, cid): every vector's converged cluster assignment —
+    * q_llm_cluster_terms' join side. */
+  private[graft] def kmeansAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val vecs = kmeansVecs(s, d)
+    assign(vecs, kmeansCent(vecs)).select("vec_id", "cid")
+  }
+
+  private[graft] def kmeansWith(s: org.apache.spark.sql.SparkSession,
+      d: String, ckpt: String): DataFrame = {
+    val vecs = kmeansVecs(s, d)
+    var cent = kmeansCent(vecs)
     if (ckpt == "fused") {
       // one broadcast carries both the scoring vector and its L1 (the L1
       // is evaluated once per centroid in the broadcast relation build,
@@ -462,9 +485,12 @@ object Learn {
          ORDER BY qid, rnk"""
   }
 
-  val oracle: Map[String, String] = Map(
-    "q_llm_cluster_kmeans" ->
-      s"""WITH v AS (SELECT vec_id,
+  /** The shared k-means oracle CTE chain: grid vectors → seeds → 2 Lloyd
+    * rounds → `a3` (every vector's converged assignment, with `c2` the
+    * converged centroids). One builder for q_llm_cluster_kmeans and
+    * q_llm_cluster_terms — the mirrors cannot drift. */
+  private[graft] val oKmeansAssignCtes: String =
+    s"""v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
            FROM embeddings),
          c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM v WHERE vec_id < $K),
@@ -472,7 +498,11 @@ object Learn {
          ${oRecompute("c1", "a1")},
          ${oAssign("a2", "c1")},
          ${oRecompute("c2", "a2")},
-         ${oAssign("a3", "c2")}
+         ${oAssign("a3", "c2")}"""
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_cluster_kmeans" ->
+      s"""WITH $oKmeansAssignCtes
          SELECT a3.cid, COUNT(*) AS n, MIN(vec_id) AS min_vec,
            CAST(list_sum(list_transform(c2.c, x -> abs(x))) AS BIGINT) AS centroid_l1
          FROM a3 JOIN c2 ON a3.cid = c2.cid

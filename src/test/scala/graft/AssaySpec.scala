@@ -83,6 +83,38 @@ class AssaySpec extends SparkSpec {
     assert(out === byLabel)
   }
 
+  test("q_llm_cluster_terms matches the TF-IDF mirror over the declared assignment") {
+    val out = Assay.queries("q_llm_cluster_terms")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    // 8 clusters × up to 5 terms, rn dense from 1 per cluster
+    val byC = out.groupBy(_._1)
+    assert(byC.values.forall(v => v.map(_._5).sorted.toSeq == (1 to v.length)))
+    assert(byC.values.forall(_.length <= 5))
+    // mirror FROM the same collected assignment (the clustering itself
+    // is oracled via q_llm_cluster_kmeans): recompute tf/df/score and
+    // the (score desc, term) top-5 per cluster in plain Scala
+    val asg = graft.queries.Learn.kmeansAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tf = docs.flatMap { case (id, tk) => tk.map(t => (asg(id), t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val dfc = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size }
+    val expect = tf.toSeq
+      .map { case ((cid, t), n) =>
+        (cid, t, n, r9(n * r9(math.log(8.0 / dfc(t))))) }
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (_, t, _, sc) => (-sc, t) }.take(5).zipWithIndex
+          .map { case ((cid, t, n, sc), i) => (cid, t, n, sc, i + 1) }
+      }.toSeq.sortBy(r => (r._1, r._5))
+    assert(out.toSeq.sortBy(r => (r._1, r._5)) === expect)
+  }
+
   test("q_dq_cohens_kappa matches the majority-vote mirror; kappa in [-1, 1]") {
     val out = Assay.queries("q_dq_cohens_kappa")(spark, sf).collect()
     assert(out.length === 1)

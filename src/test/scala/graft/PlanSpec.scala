@@ -794,6 +794,16 @@ class PlanSpec extends SparkSpec {
       .findAllIn(qe.executedPlan.toString).size == 1, qe.executedPlan.toString)
   }
 
+  test("q_llm_cluster_terms: top-5 per cluster via the GroupedTopK heap — no window") {
+    val p = plan("q_llm_cluster_terms")
+    assert(p.contains("GroupedTopK ["), s"heap operator missing:\n$p")
+    // the assignment lineage's per-VECTOR rank windows are fine; the
+    // trap is ranking the vocabulary over 8 cid partitions
+    assert(!p.contains("windowspecdefinition(cid"),
+      s"8-partition vocabulary window crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sink_custom_dsv2 read-back: partial+final rollup over the published parts") {
     val p = plan("q_sink_custom_dsv2")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
