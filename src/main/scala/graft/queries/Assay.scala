@@ -6,13 +6,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import U._
 
-/** Round-7 additions (SURVEY §2.30): dataset-assay operators — the
-  * checks a training-data pipeline runs on its OWN artifacts before
+/** Round-7 additions (SURVEY §2.30/§2.31): dataset-assay operators —
+  * the checks a training-data pipeline runs on its OWN artifacts before
   * shipping them. Johnson–Lindenstrauss random-sign projection (the
   * cheap dimensionality reduction in front of clustering/ANN at 100 TB),
   * kNN label-noise detection (neighborhood label agreement over the
   * memoized trained quantizer — the mislabeled-example sweep every
-  * classifier-training pipeline wants), and last-touch attribution (the
+  * classifier-training pipeline wants), Cohen's kappa over the same
+  * neighborhoods (the chance-corrected label-quality scalar), k-means
+  * cluster labeling (top TF-IDF terms per cluster through the custom
+  * GroupedTopK heap node), and last-touch attribution (the
   * click→purchase credit assignment every events pipeline reports).
   *
   * Exactness posture: house rules throughout — deterministic md5-keyed

@@ -810,6 +810,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"read-back must not join:\n$p")
   }
 
+  test("shared derived frames are memoized per session — one instance each") {
+    // the whole-graph-family incidence, the trained-quantizer probe
+    // frames, and the labeled neighbor frame must be the SAME DataFrame
+    // object on every call: the DAGScheduler can only share stages (and
+    // the cache manager its blocks) across consumers that reference one
+    // instance — a fresh plan per call would silently re-derive
+    assert(queries.U.coPurchase(spark, sf) eq queries.U.coPurchase(spark, sf))
+    assert(queries.U.coPurchaseEdges(spark, sf) eq
+      queries.U.coPurchaseEdges(spark, sf))
+    val (q1, c1) = queries.Learn.trainedProbeFrames(spark, sf, 16, 5)
+    val (q2, c2) = queries.Learn.trainedProbeFrames(spark, sf, 16, 5)
+    assert((q1 eq q2) && (c1 eq c2))
+    assert(queries.Assay.nnTop3(spark, sf, 16) eq
+      queries.Assay.nnTop3(spark, sf, 16))
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
