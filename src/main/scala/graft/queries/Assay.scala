@@ -6,17 +6,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import U._
 
-/** Round-7 additions (SURVEY §2.30/§2.31): dataset-assay operators —
-  * the checks a training-data pipeline runs on its OWN artifacts before
-  * shipping them. Johnson–Lindenstrauss random-sign projection (the
-  * cheap dimensionality reduction in front of clustering/ANN at 100 TB),
-  * kNN label-noise detection (neighborhood label agreement over the
-  * memoized trained quantizer — the mislabeled-example sweep every
-  * classifier-training pipeline wants), Cohen's kappa over the same
-  * neighborhoods (the chance-corrected label-quality scalar), k-means
-  * cluster labeling (top TF-IDF terms per cluster through the custom
-  * GroupedTopK heap node), and last-touch attribution (the
-  * click→purchase credit assignment every events pipeline reports).
+/** Round-7 additions (SURVEY §2.30/§2.31/§2.32): dataset-assay
+  * operators — the checks a training-data pipeline runs on its OWN
+  * artifacts before shipping them. Johnson–Lindenstrauss random-sign
+  * projection (the cheap dimensionality reduction in front of
+  * clustering/ANN at 100 TB), kNN label-noise detection (neighborhood
+  * label agreement over the memoized trained quantizer — the
+  * mislabeled-example sweep every classifier-training pipeline wants),
+  * Cohen's kappa over the same neighborhoods (the chance-corrected
+  * label-quality scalar), k-means cluster labeling (top TF-IDF terms
+  * per cluster through the custom GroupedTopK heap node), last-touch
+  * attribution (the click→purchase credit assignment every events
+  * pipeline reports), and the §2.32 readiness batch: squared-distance
+  * silhouette (cluster quality over the SAME Lloyd lineage), per-dim
+  * embedding drift, score calibration (reliability bins), and the
+  * shard-balance skew report over the declared shard layout.
   *
   * Exactness posture: house rules throughout — deterministic md5-keyed
   * signs, in-order HOF folds rounded to the 1e-6 grid, integer
@@ -159,6 +163,139 @@ object Assay {
             (epochS(col("ts")) - col("ck_ts")) <= 604800L)
             .cast("long").as("attributed"))
         .orderBy("event_id")
+    }),
+
+    // Squared-distance simplified silhouette per k-means cluster — the
+    // "is this clustering any good" scalar every embedding-clustering
+    // pipeline ships next to its assignment table. Per vector: a = d²
+    // to the ASSIGNED (nearest) centroid, b = d² to the second-nearest;
+    // sil = (b − a) / max(a, b) ∈ [0, 1) (centroid-based, so never
+    // negative — the classic member-distance silhouette is O(N²); this
+    // is the linear form, on SQUARED distances to stay libm-free: a
+    // monotone quality score with the same extremes). Centroids come
+    // from the SAME converged Lloyd lineage as q_llm_cluster_kmeans
+    // (Learn.kmeansVecCent) so the score provably measures the declared
+    // clustering. Shapes: one crossJoin against the broadcast 8-row
+    // centroid frame (the assign() scoring shape), a per-vector rank
+    // over 8 rows riding the vec_id shuffle, one keyed aggregate; a and
+    // b are EXACT BIGINTs (graft_l2sq on the 1e-6 grid), the per-vector
+    // ratio is one rounded IEEE division, and the cluster mean is an
+    // exact decimal sum (dsum) — order-independent cross-engine.
+    // n_boundary counts sil < 0.05 (near-tie vectors: candidates to
+    // re-assign next retrain — the actionable number in the report; the
+    // threshold sits at the observed corpus mean, where it splits the
+    // population — 0.2 classified ~99% boundary at every probed scale,
+    // an uninformative flag).
+    "q_llm_cluster_silhouette" -> ((s, d) => {
+      val (vecs, cent) = Learn.kmeansVecCent(s, d)
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val ab = vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), expr("graft_l2sq(q, c)").as("dist"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rk") === 1, col("cid"))).as("cid"),
+          max(when(col("rk") === 1, col("dist"))).as("a"),
+          max(when(col("rk") === 2, col("dist"))).as("b"))
+      ab.select(col("cid"),
+          when(greatest(col("a"), col("b")) === 0, lit(0.0))
+            .otherwise(round((col("b") - col("a")).cast("double") /
+              greatest(col("a"), col("b")), 6)).as("sil"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          round(dsum(col("sil")) / count(lit(1)), 6).as("mean_sil"),
+          min(col("sil")).as("min_sil"),
+          sum((col("sil") < 0.05).cast("long")).as("n_boundary"))
+        .orderBy("cid")
+    }),
+
+    // Per-dimension embedding drift between two deterministic halves of
+    // the corpus (vec_id parity — in production: two crawls, two dates):
+    // the embedding-space monitor that catches encoder regressions and
+    // upstream distribution shift BEFORE a retrain consumes the table.
+    // Per (half, dim): exact BIGINT sums on the 1e-6 grid (the
+    // embed_standardize moment discipline — pure map-side combine over
+    // a 2×64-group agg), then per-dim means as single IEEE divisions
+    // and the shift as the |difference| of the rounded means — every
+    // reported number is bit-identical cross-engine by construction.
+    // Output: 64 rows, one keyed aggregate, no window, no join wider
+    // than the 128-row pivot.
+    "q_dq_embed_drift" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .select((col("vec_id") % 2).cast("int").as("half"), posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+          .as(Seq("dim", "g")))
+        .groupBy("half", "dim")
+        .agg(sum("g").as("sg"), count(lit(1)).as("n"))
+        .groupBy("dim")
+        .agg(max(when(col("half") === 0, col("sg"))).as("sga"),
+          max(when(col("half") === 0, col("n"))).as("na"),
+          max(when(col("half") === 1, col("sg"))).as("sgb"),
+          max(when(col("half") === 1, col("n"))).as("nb"))
+        .select(col("dim"), col("na"), col("nb"),
+          round(col("sga").cast("double") / col("na") / 1e6, 6).as("mu_a"),
+          round(col("sgb").cast("double") / col("nb") / 1e6, 6).as("mu_b"))
+        .withColumn("shift",
+          round(abs(col("mu_a") - col("mu_b")), 6))
+        .orderBy("dim")),
+
+    // Score calibration (the reliability diagram): does a score computed
+    // on HELD-OUT behavior predict the outcome at its stated rate? Users
+    // are scored on their EVEN events (purchase share, exact integer
+    // micro-units via floor division), the outcome is measured on their
+    // ODD events (disjoint by construction — the held-out split is what
+    // makes this calibration rather than a tautology), and each decile
+    // bin reports predicted vs observed. A well-calibrated score tracks
+    // the diagonal; the gap column is what a monitoring system alerts
+    // on. ONE events scan feeding a per-user conditional aggregate
+    // (both halves in the same pass, riding one user_id shuffle), then
+    // a ≤10-row bin aggregate; every ratio is exact-integer-over-
+    // exact-integer through one rounded IEEE division.
+    "q_dq_calibration" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          sum((col("event_id") % 2 === 0).cast("long")).as("ne"),
+          sum((col("event_id") % 2 === 0 &&
+            col("event_type") === "purchase").cast("long")).as("pe"),
+          sum((col("event_id") % 2 === 1).cast("long")).as("no"),
+          sum((col("event_id") % 2 === 1 &&
+            col("event_type") === "purchase").cast("long")).as("po"))
+        .where(col("ne") > 0 && col("no") > 0)
+        .select(expr("least(9, ((1000000 * pe) div ne) div 100000)")
+            .as("bin"),
+          expr("(1000000 * pe) div ne").as("score_e6"),
+          col("no"), col("po"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("score_e6")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_score"),
+          round(sum(col("po")).cast("double") / sum(col("no")), 6)
+            .as("outcome_rate"))
+        .withColumn("gap",
+          round(abs(col("mean_score") - col("outcome_rate")), 6))
+        .orderBy("bin")),
+
+    // Shard-balance report over the DECLARED shard layout (U.shardKey —
+    // the same 64-way md5 assignment q_llm_shuffle_shards writes; one
+    // definition, so this report provably describes the layout that
+    // ships): per-shard doc count and byte load, and each shard's load
+    // relative to a perfectly even spread (load_x = bytes·64 / total —
+    // the straggler multiplier; max(load_x) IS the tail-task slowdown a
+    // 1000-executor read of this layout pays). One linear pass + a
+    // 64-group aggregate + a 1-row broadcast total; exact integers into
+    // one rounded IEEE division each.
+    "q_llm_shard_balance" -> ((s, d) => {
+      val perShard = Tables(s, d, "documents")
+        .select(pmod(U.shardKey, lit(U.shardCount)).as("shard"),
+          length(col("text")).cast("long").as("bytes"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("bytes"))
+      val tot = perShard.agg(sum("bytes").as("tb"))
+      perShard.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("bytes"),
+          round(col("bytes").cast("double") * U.shardCount / col("tb"), 6)
+            .as("load_x"))
+        .orderBy("shard")
     })
   )
 
@@ -302,6 +439,92 @@ object Assay {
            es - ck_ts AS lag_s,
            CAST(coalesce(click_event_id IS NOT NULL
              AND es - ck_ts <= 604800, FALSE) AS BIGINT) AS attributed
-         FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    // rides the SAME Lloyd CTE chain as the kmeans/cluster_terms mirrors
+    // (v = grid vectors, c2 = converged centroids; the unreferenced
+    // assignment CTEs are dead code DuckDB never runs)
+    "q_llm_cluster_silhouette" ->
+      s"""WITH ${Learn.oKmeansAssignCtes},
+         dist AS (SELECT v.vec_id, c2.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (v.q[i] - c2.c[i]) * (v.q[i] - c2.c[i]))) AS BIGINT)
+                 AS dist
+             FROM v CROSS JOIN c2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cid) AS rk FROM dist),
+         ab AS (SELECT vec_id,
+               max(CASE WHEN rk = 1 THEN cid END) AS cid,
+               max(CASE WHEN rk = 1 THEN dist END) AS a,
+               max(CASE WHEN rk = 2 THEN dist END) AS b
+             FROM r WHERE rk <= 2 GROUP BY vec_id),
+         sil AS (SELECT cid, CASE WHEN greatest(a, b) = 0 THEN 0.0
+               ELSE round(CAST(b - a AS DOUBLE) / greatest(a, b), 6) END
+                 AS sil
+             FROM ab)
+         SELECT cid, COUNT(*) AS n,
+           round(${oDsum("sil")} / COUNT(*), 6) AS mean_sil,
+           min(sil) AS min_sil,
+           CAST(SUM(CASE WHEN sil < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary
+         FROM sil GROUP BY cid ORDER BY cid""",
+
+    "q_dq_embed_drift" ->
+      """WITH g AS (SELECT CAST(vec_id % 2 AS INT) AS half, i - 1 AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS gv
+           FROM embeddings, unnest(range(1, 65)) AS t(i)),
+         m AS (SELECT half, dim, CAST(SUM(gv) AS BIGINT) AS sg,
+               COUNT(*) AS n
+             FROM g GROUP BY half, dim),
+         p AS (SELECT dim,
+               max(CASE WHEN half = 0 THEN sg END) AS sga,
+               max(CASE WHEN half = 0 THEN n END) AS na,
+               max(CASE WHEN half = 1 THEN sg END) AS sgb,
+               max(CASE WHEN half = 1 THEN n END) AS nb
+             FROM m GROUP BY dim)
+         SELECT CAST(dim AS INT) AS dim, na, nb,
+           round(CAST(sga AS DOUBLE) / na / 1000000.0, 6) AS mu_a,
+           round(CAST(sgb AS DOUBLE) / nb / 1000000.0, 6) AS mu_b,
+           round(abs(round(CAST(sga AS DOUBLE) / na / 1000000.0, 6)
+             - round(CAST(sgb AS DOUBLE) / nb / 1000000.0, 6)), 6) AS shift
+         FROM p ORDER BY dim""",
+
+    "q_dq_calibration" ->
+      """WITH u AS (SELECT user_id,
+             CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ne,
+             CAST(SUM(CASE WHEN event_id % 2 = 0
+                 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pe,
+             CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS no,
+             CAST(SUM(CASE WHEN event_id % 2 = 1
+                 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS po
+           FROM events GROUP BY user_id),
+         sc AS (SELECT least(9, ((1000000 * pe) // ne) // 100000) AS bin,
+               (1000000 * pe) // ne AS score_e6, no, po
+             FROM u WHERE ne > 0 AND no > 0)
+         SELECT bin, COUNT(*) AS n_users,
+           round(CAST(SUM(score_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS mean_score,
+           round(CAST(SUM(po) AS DOUBLE) / SUM(no), 6) AS outcome_rate,
+           round(abs(
+             round(CAST(SUM(score_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             - round(CAST(SUM(po) AS DOUBLE) / SUM(no), 6)), 6) AS gap
+         FROM sc GROUP BY bin ORDER BY bin""",
+
+    "q_llm_shard_balance" ->
+      s"""WITH s AS (SELECT ${U.oShardKey} % ${U.shardCount} AS shard,
+             CAST(length(text) AS BIGINT) AS bytes
+           FROM documents),
+         p AS (SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(bytes) AS BIGINT) AS bytes
+             FROM s GROUP BY shard),
+         t AS (SELECT CAST(SUM(bytes) AS BIGINT) AS tb FROM p)
+         SELECT shard, n_docs, bytes,
+           round(CAST(bytes AS DOUBLE) * ${U.shardCount} / tb, 6) AS load_x
+         FROM p, t ORDER BY shard"""
   )
 }

@@ -229,9 +229,8 @@ object Frontier {
     "q_llm_shuffle_shards" -> ((s, d) => {
       val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
       Tables(s, d, "documents")
-        .select(col("doc_id"),
-          expr(hexFold("md5(concat('shuf', CAST(doc_id AS STRING)))", 12)).as("skey"))
-        .withColumn("shard", pmod(col("skey"), lit(64L)))
+        .select(col("doc_id"), U.shardKey.as("skey"))
+        .withColumn("shard", pmod(col("skey"), lit(U.shardCount)))
         .withColumn("pos", (row_number().over(w) - 1).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
@@ -375,10 +374,9 @@ object Frontier {
          ${U.oDupGroups("pairs", "base")}""",
 
     "q_llm_shuffle_shards" ->
-      s"""WITH k AS (SELECT doc_id,
-             ${oHexFold("md5('shuf' || doc_id::VARCHAR)", 12)} AS skey
+      s"""WITH k AS (SELECT doc_id, ${U.oShardKey} AS skey
            FROM documents),
-         s AS (SELECT doc_id, skey, skey % 64 AS shard FROM k)
+         s AS (SELECT doc_id, skey, skey % ${U.shardCount} AS shard FROM k)
          SELECT doc_id, shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
              - 1 AS BIGINT) AS pos

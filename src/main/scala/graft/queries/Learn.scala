@@ -231,6 +231,16 @@ object Learn {
     assign(vecs, kmeansCent(vecs)).select("vec_id", "cid")
   }
 
+  /** (grid vectors, converged centroids) — the raw frames
+    * q_llm_cluster_silhouette scores on. Same single Lloyd lineage as
+    * the declared clustering (kmeansCent), so the quality score provably
+    * describes the clustering it claims to measure. */
+  private[graft] def kmeansVecCent(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val vecs = kmeansVecs(s, d)
+    (vecs, kmeansCent(vecs))
+  }
+
   private[graft] def kmeansWith(s: org.apache.spark.sql.SparkSession,
       d: String, ckpt: String): DataFrame = {
     val vecs = kmeansVecs(s, d)

@@ -144,6 +144,16 @@ object U {
         + least((300000 * length(replace(text, ' ', '')))
           // (8 * len(string_split(text, ' '))), 300000) AS BIGINT)"""
 
+  /** The 64-way md5 shard assignment — ONE definition (and one DuckDB
+    * twin) shared by q_llm_shuffle_shards (the layout writer) and
+    * q_llm_shard_balance (the skew report on that layout): a divergent
+    * key or modulus would silently make the balance report describe a
+    * layout nobody writes. Requires `doc_id` in scope. */
+  val shardCount: Long = 64L
+  val shardKey: Column =
+    expr(hexFold("md5(concat('shuf', CAST(doc_id AS STRING)))", 12))
+  val oShardKey: String = oHexFold("md5('shuf' || doc_id::VARCHAR)", 12)
+
   /** Supplier-id offset into the shared bipartite node-id space: node ids
     * `< supplierIdOffset` are customers, `>= supplierIdOffset` suppliers.
     * One constant for BOTH the edge construction ([[coPurchase]]) and the

@@ -190,4 +190,110 @@ class AssaySpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     assert(out.toSeq === expect)
   }
+
+  test("q_llm_cluster_silhouette matches the two-nearest-centroid mirror") {
+    val out = Assay.queries("q_llm_cluster_silhouette")(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    // non-vacuity both ways: boundary vectors exist, but not everywhere
+    assert(out.values.map(_._4).sum > 0)
+    assert(out.values.map(_._4).sum < out.values.map(_._1).sum)
+    assert(out.values.forall { case (_, m, lo, _) => lo >= 0.0 && lo <= m })
+    val (vecsF, centF) = graft.queries.Learn.kmeansVecCent(spark, sf)
+    val vecs = vecsF.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cent = centF.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val per = vecs.map { case (_, q) =>
+      val ds = cent.map { case (cid, c) =>
+        (q.indices.map(i => { val dd = q(i) - c(i); dd * dd }).sum, cid)
+      }.sortBy(identity)
+      val (a, cid) = ds(0); val b = ds(1)._1
+      val sil = if (math.max(a, b) == 0L) 0.0
+        else r6((b - a).toDouble / math.max(a, b))
+      (cid, sil)
+    }
+    val expect = per.groupBy(_._1).map { case (cid, xs) =>
+      val sils = xs.map(_._2)
+      val mean = r6(sils.map(BigDecimal(_)).sum.toDouble / sils.length)
+      cid -> (sils.length.toLong, mean, sils.min,
+        sils.count(_ < 0.05).toLong)
+    }
+    assert(out === expect)
+  }
+
+  test("q_dq_embed_drift matches the exact-moment mirror; halves differ") {
+    val out = Assay.queries("q_dq_embed_drift")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.size === 64)
+    // the two parity halves are different samples — drift must be
+    // nonzero SOMEWHERE (all-zero would mean the comparison is vacuous)
+    assert(out.values.exists(_._5 > 0.0))
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def grid(x: Float): Long = BigDecimal(x.toDouble * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = (0 until 64).map { dim =>
+      val a = emb.filter(_._1 % 2 == 0).map(e => grid(e._2(dim)))
+      val b = emb.filter(_._1 % 2 == 1).map(e => grid(e._2(dim)))
+      val muA = r6(a.sum.toDouble / a.length / 1e6)
+      val muB = r6(b.sum.toDouble / b.length / 1e6)
+      dim -> (a.length.toLong, b.length.toLong, muA, muB,
+        r6(math.abs(muA - muB)))
+    }.toMap
+    assert(out === expect)
+  }
+
+  test("q_dq_calibration matches the held-out-split mirror; bins populated") {
+    val out = Assay.queries("q_dq_calibration")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // a single populated bin would make the reliability curve a point —
+    // the comparison must span bins to be a calibration check at all
+    assert(out.size >= 2)
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ne = rows.count(_._2 % 2 == 0).toLong
+      val pe = rows.count(r => r._2 % 2 == 0 && r._3 == "purchase").toLong
+      val no = rows.count(_._2 % 2 == 1).toLong
+      val po = rows.count(r => r._2 % 2 == 1 && r._3 == "purchase").toLong
+      if (ne > 0 && no > 0) {
+        val score = (1000000L * pe) / ne
+        Some((math.min(9L, score / 100000L), score, no, po))
+      } else None
+    }.groupBy(_._1).map { case (bin, xs) =>
+      val mean = r6(xs.map(_._2).sum.toDouble / xs.length / 1e6)
+      val rate = r6(xs.map(_._4).sum.toDouble / xs.map(_._3).sum)
+      bin -> (xs.length.toLong, mean, rate, r6(math.abs(mean - rate)))
+    }
+    assert(out === expect)
+  }
+
+  test("q_llm_shard_balance matches the md5-layout mirror; load is uneven") {
+    val out = Assay.queries("q_llm_shard_balance")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size >= 2)
+    // skew is the whole point of the report: a perfectly flat load_x
+    // column would assert nothing (and real md5 layouts are never flat)
+    assert(out.values.exists(_._3 > 1.0) && out.values.exists(_._3 < 1.0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).length.toLong))
+    val byShard = docs.groupBy { case (id, _) =>
+      java.lang.Long.parseLong(md5hex("shuf" + id).substring(0, 12), 16) % 64
+    }
+    val total = docs.map(_._2).sum
+    val expect = byShard.map { case (sh, xs) =>
+      val bytes = xs.map(_._2).sum
+      sh -> (xs.length.toLong, bytes, r6(bytes.toDouble * 64 / total))
+    }
+    assert(out === expect)
+  }
 }

@@ -810,6 +810,57 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"read-back must not join:\n$p")
   }
 
+  // ---- round-7 §2.32 readiness-assay batch: per-operator guards ----
+
+  test("q_llm_cluster_silhouette: broadcast centroid scoring, partitioned rank, keyed agg") {
+    val p = plan("q_llm_cluster_silhouette")
+    // the 8-row centroid frame rides a broadcast (the assign() scoring
+    // shape) — a shuffled or cartesian formulation would move the big side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 2-nearest rank is per-vector, never a global sort of all pairs
+    assert(p.contains("windowspecdefinition(vec_id"),
+      s"per-vector rank window missing:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_dq_embed_drift: one scan, two keyed aggs, no join, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_dq_embed_drift")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collectLeaves().size == 1,
+      s"embeddings scanned more than once:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_dq_calibration: both halves in ONE events pass — no join, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_dq_calibration")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"split must be conditional sums, not a self-join:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collectLeaves().size == 1,
+      s"events scanned more than once:\n${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"user agg + bin agg must both combine map-side:\n$p")
+  }
+
+  test("q_llm_shard_balance: keyed agg + 1-row broadcast total, no cartesian blowup") {
+    val p = plan("q_llm_shard_balance")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
