@@ -24,7 +24,8 @@ object SparkEntry {
       Analytics.queries ++ Insights.queries ++ Workloads.queries ++
       Curation.queries ++ Learn.queries ++ Frontier.queries ++
       Signals.queries ++ Corpus.queries ++ Refine.queries ++
-      Marts.queries ++ Basis.queries ++ Diag.queries ++ Assay.queries
+      Marts.queries ++ Basis.queries ++ Diag.queries ++ Assay.queries ++
+      Behavior.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       Analytics.oracle ++ Insights.oracle ++ Workloads.oracle ++
       Curation.oracle ++ Learn.oracle ++ Frontier.oracle ++
       Signals.oracle ++ Corpus.oracle ++ Refine.oracle ++
-      Marts.oracle ++ Basis.oracle ++ Diag.oracle ++ Assay.oracle
+      Marts.oracle ++ Basis.oracle ++ Diag.oracle ++ Assay.oracle ++
+      Behavior.oracle
 }

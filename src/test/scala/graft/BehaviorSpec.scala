@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.Behavior
+
+/** Mirrors for the round-7 §2.33 behavioral-analytics batch: each
+  * query recomputed with plain Scala arithmetic under the same
+  * rounding discipline on the collected sf0.001 fixture, plus the
+  * non-vacuity checks (lift must straddle 1; credit shares must
+  * actually split). */
+class BehaviorSpec extends SparkSpec {
+
+  private def r6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_wl_market_basket matches the support/confidence/lift mirror") {
+    val out = Behavior.queries("q_wl_market_basket")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.nonEmpty)
+    // chance co-occurrence must be beaten somewhere and missed somewhere
+    // — an all-1.0 lift column would assert nothing about association
+    assert(out.values.exists(_._4 > 1.0) && out.values.exists(_._4 < 1.0))
+    val brand = Tables(spark, sf, "part").select("p_partkey", "p_brand")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val ob = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), brand(r.getLong(1)))).distinct
+    val nOrders = ob.map(_._1).distinct.length.toLong
+    val marg = ob.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val expect = ob.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val bs = xs.map(_._2).sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length)
+        yield (bs(i), bs(j))
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      val (nAb, nA, nB) = (xs.length.toLong, marg(a), marg(b))
+      (a, b) -> (nAb, nA, nB,
+        r6((nAb.toDouble * nOrders) / (nA.toDouble * nB)),
+        r6(nAb.toDouble / nA))
+    }
+    assert(out === expect)
+  }
+
+  test("q_ts_attribution_linear matches the equal-share mirror; shares split") {
+    val out = Behavior.queries("q_ts_attribution_linear")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    // non-vacuity: some click is credited by several purchases, and some
+    // purchase splits its credit (a fractional share exists) — an
+    // all-integer credit column would mean k never exceeded 1
+    assert(out.values.exists(_._1 > 1))
+    assert(out.values.exists(v => v._2 != math.floor(v._2)))
+    val ev = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.toSeq.groupBy(_._2)
+    val shares = byUser.values.toSeq.flatMap { rows =>
+      val clicks = rows.filter(_._3 == "click")
+      rows.filter(_._3 == "purchase").flatMap { p =>
+        val touched = clicks.filter(c => c._1 < p._1 && p._4 - c._4 <= 604800L)
+        touched.map(c => ((c._1, c._2), r6(1.0 / touched.length)))
+      }
+    }
+    val expect = shares.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.size.toLong,
+        xs.map(s => BigDecimal(s._2)).sum.toDouble)
+    }
+    assert(out === expect)
+  }
+}

@@ -861,6 +861,29 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }
 
+  test("q_wl_market_basket: one basket shuffle, map-side pair explode, marginals broadcast") {
+    val p = plan("q_wl_market_basket")
+    assert(p.contains("BroadcastHashJoin"), s"dim/marginal joins not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // pairs explode from the per-order array (Generate), never via a
+    // second shuffle of the incidence; the only nested-loop allowed is
+    // the 1-row n_orders broadcast
+    assert(p.contains("Generate explode"), s"pair explode missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a big-side shuffle join crept in:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"pair generation fell off the map-side path:\n$p")
+  }
+
+  test("q_ts_attribution_linear: user equi-join with band residual, per-purchase window") {
+    val p = plan("q_ts_attribution_linear")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"touch join fell off the equi path:\n$p")
+    assert(p.contains("windowspecdefinition(p_eid"),
+      s"per-purchase share count must be a partitioned window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
