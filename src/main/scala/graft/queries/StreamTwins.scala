@@ -236,6 +236,33 @@ object StreamTwins {
           (col("ck").isNotNull && (col("es") - col("ck_es")) <= 604800L)
             .cast("long").as("attributed"))
         .orderBy("event_id")
+    }),
+
+    // Linear multi-touch attribution twin (streaming impl:
+    // Streams.attributionMultiTws — per-user ListState of in-window
+    // clicks on transformWithState, one share row per touch): the
+    // per-(purchase, click) credit LEDGER q_ts_attribution_linear
+    // aggregates — here kept unaggregated because that is what a
+    // streaming append sink can emit incrementally. Same user-keyed
+    // band join + per-purchase partitioned count window as the batch
+    // report; shares on the 1e-6 grid.
+    "q_stream_attribution_multi" -> ((s, d) => {
+      val ev = withEs(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_event_id"), col("user_id"),
+          col("es").as("p_es"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_event_id"),
+          col("user_id").as("c_uid"), col("es").as("c_es"))
+      p.join(c.hint("shuffle_hash"), col("user_id") === col("c_uid") &&
+          col("click_event_id") < col("purchase_event_id") &&
+          col("p_es") - col("c_es") <= 604800L)
+        .withColumn("k",
+          count(lit(1)).over(Window.partitionBy("purchase_event_id")))
+        .select(col("user_id"), col("purchase_event_id"),
+          col("click_event_id"), col("k"),
+          round(lit(1.0) / col("k"), 6).as("share"))
+        .orderBy("purchase_event_id", "click_event_id")
     })
   )
 
@@ -377,6 +404,20 @@ object StreamTwins {
            coalesce(es - ck_es, -1) AS lag_s,
            CAST(coalesce(ck IS NOT NULL AND es - ck_es <= 604800, FALSE)
              AS BIGINT) AS attributed
-         FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "q_stream_attribution_multi" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $esSql AS es
+           FROM events),
+         t AS (SELECT p.user_id, p.event_id AS purchase_event_id,
+               c.event_id AS click_event_id,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS k
+             FROM e p JOIN e c
+               ON p.user_id = c.user_id AND c.event_id < p.event_id
+                 AND p.es - c.es <= 604800
+             WHERE p.event_type = 'purchase' AND c.event_type = 'click')
+         SELECT user_id, purchase_event_id, click_event_id,
+           CAST(k AS BIGINT) AS k, round(1.0 / k, 6) AS share
+         FROM t ORDER BY purchase_event_id, click_event_id"""
   )
 }

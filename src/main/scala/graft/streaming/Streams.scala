@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import graft.queries.U.D
 
 /** SURVEY §2.9 — Structured Streaming implementations.
@@ -395,6 +395,60 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new AttributionProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  case class MtaOut(user_id: Long, purchase_event_id: Long,
+    click_event_id: Long, k: Long, share: Double)
+
+  /** Linear multi-touch attribution on transformWithState (twin:
+    * q_stream_attribution_multi): per-user ListState of in-window
+    * clicks — NOT the full click history: every incoming click first
+    * evicts clicks older than the 7-day window (valid because per-user
+    * events arrive in event order, the same in-order contract the
+    * Kalman/last-touch processors state), so state is bounded by the
+    * window's click density, not the stream's length. A purchase reads
+    * the list, filters to strictly-prior in-window clicks, and emits
+    * one share row per touch with the batch twin's exact rounding
+    * (BigDecimal HALF_UP at 1e-6 ≡ Spark's round — the r6 convention
+    * the specs pin). Purchases emit, clicks update, other types pass. */
+  class MultiTouchProcessor
+    extends StatefulProcessor[Long, AttrEvent, MtaOut] {
+    @transient private var st: ListState[ClickState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[ClickState]("clicks",
+        Encoders.product[ClickState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[AttrEvent],
+        timers: TimerValues): Iterator[MtaOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[MtaOut]
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        e.event_type match {
+          case "click" =>
+            val kept = st.get().toArray
+              .filter(c => e.es - c.click_es <= 604800L) :+
+              ClickState(e.event_id, e.es)
+            st.put(kept)
+          case "purchase" =>
+            val touched = st.get().toArray
+              .filter(c => c.click_id < e.event_id &&
+                e.es - c.click_es <= 604800L)
+            val k = touched.length.toLong
+            touched.foreach { c =>
+              out += MtaOut(user, e.event_id, c.click_id, k,
+                BigDecimal(1.0 / k)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          case _ => ()
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def attributionMultiTws(events: Dataset[AttrEvent]): Dataset[MtaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MultiTouchProcessor, TimeMode.None(),
         OutputMode.Append())
   }
 }

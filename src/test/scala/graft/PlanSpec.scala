@@ -884,6 +884,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }
 
+  test("q_stream_attribution_multi twin: user equi-join, per-purchase window") {
+    val p = plan("q_stream_attribution_multi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"touch join fell off the equi path:\n$p")
+    assert(p.contains("windowspecdefinition(purchase_event_id"),
+      s"per-purchase share count must be a partitioned window:\n$p")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame

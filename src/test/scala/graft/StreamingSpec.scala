@@ -221,6 +221,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState multi-touch attribution converges to the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val ds = mem.toDS().map(e =>
+        Streams.AttrEvent(e.user_id, e.event_id, e.event_type, e.ts.getTime / 1000))
+      val q = Streams.attributionMultiTws(ds).toDF().writeStream
+        .format("memory").queryName("t_mta").outputMode("append").start()
+      chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val cols = Seq("user_id", "purchase_event_id", "click_event_id", "k", "share")
+      val got = spark.table("t_mta").select(cols.head, cols.tail: _*).collect().toSeq
+      val want = queries.StreamTwins.queries("q_stream_attribution_multi")(spark, sf)
+        .select(cols.head, cols.tail: _*).collect().toSeq
+      assert(got.nonEmpty && sortedSet(got) == sortedSet(want))
+      // the share rows must actually split credit somewhere (k > 1)
+      assert(got.exists(_.getLong(3) > 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState Kalman filter converges to the batch twin bitwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
