@@ -111,6 +111,69 @@ object Behavior {
         .agg(count(lit(1)).as("n_purchases"),
           dsum(col("credit")).as("credit"))
         .orderBy("click_event_id")
+    }),
+
+    // Banded dynamic-time-warping distance (Sakoe–Chiba radius 6)
+    // between the hourly purchase-cents and click-cents series — "do
+    // the two series follow the same shape, allowing small phase
+    // shifts": the alignment-tolerant companion to q_ts_xcorr's fixed
+    // lags (xcorr asks "which lag correlates"; DTW prices the best
+    // LOCAL alignment). ENTIRELY integer: per-hour exact cent sums
+    // (one events aggregate — the xcorr hourly frame with conditional
+    // sums), |a−b| step costs, BIGINT DP. The DP keeps only the
+    // 14-wide band row (a leading guard cell + offsets i−6..i+6), so
+    // the fold is O(span·band) — NEVER the O(span²) full-matrix row
+    // (which also turns the append-built row quadratic per step).
+    // The series length is calendar-bounded (8 760 h/yr) — not ×N —
+    // so the single-task fold over the 1-row frame is the right
+    // plan; if the span itself explodes, segment-parallel DTW with
+    // boundary stitching is the scale path (noted, not needed here).
+    // Out-of-band/boundary cells carry an INF sentinel (1e15: above
+    // any real path cost ≤ span·max|Δcents|, far below BIGINT
+    // overflow even after band-edge accumulation). Output: the DTW
+    // distance, the lag-0 L1 distance (the band contains the
+    // diagonal, so dtw ≤ l1 by construction), and the warp gain
+    // (l1−dtw)/l1 — the "how much does alignment explain" scalar.
+    "q_ts_dtw" -> ((s, d) => {
+      val INF = "CAST(1000000000000000 AS BIGINT)"
+      val hourly = Tables(s, d, "events")
+        .groupBy((epochS(col("ts")) - pmod(epochS(col("ts")), lit(3600L)))
+          .as("hr"))
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("pa"),
+          sum(when(col("event_type") === "click",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("ca"))
+      hourly.agg(
+          expr("transform(array_sort(collect_list(struct(hr, pa))), s -> s.pa)")
+            .as("a"),
+          expr("transform(array_sort(collect_list(struct(hr, ca))), s -> s.ca)")
+            .as("b"),
+          count(lit(1)).as("n"))
+        .select(col("n").as("n_hours"),
+          expr(s"""aggregate(sequence(1, CAST(n AS INT)), CAST(0 AS BIGINT),
+               (acc, i) -> acc + abs(element_at(a, i) - element_at(b, i)))""")
+            .as("l1_lag0"),
+          expr(s"""element_at(
+             aggregate(
+               sequence(1, CAST(n AS INT)),
+               concat(array_repeat($INF, 7), array(CAST(0 AS BIGINT)),
+                 array_repeat($INF, 6)),
+               (prev, i) -> aggregate(
+                 sequence(0, 12),
+                 array($INF),
+                 (row, o) -> concat(row, array(
+                   IF(i - 6 + o < 1 OR i - 6 + o > n, $INF,
+                      abs(element_at(a, i) - element_at(b, i - 6 + o)) +
+                      least(
+                        IF(o > 11, $INF, element_at(prev, o + 3)),
+                        element_at(prev, o + 2),
+                        element_at(row, size(row)))))))),
+             8)""").as("dtw"))
+        .select(col("n_hours"), col("l1_lag0"), col("dtw"),
+          when(col("l1_lag0") === 0, lit(0.0))
+            .otherwise(round((col("l1_lag0") - col("dtw")).cast("double") /
+              col("l1_lag0"), 6)).as("warp_gain"))
     })
   )
 
@@ -150,6 +213,58 @@ object Behavior {
          SELECT c_eid AS click_event_id, user_id,
            COUNT(*) AS n_purchases,
            CAST(SUM(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS credit
-         FROM cr GROUP BY c_eid, user_id ORDER BY click_event_id"""
+         FROM cr GROUP BY c_eid, user_id ORDER BY click_event_id""",
+
+    // the DP twin folds LIST-valued accumulators; the [i]-wrapped index
+    // lists keep list_reduce's element type equal to the accumulator
+    // type (DuckDB's fold has no separate init-type slot — the
+    // list_prepend(seed, …) convention, lifted to lists)
+    "q_ts_dtw" ->
+      """WITH es AS (SELECT (epoch_ms(ts) // 1000) AS s, event_type, value
+           FROM events),
+         hourly AS (SELECT s - (s % 3600) AS hr,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS pa,
+             CAST(SUM(CASE WHEN event_type = 'click'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS ca
+           FROM es GROUP BY hr),
+         ser AS (SELECT list(pa ORDER BY hr) AS a, list(ca ORDER BY hr) AS b,
+               COUNT(*) AS n
+             FROM hourly),
+         dp AS (SELECT n,
+             list_reduce(
+               list_prepend(
+                 [CAST(1000000000000000 AS BIGINT), 1000000000000000,
+                  1000000000000000, 1000000000000000, 1000000000000000,
+                  1000000000000000, 1000000000000000, 0,
+                  1000000000000000, 1000000000000000, 1000000000000000,
+                  1000000000000000, 1000000000000000, 1000000000000000],
+                 list_transform(range(1, n + 1), i -> [CAST(i AS BIGINT)])),
+               (prev, iw) -> list_reduce(
+                 list_prepend([CAST(1000000000000000 AS BIGINT)],
+                   list_transform(range(0, 13), o -> [CAST(o AS BIGINT)])),
+                 (row, ow) -> list_append(row,
+                   CASE WHEN iw[1] - 6 + ow[1] < 1 OR iw[1] - 6 + ow[1] > n
+                     THEN CAST(1000000000000000 AS BIGINT)
+                     ELSE abs(a[iw[1]] - b[iw[1] - 6 + ow[1]]) +
+                       least(
+                         CASE WHEN ow[1] > 11
+                           THEN CAST(1000000000000000 AS BIGINT)
+                           ELSE prev[ow[1] + 3] END,
+                         prev[ow[1] + 2],
+                         row[len(row)])
+                     END))) AS fin
+           FROM ser),
+         l1 AS (SELECT n,
+             CAST(list_sum(list_transform(range(1, n + 1),
+               i -> abs(a[i] - b[i]))) AS BIGINT) AS l1_lag0
+           FROM ser)
+         SELECT l1.n AS n_hours, l1.l1_lag0, CAST(dp.fin[8] AS BIGINT) AS dtw,
+           CASE WHEN l1.l1_lag0 = 0 THEN CAST(0 AS DOUBLE)
+             ELSE round(CAST(l1.l1_lag0 - dp.fin[8] AS DOUBLE) / l1.l1_lag0, 6)
+             END AS warp_gain
+         FROM dp, l1"""
   )
 }

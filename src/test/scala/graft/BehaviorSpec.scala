@@ -72,4 +72,44 @@ class BehaviorSpec extends SparkSpec {
     }
     assert(out === expect)
   }
+
+  test("q_ts_dtw matches the banded-DP mirror; warping beats lag-0") {
+    val out = Behavior.queries("q_ts_dtw")(spark, sf).collect()
+    assert(out.length === 1)
+    val (n, l1, dtw, gain) = (out(0).getLong(0), out(0).getLong(1),
+      out(0).getLong(2), out(0).getDouble(3))
+    // the band contains the diagonal, so dtw ≤ l1 by construction; a
+    // zero gain would mean the band never found a better alignment —
+    // non-vacuous on this data (and a degenerate all-zero series would
+    // zero l1 itself)
+    assert(l1 > 0 && dtw > 0 && dtw <= l1 && gain > 0.0)
+    val ev = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("ts").cast("long"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val hourly = ev.groupBy { case (es, _, _) => es - (es % 3600) }
+      .toSeq.sortBy(_._1).map { case (_, xs) =>
+        (xs.filter(_._2 == "purchase").map(x => cents(x._3)).sum,
+          xs.filter(_._2 == "click").map(x => cents(x._3)).sum)
+      }
+    val a = hourly.map(_._1).toArray
+    val b = hourly.map(_._2).toArray
+    val m = a.length
+    assert(n === m.toLong)
+    val INF = 1000000000000000L
+    var prev = Array.fill(m + 1)(INF); prev(0) = 0L
+    for (i <- 1 to m) {
+      val cur = Array.fill(m + 1)(INF)
+      for (j <- math.max(1, i - 6) to math.min(m, i + 6))
+        cur(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+      prev = cur
+    }
+    val mL1 = (0 until m).map(i => math.abs(a(i) - b(i))).sum
+    assert(l1 === mL1 && dtw === prev(m))
+    assert(gain === r6((mL1 - prev(m)).toDouble / mL1))
+  }
 }
