@@ -174,8 +174,103 @@ object Behavior {
           when(col("l1_lag0") === 0, lit(0.0))
             .otherwise(round((col("l1_lag0") - col("dtw")).cast("double") /
               col("l1_lag0"), 6)).as("warp_gain"))
+    }),
+
+    // Gini coefficient of customer revenue + the top-1% revenue share —
+    // the concentration report behind "how skewed is our customer
+    // base" (and, at 100 TB, "how skewed is this JOIN KEY"): G =
+    // (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over ascending exact-cent
+    // revenues. Global ranks WITHOUT a global window: the ntile/
+    // curriculum distributed-rank construction (gridBin equi-width
+    // buckets over broadcast bounds → prefixOffsets triangle → per-bin
+    // windows); equal values make rank assignment arbitrary but Σ
+    // rank·x is tie-invariant, so the tiebreak (custkey) affects
+    // nothing. Σ rank·x accumulates in DECIMAL(38,0) (rank·cents
+    // overflows BIGINT sums once n·max(rank·x) passes 2^63 — the
+    // ks_drift overflow lesson applied PREEMPTIVELY), and the final
+    // ratio is one rounded IEEE division of exact operands.
+    "q_agg_gini" -> ((s, d) => {
+      val rev = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val bounds = rev.agg(min("cents").as("lo"), max("cents").as("hi"),
+        count(lit(1)).as("ntot"))
+      val bucketed = rev.crossJoin(broadcast(bounds))
+        .withColumn("b", gridBin(col("cents"), col("lo"), col("hi"), 32))
+      val bc = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+      val offs = prefixOffsets(bc, "b", "cnt").select("b", "off")
+      val wb = Window.partitionBy("b").orderBy("cents", "o_custkey")
+      bucketed.join(broadcast(offs), "b")
+        .withColumn("pos", col("off") + row_number().over(wb))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("pos").cast(DEC38) * col("cents")).as("s1"),
+          sum(when(col("pos") > col("ntot") - expr("ntot div 100"),
+            col("cents")).otherwise(0L)).as("top1_cents"))
+        .select(col("n"), col("total_cents"),
+          round((lit(2).cast(DEC38) * col("s1") -
+            (col("n") + 1).cast(DEC38) * col("total_cents")).cast("double") /
+            (col("n").cast(DEC38) * col("total_cents")).cast("double"), 6)
+            .as("gini"),
+          round(col("top1_cents").cast("double") / col("total_cents"), 6)
+            .as("top1_share"))
+    }),
+
+    // RFM segmentation — the classic customer triage (Recency ×
+    // Frequency × Monetary quintiles) every CRM/BI pipeline ships:
+    // per customer, days since last order (vs the corpus max date),
+    // order count, and exact-cent revenue; each dimension scored 1–5
+    // by POSITION quintile (q = ⌊5·(pos−1)/n⌋+1 — equal-width by rank,
+    // deterministic under the custkey tiebreak; R inverted so 5 =
+    // most recent, the RFM convention), segments reported with size
+    // and an exact mean revenue. Three applications of the SAME
+    // distributed-rank construction as q_agg_gini (never a global
+    // window), joined back on the customer key, one ≤125-row segment
+    // aggregate.
+    "q_wl_rfm" -> ((s, d) => {
+      val maxd = Tables(s, d, "orders")
+        .agg(max(col("o_orderdate").cast("date")).as("maxd"))
+      val base = Tables(s, d, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(max(col("o_orderdate").cast("date")).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .crossJoin(broadcast(maxd))
+        .select(col("c"), datediff(col("maxd"), col("lastd")).as("rec"),
+          col("freq"), col("cents"))
+        .localCheckpoint(false)
+      def quint(v: String): org.apache.spark.sql.DataFrame = {
+        val df = base.select(col("c"), col(v))
+        val bounds = df.agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
+          count(lit(1)).as("ntot"))
+        val bucketed = df.crossJoin(broadcast(bounds))
+          .withColumn("b", gridBin(col(v), col("lo"), col("hi"), 32))
+        val bc = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+        val offs = prefixOffsets(bc, "b", "cnt").select("b", "off")
+        val wb = Window.partitionBy("b").orderBy(v, "c")
+        bucketed.join(broadcast(offs), "b")
+          .withColumn("pos", col("off") + row_number().over(wb))
+          .select(col("c"),
+            (expr("least(4, (5 * (pos - 1)) div ntot)") + 1).cast("int")
+              .as(s"q_$v"))
+      }
+      base.join(quint("rec"), "c").join(quint("freq"), "c")
+        .join(quint("cents"), "c")
+        .select(col("c"), col("cents"),
+          (lit(6) - col("q_rec")).as("r_score"),
+          col("q_freq").as("f_score"), col("q_cents").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("cents"))
+        .select(col("r_score"), col("f_score"), col("m_score"),
+          col("n_customers"),
+          round(col("cents").cast("double") / col("n_customers") / 100.0, 6)
+            .as("avg_revenue"))
+        .orderBy("r_score", "f_score", "m_score")
     })
   )
+
+  private val DEC38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
   val oracle: Map[String, String] = Map(
     "q_wl_market_basket" ->
@@ -265,6 +360,60 @@ object Behavior {
            CASE WHEN l1.l1_lag0 = 0 THEN CAST(0 AS DOUBLE)
              ELSE round(CAST(l1.l1_lag0 - dp.fin[8] AS DOUBLE) / l1.l1_lag0, 6)
              END AS warp_gain
-         FROM dp, l1"""
+         FROM dp, l1""",
+
+    // the oracle ranks with a plain global window — allowed on the
+    // DuckDB side (it is the REFERENCE, not the distributed plan);
+    // Σ rank·x is tie-invariant so the two rank constructions agree
+    "q_agg_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM orders GROUP BY o_custkey),
+         t0 AS (SELECT COUNT(*) AS ntot FROM rev),
+         r AS (SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS pos
+             FROM rev),
+         t AS (SELECT COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               SUM(CAST(pos AS DECIMAL(38,0)) * cents) AS s1,
+               CAST(SUM(CASE WHEN pos > ntot - ntot // 100 THEN cents
+                 ELSE 0 END) AS BIGINT) AS top1_cents
+             FROM r, t0 GROUP BY ntot)
+         SELECT n, total_cents,
+           round(CAST(CAST(2 AS DECIMAL(38,0)) * s1
+               - CAST(n + 1 AS DECIMAL(38,0)) * total_cents AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * total_cents AS DOUBLE), 6)
+             AS gini,
+           round(CAST(top1_cents AS DOUBLE) / total_cents, 6) AS top1_share
+         FROM t""",
+
+    "q_wl_rfm" ->
+      """WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd
+           FROM orders),
+         base AS (SELECT o_custkey AS c,
+             max(CAST(o_orderdate AS DATE)) AS lastd, COUNT(*) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM orders GROUP BY o_custkey),
+         b2 AS (SELECT c, date_diff('day', lastd, maxd) AS rec, freq, cents
+           FROM base, maxd),
+         t0 AS (SELECT COUNT(*) AS ntot FROM b2),
+         qr AS (SELECT c, CAST(least(4, (5 * (row_number()
+               OVER (ORDER BY rec, c) - 1)) // ntot) + 1 AS INT) AS q_rec
+             FROM b2, t0),
+         qf AS (SELECT c, CAST(least(4, (5 * (row_number()
+               OVER (ORDER BY freq, c) - 1)) // ntot) + 1 AS INT) AS q_freq
+             FROM b2, t0),
+         qm AS (SELECT c, CAST(least(4, (5 * (row_number()
+               OVER (ORDER BY cents, c) - 1)) // ntot) + 1 AS INT) AS q_cents
+             FROM b2, t0)
+         SELECT (6 - q_rec) AS r_score, q_freq AS f_score,
+           q_cents AS m_score, COUNT(*) AS n_customers,
+           round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             AS avg_revenue
+         FROM b2 JOIN qr USING (c) JOIN qf USING (c) JOIN qm USING (c)
+         GROUP BY r_score, f_score, m_score
+         ORDER BY r_score, f_score, m_score"""
   )
 }

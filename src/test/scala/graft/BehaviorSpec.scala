@@ -112,4 +112,65 @@ class BehaviorSpec extends SparkSpec {
     assert(l1 === mL1 && dtw === prev(m))
     assert(gain === r6((mL1 - prev(m)).toDouble / mL1))
   }
+
+  private def orderCents: Map[Long, (java.sql.Date, Long, Long)] = {
+    val rows = Tables(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderdate").cast("date"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getDouble(2)))
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    rows.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.map(_._2).maxBy(_.getTime), xs.length.toLong,
+        xs.map(x => cents(x._3)).sum)
+    }
+  }
+
+  test("q_agg_gini matches the sorted-rank mirror; concentration is real") {
+    val out = Behavior.queries("q_agg_gini")(spark, sf).collect()
+    assert(out.length === 1)
+    val (n, tot, gini, top1) = (out(0).getLong(0), out(0).getLong(1),
+      out(0).getDouble(2), out(0).getDouble(3))
+    assert(gini > 0.0 && gini < 1.0 && top1 > 0.0 && top1 < 1.0)
+    val cents = orderCents.values.map(_._3).toSeq.sorted
+    val m = cents.length
+    assert(n === m.toLong && tot === cents.sum)
+    val s1 = cents.zipWithIndex
+      .map { case (x, i) => BigInt(i + 1) * BigInt(x) }.sum
+    val mGini = r6((BigDecimal(2 * s1) - BigDecimal(m + 1) * BigDecimal(tot))
+      .toDouble / (BigDecimal(m) * BigDecimal(tot)).toDouble)
+    assert(gini === mGini)
+    val top1Cents = cents.drop(m - m / 100).sum
+    assert(top1 === r6(top1Cents.toDouble / tot))
+  }
+
+  test("q_wl_rfm matches the position-quintile mirror") {
+    val out = Behavior.queries("q_wl_rfm")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size >= 5)
+    val base = orderCents
+    val maxd = base.values.map(_._1).maxBy(_.getTime)
+    def days(a: java.sql.Date, b: java.sql.Date): Long =
+      (a.toLocalDate.toEpochDay - b.toLocalDate.toEpochDay)
+    val rows = base.toSeq.map { case (c, (lastd, freq, cents)) =>
+      (c, days(maxd, lastd), freq, cents)
+    }
+    val nt = rows.length.toLong
+    def quint[T](xs: Seq[(Long, T)])(implicit o: Ordering[T]): Map[Long, Int] =
+      xs.sortBy { case (c, v) => (v, c) }.zipWithIndex.map { case ((c, _), i) =>
+        c -> (math.min(4L, (5L * i) / nt).toInt + 1)
+      }.toMap
+    val qr = quint(rows.map(r => (r._1, r._2)))
+    val qf = quint(rows.map(r => (r._1, r._3)))
+    val qm = quint(rows.map(r => (r._1, r._4)))
+    val expect = rows.groupBy(r => (6 - qr(r._1), qf(r._1), qm(r._1)))
+      .map { case (k, xs) =>
+        k -> (xs.length.toLong,
+          r6(xs.map(_._4).sum.toDouble / xs.length / 100.0))
+      }
+    assert(out === expect)
+  }
 }

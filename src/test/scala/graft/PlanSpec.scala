@@ -903,6 +903,22 @@ class PlanSpec extends SparkSpec {
       s"events scanned more than once:\n${qe.optimizedPlan}")
   }
 
+  test("q_agg_gini ranks via the bucketed construction — per-bin windows only") {
+    val p = plan("q_agg_gini")
+    assert(p.contains("windowspecdefinition(b"),
+      s"per-bin rank window missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_wl_rfm: three bucketed quintile chains, no global window, no cartesian") {
+    val p = plan("q_wl_rfm")
+    assert(p.contains("windowspecdefinition(b"),
+      s"per-bin rank windows missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
