@@ -89,19 +89,69 @@ object Assay {
     // per-group heaps, never an 8-partition window sort (the
     // low-cardinality-partition trap q_win_rank_salted documents).
     // Scores exact: integer tf × ln(8/df) on the 1e-9 grid.
-    "q_llm_cluster_terms" -> ((s, d) => {
-      val asg = Learn.kmeansAssignments(s, d)
-        .select(col("vec_id").as("doc_id"), col("cid"))
-      val tf = Tables(s, d, "documents")
+    "q_llm_cluster_terms" -> ((s, d) =>
+      clusterTerms(s, d).orderBy("cid", "rn")),
+
+    // NPMI topic coherence of the cluster labels — the grade on
+    // q_llm_cluster_terms' OWN output (do this cluster's top terms
+    // actually co-occur in documents, or did TF-IDF pick 5 unrelated
+    // words?): per label pair, normalized pointwise mutual information
+    // ln(p(a,b)/(p(a)p(b))) / −ln p(a,b) over document co-occurrence
+    // (+1 = always together, 0 = independent, −1 floor for never
+    // observed); per cluster the mean/min over its C(5,2)=10 pairs —
+    // the standard topic-model coherence report. Scale shape: the
+    // corpus-scale work is ONE incidence pass filtered by a ≤40-term
+    // broadcast (only label-term rows survive the scan), the
+    // co-occurrence self-join fans ≤40² per doc, everything after is
+    // ≤780 rows; labels come from the SAME GroupedTopK builder as the
+    // declared report (grading labels nobody ships would be vacuous).
+    // ln on the 1e-9 grid (the zipf/entropy libm rule), one rounded
+    // division, decimal-sum means.
+    "q_llm_cluster_coherence" -> ((s, d) => {
+      // lazy localCheckpoint: the ≤40-row label frame has FOUR
+      // consumers (pair sides, term filter, and the pair build) — left
+      // as lineage each would re-run the whole Lloyd chain (measured as
+      // 37 nested-loop joins in the raw plan, one per re-derived
+      // centroid broadcast)
+      val labels = clusterTerms(s, d).select(col("cid"), col("term"))
+        .localCheckpoint(false)
+      // broadcast-filter BEFORE distinct: the dedup shuffle then carries
+      // only label-term rows, not the full-vocabulary incidence
+      // (measured 9.7 → 5.0 s at ×10; Catalyst does not push a join
+      // below a Distinct on its own). Selectivity tracks how common the
+      // label terms are — the win grows as the vocabulary does.
+      val dinc = Tables(s, d, "documents")
         .select(col("doc_id"), explode(textTokens).as("term"))
-        .join(asg, "doc_id")
-        .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
-      val scored = tf.join(dfc, "term")
-        .select(col("cid"), col("term"), col("tf"),
-          round(col("tf") * expr("round(ln(8.0 / dfc), 9)"), 9).as("score"))
-      graft.plans.GraftPlans.groupedTopK(scored, "cid", "score", "term", 5)
-        .orderBy("cid", "rn")
+        .join(broadcast(labels.select("term").distinct()), "term")
+        .distinct()
+      val nDocs = Tables(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val marg = dinc.groupBy("term").agg(count(lit(1)).as("n_t"))
+      val pairs = labels.select(col("cid"), col("term").as("ta"))
+        .join(labels.select(col("cid").as("cidb"), col("term").as("tb")),
+          col("cid") === col("cidb") && col("ta") < col("tb"))
+        .select("cid", "ta", "tb")
+      val co = dinc.select(col("doc_id"), col("term").as("ta"))
+        .join(dinc.select(col("doc_id").as("db"), col("term").as("tb")),
+          col("doc_id") === col("db") && col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+      pairs.join(co, Seq("ta", "tb"), "left")
+        .join(broadcast(marg.select(col("term").as("ta"),
+          col("n_t").as("n_a"))), "ta")
+        .join(broadcast(marg.select(col("term").as("tb"),
+          col("n_t").as("n_b"))), "tb")
+        .crossJoin(broadcast(nDocs))
+        .select(col("cid"), (col("n_ab").isNotNull).cast("long").as("obs"),
+          when(col("n_ab").isNull, lit(-1.0))
+            .when(col("n_ab") === col("nd"), lit(1.0))
+            .otherwise(round(
+              expr("round(ln((CAST(n_ab AS DOUBLE) * nd) / (CAST(n_a AS DOUBLE) * n_b)), 9)") /
+              expr("round(-ln(CAST(n_ab AS DOUBLE) / nd), 9)"), 6))
+            .as("npmi"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("obs")).as("n_observed"),
+          round(dsum(col("npmi")) / count(lit(1)), 6).as("mean_npmi"),
+          min(col("npmi")).as("min_npmi"))
+        .orderBy("cid")
     }),
 
     // Cohen's kappa between the declared label and its NEIGHBORHOOD
@@ -299,6 +349,38 @@ object Assay {
     })
   )
 
+  /** The top-5-terms-per-cluster label frame (cid, term, tf, score,
+    * rn) through the GroupedTopK heap node — ONE builder for the
+    * declared q_llm_cluster_terms report and the coherence score that
+    * grades it (a divergent label derivation would let coherence grade
+    * labels nobody ships).
+    *
+    * Scoring is c-TF-IDF-with-lift: score = tf_c · ln(8·tf_c/tf_total)
+    * — how much the cluster OVER-represents the term vs a uniform
+    * spread. The first formulation used cluster-level IDF
+    * (tf·ln(8/df_clusters)) and was measurably vacuous on this corpus:
+    * with a shared vocabulary every common term sits in all 8 clusters
+    * (df = 8 ⇒ score ≡ 0), so the "top 5" degenerated to alphabetical
+    * ties — 0/40 nonzero scores at sf0.1, and the coherence assay
+    * reported the SAME labels for every cluster (which is how the
+    * defect surfaced). The lift form discriminates regardless of
+    * vocabulary overlap; ln rides the 1e-9 grid as before. */
+  private[graft] def clusterTerms(s: SparkSession, d: String): DataFrame = {
+    val asg = Learn.kmeansAssignments(s, d)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val tf = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(textTokens).as("term"))
+      .join(asg, "doc_id")
+      .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("term").agg(sum(col("tf")).as("tfall"))
+    val scored = tf.join(tot, "term")
+      .select(col("cid"), col("term"), col("tf"),
+        round(col("tf") *
+          expr("round(ln(CAST(8 * tf AS DOUBLE) / tfall), 9)"), 9)
+          .as("score"))
+    graft.plans.GraftPlans.groupedTopK(scored, "cid", "score", "term", 5)
+  }
+
   /** The labeled top-3-neighbor frame (qid, qlabel, clabel, cid, dot)
     * over the trained quantizer — memoized + lazily persisted per
     * (session, sfDir, cells): q_llm_label_noise and q_dq_cohens_kappa
@@ -334,6 +416,28 @@ object Assay {
         sum((col("n_agree") === 0).cast("long")).as("n_suspect"))
       .orderBy("label")
   }
+
+  /** The shared cluster-labeling oracle CTE chain (Lloyd assignment →
+    * per-cluster tf → df → TF-IDF rank `r`) — one definition for the
+    * q_llm_cluster_terms mirror and the coherence mirror that grades
+    * the same labels. */
+  private[graft] val oClusterTermsCtes: String =
+    s"""${Learn.oKmeansAssignCtes},
+       tok AS (SELECT d.doc_id, a3.cid,
+             unnest(string_split(d.text, ' ')) AS term
+           FROM documents d JOIN a3 ON a3.vec_id = d.doc_id),
+       tf AS (SELECT cid, term, COUNT(*) AS tf
+              FROM tok GROUP BY cid, term),
+       tot AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tfall
+               FROM tf GROUP BY term),
+       sc AS (SELECT cid, term, tf,
+                round(tf * round(ln(CAST(8 * tf AS DOUBLE) / tfall), 9), 9)
+                  AS score
+              FROM tf JOIN tot USING (term)),
+       r AS (SELECT cid, term, CAST(tf AS BIGINT) AS tf, score,
+               CAST(row_number() OVER (PARTITION BY cid
+                 ORDER BY score DESC, term) AS INT) AS rn
+             FROM sc)"""
 
   val oracle: Map[String, String] = Map(
     "q_llm_embed_project" ->
@@ -375,22 +479,46 @@ object Assay {
          FROM per GROUP BY qlabel ORDER BY qlabel""",
 
     "q_llm_cluster_terms" ->
-      s"""WITH ${Learn.oKmeansAssignCtes},
-         tok AS (SELECT d.doc_id, a3.cid,
-               unnest(string_split(d.text, ' ')) AS term
-             FROM documents d JOIN a3 ON a3.vec_id = d.doc_id),
-         tf AS (SELECT cid, term, COUNT(*) AS tf
-                FROM tok GROUP BY cid, term),
-         dfc AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term),
-         sc AS (SELECT cid, term, tf,
-                  round(tf * round(ln(8.0 / dfc), 9), 9) AS score
-                FROM tf JOIN dfc USING (term)),
-         r AS (SELECT cid, term, CAST(tf AS BIGINT) AS tf, score,
-                 CAST(row_number() OVER (PARTITION BY cid
-                   ORDER BY score DESC, term) AS INT) AS rn
-               FROM sc)
+      s"""WITH $oClusterTermsCtes
          SELECT cid, term, tf, score, rn FROM r WHERE rn <= 5
          ORDER BY cid, rn""",
+
+    "q_llm_cluster_coherence" ->
+      s"""WITH $oClusterTermsCtes,
+         lab AS (SELECT cid, term FROM r WHERE rn <= 5),
+         labt AS (SELECT DISTINCT term FROM lab),
+         dinc AS (SELECT DISTINCT doc_id, term
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents) x
+             JOIN labt USING (term)),
+         nd AS (SELECT COUNT(*) AS nd FROM documents),
+         marg AS (SELECT term, COUNT(*) AS n_t FROM dinc GROUP BY term),
+         pr2 AS (SELECT a.cid, a.term AS ta, b.term AS tb
+             FROM lab a JOIN lab b ON a.cid = b.cid AND a.term < b.term),
+         co AS (SELECT x.term AS ta, y.term AS tb, COUNT(*) AS n_ab
+             FROM dinc x JOIN dinc y
+               ON x.doc_id = y.doc_id AND x.term < y.term
+             GROUP BY x.term, y.term),
+         sc2 AS (SELECT pr2.cid, co.n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+               nd.nd
+             FROM pr2 LEFT JOIN co ON pr2.ta = co.ta AND pr2.tb = co.tb
+             JOIN marg ma ON pr2.ta = ma.term
+             JOIN marg mb ON pr2.tb = mb.term, nd),
+         np AS (SELECT cid,
+               CASE WHEN n_ab IS NULL THEN 0 ELSE 1 END AS obs,
+               CASE WHEN n_ab IS NULL THEN CAST(-1.0 AS DOUBLE)
+                 WHEN n_ab = nd THEN CAST(1.0 AS DOUBLE)
+                 ELSE round(
+                   round(ln((CAST(n_ab AS DOUBLE) * nd)
+                     / (CAST(n_a AS DOUBLE) * n_b)), 9)
+                   / round(-ln(CAST(n_ab AS DOUBLE) / nd), 9), 6) END
+                 AS npmi
+             FROM sc2)
+         SELECT cid, COUNT(*) AS n_pairs,
+           CAST(SUM(obs) AS BIGINT) AS n_observed,
+           round(${oDsum("npmi")} / COUNT(*), 6) AS mean_npmi,
+           min(npmi) AS min_npmi
+         FROM np GROUP BY cid ORDER BY cid""",
 
     "q_dq_cohens_kappa" ->
       s"""WITH ${Learn.oTrainedCtes},

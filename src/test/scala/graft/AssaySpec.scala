@@ -92,6 +92,10 @@ class AssaySpec extends SparkSpec {
     val byC = out.groupBy(_._1)
     assert(byC.values.forall(v => v.map(_._5).sorted.toSeq == (1 to v.length)))
     assert(byC.values.forall(_.length <= 5))
+    // the lift scoring must DISCRIMINATE: at least two clusters carry
+    // different label sets (the cluster-IDF form degenerated to the
+    // same alphabetical ties everywhere — the defect coherence caught)
+    assert(byC.values.map(_.map(_._2).toSet).toSet.size > 1)
     // mirror FROM the same collected assignment (the clustering itself
     // is oracled via q_llm_cluster_kmeans): recompute tf/df/score and
     // the (score desc, term) top-5 per cluster in plain Scala
@@ -103,16 +107,54 @@ class AssaySpec extends SparkSpec {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val tf = docs.flatMap { case (id, tk) => tk.map(t => (asg(id), t)) }
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val dfc = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size }
+    val tfall = tf.toSeq.groupBy(_._1._2)
+      .map { case (t, xs) => t -> xs.map(_._2).sum }
     val expect = tf.toSeq
       .map { case ((cid, t), n) =>
-        (cid, t, n, r9(n * r9(math.log(8.0 / dfc(t))))) }
+        (cid, t, n, r9(n * r9(math.log(8.0 * n / tfall(t))))) }
       .groupBy(_._1)
       .flatMap { case (_, rows) =>
         rows.sortBy { case (_, t, _, sc) => (-sc, t) }.take(5).zipWithIndex
           .map { case ((cid, t, n, sc), i) => (cid, t, n, sc, i + 1) }
       }.toSeq.sortBy(r => (r._1, r._5))
     assert(out.toSeq.sortBy(r => (r._1, r._5)) === expect)
+  }
+
+  test("q_llm_cluster_coherence matches the NPMI mirror over the shared labels") {
+    val out = Assay.queries("q_llm_cluster_coherence")(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size === 8)
+    val labels = Assay.clusterTerms(spark, sf).select("cid", "term")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getString(1).split(" ").toSet)
+    val nd = docs.length.toLong
+    val labSet = labels.map(_._2).toSet
+    val inc = docs.map(_.intersect(labSet))
+    def nWith(t: String) = inc.count(_.contains(t)).toLong
+    def nBoth(a: String, b: String) =
+      inc.count(s => s.contains(a) && s.contains(b)).toLong
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = labels.groupBy(_._1).map { case (cid, ls) =>
+      val ts = ls.map(_._2).sorted
+      val prs = for (i <- ts.indices; j <- i + 1 until ts.length)
+        yield (ts(i), ts(j))
+      val np = prs.map { case (a, b) =>
+        val nab = nBoth(a, b)
+        val v = if (nab == 0) -1.0
+          else if (nab == nd) 1.0
+          else r6(r9(math.log(nab.toDouble * nd /
+              (nWith(a).toDouble * nWith(b)))) /
+            r9(-math.log(nab.toDouble / nd)))
+        (if (nab > 0) 1L else 0L, v)
+      }
+      cid -> (prs.length.toLong, np.map(_._1).sum,
+        r6(np.map(x => BigDecimal(x._2)).sum.toDouble / prs.length),
+        np.map(_._2).min)
+    }
+    assert(out === expect)
   }
 
   test("q_dq_cohens_kappa matches the majority-vote mirror; kappa in [-1, 1]") {

@@ -919,6 +919,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }
 
+  test("q_llm_cluster_coherence: label-term broadcast filters the corpus scan") {
+    val p = plan("q_llm_cluster_coherence")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label-term filter / marginals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is the 1-row doc-count broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"co-occurrence fell off the equi path:\n$p")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
