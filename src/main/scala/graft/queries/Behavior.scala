@@ -267,10 +267,43 @@ object Behavior {
           round(col("cents").cast("double") / col("n_customers") / 100.0, 6)
             .as("avg_revenue"))
         .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // Cohort LTV curves — the companion to q_ts_retention_cohort that
+    // reports MONEY instead of presence: users cohorted by first-
+    // purchase WEEK (epoch-week index — calendar months are vacuous on
+    // this corpus, whose events span ~one month at every SF; weeks
+    // give a real multi-cohort, multi-age curve), each cohort's
+    // revenue accumulated by age (weeks since acquisition); avg_ltv =
+    // cumulative cents / cohort size is the curve a growth dashboard
+    // overlays per cohort. Shapes: one purchases pass → per-user first
+    // week (keyed agg) → join back on the USER key → a (cohort, age)
+    // aggregate whose output is calendar-bounded, so the running-total
+    // window and the size join ride a bounded frame (the per-cohort
+    // cumsum is a partitioned window over weeks, not data). Exact
+    // integer cents throughout; one rounded division at the end.
+    "q_wl_cohort_ltv" -> ((s, d) => {
+      val p = Tables(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 604800").as("m"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val coh = p.groupBy("user_id").agg(min(col("m")).as("cm"))
+      val sz = coh.groupBy("cm").agg(count(lit(1)).as("cohort_size"))
+      val wc = Window.partitionBy("cm").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      p.join(coh, "user_id")
+        .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+        .agg(sum(col("cents")).as("rev_cents"))
+        .join(broadcast(sz), "cm")
+        .withColumn("cum_cents", sum(col("rev_cents")).over(wc))
+        .select(col("cm").as("cohort_w"), col("age"), col("cohort_size"),
+          col("rev_cents"), col("cum_cents"),
+          round(col("cum_cents").cast("double") / col("cohort_size") / 100.0,
+            6).as("avg_ltv"))
+        .orderBy("cohort_w", "age")
     })
   )
-
-  private val DEC38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
   val oracle: Map[String, String] = Map(
     "q_wl_market_basket" ->
@@ -414,6 +447,26 @@ object Behavior {
              AS avg_revenue
          FROM b2 JOIN qr USING (c) JOIN qf USING (c) JOIN qm USING (c)
          GROUP BY r_score, f_score, m_score
-         ORDER BY r_score, f_score, m_score"""
+         ORDER BY r_score, f_score, m_score""",
+
+    "q_wl_cohort_ltv" ->
+      """WITH p AS (SELECT user_id,
+             (epoch_ms(ts) // 1000) // 604800 AS m,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         coh AS (SELECT user_id, min(m) AS cm FROM p GROUP BY user_id),
+         sz AS (SELECT cm, COUNT(*) AS cohort_size FROM coh GROUP BY cm),
+         ba AS (SELECT coh.cm, p.m - coh.cm AS age,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+             FROM p JOIN coh USING (user_id) GROUP BY coh.cm, age),
+         w AS (SELECT cm, age, rev_cents,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cm ORDER BY age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cents
+             FROM ba)
+         SELECT w.cm AS cohort_w, age, cohort_size, rev_cents, cum_cents,
+           round(CAST(cum_cents AS DOUBLE) / cohort_size / 100.0, 6)
+             AS avg_ltv
+         FROM w JOIN sz USING (cm) ORDER BY cohort_w, age"""
   )
 }

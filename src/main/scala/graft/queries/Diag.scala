@@ -131,8 +131,7 @@ object Diag {
         .groupBy("user_id")
         .agg((sum((col("event_type") === "purchase").cast("long")) >= 14)
           .cast("long").as("conv"))
-        .withColumn("arm", expr(
-          s"${hexFold("md5(concat('ab', CAST(user_id AS STRING)))", 13)} % 2"))
+        .withColumn("arm", U.abArm)
       val arms = users.groupBy("arm")
         .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
       val a = arms.where(col("arm") === 0)
@@ -150,6 +149,51 @@ object Diag {
           round((col("p_a") - col("p_b")) /
             sqrt(col("pp") * (lit(1.0) - col("pp")) *
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+    }),
+
+    // Welch's unequal-variance t-test on a CONTINUOUS metric (per-user
+    // total purchase cents) between the SAME md5 arms as q_dq_ab_test
+    // (U.abArm — one split definition, so the dashboard's rate and
+    // mean describe one experiment): the standard A/B companion when
+    // the metric is revenue rather than conversion. Per-arm moments
+    // are EXACT (Σv as BIGINT, Σv² in DECIMAL(38,0) — v² alone reaches
+    // 1e14, so a BIGINT sum wraps within the claimed scale posture);
+    // every downstream double (means, variances, t, Welch–Satterthwaite
+    // df) is derived from those exact operands with ONE pinned
+    // operation order mirrored literally in the oracle, then rounded.
+    // One user-keyed pass + a 2-row arm aggregate + a 1-row closed form.
+    "q_dq_ab_welch" -> ((s, d) => {
+      val users = Tables(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        .withColumn("arm", U.abArm)
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v").cast(DEC38) * col("v")).as("s2"))
+      val a = arms.where(col("arm") === 0)
+        .select(col("n").as("n_a"), col("s1").as("s1a"), col("s2").as("s2a"))
+      val b = arms.where(col("arm") === 1)
+        .select(col("n").as("n_b"), col("s1").as("s1b"), col("s2").as("s2b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("ma", col("s1a").cast("double") / col("n_a"))
+        .withColumn("mb", col("s1b").cast("double") / col("n_b"))
+        .withColumn("va", (col("s2a").cast("double") -
+          col("s1a").cast("double") * col("s1a") / col("n_a")) /
+          (col("n_a") - 1))
+        .withColumn("vb", (col("s2b").cast("double") -
+          col("s1b").cast("double") * col("s1b") / col("n_b")) /
+          (col("n_b") - 1))
+        .withColumn("qa", col("va") / col("n_a"))
+        .withColumn("qb", col("vb") / col("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(col("ma") / 100.0, 6).as("mean_a"),
+          round(col("mb") / 100.0, 6).as("mean_b"),
+          round((col("ma") - col("mb")) / sqrt(col("qa") + col("qb")), 6)
+            .as("t"),
+          round((col("qa") + col("qb")) * (col("qa") + col("qb")) /
+            (col("qa") * col("qa") / (col("n_a") - 1) +
+              col("qb") * col("qb") / (col("n_b") - 1)), 6).as("df"))
     }),
 
     // Differential-privacy release mechanism over the per-language
@@ -419,7 +463,7 @@ object Diag {
         s"""WITH u AS (SELECT user_id,
                CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                  >= 14 THEN 1 ELSE 0 END AS conv,
-               ${oHexFold("md5('ab' || CAST(user_id AS VARCHAR))", 13)} % 2 AS arm
+               ${U.oAbArm} AS arm
              FROM events GROUP BY user_id),
            arms AS (SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
                     FROM u GROUP BY arm),
@@ -437,6 +481,41 @@ object Diag {
              round((p_a - p_b) / sqrt(pp * (1.0 - pp)
                * (1.0 / n_a + 1.0 / n_b)), 6) AS z
            FROM p""",
+
+      // the double chain (means, variances, t, df) mirrors the Spark
+      // operation order LITERALLY — exact integer moments in, one
+      // pinned IEEE sequence out
+      "q_dq_ab_welch" ->
+        s"""WITH u AS (SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,
+               ${U.oAbArm} AS arm
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           arms AS (SELECT arm, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+                 SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2
+               FROM u GROUP BY arm),
+           ab AS (SELECT
+               (SELECT n FROM arms WHERE arm = 0) AS n_a,
+               (SELECT s1 FROM arms WHERE arm = 0) AS s1a,
+               (SELECT s2 FROM arms WHERE arm = 0) AS s2a,
+               (SELECT n FROM arms WHERE arm = 1) AS n_b,
+               (SELECT s1 FROM arms WHERE arm = 1) AS s1b,
+               (SELECT s2 FROM arms WHERE arm = 1) AS s2b),
+           m AS (SELECT n_a, n_b,
+               CAST(s1a AS DOUBLE) / n_a AS ma,
+               CAST(s1b AS DOUBLE) / n_b AS mb,
+               (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+                 / (n_a - 1) AS va,
+               (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+                 / (n_b - 1) AS vb
+             FROM ab),
+           q AS (SELECT n_a, n_b, ma, mb, va / n_a AS qa, vb / n_b AS qb
+                 FROM m)
+           SELECT n_a, n_b,
+             round(ma / 100.0, 6) AS mean_a, round(mb / 100.0, 6) AS mean_b,
+             round((ma - mb) / sqrt(qa + qb), 6) AS t,
+             round((qa + qb) * (qa + qb)
+               / (qa * qa / (n_a - 1) + qb * qb / (n_b - 1)), 6) AS df
+           FROM q""",
 
       "q_dq_dp_release" ->
         s"""WITH c AS (SELECT lang, COUNT(*) AS n_true FROM documents

@@ -24,6 +24,12 @@ object U {
   // row. At scale 4 they disagreed on boundary rows (observed 3e-4 drift).
   val D: DecimalType = DecimalType(18, 6)
 
+  /** Exact integer accumulator for products that outgrow BIGINT sums
+    * (rank·x moments, Σv² second moments — the ks_drift overflow
+    * lesson applied wherever a product of two large integers is
+    * summed). */
+  val DEC38: DecimalType = DecimalType(38, 0)
+
   /** Order-independent exact sum of a double expression, emitted as double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
@@ -143,6 +149,17 @@ object U {
           // len(string_split(text, ' '))
         + least((300000 * length(replace(text, ' ', '')))
           // (8 * len(string_split(text, ' '))), 300000) AS BIGINT)"""
+
+  /** Deterministic A/B arm assignment (md5 parity of 'ab'+user_id) —
+    * ONE definition (and one DuckDB twin) for the conversion z-test
+    * (q_dq_ab_test) and the continuous-metric Welch t-test
+    * (q_dq_ab_welch): both tests must describe the SAME experiment
+    * split or the dashboard pairs a rate and a mean from different
+    * experiments. Requires `user_id` in scope. */
+  val abArm: Column =
+    expr(s"${hexFold("md5(concat('ab', CAST(user_id AS STRING)))", 13)} % 2")
+  val oAbArm: String =
+    s"${oHexFold("md5('ab' || CAST(user_id AS VARCHAR))", 13)} % 2"
 
   /** The 64-way md5 shard assignment — ONE definition (and one DuckDB
     * twin) shared by q_llm_shuffle_shards (the layout writer) and

@@ -173,4 +173,38 @@ class BehaviorSpec extends SparkSpec {
       }
     assert(out === expect)
   }
+
+  test("q_wl_cohort_ltv matches the weekly-cohort mirror; curve is real") {
+    val out = Behavior.queries("q_wl_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // a curve needs multiple cohorts AND multiple ages (the monthly
+    // form collapsed to one row on this corpus — the vacuity rule)
+    assert(out.keys.map(_._1).toSet.size >= 2)
+    assert(out.keys.map(_._2).max >= 1)
+    val ev = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("long"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .filter(_._3 == "purchase")
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val p = ev.map(e => (e._1, e._2 / 604800L, cents(e._4)))
+    val coh = p.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val sizes = coh.values.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val byAge = p.groupBy(r => (coh(r._1), r._2 - coh(r._1)))
+      .map { case (k, xs) => k -> xs.map(_._3).sum }
+    val expect = byAge.groupBy(_._1._1).flatMap { case (cw, xs) =>
+      val sorted = xs.toSeq.sortBy(_._1._2)
+      sorted.zipWithIndex.map { case (((_, age), rev), i) =>
+        val cum = sorted.take(i + 1).map(_._2).sum
+        (cw, age) -> (sizes(cw), rev, cum,
+          r6(cum.toDouble / sizes(cw) / 100.0))
+      }
+    }
+    assert(out === expect)
+  }
 }

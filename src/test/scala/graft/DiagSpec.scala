@@ -293,4 +293,44 @@ class DiagSpec extends SparkSpec {
     assert(math.abs(intercept - BigDecimal((sy - sl * sx) / nn).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, "intercept mirror")
   }
+
+  test("q_dq_ab_welch matches the exact-moment mirror on the shared arms") {
+    val out = graft.queries.Diag.queries("q_dq_ab_welch")(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val (meanA, meanB, t, df) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // both arms populated with enough users for a variance
+    assert(nA > 1 && nB > 1 && df > 1.0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val users = Tables(spark, sf, "events")
+      .select("user_id", "event_type", "value").collect()
+      .map(rr => (rr.getLong(0), rr.getString(1), rr.getDouble(2)))
+      .filter(_._2 == "purchase").groupBy(_._1).toSeq
+      .map { case (u, v) =>
+        (java.lang.Long.parseLong(md5hex("ab" + u).substring(0, 13), 16) % 2,
+          v.map(x => cents(x._3)).sum)
+      }
+    val (aArm, bArm) = users.partition(_._1 == 0)
+    def mom(xs: Seq[Long]): (Long, Long, BigInt) =
+      (xs.size.toLong, xs.sum, xs.map(x => BigInt(x) * BigInt(x)).sum)
+    val (na, s1a, s2a) = mom(aArm.map(_._2))
+    val (nb, s1b, s2b) = mom(bArm.map(_._2))
+    assert(nA === na && nB === nb)
+    val ma = s1a.toDouble / na; val mb = s1b.toDouble / nb
+    val va = (s2a.toDouble - s1a.toDouble * s1a / na) / (na - 1)
+    val vb = (s2b.toDouble - s1b.toDouble * s1b / nb) / (nb - 1)
+    val qa = va / na; val qb = vb / nb
+    assert(meanA === r6(ma / 100.0) && meanB === r6(mb / 100.0))
+    assert(t === r6((ma - mb) / math.sqrt(qa + qb)))
+    assert(df === r6((qa + qb) * (qa + qb) /
+      (qa * qa / (na - 1) + qb * qb / (nb - 1))))
+  }
 }

@@ -929,6 +929,21 @@ class PlanSpec extends SparkSpec {
       s"co-occurrence fell off the equi path:\n$p")
   }
 
+  test("q_dq_ab_welch: per-user pass, arm frames cross only as broadcasts") {
+    val p = plan("q_dq_ab_welch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
+  test("q_wl_cohort_ltv: user-keyed cohort join, per-cohort bounded cumsum window") {
+    val p = plan("q_wl_cohort_ltv")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(cm"),
+      s"per-cohort cumsum must be a partitioned window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
