@@ -72,6 +72,46 @@ object Frontier {
         .orderBy("id")
     }),
 
+    // Weighted shortest path (bounded Bellman–Ford, 4 relaxation
+    // rounds) from the BFS seed set over the co-purchase graph with
+    // edge weight = the pair's CHEAPEST co-purchase (min lineitem
+    // cents): "how cheaply can this customer reach that supplier
+    // through the purchase network" — the weighted sibling of
+    // q_graph_bfs (same bipartite incidence SUPPORT by construction —
+    // min exists exactly where the distinct pair does — same seed
+    // convention, same fixed-round unrolled-oracle discipline; 4
+    // rounds cover the probed diameter, and a production run loops
+    // the same round to a fixpoint under the kcore checkpoint rule).
+    // Per round: one keyed edge join + a node-keyed min — never
+    // all-pairs; distances are exact BIGINT cent sums (≤ 4 edges ×
+    // max cents, nowhere near overflow); lazy localCheckpoint per
+    // round keeps the lineage linear (the BFS/kcore lesson). Output:
+    // the 20 nearest nodes via a TakeOrdered heap under a total
+    // (dist, id) order.
+    "q_graph_shortest_path" -> ((s, d) => {
+      val oi = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("cust"),
+          (col("l_suppkey") + U.supplierIdOffset).as("supp"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      val e = oi.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst"),
+          col("w")))
+        .localCheckpoint(false)
+      val seeds = Tables(s, d, "customer").where(col("c_custkey") < 5)
+        .select(col("c_custkey").as("id"), lit(0L).as("dcents"))
+      var dist = seeds
+      for (_ <- 1 to 4) {
+        val relax = dist.join(e, col("id") === col("src"))
+          .select(col("dst").as("id"), (col("dcents") + col("w")).as("dcents"))
+        dist = dist.unionAll(relax)
+          .groupBy("id").agg(min(col("dcents")).as("dcents"))
+          .localCheckpoint(false)
+      }
+      dist.select(col("id"), col("dcents").as("dist_cents"))
+        .orderBy(col("dist_cents"), col("id")).limit(20)
+    }),
+
     // Two-pass distributed heavy hitters (the TPUT/threshold-algorithm
     // shape): pass 1 ranks terms within each of 16 deterministic shards
     // (doc_id mod 16) and keeps each shard's top-256 as CANDIDATES;
@@ -295,6 +335,34 @@ object Frontier {
                 UNION ALL SELECT id, 4 FROM r4)
          SELECT id, CAST(MIN(lvl) AS INT) AS dist
          FROM lv GROUP BY id ORDER BY id""",
+
+    "q_graph_shortest_path" ->
+      """WITH oi AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp,
+             MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY cust, supp),
+         e AS (SELECT cust AS src, supp AS dst, w FROM oi
+               UNION ALL SELECT supp AS src, cust AS dst, w FROM oi),
+         d0 AS (SELECT c_custkey AS id, CAST(0 AS BIGINT) AS dc
+                FROM customer WHERE c_custkey < 5),
+         d1 AS (SELECT id, CAST(MIN(dc) AS BIGINT) AS dc FROM (
+                SELECT id, dc FROM d0
+                UNION ALL SELECT e.dst, d0.dc + e.w FROM e
+                  JOIN d0 ON e.src = d0.id) GROUP BY id),
+         d2 AS (SELECT id, CAST(MIN(dc) AS BIGINT) AS dc FROM (
+                SELECT id, dc FROM d1
+                UNION ALL SELECT e.dst, d1.dc + e.w FROM e
+                  JOIN d1 ON e.src = d1.id) GROUP BY id),
+         d3 AS (SELECT id, CAST(MIN(dc) AS BIGINT) AS dc FROM (
+                SELECT id, dc FROM d2
+                UNION ALL SELECT e.dst, d2.dc + e.w FROM e
+                  JOIN d2 ON e.src = d2.id) GROUP BY id),
+         d4 AS (SELECT id, CAST(MIN(dc) AS BIGINT) AS dc FROM (
+                SELECT id, dc FROM d3
+                UNION ALL SELECT e.dst, d3.dc + e.w FROM e
+                  JOIN d3 ON e.src = d3.id) GROUP BY id)
+         SELECT id, dc AS dist_cents FROM d4
+         ORDER BY dist_cents, id LIMIT 20""",
 
     "q_agg_heavy_hitters" ->
       """WITH tok AS (

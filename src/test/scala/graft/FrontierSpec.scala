@@ -20,6 +20,38 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("q_graph_shortest_path matches the 4-round Bellman-Ford mirror") {
+    val out = SparkEntry.queries("q_graph_shortest_path")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 20)
+    // seeds at 0, and real weighted distances beyond them
+    assert(out.count(_._2 == 0L) <= 5 && out.exists(_._2 > 0L))
+    // mirror: same weighted edges, same bounded rounds, plain Scala
+    val rows = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1000000L,
+        BigDecimal(r.getDouble(2) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val w = rows.groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => k -> xs.map(_._3).min }
+    val edges = w.toSeq.flatMap { case ((c, su), wt) =>
+      Seq((c, su, wt), (su, c, wt)) }
+    val seeds = Tables(spark, sf, "customer").where("c_custkey < 5")
+      .collect().map(_.getLong(0))
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relax = edges.flatMap { case (src, dst, wt) =>
+        dist.get(src).map(d => dst -> (d + wt)) }
+      dist = (dist.toSeq ++ relax).groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).min }
+    }
+    val expect = dist.toSeq.sortBy { case (id, dc) => (dc, id) }.take(20)
+    assert(out.toSeq === expect)
+  }
+
   test("q_agg_heavy_hitters equals the exact global top-10") {
     val tok = Tables(spark, sf, "documents")
       .select(explode(queries.U.textTokens).as("term"))

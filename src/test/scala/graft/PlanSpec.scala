@@ -944,6 +944,13 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }
 
+  test("q_graph_shortest_path: heap top-20, checkpointed rounds, no cartesian") {
+    val p = plan("q_graph_shortest_path")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
