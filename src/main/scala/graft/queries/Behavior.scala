@@ -302,6 +302,49 @@ object Behavior {
           round(col("cum_cents").cast("double") / col("cohort_size") / 100.0,
             6).as("avg_ltv"))
         .orderBy("cohort_w", "age")
+    }),
+
+    // Growth mart — the composed cohort dashboard (the
+    // q_wl_curation_pipeline proof applied to the behavioral family):
+    // per first-purchase-week cohort, size, purchase count, the share
+    // of purchases carrying a prior click inside the 7-day window (the
+    // §2.30 attribution carry-forward), total revenue, and revenue per
+    // user — attribution + cohorting + LTV FUSED into one plan with
+    // ONE events scan: the user-partitioned carry-forward window and
+    // the per-user first-week aggregate ride the same user_id
+    // shuffle, the cohort rollup is calendar-bounded. Exact integers
+    // end-to-end; two rounded divisions in the report.
+    "q_wl_growth_mart" -> ((s, d) => {
+      val wPrev = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p = Tables(s, d, "events")
+        .withColumn("ck_ts",
+          max(when(col("event_type") === "click", epochS(col("ts"))))
+            .over(wPrev))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 604800").as("m"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("ck_ts").isNotNull &&
+            (epochS(col("ts")) - col("ck_ts")) <= 604800L)
+            .cast("long").as("attributed"))
+      val perUser = p.groupBy("user_id")
+        .agg(min(col("m")).as("cohort_w"), count(lit(1)).as("n_p"),
+          sum(col("attributed")).as("n_att"),
+          sum(col("cents")).as("cents"))
+      perUser.groupBy("cohort_w")
+        .agg(count(lit(1)).as("cohort_size"),
+          sum(col("n_p")).as("n_purchases"),
+          sum(col("n_att")).as("n_attributed"),
+          sum(col("cents")).as("revenue_cents"))
+        .select(col("cohort_w"), col("cohort_size"), col("n_purchases"),
+          col("n_attributed"),
+          round(col("n_attributed").cast("double") / col("n_purchases"), 6)
+            .as("attribution_rate"),
+          col("revenue_cents"),
+          round(col("revenue_cents").cast("double") / col("cohort_size")
+            / 100.0, 6).as("revenue_per_user"))
+        .orderBy("cohort_w")
     })
   )
 
@@ -467,6 +510,34 @@ object Behavior {
          SELECT w.cm AS cohort_w, age, cohort_size, rev_cents, cum_cents,
            round(CAST(cum_cents AS DOUBLE) / cohort_size / 100.0, 6)
              AS avg_ltv
-         FROM w JOIN sz USING (cm) ORDER BY cohort_w, age"""
+         FROM w JOIN sz USING (cm) ORDER BY cohort_w, age""",
+
+    "q_wl_growth_mart" ->
+      """WITH w AS (SELECT user_id, event_id, event_type,
+             epoch_ms(ts) // 1000 AS es,
+             (epoch_ms(ts) // 1000) // 604800 AS m,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             max(CASE WHEN event_type = 'click'
+                   THEN epoch_ms(ts) // 1000 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck_ts
+           FROM events),
+         p AS (SELECT user_id, m, cents,
+               CAST(coalesce(ck_ts IS NOT NULL
+                 AND es - ck_ts <= 604800, FALSE) AS BIGINT) AS attributed
+             FROM w WHERE event_type = 'purchase'),
+         u AS (SELECT user_id, min(m) AS cohort_w, COUNT(*) AS n_p,
+               CAST(SUM(attributed) AS BIGINT) AS n_att,
+               CAST(SUM(cents) AS BIGINT) AS cents
+             FROM p GROUP BY user_id)
+         SELECT cohort_w, COUNT(*) AS cohort_size,
+           CAST(SUM(n_p) AS BIGINT) AS n_purchases,
+           CAST(SUM(n_att) AS BIGINT) AS n_attributed,
+           round(CAST(SUM(n_att) AS DOUBLE) / SUM(n_p), 6)
+             AS attribution_rate,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             AS revenue_per_user
+         FROM u GROUP BY cohort_w ORDER BY cohort_w"""
   )
 }

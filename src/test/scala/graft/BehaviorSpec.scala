@@ -207,4 +207,46 @@ class BehaviorSpec extends SparkSpec {
     }
     assert(out === expect)
   }
+
+  test("q_wl_growth_mart matches the fused attribution+cohort mirror") {
+    val out = Behavior.queries("q_wl_growth_mart")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out.size >= 2)
+    // the attribution share must be a real rate somewhere (0 < rate < 1)
+    assert(out.values.exists(v => v._4 > 0.0 && v._4 < 1.0))
+    val ev = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("long"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val perUser = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var lastClick: Option[Long] = None
+      val ps = sorted.flatMap { case (_, _, tpe, es, v) =>
+        val r = if (tpe == "purchase")
+          Some((es / 604800L, cents(v),
+            if (lastClick.exists(c => es - c <= 604800L)) 1L else 0L))
+        else None
+        if (tpe == "click") lastClick = Some(es)
+        r
+      }
+      if (ps.isEmpty) None
+      else Some((u, ps.map(_._1).min, ps.length.toLong,
+        ps.map(_._3).sum, ps.map(_._2).sum))
+    }
+    val expect = perUser.groupBy(_._2).map { case (cw, xs) =>
+      val (np, natt, cts) = (xs.map(_._3).sum, xs.map(_._4).sum,
+        xs.map(_._5).sum)
+      cw -> (xs.size.toLong, np, natt, r6(natt.toDouble / np), cts,
+        r6(cts.toDouble / xs.size / 100.0))
+    }
+    assert(out === expect)
+  }
 }

@@ -951,6 +951,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_wl_growth_mart fuses attribution + cohorting into ONE events pass") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_wl_growth_mart")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"the mart must fuse, not join:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collectLeaves().size == 1,
+      s"events scanned more than once:\n${qe.optimizedPlan}")
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"carry-forward window must be user-partitioned:\n${qe.optimizedPlan}")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
