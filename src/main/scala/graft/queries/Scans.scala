@@ -117,6 +117,38 @@ object Scans {
         .orderBy("yr")
     }),
 
+    // Dynamic partition pruning — the RUN-TIME twin of the static prune
+    // above: the fact is partitioned by ship year, and the pruning
+    // predicate is NOT a literal — the top-2 revenue years are COMPUTED
+    // from orders at run time, so Catalyst must plant a DPP subquery
+    // filter on the partition column (PlanSpec asserts the
+    // `dynamicpruning` expression in the scan) and only those year
+    // directories are listed and read. THE partition-elimination
+    // mechanism a 1000-executor date-partitioned lake lives on: the
+    // static form saves I/O when the analyst knows the year; this form
+    // saves it when a query has to discover the year first.
+    "q_scan_dpp" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("syr", year(col("l_shipdate")))
+      val out = tmpDir(s"dpp_${d.replaceAll("[^0-9.]", "")}")
+      li.write.mode("overwrite").partitionBy("syr").parquet(out)
+      // the rev > 0 filter is semantically free (revenues are positive)
+      // but REQUIRED for pruning: Spark's PartitionPruning rule only
+      // plants the DPP subquery when the dim side carries a likely-
+      // selective Filter — an aggregate + limit alone does not qualify
+      val topYears = Tables(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("syr"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+        .where(col("rev") > 0.0)
+        .orderBy(col("rev").desc, col("syr")).limit(2)
+        .select("syr")
+      s.read.parquet(out)
+        .join(broadcast(topYears), "syr")
+        .groupBy("syr")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("syr")
+    }),
+
     // graft's own DataSource V2 (graft.sources.GraftGenSource): rows are a
     // pure function of the id, read through pruning-aware parallel splits
     // (fixed 20k rows — the source is sf-independent, as is its oracle).
@@ -406,6 +438,16 @@ object Scans {
             ${oDsum("o_totalprice")} AS total
           FROM orders WHERE year(o_orderdate) = 1997
           GROUP BY yr ORDER BY yr""",
+
+    "q_scan_dpp" ->
+      s"""WITH top2 AS (SELECT CAST(year(o_orderdate) AS INT) AS syr,
+             ${oDsum("o_totalprice")} AS rev
+           FROM orders GROUP BY syr ORDER BY rev DESC, syr LIMIT 2)
+         SELECT li.syr, COUNT(*) AS cnt, ${oDsum("l_extendedprice")} AS total
+         FROM (SELECT CAST(year(l_shipdate) AS INT) AS syr, l_extendedprice
+               FROM lineitem) li
+         JOIN top2 USING (syr)
+         GROUP BY li.syr ORDER BY syr""",
 
     "q_project_compute" ->
       """SELECT l_orderkey, l_linenumber,

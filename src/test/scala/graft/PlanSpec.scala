@@ -963,6 +963,13 @@ class PlanSpec extends SparkSpec {
       s"carry-forward window must be user-partitioned:\n${qe.optimizedPlan}")
   }
 
+  test("q_scan_dpp plants a dynamic-partition-pruning filter on the scan") {
+    val p = plan("q_scan_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery on the partitioned scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+  }
+
   test("shared derived frames are memoized per session — one instance each") {
     // the whole-graph-family incidence, the trained-quantizer probe
     // frames, and the labeled neighbor frame must be the SAME DataFrame
