@@ -176,6 +176,63 @@ object Behavior {
               col("l1_lag0"), 6)).as("warp_gain"))
     }),
 
+    // Holt–Winters additive seasonal smoothing over the hourly
+    // purchase-value series (α=0.2, β=0.1, γ=0.3, period 24 h) — the
+    // seasonal completion of the trailing-state family (EWMA → Holt →
+    // CUSUM → Kalman → HW): level + trend + a 24-slot daily seasonal
+    // profile, folded in ONE pass over the calendar-bounded hourly
+    // frame (the DTW series discipline). State is a 27-wide double
+    // array [i, level, trend, s0..s23]; every assignment rounds to the
+    // 1e-6 grid (the Kalman step-template rule — identical IEEE inputs
+    // ⇒ identical rounds ⇒ the engines cannot drift however many steps
+    // run). Seed: level = first obs, trend 0, flat seasonals. Output:
+    // the fitted state and the one-step forecast level+trend+s_next,
+    // plus the seasonal amplitude (max−min slot) — the "is there a
+    // daily cycle" scalar.
+    "q_ts_holt_winters" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy((epochS(col("ts")) - pmod(epochS(col("ts")), lit(3600L)))
+          .as("hr"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("pc"))
+      hourly.agg(
+          expr("transform(array_sort(collect_list(struct(hr, pc))), s -> CAST(s.pc AS DOUBLE) / 100.0)")
+            .as("xs"),
+          count(lit(1)).as("n"))
+        .select(col("n").as("n_hours"), expr(
+          """aggregate(
+               slice(xs, 2, CAST(n AS INT) - 1),
+               concat(array(1.0D, element_at(xs, 1), 0.0D),
+                 array_repeat(0.0D, 24)),
+               (acc, x) -> concat(
+                 array(
+                   element_at(acc, 1) + 1.0D,
+                   round(0.2D * (x - element_at(acc,
+                       (CAST(element_at(acc, 1) AS INT) % 24) + 4))
+                     + 0.8D * (element_at(acc, 2) + element_at(acc, 3)), 6),
+                   round(0.1D * (round(0.2D * (x - element_at(acc,
+                         (CAST(element_at(acc, 1) AS INT) % 24) + 4))
+                       + 0.8D * (element_at(acc, 2) + element_at(acc, 3)), 6)
+                       - element_at(acc, 2))
+                     + 0.9D * element_at(acc, 3), 6)),
+                 transform(sequence(0, 23), k ->
+                   IF(k = CAST(element_at(acc, 1) AS INT) % 24,
+                      round(0.3D * (x - round(0.2D * (x - element_at(acc,
+                            (CAST(element_at(acc, 1) AS INT) % 24) + 4))
+                          + 0.8D * (element_at(acc, 2) + element_at(acc, 3)), 6))
+                        + 0.7D * element_at(acc,
+                            (CAST(element_at(acc, 1) AS INT) % 24) + 4), 6),
+                      element_at(acc, k + 4)))))""").as("st"))
+        .select(col("n_hours"),
+          expr("round(element_at(st, 2), 6)").as("level"),
+          expr("round(element_at(st, 3), 6)").as("trend"),
+          expr("""round(element_at(st, 2) + element_at(st, 3)
+              + element_at(st, (CAST(element_at(st, 1) AS INT) % 24) + 4), 6)""")
+            .as("forecast_next"),
+          expr("round(array_max(slice(st, 4, 24)) - array_min(slice(st, 4, 24)), 6)")
+            .as("season_amplitude"))
+    }),
+
     // Gini coefficient of customer revenue + the top-1% revenue share —
     // the concentration report behind "how skewed is our customer
     // base" (and, at 100 TB, "how skewed is this JOIN KEY"): G =
@@ -437,6 +494,49 @@ object Behavior {
              ELSE round(CAST(l1.l1_lag0 - dp.fin[8] AS DOUBLE) / l1.l1_lag0, 6)
              END AS warp_gain
          FROM dp, l1""",
+
+    // the HW fold twin: 1-based list indices match Spark's element_at
+    // positions exactly, so the step arithmetic copies verbatim; the
+    // [x]-wrap keeps list_reduce type-homogeneous (the DTW convention)
+    "q_ts_holt_winters" ->
+      """WITH es AS (SELECT (epoch_ms(ts) // 1000) AS s, value
+           FROM events WHERE event_type = 'purchase'),
+         hourly AS (SELECT s - (s % 3600) AS hr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS pc
+           FROM es GROUP BY hr),
+         ser AS (SELECT list(CAST(pc AS DOUBLE) / 100.0 ORDER BY hr) AS xs,
+               COUNT(*) AS n
+             FROM hourly),
+         dp AS (SELECT n,
+             list_reduce(
+               list_prepend(
+                 list_concat([1.0, xs[1], 0.0],
+                   list_transform(range(0, 24), k -> 0.0)),
+                 list_transform(xs[2:], x -> [x])),
+               (acc, xw) -> list_concat(
+                 [acc[1] + 1.0,
+                  round(0.2 * (xw[1] - acc[(CAST(acc[1] AS INT) % 24) + 4])
+                    + 0.8 * (acc[2] + acc[3]), 6),
+                  round(0.1 * (round(0.2 * (xw[1]
+                        - acc[(CAST(acc[1] AS INT) % 24) + 4])
+                      + 0.8 * (acc[2] + acc[3]), 6) - acc[2])
+                    + 0.9 * acc[3], 6)],
+                 list_transform(range(0, 24), k ->
+                   CASE WHEN k = CAST(acc[1] AS INT) % 24
+                     THEN round(0.3 * (xw[1] - round(0.2 * (xw[1]
+                           - acc[(CAST(acc[1] AS INT) % 24) + 4])
+                         + 0.8 * (acc[2] + acc[3]), 6))
+                       + 0.7 * acc[(CAST(acc[1] AS INT) % 24) + 4], 6)
+                     ELSE acc[k + 4] END))) AS st
+           FROM ser)
+         SELECT n AS n_hours,
+           round(st[2], 6) AS level,
+           round(st[3], 6) AS trend,
+           round(st[2] + st[3] + st[(CAST(st[1] AS INT) % 24) + 4], 6)
+             AS forecast_next,
+           round(list_aggregate(st[4:27], 'max')
+             - list_aggregate(st[4:27], 'min'), 6) AS season_amplitude
+         FROM dp""",
 
     // the oracle ranks with a plain global window — allowed on the
     // DuckDB side (it is the REFERENCE, not the distributed plan);

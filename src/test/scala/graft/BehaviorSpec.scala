@@ -208,6 +208,41 @@ class BehaviorSpec extends SparkSpec {
     assert(out === expect)
   }
 
+  test("q_ts_holt_winters matches the seasonal-fold mirror; cycle is real") {
+    val out = Behavior.queries("q_ts_holt_winters")(spark, sf).collect()
+    assert(out.length === 1)
+    val (n, level, trend, fc, amp) = (out(0).getLong(0), out(0).getDouble(1),
+      out(0).getDouble(2), out(0).getDouble(3), out(0).getDouble(4))
+    // a flat seasonal profile would mean the fold never updated a slot
+    assert(n > 48 && amp > 0.0)
+    val ev = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("ts").cast("long"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(_._2 == "purchase")
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xs = ev.groupBy { case (es, _, _) => es - (es % 3600) }
+      .toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => cents(r._3)).sum.toDouble / 100.0 }
+    assert(n === xs.length.toLong)
+    var (lvl, tr) = (xs.head, 0.0)
+    val sArr = Array.fill(24)(0.0)
+    var i = 1
+    xs.tail.foreach { x =>
+      val slot = i % 24
+      val sold = sArr(slot)
+      val lvl2 = r6(0.2 * (x - sold) + 0.8 * (lvl + tr))
+      val tr2 = r6(0.1 * (lvl2 - lvl) + 0.9 * tr)
+      sArr(slot) = r6(0.3 * (x - lvl2) + 0.7 * sold)
+      lvl = lvl2; tr = tr2; i += 1
+    }
+    assert(level === r6(lvl) && trend === r6(tr))
+    assert(fc === r6(lvl + tr + sArr(i % 24)))
+    assert(amp === r6(sArr.max - sArr.min))
+  }
+
   test("q_wl_growth_mart matches the fused attribution+cohort mirror") {
     val out = Behavior.queries("q_wl_growth_mart")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -892,6 +892,17 @@ class PlanSpec extends SparkSpec {
       s"per-purchase share count must be a partitioned window:\n$p")
   }
 
+  test("q_ts_holt_winters: one events scan, bounded-series fold — no join, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_ts_holt_winters")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collectLeaves().size == 1,
+      s"events scanned more than once:\n${qe.optimizedPlan}")
+  }
+
   test("q_ts_dtw: one events scan, bounded-series folds — no join, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     val qe = SparkEntry.queries("q_ts_dtw")(spark, sf).queryExecution
