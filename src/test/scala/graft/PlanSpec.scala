@@ -995,6 +995,8 @@ class PlanSpec extends SparkSpec {
     assert((q1 eq q2) && (c1 eq c2))
     assert(queries.Assay.nnTop3(spark, sf, 16) eq
       queries.Assay.nnTop3(spark, sf, 16))
+    assert(queries.Assay.clusterTerms(spark, sf) eq
+      queries.Assay.clusterTerms(spark, sf))
   }
 
   test("Sql.run drives the engine through pure SQL over registered views") {
