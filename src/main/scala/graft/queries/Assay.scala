@@ -346,6 +346,53 @@ object Assay {
           round(col("bytes").cast("double") * U.shardCount / col("tb"), 6)
             .as("load_x"))
         .orderBy("shard")
+    }),
+
+    // χ² term–label association (SURVEY §2.34) — the classic text
+    // feature-selection sweep: per source, the 10 terms whose document
+    // presence is most dependent on that source, by the 2×2 contingency
+    // χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) where a = docs of the
+    // source containing the term, b/c/d the complements. This is what
+    // picks discriminative vocabulary for a quality/domain classifier
+    // (and, run against a held-out split, flags distribution leaks).
+    // Scale shape: ONE corpus presence pass (explode + distinct), a
+    // (term, source)-keyed aggregate, the per-term df via a window over
+    // the ≤|vocab|×20 aggregate (NOT the corpus incidence), source
+    // sizes and N broadcast (20 rows / 1 row), and the top-10 through
+    // the house GroupedTopK heap — never a vocabulary-wide sort.
+    // Exactness: all four cells exact BIGINTs; the χ² numerator/
+    // denominator products ride DECIMAL(38,0) (N⁵ < 10³⁸ holds through
+    // ~3·10⁷ docs — beyond that switch the statistic to the G-test's
+    // log form, same selection order; documented bound, the
+    // embed_standardize rule), one rounded IEEE division at the end.
+    // Universal terms (df = N ⇒ c+d = 0) carry no signal and are
+    // excluded before the division.
+    "q_llm_chi2_terms" -> ((s, d) => {
+      val inc = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), explode(textTokens).as("term"))
+        .distinct()
+      val bySrc = inc.groupBy("term", "source").agg(count(lit(1)).as("a"))
+        .withColumn("df", sum(col("a")).over(Window.partitionBy("term")))
+      val srcN = Tables(s, d, "documents")
+        .groupBy("source").agg(count(lit(1)).as("nd"))
+      val tot = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
+      val dec = "DECIMAL(38,0)"
+      val scored = bySrc
+        .join(broadcast(srcN), "source")
+        .crossJoin(broadcast(tot))
+        .where(col("df") < col("n"))
+        .select(col("source"), col("term"), col("a"), col("df"),
+          expr(s"""round(
+              CAST(CAST(n AS $dec) *
+                   ((a * (n - df - nd + a)) - ((df - a) * (nd - a))) *
+                   ((a * (n - df - nd + a)) - ((df - a) * (nd - a)))
+                 AS DOUBLE) /
+              CAST(CAST(df AS $dec) * (n - df) * nd * (n - nd) AS DOUBLE),
+              6)""").as("chi2"))
+      graft.plans.GraftPlans.groupedTopK(scored, "source", "chi2", "term", 10)
+        .select(col("source"), col("rn"), col("term"), col("a").as("n_in"),
+          col("df"), col("chi2"))
+        .orderBy("source", "rn")
     })
   )
 
@@ -661,6 +708,39 @@ object Assay {
          t AS (SELECT CAST(SUM(bytes) AS BIGINT) AS tb FROM p)
          SELECT shard, n_docs, bytes,
            round(CAST(bytes AS DOUBLE) * ${U.shardCount} / tb, 6) AS load_x
-         FROM p, t ORDER BY shard"""
+         FROM p, t ORDER BY shard""",
+
+    // mirrors the declared plan CTE-for-stage: presence incidence →
+    // (term, source) cells with a window df → broadcast margins →
+    // DECIMAL(38,0) χ² products → per-source rank (the GroupedTopK
+    // semantics as a window row_number)
+    "q_llm_chi2_terms" ->
+      """WITH dtk AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+             FROM documents),
+         inc AS (SELECT DISTINCT doc_id, source, term
+             FROM (SELECT doc_id, source, unnest(tk) AS term FROM dtk)),
+         bysrc AS (SELECT term, source, COUNT(*) AS a
+             FROM inc GROUP BY term, source),
+         wdf AS (SELECT term, source, a,
+               CAST(SUM(a) OVER (PARTITION BY term) AS BIGINT) AS df
+             FROM bysrc),
+         srcn AS (SELECT source, COUNT(*) AS nd FROM documents
+             GROUP BY source),
+         tot AS (SELECT COUNT(*) AS n FROM documents),
+         sc AS (SELECT source, term, a, df,
+               round(CAST(CAST(n AS DECIMAL(38,0)) *
+                   ((a * (n - df - nd + a)) - ((df - a) * (nd - a))) *
+                   ((a * (n - df - nd + a)) - ((df - a) * (nd - a)))
+                 AS DOUBLE) /
+               CAST(CAST(df AS DECIMAL(38,0)) * (n - df) * nd * (n - nd)
+                 AS DOUBLE), 6) AS chi2
+             FROM wdf JOIN srcn USING (source) CROSS JOIN tot
+             WHERE df < n),
+         rk AS (SELECT source, term, a, df, chi2,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY chi2 DESC, term) AS INT) AS rn
+             FROM sc)
+         SELECT source, rn, term, a AS n_in, df, chi2
+         FROM rk WHERE rn <= 10 ORDER BY source, rn"""
   )
 }

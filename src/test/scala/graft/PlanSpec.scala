@@ -804,6 +804,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_llm_chi2_terms: heap top-k, term-partition df window, broadcast margins") {
+    val p = plan("q_llm_chi2_terms")
+    assert(p.contains("GroupedTopK ["), s"heap operator missing:\n$p")
+    // per-term df is a high-cardinality window; the trap is ranking the
+    // vocabulary over 20 source partitions
+    assert(p.contains("windowspecdefinition(term"),
+      s"term-partition df window missing:\n$p")
+    assert(!p.contains("windowspecdefinition(source"),
+      s"20-partition vocabulary window crept in:\n$p")
+    // both margins broadcast (20-row source counts, 1-row total)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sink_custom_dsv2 read-back: partial+final rollup over the published parts") {
     val p = plan("q_sink_custom_dsv2")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
