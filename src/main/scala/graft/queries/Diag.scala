@@ -198,6 +198,43 @@ object Diag {
               col("qb") * col("qb") / (col("n_b") - 1)), 6).as("df"))
     }),
 
+    // k-anonymity audit (SURVEY §2.34) — the re-identification check a
+    // governance pipeline runs before releasing a table: group rows by
+    // a quasi-identifier tuple (here segment × nation × $2500 balance
+    // bracket — the QI choice is the operator's parameter, not its
+    // semantics) and report, per segment, how many equivalence classes
+    // fall below k = 5 and how many rows they expose. The companion to
+    // q_dq_dp_release (DP protects aggregates; k-anonymity measures the
+    // raw release). Two keyed aggregates — QI cells then the ≤5-row
+    // segment rollup — nothing else; the QI cell count is bounded by
+    // the QI domain, not N. Balance rides the exact-cents cast
+    // (round·100 → BIGINT, the ks_drift convention) and the bracket is
+    // floor over an IEEE division both engines compute identically
+    // (div/`//` would disagree on negative balances: Spark truncates
+    // toward zero, DuckDB floors). At the 150-row sf0.001 fixture every
+    // class is small — the honest k-anonymity answer for tiny data; the
+    // mixed regime (2 risky classes of 625 at sf0.1) is asserted by the
+    // spec at gate scale.
+    "q_dq_k_anonymity" -> ((s, d) => {
+      val cls = Tables(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_nationkey"),
+          expr("""CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                  / 250000.0) AS BIGINT)""").as("br"))
+        .groupBy("seg", "c_nationkey", "br").agg(count(lit(1)).as("n"))
+      cls.groupBy("seg").agg(
+          sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
+          min(col("n")).as("min_class"), max(col("n")).as("max_class"))
+        .select(col("seg"), col("n_rows"), col("n_classes"), col("n_small"),
+          col("rows_at_risk"),
+          round(col("rows_at_risk") * lit(100.0) / col("n_rows"), 6)
+            .as("risk_pct"),
+          col("min_class"), col("max_class"))
+        .orderBy("seg")
+    }),
+
     // Differential-privacy release mechanism over the per-language
     // counts: the Laplace mechanism (ε=1, sensitivity 1 — one document
     // changes one count by one) applied through the inverse-CDF
@@ -416,6 +453,23 @@ object Diag {
     // DuckDB lists are 1-based — shift the accumulator accessor
     val (xs, ps) = kalmanStep(i => s"acc[${i + 1}]", "e[1]")
     Map(
+      "q_dq_k_anonymity" ->
+        """WITH cls AS (SELECT c_mktsegment AS seg, c_nationkey,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                 / 250000.0) AS BIGINT) AS br,
+               COUNT(*) AS n
+             FROM customer GROUP BY seg, c_nationkey, br)
+           SELECT seg, CAST(SUM(n) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_classes,
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+             round(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               * 100.0 / CAST(SUM(n) AS BIGINT), 6) AS risk_pct,
+             min(n) AS min_class, max(n) AS max_class
+           FROM cls GROUP BY seg ORDER BY seg""",
+
       "q_llm_gram_novelty" ->
         s"""WITH dtk AS (SELECT doc_id, source, string_split(text, ' ') AS tk
                FROM documents),

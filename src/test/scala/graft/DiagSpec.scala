@@ -333,4 +333,39 @@ class DiagSpec extends SparkSpec {
     assert(df === r6((qa + qb) * (qa + qb) /
       (qa * qa / (na - 1) + qb * qb / (nb - 1))))
   }
+
+  test("q_dq_k_anonymity matches the QI-class mirror; mixed regime at gate scale") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val out = graft.queries.Diag.queries("q_dq_k_anonymity")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7))).toMap
+    val rows = Tables(spark, sf, "customer")
+      .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        math.floor(cents(r.getDouble(2)) / 250000.0).toLong))
+    val expect = rows.groupBy(x => (x._1, x._2, x._3)).toSeq
+      .map { case (k, v) => (k._1, v.length.toLong) }
+      .groupBy(_._1).map { case (seg, cls) =>
+        val ns = cls.map(_._2)
+        val atRisk = ns.filter(_ < 5).sum
+        seg -> (ns.sum, ns.size.toLong, ns.count(_ < 5).toLong, atRisk,
+          r6(atRisk * 100.0 / ns.sum), ns.min, ns.max)
+      }
+    assert(out === expect)
+    // 150-row fixture: every class is small — the honest tiny-data
+    // answer; the regime that exercises BOTH branches is gate scale,
+    // asserted directly on sf0.1 (15k customers → 2 risky classes of
+    // 625, risk strictly between 0 and 100)
+    val gate = graft.queries.Diag
+      .queries("q_dq_k_anonymity")(spark, "/root/testdata/sf0.1")
+      .agg(org.apache.spark.sql.functions.expr("sum(n_small)"),
+        org.apache.spark.sql.functions.expr("sum(n_classes)"),
+        org.apache.spark.sql.functions.expr("max(risk_pct)")).collect()(0)
+    assert(gate.getLong(0) > 0 && gate.getLong(0) < gate.getLong(1))
+    assert(gate.getDouble(2) > 0.0 && gate.getDouble(2) < 100.0)
+  }
 }

@@ -818,6 +818,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dq_k_anonymity: two keyed aggregates, no join, no window") {
+    val p = plan("q_dq_k_anonymity")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no cascade:\n$p")
+    assert(!p.contains("Join"), s"QI audit must not join:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_sink_custom_dsv2 read-back: partial+final rollup over the published parts") {
     val p = plan("q_sink_custom_dsv2")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
