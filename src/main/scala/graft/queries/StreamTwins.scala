@@ -263,6 +263,50 @@ object StreamTwins {
           col("click_event_id"), col("k"),
           round(lit(1.0) / col("k"), 6).as("share"))
         .orderBy("purchase_event_id", "click_event_id")
+    }),
+
+    // Late-data accounting (SURVEY §2.34) — the watermark-drop
+    // observability metric every streaming deployment alarms on: how
+    // many events arrive too late for the 10-minute watermark, per
+    // type. Arrival is event time + a deterministic md5 "network
+    // delay" (0–30 min — the fixture's event_id order is perfectly
+    // time-sorted, so arrival disorder must be modeled to test the
+    // semantics at all); micro-batches are arrival MINUTES (batch
+    // count is bounded by stream duration × trigger cadence, not N —
+    // why the running-max window over batches is safe at any volume,
+    // the hourly-series rule). The drop rule is EXACTLY Spark's
+    // windowed-agg rule: a row is dropped when its 1-min event-time
+    // window END ≤ watermark, where the watermark entering batch b is
+    // max event time over batches < b minus the delay (watermarks
+    // advance at batch boundaries); floored-second arithmetic
+    // represents that boundary exactly (⌊maxTs − 600⌋ = ⌊maxTs⌋ − 600).
+    // StreamingSpec replays the same batches through a real
+    // MemoryStream windowed count and proves Σ numRowsDroppedByWatermark
+    // equals this twin's total. One events pass + a cadence-bounded
+    // batch frame broadcast back + one 5-row rollup.
+    "q_stream_late_data" -> ((s, d) => {
+      val e = withEs(s, d)
+        .select(col("event_id"), col("event_type"), col("es"))
+        .withColumn("jit", expr(
+          s"${hexFold("md5(concat('late', CAST(event_id AS STRING)))", 13)} % 1800"))
+        .withColumn("batch", expr("(es + jit) div 60"))
+      val wm = e.groupBy("batch").agg(max(col("es")).as("mx"))
+        .withColumn("w", max(col("mx")).over(
+          Window.orderBy("batch")
+            .rowsBetween(Window.unboundedPreceding, -1)) - 600)
+        .select("batch", "w")
+      e.join(broadcast(wm), "batch")
+        .withColumn("late", (col("w").isNotNull &&
+          (col("es") - pmod(col("es"), lit(60L)) + 60) <= col("w"))
+          .cast("long"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          sum(col("late")).as("n_late"),
+          round(sum(col("late")) * lit(100.0) / count(lit(1)), 6)
+            .as("late_pct"),
+          max(when(col("late") === 1, col("w") - col("es")))
+            .as("max_behind_sec"))
+        .orderBy("event_type")
     })
   )
 
@@ -418,6 +462,28 @@ object StreamTwins {
              WHERE p.event_type = 'purchase' AND c.event_type = 'click')
          SELECT user_id, purchase_event_id, click_event_id,
            CAST(k AS BIGINT) AS k, round(1.0 / k, 6) AS share
-         FROM t ORDER BY purchase_event_id, click_event_id"""
+         FROM t ORDER BY purchase_event_id, click_event_id""",
+
+    "q_stream_late_data" ->
+      s"""WITH e AS (SELECT event_id, event_type, $esSql AS es FROM events),
+         j AS (SELECT *,
+               ${oHexFold("md5('late' || CAST(event_id AS VARCHAR))", 13)}
+                 % 1800 AS jit
+             FROM e),
+         b AS (SELECT *, (es + jit) // 60 AS batch FROM j),
+         bm AS (SELECT batch, max(es) AS mx FROM b GROUP BY batch),
+         wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS w
+             FROM bm),
+         x AS (SELECT b.event_type, b.es, wm.w,
+               CASE WHEN wm.w IS NOT NULL
+                 AND b.es - b.es % 60 + 60 <= wm.w THEN 1 ELSE 0 END AS late
+             FROM b JOIN wm USING (batch))
+         SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(late) AS BIGINT) AS n_late,
+           round(CAST(SUM(late) AS BIGINT) * 100.0 / COUNT(*), 6)
+             AS late_pct,
+           max(CASE WHEN late = 1 THEN w - es END) AS max_behind_sec
+         FROM x GROUP BY event_type ORDER BY event_type"""
   )
 }

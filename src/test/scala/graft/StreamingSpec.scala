@@ -718,4 +718,69 @@ class StreamingSpec extends SparkSpec {
     // the late event (id 4) must not be counted: bucket 0 has cnt=2, not 3
     assert(bucket0.length == 1 && bucket0.head.getAs[Long]("cnt") == 2L)
   }
+
+  /** The q_stream_late_data accounting rule, computed in plain Scala
+    * over an arbitrary micro-batch partition of the events: watermark
+    * entering batch b = max event time over batches < b minus 600 s; a
+    * row is dropped when its 1-min window end ≤ watermark. The rule is
+    * PARAMETRIC in the batch partition — the declared twin instantiates
+    * it at arrival minutes, the replay test at coarser super-batches
+    * (a MemoryStream round-trip per arrival minute would be ~10³
+    * batches). */
+  private def lateMirror(batches: Seq[Seq[Ev]]): Long = {
+    var wm = Long.MinValue
+    var late = 0L
+    batches.foreach { b =>
+      late += b.count { e =>
+        val es = e.ts.getTime / 1000
+        wm != Long.MinValue && (es - es % 60 + 60) <= wm
+      }
+      wm = math.max(wm, b.map(_.ts.getTime / 1000).max - 600)
+    }
+    late
+  }
+
+  private def md5Jit(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"late$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 13), 16) % 1800
+  }
+
+  test("watermark drop accounting: twin == mirror == real streaming metric") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (1) the declared per-minute twin equals the mirror instantiated
+    // at the same arrival-minute partition, over the full fixture
+    val byMinute = allEvents
+      .groupBy(e => (e.ts.getTime / 1000 + md5Jit(e.event_id)) / 60)
+      .toSeq.sortBy(_._1).map(_._2)
+    val twinLate = queries.StreamTwins
+      .queries("q_stream_late_data")(spark, sf)
+      .agg(sum(col("n_late"))).collect()(0).getLong(0)
+    assert(twinLate === lateMirror(byMinute), "declared twin vs mirror")
+    assert(twinLate > 0, "late accounting is vacuous on the fixture")
+    // (2) the same rule at super-batch granularity equals Spark's own
+    // numRowsDroppedByWatermark over a real windowed-count replay —
+    // proving the twin's watermark-advance + drop rule IS the engine's
+    val superBatches = byMinute.grouped(25).map(_.flatten).toSeq
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute")).count()
+      .writeStream.format("memory").queryName("t_wm_acct")
+      .outputMode("append").start()
+    var dropped = 0L
+    var seen = Set.empty[Long]
+    superBatches.foreach { c =>
+      mem.addData(c); q.processAllAvailable()
+      q.recentProgress.filterNot(p => seen(p.batchId)).foreach { p =>
+        seen += p.batchId
+        dropped += p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      }
+    }
+    q.stop()
+    val mirrorSuper = lateMirror(superBatches)
+    assert(dropped === mirrorSuper,
+      s"streaming metric $dropped != rule $mirrorSuper")
+    assert(mirrorSuper > 0, "super-batch replay dropped nothing")
+  }
 }
