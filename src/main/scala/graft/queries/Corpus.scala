@@ -39,6 +39,26 @@ object Corpus {
   /** BPE training rounds (merge → recount → merge …). */
   private val bpeRounds = 3
 
+  /** DuckDB fragments of the unigram Viterbi step — built from the SAME
+    * k = 1..4 candidate template as the Spark side (i is `e[1]`, the
+    * [x]-wrapped fold item; acc is the flattened (score, bp) pair list,
+    * 1-based). Kept as code, not prose, so the two engines' DP cannot
+    * drift: the only differences are 1-based subscripts and the map
+    * lookup spelling. */
+  private def oUgCand(k: Int): String =
+    s"""CASE WHEN CAST(e[1] AS INT) - $k >= 0 THEN
+          acc[2 * (CAST(e[1] AS INT) - $k) + 1] +
+          coalesce(m[substring(word, CAST(e[1] AS INT) - $k + 1, $k)][1],
+            CAST(-1e9 AS DOUBLE))
+        ELSE CAST(-1e18 AS DOUBLE) END"""
+  private lazy val oUgBest =
+    s"greatest(${(1 to 4).map(oUgCand).mkString(", ")})"
+  private lazy val oUgBp =
+    s"""CASE WHEN $oUgBest = ${oUgCand(1)} THEN CAST(e[1] AS INT) - 1
+             WHEN $oUgBest = ${oUgCand(2)} THEN CAST(e[1] AS INT) - 2
+             WHEN $oUgBest = ${oUgCand(3)} THEN CAST(e[1] AS INT) - 3
+             ELSE CAST(e[1] AS INT) - 4 END"""
+
   /** Pair counts over space-joined symbol states `toks` weighted by word
     * frequency — the recount step of every BPE round. */
   private def bpePairCounts(wf: org.apache.spark.sql.DataFrame) =
@@ -296,6 +316,90 @@ object Corpus {
           col("st")(0).as("level"), col("st")(1).as("trend"),
           (col("st")(0) + col("st")(1)).as("fc1"))
         .orderBy("event_id")
+    }),
+
+    // Unigram-LM tokenizer E-step (SURVEY §2.34) — the SentencePiece
+    // sibling of the BPE family: seed a piece vocabulary (every
+    // single character for coverage + the top-48 multi-char substrings
+    // ≤ 4 chars by corpus-weighted count), Viterbi-segment every
+    // DISTINCT word under log-probabilities, and report the EM
+    // expected piece counts with the prior → posterior probability
+    // update — the statistic one EM iteration renormalizes.
+    // Scale shape: the corpus reduces to the distinct-word frame ONCE
+    // (vocab-scale, the bpe_words discipline); the piece vocabulary is
+    // KB-scale and rides a 1-row broadcast MAP into the per-word DP;
+    // the Viterbi fold is O(len·4) per word with a flat ARRAY<DOUBLE>
+    // accumulator of (score, backpointer) pairs — the holt_winters
+    // homogeneous-fold encoding, mirrored verbatim in DuckDB's
+    // list_reduce (list-prepended init, [x]-wrapped items); the
+    // backtrace is a second bounded fold prepending boundaries until
+    // position 0. EXACTNESS: log-probs on the 1e-9 grid, every DP
+    // score rounded to the grid per step (identical operand order both
+    // engines ⇒ identical doubles ⇒ identical argmax; ties break to
+    // the SHORTEST last piece via the fixed j = i−1 … i−4 CASE order);
+    // probabilities reported as exact integer micro-units
+    // (1e6·cnt div total), never a float division.
+    "q_llm_unigram_lm" -> ((s, d) => {
+      val wf = Tables(s, d, "documents")
+        .select(explode(textTokens).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      // candidate pieces: all substrings len 1..4, corpus-weighted
+      val subs = wf.select(col("freq"), explode(expr(
+          """flatten(transform(sequence(1, length(word)),
+               i -> transform(sequence(i, least(length(word), i + 3)),
+                 j -> substring(word, i, j - i + 1))))""")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      val singles = subs.where(length(col("piece")) === 1)
+      val multis = subs.where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(48)
+      val vocab = singles.unionAll(multis).localCheckpoint(false)
+      val tot = vocab.agg(sum(col("cnt")).as("vt"))
+      val lm = vocab.crossJoin(broadcast(tot))
+        .select(col("piece"), col("cnt"),
+          expr("round(ln(CAST(cnt AS DOUBLE) / vt), 9)").as("lp"))
+      val m = lm.agg(map_from_entries(
+          sort_array(collect_list(struct(col("piece"), col("lp")))))
+          .as("m"))
+      // Viterbi DP: dp = [b0, j0, b1, j1, …] flattened (score, bp)
+      val cand = (1 to 4).map { k =>
+        s"""CASE WHEN i - $k >= 0 THEN
+              element_at(acc, 2 * (i - $k) + 1) +
+              coalesce(element_at(m, substring(word, i - $k + 1, $k)),
+                CAST(-1e9 AS DOUBLE))
+            ELSE CAST(-1e18 AS DOUBLE) END"""
+      }
+      val best = s"greatest(${cand.mkString(", ")})"
+      val bp = s"""CASE WHEN $best = ${cand(0)} THEN i - 1
+                        WHEN $best = ${cand(1)} THEN i - 2
+                        WHEN $best = ${cand(2)} THEN i - 3
+                        ELSE i - 4 END"""
+      val seg = wf.crossJoin(broadcast(m))
+        .withColumn("dp", expr(
+          s"""aggregate(sequence(1, length(word)),
+                array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                (acc, i) -> concat(acc,
+                  array($best, CAST($bp AS DOUBLE))))"""))
+        .withColumn("bounds", expr(
+          """aggregate(sequence(1, length(word)),
+               array(CAST(length(word) AS DOUBLE)),
+               (acc, x) -> CASE WHEN acc[0] <= 0.0 THEN acc
+                 ELSE concat(
+                   array(element_at(dp, 2 * CAST(acc[0] AS INT) + 2)),
+                   acc) END)"""))
+        .select(col("word"), col("freq"), explode(expr(
+          """transform(sequence(1, size(bounds) - 1),
+               t -> substring(word, CAST(bounds[t - 1] AS INT) + 1,
+                 CAST(bounds[t] AS INT) - CAST(bounds[t - 1] AS INT)))"""))
+          .as("piece"))
+      val eCnt = seg.groupBy("piece").agg(sum(col("freq")).as("e_cnt"))
+      val eTot = eCnt.agg(sum(col("e_cnt")).as("et"))
+      eCnt.join(lm.select(col("piece"), col("cnt")), "piece")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(eTot))
+        .select(col("piece"), col("e_cnt"),
+          expr("1000000 * cnt div vt").as("prior_e6"),
+          expr("1000000 * e_cnt div et").as("post_e6"))
+        .orderBy(col("e_cnt").desc, col("piece")).limit(30)
     })
   )
 
@@ -434,6 +538,68 @@ object Corpus {
            FROM w)
          SELECT user_id, event_id, st[1] AS level, st[2] AS trend,
            st[1] + st[2] AS fc1
-         FROM f ORDER BY event_id"""
+         FROM f ORDER BY event_id""",
+
+    // Engine note: DuckDB 1.0's optimizer mis-binds lambda variables
+    // when a list_reduce-produced column feeds ANOTHER lambda through
+    // CTE inlining (observed: the backtrace fold read a different
+    // row's DP — 'customer' segmented as a 5-char word). The oracle
+    // therefore (a) fences the DP fold behind a max()/GROUP BY
+    // aggregate (a real materialization barrier) and (b) walks the
+    // backtrace with a RECURSIVE CTE + window pairing — plain
+    // expressions only, no lambda composition. Same arithmetic, same
+    // result; the Spark side keeps the two-fold form (Catalyst HOFs
+    // bind correctly).
+    "q_llm_unigram_lm" ->
+      s"""WITH RECURSIVE wf AS (SELECT word, COUNT(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE length(word) > 0 GROUP BY word),
+         subs AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             SELECT freq, unnest(flatten(list_transform(
+                 range(1, length(word) + 1),
+                 i -> list_transform(
+                   range(i, least(length(word), i + 3) + 1),
+                   j -> substring(word, i, j - i + 1))))) AS piece
+             FROM wf) GROUP BY piece),
+         multis AS (SELECT * FROM subs WHERE length(piece) >= 2
+             ORDER BY cnt DESC, piece LIMIT 48),
+         vocab AS (SELECT * FROM subs WHERE length(piece) = 1
+             UNION ALL SELECT * FROM multis),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS vt FROM vocab),
+         lm AS (SELECT piece, cnt,
+             round(ln(CAST(cnt AS DOUBLE) / vt), 9) AS lp
+           FROM vocab, tot),
+         mp AS (SELECT MAP(list(piece ORDER BY piece),
+             list(lp ORDER BY piece)) AS m FROM lm),
+         dpw AS (SELECT word, freq, m,
+             list_reduce(
+               list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                 list_transform(range(1, length(word) + 1),
+                   i -> [CAST(i AS DOUBLE)])),
+               (acc, e) -> list_concat(acc,
+                 [$oUgBest, CAST($oUgBp AS DOUBLE)])) AS dp
+           FROM wf, mp),
+         dpf AS (SELECT word, freq, max(dp) AS dp FROM dpw
+             GROUP BY word, freq),
+         bt AS (
+           SELECT word, freq, CAST(length(word) AS INT) AS pos FROM dpf
+           UNION ALL
+           SELECT b.word, b.freq,
+             CAST(d.dp[2 * b.pos + 2] AS INT) AS pos
+           FROM bt b JOIN dpf d USING (word) WHERE b.pos > 0),
+         sb AS (SELECT word, freq, pos,
+             lead(pos) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM bt),
+         seg AS (SELECT word, freq,
+             substring(word, pos + 1, nxt - pos) AS piece
+           FROM sb WHERE nxt IS NOT NULL),
+         ec AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS e_cnt
+             FROM seg GROUP BY piece),
+         et AS (SELECT CAST(SUM(e_cnt) AS BIGINT) AS et FROM ec)
+         SELECT piece, e_cnt,
+           1000000 * cnt // vt AS prior_e6,
+           1000000 * e_cnt // et AS post_e6
+         FROM ec JOIN lm USING (piece), tot, et
+         ORDER BY e_cnt DESC, piece LIMIT 30"""
   )
 }

@@ -168,4 +168,59 @@ class CorpusSpec extends SparkSpec {
     }
     offers.unpersist()
   }
+
+  test("unigram_lm matches the plain-Scala Viterbi mirror; pieces gain mass") {
+    def r9(x: Double): Double = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = graft.queries.Corpus.queries("q_llm_unigram_lm")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // corpus word frequencies
+    val words = Tables(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+    // candidate substrings (len 1..4), weighted by word freq
+    val subs = words.toSeq.flatMap { case (w, f) =>
+      (for { i <- 0 until w.length; l <- 1 to math.min(4, w.length - i) }
+        yield w.substring(i, i + l)).map(_ -> f)
+    }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val singles = subs.filter(_._1.length == 1)
+    val multis = subs.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(48)
+    val vocab = singles ++ multis
+    val vt = vocab.values.sum
+    val lp = vocab.map { case (p, c) => p -> r9(math.log(c.toDouble / vt)) }
+    // Viterbi with the declared candidate order (k = 1..4, ties to
+    // the shortest last piece via first-match)
+    def segment(w: String): Seq[String] = {
+      val best = Array.fill(w.length + 1)(0.0)
+      val bp = Array.fill(w.length + 1)(0)
+      for (i <- 1 to w.length) {
+        val cands = (1 to 4).map { k =>
+          if (i - k >= 0)
+            best(i - k) + lp.getOrElse(w.substring(i - k, i), -1e9)
+          else -1e18
+        }
+        val b = cands.max
+        best(i) = b
+        bp(i) = i - (cands.indexWhere(_ == b) + 1)
+      }
+      var pos = w.length
+      var acc = List.empty[String]
+      while (pos > 0) { acc = w.substring(bp(pos), pos) :: acc; pos = bp(pos) }
+      acc
+    }
+    val eCnt = words.toSeq.flatMap { case (w, f) =>
+      segment(w).map(_ -> f)
+    }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val et = eCnt.values.sum
+    val expect = eCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+      .map { case (p, c) =>
+        (p, c, 1000000L * vocab(p) / vt, 1000000L * c / et) }
+    assert(out.toSeq === expect)
+    // non-vacuity: multi-char pieces must appear in the report AND the
+    // EM must shift mass (some posterior ≠ prior)
+    assert(out.exists(_._1.length >= 2), "no multi-char piece survived")
+    assert(out.exists(r => r._3 != r._4), "EM step moved no mass")
+  }
 }

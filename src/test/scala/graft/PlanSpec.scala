@@ -825,6 +825,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_llm_unigram_lm: heap limits, broadcast vocab map, no vocabulary window") {
+    val p = plan("q_llm_unigram_lm")
+    // the final report is heap top-k (the multi-piece seed's heap sits
+    // below the vocab localCheckpoint barrier, invisible here)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the Viterbi map rides a 1-row broadcast; the per-word DP is a
+    // codegen'd HOF — no window anywhere (a vocabulary or word window
+    // would single-partition at web scale)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), s"window crept into the DP:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sink_custom_dsv2 read-back: partial+final rollup over the published parts") {
     val p = plan("q_sink_custom_dsv2")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
