@@ -90,6 +90,68 @@ object Llm {
       .where(col("i").cast("double") / least(col("sza"), col("szb")) >= 0.9)
       .select("a", "b")
 
+  /** 0-bit consistent weighted sampling (CWS) geometry for
+    * q_llm_dedup_wjaccard: 8 samples in 4 bands of 2. For weighted
+    * Jaccard w the per-sample collision probability IS w (the CWS
+    * guarantee), so a band collides with w² and a true pair (w ≥ 0.8)
+    * survives ≥1 of 4 bands with 1−(1−w²)⁴ ≈ 99.2%. */
+  private val cwsHashes = 8
+
+  /** Per-doc CWS signature: for each of the 8 hashes, the argmin over
+    * the doc's TERMS of round(−ln(u(term, h)), 9) / tf — the 0-bit CWS
+    * draw ("Improved Consistent Sampling", Ioffe 2010, reduced to the
+    * exponential-race form): u is a deterministic md5 uniform in
+    * (0, 1], identical in both engines by construction; dividing the
+    * exponential draw by the term's tf makes heavier terms win
+    * proportionally more often, which is exactly what makes
+    * E[collision] = weighted Jaccard.
+    *
+    * COST SHAPE, measured twice: (1) hashing per (doc, term, h) row
+    * with an 8× explode was 40 s at bench scale — the md5 draw depends
+    * only on (term, h), so it is computed once per distinct term on
+    * the vocab frame and joined back; (2) min(struct(score, term)) is
+    * NOT hash-aggregable (struct buffers force SortAggregate — 144 s:
+    * two full sorts of the joined incidence), so each argmin is packed
+    * into ONE BIGINT, score-nanos · 2²⁸ + a 28-bit term hash — min
+    * over longs keeps the single doc-keyed shuffle inside
+    * HashAggregate. The band key hashes the packed atoms directly
+    * (a 28-bit tie/collision maps same-scoring terms to one key —
+    * banding only proposes candidates; the confirm is exact). Ties
+    * break by (score, term-hash), mirrored verbatim in the oracle. */
+  private def cwsSig(tf: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val uh = tf.select("term").distinct().select(
+      col("term") +:
+        expr(s"${hexFold("md5(term)", 7)}").as("tid") +:
+        (0 until cwsHashes).map { h =>
+          expr(s"""round(-ln((${hexFold(s"md5(concat(term, '#', '$h'))", 12)}
+              % 1000000 + 1) / 1000000.0), 9)""").as(s"u$h")
+        }: _*)
+    tf.join(uh, "term")
+      .groupBy("doc_id")
+      .agg(
+        min(expr(packedMin(0))).as("m0"),
+        (1 until cwsHashes).map(h => min(expr(packedMin(h))).as(s"m$h")): _*)
+  }
+
+  /** The packed CWS argmin atom for hash h: score nanos · 2²⁸ + tid. */
+  private def packedMin(h: Int): String =
+    s"CAST(round(round(u$h / tf, 9) * 1e9) AS BIGINT) * 268435456 + tid"
+
+  /** Per-doc term frequencies — the weighted shingle frame. Lazily
+    * localCheckpointed (the orderBrandSets discipline): FIVE consumers
+    * (vocab distinct, the signature join, both confirm sides, the size
+    * frame) would otherwise each re-run the tokenize + (doc, term)
+    * shuffle — measured 14.2 → 6.2 s standalone at sf0.1 (0.48 s
+    * in-suite on a warm session, bench_full.json). */
+  private def termTf(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+
   private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame = {
     val g = shingles(s, d)
@@ -172,6 +234,48 @@ object Llm {
     // for that shape anyway.
     "q_llm_dedup_near" -> ((s, d) =>
       U.dupGroups(Tables(s, d, "documents"), confirmedPairs(s, d))),
+
+    // WEIGHTED-Jaccard dedup (SURVEY §2.34) via 0-bit consistent
+    // weighted sampling — the tf-aware sibling of q_llm_dedup_near:
+    // set-based MinHash treats "the the the cat" ≡ "the cat", CWS
+    // weighs terms by their counts, which is the right metric when
+    // near-dups differ by boilerplate REPETITION rather than token
+    // set. Same 100 TB shape as the whole dedup family: banding keys
+    // from per-doc samples (one keyed aggregate), bucket-local
+    // candidate join (never all-pairs), exact confirm on candidates
+    // only — weighted Jaccard Σmin(tf)/Σmax(tf) ≥ 0.8 computed from
+    // the identity Σmax = sza + szb − Σmin with exact BIGINT tf sums,
+    // one float division at the compare.
+    "q_llm_dedup_wjaccard" -> ((s, d) => {
+      val tf = termTf(s, d)
+      val bandCols = (0 until cwsHashes / 2).map { b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws(",", col(s"m${2 * b}").cast("string"),
+            col(s"m${2 * b + 1}").cast("string"))).as("bkey"))
+      }
+      val bands = cwsSig(tf)
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band_id").as("band_id"),
+          col("bb.bkey").as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val wsz = tf.groupBy("doc_id").agg(sum(col("tf")).as("sz"))
+      val pairs = cand
+        .join(tf.as("gx"), col("gx.doc_id") === col("a"))
+        .join(tf.as("gy"), col("gy.doc_id") === col("b") &&
+          col("gy.term") === col("gx.term"))
+        .groupBy("a", "b")
+        .agg(sum(least(col("gx.tf"), col("gy.tf"))).as("i"))
+        .join(wsz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+        .join(wsz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+        .where(col("i").cast("double") /
+          (col("sza") + col("szb") - col("i")) >= 0.8)
+        .select("a", "b")
+      U.dupGroups(Tables(s, d, "documents"), pairs)
+    }),
 
     // CONTAINMENT dedup — the asymmetric cousin of the Jaccard confirm:
     // flags pairs where the SMALLER trigram set is ≥90% inside the larger
@@ -422,6 +526,42 @@ object Llm {
 
     "q_llm_dedup_near" ->
       s"""WITH $oConfCte,
+         ${U.oDupGroups("conf", "documents")}""",
+
+    "q_llm_dedup_wjaccard" ->
+      s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+           WHERE length(term) > 0 GROUP BY doc_id, term),
+         uh AS (SELECT term, ${U.oHexFold("md5(term)", 7)} AS tid,
+               i AS h,
+               round(-ln((
+                 ${U.oHexFold("md5(term || '#' || CAST(i AS VARCHAR))", 12)}
+                 % 1000000 + 1) / 1000000.0), 9) AS u
+             FROM (SELECT DISTINCT term FROM tf)
+             CROSS JOIN (SELECT unnest(range(0, $cwsHashes)) AS i) ii),
+         smp AS (SELECT doc_id, h,
+               MIN(CAST(round(round(u / tf, 9) * 1e9) AS BIGINT)
+                 * 268435456 + tid) AS m
+             FROM tf JOIN uh USING (term) GROUP BY doc_id, h),
+         band AS (SELECT doc_id, h // 2 AS band_id,
+               md5(CAST(max(CASE WHEN h % 2 = 0 THEN m END) AS VARCHAR)
+                 || ',' ||
+                 CAST(max(CASE WHEN h % 2 = 1 THEN m END) AS VARCHAR))
+               AS bkey
+             FROM smp GROUP BY doc_id, h // 2),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM band x JOIN band y ON x.band_id = y.band_id
+               AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         wsz AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sz FROM tf
+             GROUP BY doc_id),
+         conf AS (SELECT a, b FROM (
+             SELECT c.a, c.b, CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS i
+             FROM cand c JOIN tf x ON x.doc_id = c.a
+               JOIN tf y ON y.doc_id = c.b AND y.term = x.term
+             GROUP BY c.a, c.b) j
+           JOIN wsz sa ON sa.doc_id = a JOIN wsz sb ON sb.doc_id = b
+           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
          ${U.oDupGroups("conf", "documents")}""",
 
     "q_llm_dedup_containment" ->

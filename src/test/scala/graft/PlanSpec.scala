@@ -818,6 +818,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_llm_dedup_wjaccard: band-key equi-joins only — never all-pairs") {
+    val p = plan("q_llm_dedup_wjaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"all-pairs crept in:\n$p")
+    // the candidate join rides (band_id, bkey); the confirm joins the
+    // candidate frame back to the tf incidence on equi keys
+    assert(p.contains("bkey"), p)
+  }
+
   test("q_dq_k_anonymity: two keyed aggregates, no join, no window") {
     val p = plan("q_dq_k_anonymity")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no cascade:\n$p")

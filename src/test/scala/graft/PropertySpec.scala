@@ -117,6 +117,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CWS weighted dedup: keeps are true weighted-Jaccard ≥ 0.8 pairs") {
+    val out = queries.Llm.queries("q_llm_dedup_wjaccard")(spark, sf).collect()
+    val tfs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty)
+          .groupBy(identity).map { case (t, v) => t -> v.length }
+      }.toMap
+    assert(out.length == tfs.size)
+    def wj(a: Map[String, Int], b: Map[String, Int]): Double = {
+      val keys = a.keySet ++ b.keySet
+      val mins = keys.toSeq.map(k =>
+        math.min(a.getOrElse(k, 0), b.getOrElse(k, 0))).sum
+      val maxs = keys.toSeq.map(k =>
+        math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).sum
+      mins.toDouble / maxs
+    }
+    val withDup = out.filter(_.getLong(2) > 0)
+    assert(withDup.nonEmpty, "corpus has near-duplicates; CWS found none")
+    withDup.filter(r => r.getLong(1) != r.getLong(0)).foreach { r =>
+      val j = wj(tfs(r.getLong(0)), tfs(r.getLong(1)))
+      assert(j >= 0.8,
+        s"doc ${r.getLong(0)} keeps ${r.getLong(1)} but weighted J $j < 0.8")
+    }
+  }
+
   test("two-pass approx quartiles agree with exact ntile within one rank") {
     val exact = queries.Windows.queries("q_win_ntile_pct")(spark, sf)
       .select("c_custkey", "quartile")
