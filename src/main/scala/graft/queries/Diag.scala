@@ -235,6 +235,42 @@ object Diag {
         .orderBy("seg")
     }),
 
+    // l-diversity audit (SURVEY §2.35) — the homogeneity-attack check
+    // k-anonymity misses: a class of 5 rows that all share one segment
+    // is k-safe yet leaks the sensitive value outright. QI here is
+    // nation × $250 balance bracket (finer than k_anonymity's $2500 —
+    // measured: the coarse bracket saturates to l=5 everywhere at
+    // sf0.1, which would make the risk predicate vacuous at bench
+    // scale; $250 keeps a mixed regime at every probed scale) and the
+    // SENSITIVE attribute is the segment. Per nation: classes,
+    // homogeneous classes (l=1), classes below l=3, the rows they
+    // expose, and the l range. Same two-aggregate shape as
+    // q_dq_k_anonymity — QI-domain-bounded cells, ≤25-row rollup, the
+    // exact-cents floor-bracket convention.
+    "q_dq_l_diversity" -> ((s, d) => {
+      val cls = Tables(s, d, "customer")
+        .select(col("c_nationkey"),
+          expr("""CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                  / 25000.0) AS BIGINT)""").as("br"),
+          col("c_mktsegment"))
+        .groupBy("c_nationkey", "br")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("l"))
+      cls.groupBy("c_nationkey").agg(
+          sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homog"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("rows_exposed"),
+          min(col("l")).as("min_l"), max(col("l")).as("max_l"))
+        .select(col("c_nationkey"), col("n_rows"), col("n_classes"),
+          col("n_homog"), col("n_below"), col("rows_exposed"),
+          round(col("rows_exposed") * lit(100.0) / col("n_rows"), 6)
+            .as("exposure_pct"),
+          col("min_l"), col("max_l"))
+        .orderBy("c_nationkey")
+    }),
+
     // Differential-privacy release mechanism over the per-language
     // counts: the Laplace mechanism (ε=1, sensitivity 1 — one document
     // changes one count by one) applied through the inverse-CDF
@@ -469,6 +505,25 @@ object Diag {
                * 100.0 / CAST(SUM(n) AS BIGINT), 6) AS risk_pct,
              min(n) AS min_class, max(n) AS max_class
            FROM cls GROUP BY seg ORDER BY seg""",
+
+      "q_dq_l_diversity" ->
+        """WITH cls AS (SELECT c_nationkey,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                 / 25000.0) AS BIGINT) AS br,
+               COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS l
+             FROM customer GROUP BY c_nationkey, br)
+           SELECT c_nationkey, CAST(SUM(n) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_classes,
+             CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_homog,
+             CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below,
+             CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_exposed,
+             round(CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+               * 100.0 / CAST(SUM(n) AS BIGINT), 6) AS exposure_pct,
+             min(l) AS min_l, max(l) AS max_l
+           FROM cls GROUP BY c_nationkey ORDER BY c_nationkey""",
 
       "q_llm_gram_novelty" ->
         s"""WITH dtk AS (SELECT doc_id, source, string_split(text, ' ') AS tk

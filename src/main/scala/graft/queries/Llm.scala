@@ -277,6 +277,51 @@ object Llm {
       U.dupGroups(Tables(s, d, "documents"), pairs)
     }),
 
+    // ROUGE-2 overlap grading (SURVEY §2.35) — the eval-metric view of
+    // the dedup family: for every banding CANDIDATE pair, the
+    // clipped-bigram precision/recall/F1 that summarization eval
+    // reports. The dedup confirms yield a DECISION (keep/drop); this
+    // yields the GRADE — which side is the subset (P≫R: b quotes a),
+    // how much survives, the number a curation review ranks pairs by.
+    // Candidates ride the SAME MinHash banding as q_llm_dedup_near
+    // (bucket-local join, never all-pairs); the overlap is the clipped
+    // count Σ min(tf_a, tf_b) over bigram MULTISETS (ROUGE's clipping
+    // rule — multiset, unlike the trigram-SET confirms). P/R/F1 each
+    // come from exact BIGINTs in ONE rounded division — F1 as
+    // 2·ov/(sza+szb), never from rounded P and R (double-rounding
+    // would drift cross-engine). Pairs sharing zero bigrams drop out
+    // (inner join): a banding candidate with no bigram overlap has no
+    // ROUGE row to report.
+    "q_llm_rouge_pairs" -> ((s, d) => {
+      val g = shingles(s, d)
+      val band = bandKeys(g)
+      val cand = band.as("x").join(band.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val bg = Tables(s, d, "documents").withColumn("tk", toks)
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+               (x, i) -> concat_ws(' ', x, tk[i + 1]))""")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val sz = bg.groupBy("doc_id").agg(sum(col("tf")).as("sz"))
+      cand
+        .join(bg.as("bx"), col("bx.doc_id") === col("a"))
+        .join(bg.as("by"), col("by.doc_id") === col("b") &&
+          col("by.g") === col("bx.g"))
+        .groupBy("a", "b")
+        .agg(sum(least(col("bx.tf"), col("by.tf"))).as("ov"))
+        .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+        .select(col("a"), col("b"), col("ov"),
+          round(col("ov") * lit(1.0) / col("szb"), 6).as("rouge_p"),
+          round(col("ov") * lit(1.0) / col("sza"), 6).as("rouge_r"),
+          round(col("ov") * lit(2.0) / (col("sza") + col("szb")), 6)
+            .as("rouge_f1"))
+        .orderBy("a", "b")
+    }),
+
     // CONTAINMENT dedup — the asymmetric cousin of the Jaccard confirm:
     // flags pairs where the SMALLER trigram set is ≥90% inside the larger
     // (quotes, re-posts with boilerplate, doc-in-doc). Candidates come
@@ -563,6 +608,29 @@ object Llm {
            JOIN wsz sa ON sa.doc_id = a JOIN wsz sb ON sb.doc_id = b
            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
          ${U.oDupGroups("conf", "documents")}""",
+
+    "q_llm_rouge_pairs" ->
+      s"""WITH $oSigCte,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         bg AS (SELECT doc_id, g2 AS g, COUNT(*) AS tf FROM (
+               SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i + 1])) AS g2 FROM tk)
+             GROUP BY doc_id, g2),
+         bsz AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sz FROM bg
+             GROUP BY doc_id),
+         ovl AS (SELECT c.a, c.b,
+               CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS ov
+             FROM cand c JOIN bg x ON x.doc_id = c.a
+               JOIN bg y ON y.doc_id = c.b AND y.g = x.g
+             GROUP BY c.a, c.b)
+         SELECT a, b, ov,
+           round(ov * 1.0 / sb.sz, 6) AS rouge_p,
+           round(ov * 1.0 / sa.sz, 6) AS rouge_r,
+           round(ov * 2.0 / (sa.sz + sb.sz), 6) AS rouge_f1
+         FROM ovl JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
+         ORDER BY a, b""",
 
     "q_llm_dedup_containment" ->
       s"""WITH $oSigCte,

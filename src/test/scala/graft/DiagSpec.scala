@@ -368,4 +368,42 @@ class DiagSpec extends SparkSpec {
     assert(gate.getLong(0) > 0 && gate.getLong(0) < gate.getLong(1))
     assert(gate.getDouble(2) > 0.0 && gate.getDouble(2) < 100.0)
   }
+
+  test("q_dq_l_diversity matches the distinct-sensitive mirror; non-vacuous at bench scale") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cents(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val out = graft.queries.Diag.queries("q_dq_l_diversity")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getLong(7), r.getLong(8))).toMap
+    val rows = Tables(spark, sf, "customer")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getInt(0),
+        math.floor(cents(r.getDouble(1)) / 25000.0).toLong, r.getString(2)))
+    val expect = rows.groupBy(x => (x._1, x._2)).toSeq
+      .map { case (k, v) =>
+        (k._1, v.length.toLong, v.map(_._3).distinct.length.toLong) }
+      .groupBy(_._1).map { case (nat, cls) =>
+        val exposed = cls.filter(_._3 < 3).map(_._2).sum
+        val total = cls.map(_._2).sum
+        nat -> (total, cls.size.toLong,
+          cls.count(_._3 == 1).toLong, cls.count(_._3 < 3).toLong,
+          exposed, r6(exposed * 100.0 / total),
+          cls.map(_._3).min, cls.map(_._3).max)
+      }
+    assert(out === expect)
+    // the $250 bracket keeps the risk predicate alive at bench scale
+    // (the $2500 QI saturates to l=5 everywhere at sf0.1 — measured);
+    // assert the mixed regime there: some exposure, not everything
+    val gate = graft.queries.Diag
+      .queries("q_dq_l_diversity")(spark, "/root/testdata/sf0.1")
+      .agg(org.apache.spark.sql.functions.expr("sum(n_below)"),
+        org.apache.spark.sql.functions.expr("sum(n_classes)"),
+        org.apache.spark.sql.functions.expr("min(min_l)"),
+        org.apache.spark.sql.functions.expr("max(max_l)")).collect()(0)
+    assert(gate.getLong(0) > 0 && gate.getLong(0) < gate.getLong(1))
+    assert(gate.getLong(2) < 3 && gate.getLong(3) === 5L)
+  }
 }

@@ -827,6 +827,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bkey"), p)
   }
 
+  test("q_dq_l_diversity: aggregate cascade only — no join, no window") {
+    val p = plan("q_dq_l_diversity")
+    // QI cells (with a distinct-sensitive expansion) then the nation
+    // rollup — same joinless shape as the k-anonymity sibling
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no cascade:\n$p")
+    assert(!p.contains("Join"), s"QI audit must not join:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_llm_rouge_pairs: banding candidates only — never all-pairs") {
+    val p = plan("q_llm_rouge_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"all-pairs crept in:\n$p")
+    assert(p.contains("bkey"), p)
+  }
+
   test("q_dq_k_anonymity: two keyed aggregates, no join, no window") {
     val p = plan("q_dq_k_anonymity")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no cascade:\n$p")

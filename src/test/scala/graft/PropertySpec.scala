@@ -143,6 +143,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ROUGE pairs report exact clipped-bigram P/R/F1 with real asymmetry") {
+    val out = queries.Llm.queries("q_llm_rouge_pairs")(spark, sf).collect()
+    assert(out.nonEmpty, "banding found no candidate pairs to grade")
+    val bg = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[String](1).sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq.groupBy(identity)
+          .map { case (g, v) => g -> v.length }
+      }.toMap
+    out.foreach { r =>
+      val (ba, bb) = (bg(r.getLong(0)), bg(r.getLong(1)))
+      val ov = (ba.keySet ++ bb.keySet).toSeq
+        .map(k => math.min(ba.getOrElse(k, 0), bb.getOrElse(k, 0))).sum
+      val (sza, szb) = (ba.values.sum, bb.values.sum)
+      assert(r.getLong(2) === ov.toLong)
+      assert(math.abs(r.getDouble(3) - ov.toDouble / szb) < 1e-6)
+      assert(math.abs(r.getDouble(4) - ov.toDouble / sza) < 1e-6)
+      assert(math.abs(r.getDouble(5) - 2.0 * ov / (sza + szb)) < 1e-6)
+    }
+    // the metric's point is asymmetry (which side is the subset):
+    // a vacuous fixture would report P = R on every pair
+    assert(out.exists(r => r.getDouble(3) != r.getDouble(4)))
+  }
+
   test("two-pass approx quartiles agree with exact ntile within one rank") {
     val exact = queries.Windows.queries("q_win_ntile_pct")(spark, sf)
       .select("c_custkey", "quartile")
