@@ -38,6 +38,11 @@ object Scale {
     "x_kmeans_lazy_ckpt" -> ((s, d) => graft.queries.Learn.kmeansWith(s, d, "lazy")),
     "x_kmeans_eager_ckpt" -> ((s, d) => graft.queries.Learn.kmeansWith(s, d, "eager")),
     "x_kmeans_no_ckpt" -> ((s, d) => graft.queries.Learn.kmeansWith(s, d, "none")),
+    // wjaccard tf-frame checkpoint A/B: "lazy" is the declared form;
+    // "none" re-derives the (doc, term) shuffle per consumer (or lets
+    // ReuseExchange dedupe it); "memo" derives once per (session, dir)
+    "x_wjaccard_no_ckpt" -> ((s, d) => graft.queries.Llm.wjaccardWith(s, d, "none")),
+    "x_wjaccard_memo_ckpt" -> ((s, d) => graft.queries.Llm.wjaccardWith(s, d, "memo")),
     // IVF quantizer-growth probes: bits chosen so 2^bits tracks N
     // (base 4 bits / 16 cells at sf0.1's 2k vectors → 7 bits at ×10,
     // 11 bits at ×100), holding per-cell population ~constant — the

@@ -91,14 +91,32 @@ object Llm {
       .select("a", "b")
 
   /** 0-bit consistent weighted sampling (CWS) geometry for
-    * q_llm_dedup_wjaccard: 8 samples in 4 bands of 2. For weighted
-    * Jaccard w the per-sample collision probability IS w (the CWS
-    * guarantee), so a band collides with w² and a true pair (w ≥ 0.8)
-    * survives ≥1 of 4 bands with 1−(1−w²)⁴ ≈ 99.2%. */
-  private val cwsHashes = 8
+    * q_llm_dedup_wjaccard: 24 samples in 6 bands of 4, over weighted
+    * BIGRAM shingles. For weighted Jaccard w the per-sample collision
+    * probability IS w (the CWS guarantee), so a band collides with w⁴
+    * and a true pair survives ≥1 of 6 bands with 1−(1−w⁴)⁶ — 99.8% at
+    * the corpus's true-pair floor w = 0.9, 95.8% at the declared 0.8
+    * threshold.
+    *
+    * Feature and geometry are MEASURED choices, not defaults. The
+    * first cut sampled unigram tf with 4 bands of 2 — correct output,
+    * quadratic cost: this corpus's unigram-weighted similarity has a
+    * high noise floor (median pair w = 0.36, p99 = 0.59 — every doc
+    * draws the same 31-word vocabulary), so bands collided on ~42% of
+    * ALL pairs (4w² at the median) and the ×10 probe measured 72 s —
+    * the candidate join WAS all-pairs in disguise. Weighted-bigram
+    * similarity on the same fixture is bimodal (noise ≤ 0.1, signal
+    * ≥ 0.9, the SAME 28 ground-truth pairs): noise collides at ≤ 6w⁴
+    * ≈ 0.06%, so candidates stay O(n·dup-rate). The general 100 TB
+    * rule this encodes: banding geometry must be derived from the
+    * measured pair-similarity distribution — a threshold sitting near
+    * the noise mode makes ANY banding quadratic. */
+  private val cwsHashes = 24
+  private val cwsRowsPerBand = 4
 
-  /** Per-doc CWS signature: for each of the 8 hashes, the argmin over
-    * the doc's TERMS of round(−ln(u(term, h)), 9) / tf — the 0-bit CWS
+  /** Per-doc CWS signature: for each of the 24 hashes, the argmin over
+    * the doc's bigram SHINGLES of round(−ln(u(term, h)), 9) / tf — the
+    * 0-bit CWS
     * draw ("Improved Consistent Sampling", Ioffe 2010, reduced to the
     * exponential-race form): u is a deterministic md5 uniform in
     * (0, 1], identical in both engines by construction; dividing the
@@ -127,30 +145,85 @@ object Llm {
           expr(s"""round(-ln((${hexFold(s"md5(concat(term, '#', '$h'))", 12)}
               % 1000000 + 1) / 1000000.0), 9)""").as(s"u$h")
         }: _*)
-    tf.join(uh, "term")
+    // uh is the KB-scale vocab artifact — always broadcast; the sig
+    // frame (one row per doc) is lazily checkpointed so the band
+    // self-join reads it instead of deriving the aggregate twice
+    tf.join(broadcast(uh), "term")
       .groupBy("doc_id")
       .agg(
         min(expr(packedMin(0))).as("m0"),
         (1 until cwsHashes).map(h => min(expr(packedMin(h))).as(s"m$h")): _*)
+      .localCheckpoint(false)
   }
 
   /** The packed CWS argmin atom for hash h: score nanos · 2²⁸ + tid. */
   private def packedMin(h: Int): String =
     s"CAST(round(round(u$h / tf, 9) * 1e9) AS BIGINT) * 268435456 + tid"
 
-  /** Per-doc term frequencies — the weighted shingle frame. Lazily
-    * localCheckpointed (the orderBrandSets discipline): FIVE consumers
-    * (vocab distinct, the signature join, both confirm sides, the size
-    * frame) would otherwise each re-run the tokenize + (doc, term)
-    * shuffle — measured 14.2 → 6.2 s standalone at sf0.1 (0.48 s
-    * in-suite on a warm session, bench_full.json). */
-  private def termTf(s: org.apache.spark.sql.SparkSession, d: String)
-    : org.apache.spark.sql.DataFrame =
-    Tables(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .where(length(col("term")) > 0)
+  /** Per-doc bigram-shingle frequencies — the weighted shingle frame.
+    * Lazily localCheckpointed (the orderBrandSets discipline): FIVE
+    * consumers (vocab distinct, the signature join, both confirm
+    * sides, the size frame) would otherwise each re-run the tokenize +
+    * (doc, term) shuffle.
+    *
+    * The repartition BEFORE the checkpoint is load-bearing, measured:
+    * AQE coalesces this small aggregate's shuffle to ~1 partition, and
+    * a localCheckpoint FREEZES that layout — every downstream stage
+    * (the 24-min CWS aggregate above all) then ran single-threaded
+    * (one 9.3 s task at sf0.1; 12.6 s full query). An explicit
+    * doc_id-keyed repartition at defaultParallelism restores
+    * parallelism through the checkpoint AND pre-partitions the frame
+    * for the doc-keyed signature/size aggregates (no further shuffle):
+    * full query 12.6 → 2.1 s fresh-materialized at sf0.1. */
+  private def termTf(s: org.apache.spark.sql.SparkSession, d: String,
+      ckpt: String = "lazy"): org.apache.spark.sql.DataFrame = {
+    val base = Tables(s, d, "documents").withColumn("tk", toks)
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+             (x, i) -> concat_ws(' ', x, tk[i + 1]))""")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    def par = base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    ckpt match {
+      case "none" => base
+      case "memo" => graft.Memo(s, s"wj-tf:$d")(par.localCheckpoint(true))
+      case _      => par.localCheckpoint(false)
+    }
+  }
+
+  /** The full wjaccard pipeline over a given tf frame — shared by the
+    * declared query and the Scale checkpoint-strategy A/B probes. */
+  private[graft] def wjaccardWith(s: org.apache.spark.sql.SparkSession,
+      d: String, ckpt: String): org.apache.spark.sql.DataFrame = {
+    val tf = termTf(s, d, ckpt)
+    val bandCols = (0 until cwsHashes / cwsRowsPerBand).map { b =>
+      val ms = (0 until cwsRowsPerBand).map(j =>
+        col(s"m${b * cwsRowsPerBand + j}").cast("string"))
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",", ms: _*)).as("bkey"))
+    }
+    val bands = cwsSig(tf)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val wsz = tf.groupBy("doc_id").agg(sum(col("tf")).as("sz"))
+    val pairs = cand
+      .join(tf.as("gx"), col("gx.doc_id") === col("a"))
+      .join(tf.as("gy"), col("gy.doc_id") === col("b") &&
+        col("gy.term") === col("gx.term"))
+      .groupBy("a", "b")
+      .agg(sum(least(col("gx.tf"), col("gy.tf"))).as("i"))
+      .join(wsz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(wsz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .where(col("i").cast("double") /
+        (col("sza") + col("szb") - col("i")) >= 0.8)
+      .select("a", "b")
+    U.dupGroups(Tables(s, d, "documents"), pairs)
+  }
 
   private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame = {
@@ -246,36 +319,7 @@ object Llm {
     // only — weighted Jaccard Σmin(tf)/Σmax(tf) ≥ 0.8 computed from
     // the identity Σmax = sza + szb − Σmin with exact BIGINT tf sums,
     // one float division at the compare.
-    "q_llm_dedup_wjaccard" -> ((s, d) => {
-      val tf = termTf(s, d)
-      val bandCols = (0 until cwsHashes / 2).map { b =>
-        struct(lit(b).as("band_id"),
-          md5(concat_ws(",", col(s"m${2 * b}").cast("string"),
-            col(s"m${2 * b + 1}").cast("string"))).as("bkey"))
-      }
-      val bands = cwsSig(tf)
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band_id").as("band_id"),
-          col("bb.bkey").as("bkey"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val wsz = tf.groupBy("doc_id").agg(sum(col("tf")).as("sz"))
-      val pairs = cand
-        .join(tf.as("gx"), col("gx.doc_id") === col("a"))
-        .join(tf.as("gy"), col("gy.doc_id") === col("b") &&
-          col("gy.term") === col("gx.term"))
-        .groupBy("a", "b")
-        .agg(sum(least(col("gx.tf"), col("gy.tf"))).as("i"))
-        .join(wsz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-        .join(wsz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-        .where(col("i").cast("double") /
-          (col("sza") + col("szb") - col("i")) >= 0.8)
-        .select("a", "b")
-      U.dupGroups(Tables(s, d, "documents"), pairs)
-    }),
+    "q_llm_dedup_wjaccard" -> ((s, d) => wjaccardWith(s, d, "lazy")),
 
     // ROUGE-2 overlap grading (SURVEY §2.35) — the eval-metric view of
     // the dedup family: for every banding CANDIDATE pair, the
@@ -574,10 +618,13 @@ object Llm {
          ${U.oDupGroups("conf", "documents")}""",
 
     "q_llm_dedup_wjaccard" ->
-      s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS term
-             FROM documents)
-           WHERE length(term) > 0 GROUP BY doc_id, term),
+      s"""WITH dtk AS (SELECT doc_id, string_split(text, ' ') AS tk
+             FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i + 1])) AS term
+             FROM dtk)
+           GROUP BY doc_id, term),
          uh AS (SELECT term, ${U.oHexFold("md5(term)", 7)} AS tid,
                i AS h,
                round(-ln((
@@ -589,12 +636,9 @@ object Llm {
                MIN(CAST(round(round(u / tf, 9) * 1e9) AS BIGINT)
                  * 268435456 + tid) AS m
              FROM tf JOIN uh USING (term) GROUP BY doc_id, h),
-         band AS (SELECT doc_id, h // 2 AS band_id,
-               md5(CAST(max(CASE WHEN h % 2 = 0 THEN m END) AS VARCHAR)
-                 || ',' ||
-                 CAST(max(CASE WHEN h % 2 = 1 THEN m END) AS VARCHAR))
-               AS bkey
-             FROM smp GROUP BY doc_id, h // 2),
+         band AS (SELECT doc_id, h // $cwsRowsPerBand AS band_id,
+               md5(string_agg(m::VARCHAR, ',' ORDER BY h)) AS bkey
+             FROM smp GROUP BY doc_id, h // $cwsRowsPerBand),
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
              FROM band x JOIN band y ON x.band_id = y.band_id
                AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
