@@ -225,16 +225,29 @@ object Llm {
     U.dupGroups(Tables(s, d, "documents"), pairs)
   }
 
+  /** MinHash banding candidates (a < b), memoized per (session, sfDir)
+    * — the one frame the whole set-MinHash family starts from. FOUR
+    * queries derive it (near via confirmedPairs, cc/keep_best via the
+    * edge memo, containment, rouge_pairs), and its lineage carries the
+    * family's dominant cost: 16 md5 draws per (doc, shingle) row.
+    * Before the memo, q_llm_rouge_pairs re-derived it alone at 6.0 s
+    * in-suite while its siblings shared lineage at ~0.2 s; tiny frame
+    * (≈ n·dup-rate rows), lazy checkpoint — first consumer
+    * materializes, the rest read it back. */
+  private def bandCandidates(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame =
+    graft.Memo(s, s"mh-cand:$d") {
+      val band = bandKeys(shingles(s, d))
+      band.as("x").join(band.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .localCheckpoint(false)
+    }
+
   private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
-    : org.apache.spark.sql.DataFrame = {
-    val g = shingles(s, d)
-    val band = bandKeys(g)
-    val cand = band.as("x").join(band.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    jaccardConfirm(g, cand)
-  }
+    : org.apache.spark.sql.DataFrame =
+    jaccardConfirm(shingles(s, d), bandCandidates(s, d))
 
   /** (doc_id, component_id) for EVERY document: iterative min-label
     * propagation over the confirmed near-dup pairs (the standard Spark
@@ -337,13 +350,7 @@ object Llm {
     // (inner join): a banding candidate with no bigram overlap has no
     // ROUGE row to report.
     "q_llm_rouge_pairs" -> ((s, d) => {
-      val g = shingles(s, d)
-      val band = bandKeys(g)
-      val cand = band.as("x").join(band.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val cand = bandCandidates(s, d)
       val bg = Tables(s, d, "documents").withColumn("tk", toks)
         .select(col("doc_id"), explode(expr(
           """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
@@ -375,15 +382,9 @@ object Llm {
     // pass q_llm_substring_dedup is the tool for that shape); what this
     // catches is near-equal-size containment, at banding cost, never
     // all-pairs. Confirm arithmetic is one integer division compare.
-    "q_llm_dedup_containment" -> ((s, d) => {
-      val g = shingles(s, d)
-      val band = bandKeys(g)
-      val cand = band.as("x").join(band.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      U.dupGroups(Tables(s, d, "documents"), containConfirm(g, cand))
-    }),
+    "q_llm_dedup_containment" -> ((s, d) =>
+      U.dupGroups(Tables(s, d, "documents"),
+        containConfirm(shingles(s, d), bandCandidates(s, d)))),
 
     // Transitive dup groups: connected components over the confirmed
     // near-dup pairs (a kept b, b kept c ⇒ {a,b,c} are one group — the
