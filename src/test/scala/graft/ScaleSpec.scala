@@ -49,6 +49,19 @@ class ScaleSpec extends SparkSpec {
     val slack = math.max(2L, na / 20)
     assert(nb >= 2 * na - slack && nb <= 2 * na + slack,
       s"near-dup neighbor mass not ~x2: $na -> $nb (cross-copy pairs?)")
+    // same pair-sensitive invariant for the WEIGHTED (CWS bigram) path:
+    // per-token suffixing makes cross-copy bigram multisets disjoint, so
+    // weighted neighbor mass must ~double; a cross-copy CWS band
+    // collision would inflate it quadratically (the exact artifact the
+    // round-7 unigram geometry produced WITHIN copies — this guard
+    // would catch its cross-copy cousin)
+    val wd = (d: String) =>
+      queries.Llm.queries("q_llm_dedup_wjaccard")(spark, d)
+        .agg(sum("n_dups")).first().getLong(0)
+    val (wa, wb) = (wd(sf), wd(dir))
+    val wslack = math.max(2L, wa / 20)
+    assert(wb >= 2 * wa - wslack && wb <= 2 * wa + wslack,
+      s"weighted neighbor mass not ~x2: $wa -> $wb (cross-copy pairs?)")
   }
 
   test("events replication preserves per-user density (user_id strides per copy)") {
