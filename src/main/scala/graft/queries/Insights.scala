@@ -443,6 +443,52 @@ object Insights {
         .limit(20)
     }),
 
+    // Z-NORMALIZED subsequence similarity (SURVEY §2.35) — the UCR-suite
+    // semantics every data-series system (iSAX/Odyssey family) actually
+    // matches under, and what q_ts_simsearch's raw-Euclidean form is
+    // NOT: each 7-day window is normalized by its own mean/std before
+    // the distance, so the query matches SHAPE (a spike, a ramp)
+    // regardless of the user's traffic level. Same scale shape as the
+    // raw sibling: per-user keyed windows (never a global sort), a
+    // 1-row broadcast query pattern, distances summed per window.
+    // Determinism discipline: window moments are exact BIGINT sums
+    // (Σx, Σx² of integer milli-values); μ/σ/z are doubles from
+    // identical operand order in both engines (sqrt is correctly
+    // rounded IEEE); each squared z-difference is rounded to the 1e-6
+    // grid and summed as exact DECIMAL (order-free — a raw double SUM
+    // would drift under DuckDB's unordered group accumulation); flat
+    // windows (σ = 0, s2·7 = s1²) carry no shape and are excluded on
+    // both sides BEFORE the query pick, as the division guard.
+    "q_ts_simsearch_znorm" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val wins = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("arr", collect_list(col("tot")).over(w.rowsBetween(0, 6)))
+        .where(size(col("arr")) === 7)
+        .withColumn("s1", expr("aggregate(arr, 0L, (a, x) -> a + x)"))
+        .withColumn("s2", expr("aggregate(arr, 0L, (a, x) -> a + x * x)"))
+        .where(col("s2") * 7 =!= col("s1") * col("s1"))
+        .withColumn("mu", col("s1") / lit(7.0))
+        .withColumn("sg", sqrt(col("s2") / lit(7.0) - col("mu") * col("mu")))
+      val qpat = wins.where(col("rn") === 1)
+        .orderBy("user_id").limit(1)
+        .select(col("arr").as("qarr"), col("mu").as("qmu"),
+          col("sg").as("qsg"))
+      wins.crossJoin(broadcast(qpat))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("start_day"),
+          explode(expr("""zip_with(arr, qarr, (a, b) ->
+              round(((a - mu) / sg - (b - qmu) / qsg) *
+                    ((a - mu) / sg - (b - qmu) / qsg), 6))""")).as("sq"))
+        .groupBy("user_id", "start_day")
+        .agg(U.dsum(col("sq")).as("zdist"))
+        .orderBy(col("zdist"), col("user_id"), col("start_day"))
+        .limit(20)
+    }),
+
     // Doc-to-doc kNN graph (top-3 neighbors per vector) over the IVF
     // sign-bit cells with Hamming-1 multi-probe — the build step of a
     // semantic-dedup / clustering pass. Candidates are bounded per cell;
@@ -876,6 +922,44 @@ object Insights {
                   GROUP BY s.user_id, s.day)
          SELECT user_id, strftime(day, '%Y-%m-%d') AS start_day, dist
          FROM dist ORDER BY dist, user_id, start_day LIMIT 20""",
+
+    "q_ts_simsearch_znorm" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS tot
+           FROM events GROUP BY user_id, day),
+         d2 AS (SELECT user_id, day, tot,
+                  row_number() OVER w AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS nu
+                FROM daily
+                WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         st AS (SELECT s.user_id, s.rn AS start, s.day,
+                  CAST(SUM(x.tot) AS BIGINT) AS s1,
+                  CAST(SUM(x.tot * x.tot) AS BIGINT) AS s2
+                FROM d2 s JOIN d2 x ON x.user_id = s.user_id
+                  AND x.rn BETWEEN s.rn AND s.rn + 6
+                WHERE s.rn <= s.nu - 6
+                GROUP BY s.user_id, s.rn, s.day),
+         stv AS (SELECT user_id, start, day, s1 / 7.0 AS mu,
+                  sqrt(s2 / 7.0 - (s1 / 7.0) * (s1 / 7.0)) AS sg
+                FROM st WHERE s2 * 7 <> s1 * s1),
+         qsel AS (SELECT user_id, mu AS qmu, sg AS qsg FROM stv
+               WHERE start = 1
+                 AND user_id = (SELECT MIN(user_id) FROM stv
+                                WHERE start = 1)),
+         q AS (SELECT d2.rn AS qi, d2.tot AS qv, qsel.qmu, qsel.qsg
+               FROM d2 JOIN qsel USING (user_id) WHERE d2.rn <= 7),
+         dist AS (SELECT s.user_id, s.day,
+                    CAST(SUM(CAST(round(
+                      ((x.tot - s.mu) / s.sg - (q.qv - q.qmu) / q.qsg) *
+                      ((x.tot - s.mu) / s.sg - (q.qv - q.qmu) / q.qsg), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS zdist
+                  FROM stv s
+                  JOIN d2 x ON x.user_id = s.user_id
+                    AND x.rn BETWEEN s.start AND s.start + 6
+                  JOIN q ON q.qi = x.rn - s.start + 1
+                  GROUP BY s.user_id, s.day)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS start_day, zdist
+         FROM dist ORDER BY zdist, user_id, start_day LIMIT 20""",
 
     "q_llm_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, embedding,

@@ -257,6 +257,51 @@ class InsightsSpec extends SparkSpec {
     assert(out.toSeq == brute, "top-20 diverges from brute force")
   }
 
+  test("z-normalized simsearch: self at 0, brute-force match, scale invariance") {
+    val out = SparkEntry.queries("q_ts_simsearch_znorm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.head._3 == 0.0, "query's own window must rank first at 0")
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val full = daily.filter(_._2.size >= 7)
+    def stats(w: Seq[Long]): (Long, Long, Double, Double) = {
+      val s1 = w.sum; val s2 = w.map(x => x * x).sum
+      val mu = s1 / 7.0
+      (s1, s2, mu, math.sqrt(s2 / 7.0 - mu * mu))
+    }
+    val wins = full.toSeq.flatMap { case (u, days) =>
+      days.sliding(7).filter(_.size == 7)
+        .map(w => (u, w.head._2, w.map(_._3)))
+    }.filter { case (_, _, w) =>
+      val (s1, s2, _, _) = stats(w); s2 * 7 != s1 * s1 }
+    val (qu, _, qw) = wins
+      .filter { case (u, d0, _) => d0 == full(u).head._2 }.minBy(_._1)
+    val (_, _, qmu, qsg) = stats(qw)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val brute = wins.map { case (u, d0, w) =>
+      val (_, _, mu, sg) = stats(w)
+      val dist = w.zip(qw).map { case (a, b) =>
+        val dz = (a - mu) / sg - (b - qmu) / qsg
+        r6(dz * dz)
+      }.sum.toDouble
+      (u, d0, dist)
+    }.sortBy { case (u, d0, dist) => (dist, u, d0) }.take(20)
+    assert(out.toSeq == brute, "top-20 diverges from the z-norm brute force")
+    // the semantics the raw-Euclidean sibling lacks: scaling a window's
+    // values leaves its z-distance unchanged (z-scores are scale-free),
+    // while the raw distance explodes — spot-check on the query window
+    val scaled = qw.map(_ * 10)
+    val (_, _, smu, ssg) = stats(scaled)
+    val zd = scaled.zip(qw).map { case (a, b) =>
+      val dz = (a - smu) / ssg - (b - qmu) / qsg; r6(dz * dz) }.sum.toDouble
+    assert(zd == 0.0, s"x10-scaled window should z-match exactly, got $zd")
+    assert(qu == out.head._1)
+  }
+
   test("kNN graph matches per-query brute force over the probed cells") {
     val out = SparkEntry.queries("q_llm_knn_graph")(spark, sf).collect()
     val byQ = out.groupBy(_.getLong(0))
