@@ -156,7 +156,12 @@ object Llm {
       .localCheckpoint(false)
   }
 
-  /** The packed CWS argmin atom for hash h: score nanos · 2²⁸ + tid. */
+  /** The packed CWS argmin atom for hash h: score nanos · 2²⁸ + tid.
+    * Overflow bound (the ks_drift documentation rule): u ≤
+    * −ln(1/10⁶) ≈ 13.816 and tf ≥ 1, so score-nanos ≤ 1.382·10¹⁰ and
+    * the packed atom ≤ 1.382·10¹⁰ · 2²⁸ + 2²⁸ ≈ 3.71·10¹⁸ < 2⁶³
+    * (9.22·10¹⁸) — a 2.5× margin that is INPUT-INDEPENDENT (the draw
+    * grid, not the data, bounds u). */
   private def packedMin(h: Int): String =
     s"CAST(round(round(u$h / tf, 9) * 1e9) AS BIGINT) * 268435456 + tid"
 

@@ -33,7 +33,11 @@ class DeterminismSpec extends SparkSpec {
       "q_llm_dedup_near", "q_llm_dedup_simhash", "q_graph_pagerank",
       "q_agg_median_mode", "q_dq_outlier_exact", "q_ts_simsearch",
       "q_agg_regression", "q_llm_ppl_proxy", "q_wl_local_volume",
-      "q_llm_cluster_kmeans", "q_ts_ewma", "q_llm_substring_dedup")
+      "q_llm_cluster_kmeans", "q_ts_ewma", "q_llm_substring_dedup",
+      // round-7 close additions: the CWS packed-argmin aggregate and
+      // the grid-rounded-decimal z-distance sum are both order-free by
+      // construction — prove it under a different partition count
+      "q_llm_dedup_wjaccard", "q_ts_simsearch_znorm")
     names.foreach { name =>
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(s2, sf).collect().toSeq
