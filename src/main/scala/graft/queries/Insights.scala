@@ -24,6 +24,25 @@ import U._
   */
 object Insights {
 
+  /** Per-user 7-day sliding windows over the daily milli-unit event
+    * totals — the scaffold shared by the raw (`q_ts_simsearch`) and
+    * z-normalized (`q_ts_simsearch_znorm`) similarity searches. One
+    * definition: the window geometry (milli grid, 7-day frame, full-
+    * window filter) must stay identical or the two searches silently
+    * match different subsequences; both DuckDB twins mirror this
+    * shape in their shared daily/d2 CTE form. */
+  private def dailyWindows(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val daily = Tables(s, d, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("arr", collect_list(col("tot")).over(w.rowsBetween(0, 6)))
+      .where(size(col("arr")) === 7)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Label-propagation community detection (Raghavan et al.) over the
@@ -423,14 +442,7 @@ object Insights {
     // series lives in one partition (the window needs no cross-user
     // data) and the query pattern broadcasts.
     "q_ts_simsearch" -> ((s, d) => {
-      val daily = Tables(s, d, "events")
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
-      val w = Window.partitionBy("user_id").orderBy("day")
-      val wins = daily
-        .withColumn("rn", row_number().over(w))
-        .withColumn("arr", collect_list(col("tot")).over(w.rowsBetween(0, 6)))
-        .where(size(col("arr")) === 7)
+      val wins = dailyWindows(s, d)
       // first full window of the smallest qualifying user — TakeOrdered,
       // not a global window (no single-partition sort)
       val qpat = wins.where(col("rn") === 1)
@@ -459,15 +471,15 @@ object Insights {
     // would drift under DuckDB's unordered group accumulation); flat
     // windows (σ = 0, s2·7 = s1²) carry no shape and are excluded on
     // both sides BEFORE the query pick, as the division guard.
+    // OVERFLOW BOUND (the ks_drift documentation rule): s2 = Σ₇ tot²
+    // and the guard's s1² stay in BIGINT, exact while every user-DAY
+    // total tot < 2³¹·√2 ≈ 3.0·10⁹ milli-units (≈ $3.0M of value per
+    // user per day — 3 000× the fixture's ~10⁶ maximum and outside
+    // the events domain at any probed scale). Past it Spark wraps
+    // silently while DuckDB raises, so a domain that large needs the
+    // DECIMAL(38,0) moment form (embed_standardize's rule).
     "q_ts_simsearch_znorm" -> ((s, d) => {
-      val daily = Tables(s, d, "events")
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
-      val w = Window.partitionBy("user_id").orderBy("day")
-      val wins = daily
-        .withColumn("rn", row_number().over(w))
-        .withColumn("arr", collect_list(col("tot")).over(w.rowsBetween(0, 6)))
-        .where(size(col("arr")) === 7)
+      val wins = dailyWindows(s, d)
         .withColumn("s1", expr("aggregate(arr, 0L, (a, x) -> a + x)"))
         .withColumn("s2", expr("aggregate(arr, 0L, (a, x) -> a + x * x)"))
         .where(col("s2") * 7 =!= col("s1") * col("s1"))

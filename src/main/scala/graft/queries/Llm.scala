@@ -132,10 +132,10 @@ object Llm {
     * two full sorts of the joined incidence), so each argmin is packed
     * into ONE BIGINT, score-nanos · 2²⁸ + a 28-bit term hash — min
     * over longs keeps the single doc-keyed shuffle inside
-    * HashAggregate. The band key hashes the packed atoms directly
-    * (a 28-bit tie/collision maps same-scoring terms to one key —
-    * banding only proposes candidates; the confirm is exact). Ties
-    * break by (score, term-hash), mirrored verbatim in the oracle. */
+    * HashAggregate. The band key then drops the score and hashes only
+    * the winner's 28-bit term id (m % 2²⁸) — the 0-bit CWS rule; see
+    * the band construction note in wjaccardWith. Ties break by
+    * (score, term-hash), mirrored verbatim in the oracle. */
   private def cwsSig(tf: org.apache.spark.sql.DataFrame)
     : org.apache.spark.sql.DataFrame = {
     val uh = tf.select("term").distinct().select(
@@ -183,9 +183,7 @@ object Llm {
   private def termTf(s: org.apache.spark.sql.SparkSession, d: String,
       ckpt: String = "lazy"): org.apache.spark.sql.DataFrame = {
     val base = Tables(s, d, "documents").withColumn("tk", toks)
-      .select(col("doc_id"), explode(expr(
-        """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
-             (x, i) -> concat_ws(' ', x, tk[i + 1]))""")).as("term"))
+      .select(col("doc_id"), explode(U.grams2).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     def par = base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     ckpt match {
@@ -200,9 +198,18 @@ object Llm {
   private[graft] def wjaccardWith(s: org.apache.spark.sql.SparkSession,
       d: String, ckpt: String): org.apache.spark.sql.DataFrame = {
     val tf = termTf(s, d, ckpt)
+    // Band keys hash the sample IDENTITY ONLY (the 28-bit term id,
+    // m % 2²⁸) — the 0-bit CWS semantics. Hashing the full packed atom
+    // would additionally require the argmin term's tf to match in both
+    // docs, silently degrading recall exactly for the
+    // boilerplate-repetition pairs this operator exists to catch (two
+    // docs sharing argmin term t with tf 10 vs 16 are w = 0.89
+    // near-dups, yet their atoms differ whenever t wins the race). The
+    // packed score stays in the aggregate only to make the argmin
+    // deterministic; the band drops it.
     val bandCols = (0 until cwsHashes / cwsRowsPerBand).map { b =>
       val ms = (0 until cwsRowsPerBand).map(j =>
-        col(s"m${b * cwsRowsPerBand + j}").cast("string"))
+        (col(s"m${b * cwsRowsPerBand + j}") % lit(268435456L)).cast("string"))
       struct(lit(b).as("band_id"),
         md5(concat_ws(",", ms: _*)).as("bkey"))
     }
@@ -356,10 +363,11 @@ object Llm {
     // ROUGE row to report.
     "q_llm_rouge_pairs" -> ((s, d) => {
       val cand = bandCandidates(s, d)
+      // the same bigram-tf frame as the CWS dedup (termTf), via the
+      // shared U.grams2 — here under rouge's own lineage because its
+      // consumers join per candidate pair, not per doc partition
       val bg = Tables(s, d, "documents").withColumn("tk", toks)
-        .select(col("doc_id"), explode(expr(
-          """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
-               (x, i) -> concat_ws(' ', x, tk[i + 1]))""")).as("g"))
+        .select(col("doc_id"), explode(U.grams2).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
       val sz = bg.groupBy("doc_id").agg(sum(col("tf")).as("sz"))
       cand
@@ -643,7 +651,8 @@ object Llm {
                  * 268435456 + tid) AS m
              FROM tf JOIN uh USING (term) GROUP BY doc_id, h),
          band AS (SELECT doc_id, h // $cwsRowsPerBand AS band_id,
-               md5(string_agg(m::VARCHAR, ',' ORDER BY h)) AS bkey
+               md5(string_agg((m % 268435456)::VARCHAR, ',' ORDER BY h))
+               AS bkey
              FROM smp GROUP BY doc_id, h // $cwsRowsPerBand),
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
              FROM band x JOIN band y ON x.band_id = y.band_id

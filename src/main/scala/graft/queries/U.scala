@@ -99,6 +99,14 @@ object U {
     """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
          (x, i) -> concat_ws(' ', x, tk[i + 1], tk[i + 2], tk[i + 3], tk[i + 4]))""")
 
+  /** Bigram array over `tk` — same shape as [[grams5]]. Shared by the
+    * CWS weighted-dedup shingle frame and the ROUGE-2 pair grade: a
+    * tokenization fix must reach both (and their DuckDB twins) or the
+    * weighted confirm and the grade silently diverge. */
+  val grams2: Column = expr(
+    """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+         (x, i) -> concat_ws(' ', x, tk[i + 1]))""")
+
   /** DuckDB twin of [[grams5]] (1-based list indexing; range(1, m) = 1..m-1),
     * over a CTE exposing `tk` = string_split(text, ' '). */
   val oGrams5: String =
