@@ -73,13 +73,14 @@ object Frontier {
     }),
 
     // Weighted shortest path (bounded Bellman–Ford, 4 relaxation
-    // rounds) from the BFS seed set over the co-purchase graph with
-    // edge weight = the pair's CHEAPEST co-purchase (min lineitem
-    // cents): "how cheaply can this customer reach that supplier
-    // through the purchase network" — the weighted sibling of
-    // q_graph_bfs (same bipartite incidence SUPPORT by construction —
-    // min exists exactly where the distinct pair does — same seed
-    // convention, same fixed-round unrolled-oracle discipline; 4
+    // rounds) from the BFS seed set over the MEMOIZED weighted
+    // co-purchase incidence (U.coPurchaseWeighted — one derivation +
+    // persist per (session, sfDir), the U.coPurchase discipline; the
+    // inline orders⋈lineitem rebuild was the round-7 bench's top
+    // shuffle writer at 146.9 MB): "how cheaply can this customer
+    // reach that supplier through the purchase network" — the weighted
+    // sibling of q_graph_bfs (same bipartite incidence SUPPORT, same
+    // seed convention, same fixed-round unrolled-oracle discipline; 4
     // rounds cover the probed diameter, and a production run loops
     // the same round to a fixpoint under the kcore checkpoint rule).
     // Per round: one keyed edge join + a node-keyed min — never
@@ -89,15 +90,7 @@ object Frontier {
     // the 20 nearest nodes via a TakeOrdered heap under a total
     // (dist, id) order.
     "q_graph_shortest_path" -> ((s, d) => {
-      val oi = Tables(s, d, "orders")
-        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("cust"),
-          (col("l_suppkey") + U.supplierIdOffset).as("supp"))
-        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
-      val e = oi.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
-        .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst"),
-          col("w")))
-        .localCheckpoint(false)
+      val e = U.coPurchaseWeightedEdges(s, d).localCheckpoint(false)
       val seeds = Tables(s, d, "customer").where(col("c_custkey") < 5)
         .select(col("c_custkey").as("id"), lit(0L).as("dcents"))
       var dist = seeds
@@ -315,8 +308,7 @@ object Frontier {
          ORDER BY o_custkey, key_a, key_b""",
 
     "q_graph_bfs" ->
-      """WITH oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
-             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      s"""WITH ${U.oCoPurchase},
          e AS (SELECT cust AS src, supp AS dst FROM oi
                UNION ALL SELECT supp AS src, cust AS dst FROM oi),
          r0 AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 5),
@@ -337,10 +329,7 @@ object Frontier {
          FROM lv GROUP BY id ORDER BY id""",
 
     "q_graph_shortest_path" ->
-      """WITH oi AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp,
-             MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           GROUP BY cust, supp),
+      s"""WITH ${U.oCoPurchaseWeighted},
          e AS (SELECT cust AS src, supp AS dst, w FROM oi
                UNION ALL SELECT supp AS src, cust AS dst, w FROM oi),
          d0 AS (SELECT c_custkey AS id, CAST(0 AS BIGINT) AS dc

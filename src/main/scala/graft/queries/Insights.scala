@@ -676,7 +676,8 @@ object Insights {
     * COALESCE, mirroring the semi-synchronous Spark loop. */
   private def oLabelChain: String = {
     def round(prev: String, out: String, k: Int): String = {
-      val side = if (k % 2 == 1) "e.dst >= 1000000" else "e.dst < 1000000"
+      val side = if (k % 2 == 1) s"e.dst >= ${U.supplierIdOffset}"
+        else s"e.dst < ${U.supplierIdOffset}"
       s"""$out AS (SELECT l.id, COALESCE(u.nu, l.lbl) AS lbl
             FROM $prev l LEFT JOIN (
               SELECT id, lbl AS nu FROM (
@@ -723,14 +724,13 @@ object Insights {
          GROUP BY word ORDER BY word""",
 
     "q_graph_pagerank" ->
-      s"""WITH oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
-             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      s"""WITH ${U.oCoPurchase},
          e0 AS (SELECT cust AS src, supp AS dst FROM oi
                 UNION ALL SELECT supp, cust FROM oi),
          deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
          e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg ON e0.src = deg.src),
          nodes AS (SELECT c_custkey AS id FROM customer
-                   UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+                   UNION ALL SELECT s_suppkey + ${U.supplierIdOffset} FROM supplier),
          r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
          ${oPrIter("r0", "r1")},
          ${oPrIter("r1", "r2")},
@@ -857,10 +857,9 @@ object Insights {
          ORDER BY b.doc_id""",
 
     "q_graph_degree_hist" ->
-      """WITH oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
-             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      s"""WITH ${U.oCoPurchase},
          nodes AS (SELECT c_custkey AS id, 'customer' AS side FROM customer
-                   UNION ALL SELECT s_suppkey + 1000000, 'supplier' FROM supplier),
+                   UNION ALL SELECT s_suppkey + ${U.supplierIdOffset}, 'supplier' FROM supplier),
          dg AS (SELECT id, COUNT(*) AS deg
                 FROM (SELECT cust AS id FROM oi UNION ALL SELECT supp FROM oi)
                 GROUP BY id),

@@ -223,10 +223,49 @@ object U {
         .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
     }
 
-  /** DuckDB twin of [[coPurchase]] — a CTE body ending at `oi(cust, supp)`. */
+  /** Weighted co-purchase incidence: the [[coPurchase]] pair set with edge
+    * weight = the pair's CHEAPEST co-purchase in exact cents (min over
+    * lineitems). Same support by construction — the min exists exactly
+    * where the distinct pair does — so the weighted graph walks the same
+    * topology as the unweighted one. Memoized + lazily persist()ed for the
+    * same reason as [[coPurchase]]: the shortest-path query used to
+    * re-derive this orders⋈lineitem grouped frame inline, making it the
+    * round-7 bench's top shuffle writer (146.9 MB) and slowest query. */
+  def coPurchaseWeighted(s: SparkSession, d: String): DataFrame =
+    graft.Memo(s, s"copurchase-w:$d") {
+      val oi = graft.Tables(s, d, "orders")
+        .join(graft.Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("cust"),
+          (col("l_suppkey") + supplierIdOffset).as("supp"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
+        oi.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else oi
+    }
+
+  /** Both-direction weighted edge list (src, dst, w) over
+    * [[coPurchaseWeighted]] — plan-level memo like [[coPurchaseEdges]]. */
+  def coPurchaseWeightedEdges(s: SparkSession, d: String): DataFrame =
+    graft.Memo(s, s"copurchase-w-edges:$d") {
+      val oi = coPurchaseWeighted(s, d)
+      oi.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+    }
+
+  /** DuckDB twin of [[coPurchase]] — a CTE body ending at `oi(cust, supp)`.
+    * The node-id offset is interpolated from [[supplierIdOffset]], not
+    * hard-coded, so the SQL mirrors follow the single definition too. */
   val oCoPurchase: String =
-    """oi AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+    s"""oi AS (SELECT DISTINCT o_custkey AS cust,
+           l_suppkey + $supplierIdOffset AS supp
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+
+  /** DuckDB twin of [[coPurchaseWeighted]] — ends at `oi(cust, supp, w)`. */
+  val oCoPurchaseWeighted: String =
+    s"""oi AS (SELECT o_custkey AS cust, l_suppkey + $supplierIdOffset AS supp,
+           MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY cust, supp)"""
 
   /** The linear dup-group output shape every dedup query converges to:
     * given an undirected candidate-pair list `pairs(a, b)` (a < b) and the
