@@ -163,39 +163,49 @@ object Diag {
     // every downstream double (means, variances, t, Welch–Satterthwaite
     // df) is derived from those exact operands with ONE pinned
     // operation order mirrored literally in the oracle, then rounded.
-    // One user-keyed pass + a 2-row arm aggregate + a 1-row closed form.
+    // One user-keyed pass + a 1-row conditional arm aggregate (both
+    // arms' moments in ONE global agg — an empty arm yields n=0, never
+    // a silently-empty join of filtered singletons) + a 1-row closed
+    // form. Degenerate splits fail LOUDLY as nulls, not NaN/Infinity:
+    // a variance needs n > 1 (when() guards va/vb) and the t/df
+    // divisions are guarded on qa + qb > 0, so an arm with 0/1
+    // purchasing users — or a zero-variance metric — reports null
+    // t/df on a still-present row with its n_a/n_b visible.
     "q_dq_ab_welch" -> ((s, d) => {
       val users = Tables(s, d, "events")
         .where(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(round(col("value") * 100).cast("long")).as("v"))
         .withColumn("arm", U.abArm)
-      val arms = users.groupBy("arm")
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
-          sum(col("v").cast(DEC38) * col("v")).as("s2"))
-      val a = arms.where(col("arm") === 0)
-        .select(col("n").as("n_a"), col("s1").as("s1a"), col("s2").as("s2a"))
-      val b = arms.where(col("arm") === 1)
-        .select(col("n").as("n_b"), col("s1").as("s1b"), col("s2").as("s2b"))
-      a.crossJoin(broadcast(b))
+      def inArm(a: Int, c: org.apache.spark.sql.Column) =
+        when(col("arm") === a, c)
+      users.agg(
+          sum(inArm(0, lit(1L)).otherwise(0L)).as("n_a"),
+          sum(inArm(0, col("v"))).as("s1a"),
+          sum(inArm(0, col("v").cast(DEC38) * col("v"))).as("s2a"),
+          sum(inArm(1, lit(1L)).otherwise(0L)).as("n_b"),
+          sum(inArm(1, col("v"))).as("s1b"),
+          sum(inArm(1, col("v").cast(DEC38) * col("v"))).as("s2b"))
         .withColumn("ma", col("s1a").cast("double") / col("n_a"))
         .withColumn("mb", col("s1b").cast("double") / col("n_b"))
-        .withColumn("va", (col("s2a").cast("double") -
+        .withColumn("va", when(col("n_a") > 1, (col("s2a").cast("double") -
           col("s1a").cast("double") * col("s1a") / col("n_a")) /
-          (col("n_a") - 1))
-        .withColumn("vb", (col("s2b").cast("double") -
+          (col("n_a") - 1)))
+        .withColumn("vb", when(col("n_b") > 1, (col("s2b").cast("double") -
           col("s1b").cast("double") * col("s1b") / col("n_b")) /
-          (col("n_b") - 1))
+          (col("n_b") - 1)))
         .withColumn("qa", col("va") / col("n_a"))
         .withColumn("qb", col("vb") / col("n_b"))
         .select(col("n_a"), col("n_b"),
           round(col("ma") / 100.0, 6).as("mean_a"),
           round(col("mb") / 100.0, 6).as("mean_b"),
-          round((col("ma") - col("mb")) / sqrt(col("qa") + col("qb")), 6)
+          when(col("qa") + col("qb") > 0,
+            round((col("ma") - col("mb")) / sqrt(col("qa") + col("qb")), 6))
             .as("t"),
-          round((col("qa") + col("qb")) * (col("qa") + col("qb")) /
-            (col("qa") * col("qa") / (col("n_a") - 1) +
-              col("qb") * col("qb") / (col("n_b") - 1)), 6).as("df"))
+          when(col("qa") + col("qb") > 0,
+            round((col("qa") + col("qb")) * (col("qa") + col("qb")) /
+              (col("qa") * col("qa") / (col("n_a") - 1) +
+                col("qb") * col("qb") / (col("n_b") - 1)), 6)).as("df"))
     }),
 
     // k-anonymity audit (SURVEY §2.34) — the re-identification check a
@@ -388,9 +398,13 @@ object Diag {
     // log-of-zero), per-bin term (pa − pb)·ln(pa/pb) on the 1e-9 grid
     // (the zipf/dp_release libm round rule). One keyed aggregate over
     // the events scan + a 10-row report; the consumer sums psi_term.
-    // Output per bin — the report a drift dashboard renders — never a
-    // global window anywhere (bins come from the broadcast-bounds
-    // formula, not a rank).
+    // The report covers ALL 10 bins — the declared bin domain (a
+    // 10-row range) left-joins the counts with coalesce-to-0, so a bin
+    // empty in BOTH samples still contributes its (nonzero, when
+    // ta ≠ tb) smoothed psi_term instead of silently vanishing from
+    // the consumer's summed PSI. Output per bin — the report a drift
+    // dashboard renders — never a global window anywhere (bins come
+    // from the broadcast-bounds formula, not a rank).
     "q_dq_psi" -> ((s, d) => {
       val ev = Tables(s, d, "events")
         .where(col("event_type").isin("purchase", "click"))
@@ -403,8 +417,12 @@ object Diag {
         .groupBy("bin")
         .agg(sum(col("g")).as("n_a"),
           (count(lit(1)) - sum(col("g"))).as("n_b"))
+      val full = s.range(10).select(col("id").as("bin"))
+        .join(broadcast(counts), Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
       val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
-      counts.crossJoin(broadcast(tot))
+      full.crossJoin(broadcast(tot))
         .withColumn("pa", (col("n_a") + 1).cast("double") / (col("ta") + 10))
         .withColumn("pb", (col("n_b") + 1).cast("double") / (col("tb") + 10))
         .select(col("bin"), col("n_a"), col("n_b"),
@@ -602,31 +620,35 @@ object Diag {
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,
                ${U.oAbArm} AS arm
              FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-           arms AS (SELECT arm, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
-                 SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2
-               FROM u GROUP BY arm),
            ab AS (SELECT
-               (SELECT n FROM arms WHERE arm = 0) AS n_a,
-               (SELECT s1 FROM arms WHERE arm = 0) AS s1a,
-               (SELECT s2 FROM arms WHERE arm = 0) AS s2a,
-               (SELECT n FROM arms WHERE arm = 1) AS n_b,
-               (SELECT s1 FROM arms WHERE arm = 1) AS s1b,
-               (SELECT s2 FROM arms WHERE arm = 1) AS s2b),
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN v END) AS BIGINT) AS s1a,
+               SUM(CASE WHEN arm = 0
+                 THEN CAST(v AS DECIMAL(38,0)) * v END) AS s2a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN v END) AS BIGINT) AS s1b,
+               SUM(CASE WHEN arm = 1
+                 THEN CAST(v AS DECIMAL(38,0)) * v END) AS s2b
+             FROM u),
            m AS (SELECT n_a, n_b,
                CAST(s1a AS DOUBLE) / n_a AS ma,
                CAST(s1b AS DOUBLE) / n_b AS mb,
-               (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
-                 / (n_a - 1) AS va,
-               (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
-                 / (n_b - 1) AS vb
+               CASE WHEN n_a > 1 THEN
+                 (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+                   / (n_a - 1) END AS va,
+               CASE WHEN n_b > 1 THEN
+                 (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+                   / (n_b - 1) END AS vb
              FROM ab),
            q AS (SELECT n_a, n_b, ma, mb, va / n_a AS qa, vb / n_b AS qb
                  FROM m)
            SELECT n_a, n_b,
              round(ma / 100.0, 6) AS mean_a, round(mb / 100.0, 6) AS mean_b,
-             round((ma - mb) / sqrt(qa + qb), 6) AS t,
-             round((qa + qb) * (qa + qb)
-               / (qa * qa / (n_a - 1) + qb * qb / (n_b - 1)), 6) AS df
+             CASE WHEN qa + qb > 0 THEN
+               round((ma - mb) / sqrt(qa + qb), 6) END AS t,
+             CASE WHEN qa + qb > 0 THEN
+               round((qa + qb) * (qa + qb)
+                 / (qa * qa / (n_a - 1) + qb * qb / (n_b - 1)), 6) END AS df
            FROM q""",
 
       "q_dq_dp_release" ->
@@ -679,12 +701,17 @@ object Diag {
                  CAST(SUM(g) AS BIGINT) AS n_a,
                  CAST(COUNT(*) - SUM(g) AS BIGINT) AS n_b
                FROM ev, bounds GROUP BY 1),
+           dom AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+           fullc AS (SELECT dom.bin,
+                 CAST(coalesce(counts.n_a, 0) AS BIGINT) AS n_a,
+                 CAST(coalesce(counts.n_b, 0) AS BIGINT) AS n_b
+               FROM dom LEFT JOIN counts ON counts.bin = dom.bin),
            tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
                      CAST(SUM(n_b) AS BIGINT) AS tb FROM counts),
            p AS (SELECT bin, n_a, n_b,
                    CAST(n_a + 1 AS DOUBLE) / (ta + 10) AS pa,
                    CAST(n_b + 1 AS DOUBLE) / (tb + 10) AS pb
-                 FROM counts, tot)
+                 FROM fullc, tot)
            SELECT bin, n_a, n_b, round(pa, 9) AS p_a, round(pb, 9) AS p_b,
              round((pa - pb) * ln(pa / pb), 9) AS psi_term
            FROM p ORDER BY bin""",

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util.{Map => JMap}
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
@@ -11,6 +12,28 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
+
+/** Serializable carrier for a Hadoop `Configuration` (which is not
+  * itself `java.io.Serializable`): the job's driver-side conf rides
+  * the `DataWriterFactory` to every executor so task temps and the
+  * driver commit's renames resolve against ONE filesystem — on a
+  * cluster with `fs.defaultFS=hdfs://…` or S3A credentials in the job
+  * conf, a writer building its own `new Configuration()` could land
+  * temps on a DIFFERENT filesystem than the driver renames from.
+  * Standard Writable round-trip (Configuration extends Writable).
+  */
+class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
 
 /** Custom DataSource V2 batch SINK with a two-phase commit protocol —
   * the write-side twin of [[GraftGenSource]]
@@ -28,18 +51,26 @@ import scala.jdk.CollectionConverters._
   *    `WriterCommitMessage` — nothing becomes visible;
   *  - the driver's `BatchWrite.commit()` is the single publish point:
   *    it renames exactly one temp per partition to its final
-  *    `part-NNNNN.tsv` name and writes the `_GRAFT_COMMIT` manifest
-  *    (file list + row counts) LAST, so a reader that requires the
-  *    manifest never sees a torn write;
+  *    GENERATION-UNIQUE `part-NNNNN-gGGGG.tsv` name and swaps the
+  *    `_GRAFT_COMMIT` manifest (file list + row counts) in LAST, so a
+  *    reader keyed on the manifest never sees a torn write;
+  *  - overwrite (`SupportsTruncate`) is CRASH-SAFE: the new generation
+  *    publishes under names that cannot collide with the old one, the
+  *    manifest swap is the commit point, and only AFTER the new
+  *    manifest is durable are the previous generation's parts deleted.
+  *    A driver crash at any earlier point leaves the old generation
+  *    fully readable (old manifest + old parts intact; the orphaned
+  *    new-generation files are swept by the next successful commit);
   *  - `abort()` (driver) and the writer's own `abort()` delete temps, so
   *    failed/speculative attempts leave no visible output.
   *
   * Rows serialize as TSV (long/int/double/string columns — doubles via
-  * the same shortest-repr `toString` both engines print). Overwrite mode
-  * maps to `SupportsTruncate`: the truncate flag makes the driver commit
-  * clear previously-published parts before renaming the new generation
-  * in. Uses the Hadoop FileSystem API throughout, so the same code
-  * drives HDFS/S3A in production and the local FS here.
+  * the same shortest-repr `toString` both engines print); a NULL field
+  * serializes as the explicit `\N` token (the classic TSV convention),
+  * never as a silent zero/empty. Uses the Hadoop FileSystem API
+  * throughout with the JOB's conf threaded to executors
+  * ([[SerializableHadoopConf]]), so the same code drives HDFS/S3A in
+  * production and the local FS here.
   */
 class GraftCommitSink extends TableProvider {
   // write-only source: the schema always comes from the incoming frame
@@ -81,20 +112,37 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCommitWriterFactory(path, schema)
+    new GraftCommitWriterFactory(path, schema, new SerializableHadoopConf(
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
+
+  /** Parse the manifest's generation header (if any): first line
+    * `#gen\tG`. Absent/legacy manifests read as generation 0. */
+  private def currentGen(fs: FileSystem, dir: Path): Long = {
+    val man = new Path(dir, "_GRAFT_COMMIT")
+    if (!fs.exists(man)) -1L
+    else {
+      val in = fs.open(man)
+      val head = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+      head match {
+        case null => -1L
+        case h if h.startsWith("#gen\t") => h.substring(5).toLong
+        case _ => 0L
+      }
+    }
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    if (truncateFirst) {
-      // clear the previous generation BEFORE publishing the new one —
-      // overwrite is a driver-side swap, never a task-side delete
-      val old = fs.globStatus(new Path(dir, "part-*"))
-      if (old != null) old.foreach(s => fs.delete(s.getPath, false))
-      fs.delete(new Path(dir, "_GRAFT_COMMIT"), false)
-    }
+    // The manifest is the ONLY commit point. New parts carry a
+    // generation counter in their names so they can never collide with
+    // (or clobber) the previous generation's files — the old generation
+    // stays fully readable until the new manifest is durable.
+    val gen = currentGen(fs, dir) + 1L
     // one attempt per partition becomes visible (retries/speculation may
     // have produced several messages per partition — first wins, the
     // rest stay in _temp and are swept below)
@@ -102,17 +150,35 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
       .groupBy(_.partitionId).toSeq.sortBy(_._1)
       .map { case (_, ms) => ms.minBy(_.taskId) }
     val published = chosen.map { m =>
-      val fin = new Path(dir, f"part-${m.partitionId}%05d.tsv")
+      val fin = new Path(dir, f"part-${m.partitionId}%05d-g$gen%04d.tsv")
       if (!fs.rename(new Path(m.tmp), fin))
         throw new java.io.IOException(s"publish failed for ${m.tmp}")
       (fin.getName, m.rows)
     }
-    // the manifest is written LAST: readers keyed on it never observe a
-    // partially-published generation
-    val out = fs.create(new Path(dir, "_GRAFT_COMMIT"), true)
-    out.write(published.map { case (f, r) => s"$f\t$r" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // manifest swap: write the new generation's manifest to a temp name,
+    // then move it into place — written LAST, so readers keyed on it
+    // never observe a partially-published generation. (The delete+rename
+    // pair is the one non-atomic seam on filesystems without overwriting
+    // rename; a crash inside it leaves BOTH data generations on disk and
+    // no manifest — fail-closed AND recoverable, never data-lossy.)
+    val manTmp = new Path(dir, s"_GRAFT_COMMIT.g$gen.tmp")
+    val out = fs.create(manTmp, true)
+    out.write((s"#gen\t$gen\n" +
+      published.map { case (f, r) => s"$f\t$r" }.mkString("", "\n", "\n"))
+      .getBytes("UTF-8"))
     out.close()
+    val man = new Path(dir, "_GRAFT_COMMIT")
+    if (fs.exists(man)) fs.delete(man, false)
+    if (!fs.rename(manTmp, man))
+      throw new java.io.IOException(s"manifest swap failed for $manTmp")
+    // only now — new generation durably published — drop the previous
+    // generation's parts (truncate mode) and sweep losing-attempt temps
+    if (truncateFirst) {
+      val mine = published.map(_._1).toSet
+      val old = fs.globStatus(new Path(dir, "part-*"))
+      if (old != null) old.filterNot(s => mine(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     fs.delete(new Path(dir, "_temp"), true)
   }
 
@@ -123,19 +189,21 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
   }
 }
 
-class GraftCommitWriterFactory(path: String, schema: StructType)
-  extends DataWriterFactory {
+class GraftCommitWriterFactory(path: String, schema: StructType,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCommitDataWriter(path, schema, partitionId, taskId)
+    new GraftCommitDataWriter(path, schema, partitionId, taskId, conf)
 }
 
 class GraftCommitDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
+  extends DataWriter[InternalRow] {
   private val tmp =
     new Path(path, f"_temp/attempt-$partitionId%05d-$taskId.tsv")
-  // default Hadoop conf resolves the local FS here; a cluster deployment
-  // threads the serialized job conf through the factory instead
-  private val fs = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  // the JOB's conf (threaded through the factory) resolves the
+  // filesystem, so executors write temps on the same FS the driver
+  // commit renames from — never a fresh default Configuration()
+  private val fs = tmp.getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
   private var rows = 0L
@@ -158,7 +226,10 @@ class GraftCommitDataWriter(path: String, schema: StructType,
     var i = 0
     while (i < fmt.length) {
       if (i > 0) sb.append('\t')
-      sb.append(fmt(i)(record))
+      // NULLs serialize as the explicit \N token — a null long/int/
+      // double read through getLong/getInt/getDouble would silently
+      // come back 0 and corrupt the output instead of marking it
+      if (record.isNullAt(i)) sb.append("\\N") else sb.append(fmt(i)(record))
       i += 1
     }
     sb.append('\n')

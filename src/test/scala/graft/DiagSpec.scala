@@ -196,7 +196,9 @@ class DiagSpec extends SparkSpec {
     val out = Diag.queries("q_dq_psi")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5)))
-    assert(out.nonEmpty && out.length <= 10)
+    // the report covers the FULL declared bin domain: a bin empty in
+    // both samples still reports its smoothed psi_term
+    assert(out.length === 10 && out.map(_._1).toSeq === (0L until 10L))
     val ev = Tables(spark, sf, "events")
       .select("event_type", "value").collect()
       .filter(r => r.getString(0) == "purchase" || r.getString(0) == "click")
@@ -215,7 +217,7 @@ class DiagSpec extends SparkSpec {
     def r9(x: Double) = BigDecimal(x)
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     out.foreach { case (b, na, nb, pa, pb, term) =>
-      val g = byBin(b)
+      val g = byBin.getOrElse(b, Array.empty[(Boolean, Long)])
       assert(na === g.count(_._1).toLong && nb === g.count(!_._1).toLong,
         s"bin $b counts")
       val mpa = (na + 1).toDouble / (ta + 10)

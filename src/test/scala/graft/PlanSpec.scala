@@ -1003,9 +1003,10 @@ class PlanSpec extends SparkSpec {
       s"co-occurrence fell off the equi path:\n$p")
   }
 
-  test("q_dq_ab_welch: per-user pass, arm frames cross only as broadcasts") {
+  test("q_dq_ab_welch: per-user pass into ONE conditional arm aggregate — no join at all") {
     val p = plan("q_dq_ab_welch")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), s"arm moments must ride one aggregate, not a join:\n$p")
     assert(!p.contains("Window"), s"unexpected window:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }

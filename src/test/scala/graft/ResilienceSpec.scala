@@ -105,7 +105,7 @@ class ResilienceSpec extends AnyFunSuite {
       assert(!new java.io.File(dir, "_temp").exists(), "temps not swept")
       val manifest = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
-        .split("\n").filter(_.nonEmpty)
+        .split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#"))
       val parts = new java.io.File(dir).listFiles()
         .map(_.getName).filter(_.startsWith("part-"))
       assert(manifest.length === parts.length,

@@ -5,12 +5,13 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.write.WriterCommitMessage
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.sources.{GraftCommitWrite, GraftCommitWriterFactory, GraftTempFile}
+import graft.sources.{GraftCommitWrite, GraftCommitWriterFactory, GraftTempFile,
+  SerializableHadoopConf}
 
 /** Commit-protocol tests for the DSv2 sink (q_sink_custom_dsv2's
-  * engine): the retry/speculation/abort paths the end-to-end query
-  * cannot exercise are driven here directly against the writer factory
-  * and the driver-side BatchWrite. */
+  * engine): the retry/speculation/abort/crash paths the end-to-end
+  * query cannot exercise are driven here directly against the writer
+  * factory and the driver-side BatchWrite. */
 class SinksSpec extends SparkSpec {
 
   private val schema = new StructType()
@@ -18,6 +19,9 @@ class SinksSpec extends SparkSpec {
 
   private def row(k: Long, s: String) =
     new GenericInternalRow(Array[Any](k, UTF8String.fromString(s)))
+
+  private def serConf = new SerializableHadoopConf(
+    spark.sparkContext.hadoopConfiguration)
 
   private def freshDir(name: String): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt/sinkspec_$name"
@@ -33,7 +37,7 @@ class SinksSpec extends SparkSpec {
 
   private def manifest(dir: String): Seq[(String, Long)] =
     new String(Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
-      .split("\n").filter(_.nonEmpty).toSeq
+      .split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#")).toSeq
       .map { l => val Array(f, n) = l.split("\t"); (f, n.toLong) }
 
   test("end-to-end write publishes parts + trailing manifest, sweeps temps") {
@@ -46,7 +50,7 @@ class SinksSpec extends SparkSpec {
     val parts = partFiles(dir)
     assert(parts.nonEmpty, "no parts published")
     val man = manifest(dir)
-    assert(man.map(_._1) === parts, "manifest must list exactly the parts")
+    assert(man.map(_._1).sorted === parts, "manifest must list exactly the parts")
     assert(man.map(_._2).sum === 100L, "manifest row counts must sum to input")
     assert(!new java.io.File(dir, "_temp").exists(), "temps not swept")
     // round-trip through the published files
@@ -54,22 +58,26 @@ class SinksSpec extends SparkSpec {
     assert(back === 100L)
   }
 
-  test("overwrite truncates the previous generation before publishing") {
+  test("overwrite swaps generations: new manifest + parts, old parts gone") {
     import org.apache.spark.sql.functions._
     val dir = freshDir("trunc")
     def gen(n: Int) = spark.range(n).select(col("id").as("k"),
       lit("x").as("s"))
     gen(50).write.format("graft.sources.GraftCommitSink")
       .option("path", dir).mode("overwrite").save()
+    val firstGen = partFiles(dir)
     gen(7).repartition(1).write.format("graft.sources.GraftCommitSink")
       .option("path", dir).mode("overwrite").save()
     assert(manifest(dir).map(_._2).sum === 7L)
     assert(spark.read.text(s"$dir/part-*.tsv").count() === 7L)
+    // generation names never collide, and the old generation is swept
+    assert(partFiles(dir).intersect(firstGen).isEmpty,
+      "overwrite must publish under fresh generation names")
   }
 
   test("duplicate attempts for one partition: driver publishes exactly one") {
     val dir = freshDir("dup")
-    val fac = new GraftCommitWriterFactory(dir, schema)
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
     // two attempts of partition 0 (speculation): different row contents
     val w1 = fac.createWriter(0, 11L)
     w1.write(row(1L, "attempt11")); val m1 = w1.commit()
@@ -81,17 +89,19 @@ class SinksSpec extends SparkSpec {
     new GraftCommitWrite(dir, schema, truncateFirst = false)
       .commit(Array[WriterCommitMessage](m2, m1, m3))
     val parts = partFiles(dir)
-    assert(parts === Seq("part-00000.tsv", "part-00001.tsv"))
+    assert(parts === Seq("part-00000-g0000.tsv", "part-00001-g0000.tsv"))
     // first attempt (lowest taskId) wins for partition 0
-    val p0 = new String(Files.readAllBytes(Paths.get(dir, "part-00000.tsv")), "UTF-8")
+    val p0 = new String(
+      Files.readAllBytes(Paths.get(dir, "part-00000-g0000.tsv")), "UTF-8")
     assert(p0 === "1\tattempt11\n", s"wrong attempt published: $p0")
-    assert(manifest(dir) === Seq(("part-00000.tsv", 1L), ("part-00001.tsv", 1L)))
+    assert(manifest(dir) === Seq(("part-00000-g0000.tsv", 1L),
+      ("part-00001-g0000.tsv", 1L)))
     assert(!new java.io.File(dir, "_temp").exists(), "losing attempt not swept")
   }
 
   test("task abort and driver abort leave nothing visible") {
     val dir = freshDir("abort")
-    val fac = new GraftCommitWriterFactory(dir, schema)
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
     val w1 = fac.createWriter(0, 1L)
     w1.write(row(1L, "doomed"))
     w1.abort()
@@ -105,5 +115,46 @@ class SinksSpec extends SparkSpec {
     assert(partFiles(dir).isEmpty)
     assert(!new java.io.File(dir, "_temp").exists())
     assert(m2.isInstanceOf[GraftTempFile])
+  }
+
+  test("null fields serialize as the explicit \\N token, never a silent zero") {
+    val dir = freshDir("nulls")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(7L, "ok"))
+    w.write(new GenericInternalRow(Array[Any](null, null)))
+    w.write(new GenericInternalRow(Array[Any](9L, null)))
+    val m = w.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m))
+    val body = new String(
+      Files.readAllBytes(Paths.get(dir, "part-00000-g0000.tsv")), "UTF-8")
+    assert(body === "7\tok\n\\N\t\\N\n9\t\\N\n", s"null encoding wrong: $body")
+    assert(manifest(dir).map(_._2).sum === 3L)
+  }
+
+  test("a failed overwrite publish leaves the previous generation readable") {
+    val dir = freshDir("crash")
+    // generation 0 publishes normally
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(1L, "gen0")); val m = w.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m))
+    val man0 = manifest(dir)
+    // generation 1's driver commit dies BEFORE the manifest swap (its
+    // temp vanished — rename throws). The old generation must survive:
+    // overwrite deletes old parts only AFTER the new manifest is durable.
+    val bogus = GraftTempFile(s"$dir/_temp/attempt-00000-99.tsv", 0, 99L, 1L)
+    intercept[java.io.IOException] {
+      new GraftCommitWrite(dir, schema, truncateFirst = true)
+        .commit(Array[WriterCommitMessage](bogus))
+    }
+    assert(manifest(dir) === man0, "old manifest clobbered by failed commit")
+    assert(partFiles(dir) === man0.map(_._1),
+      "old generation's parts lost by failed commit")
+    val body = new String(
+      Files.readAllBytes(Paths.get(dir, man0.head._1)), "UTF-8")
+    assert(body === "1\tgen0\n", "old generation's data lost")
   }
 }
