@@ -55,6 +55,14 @@ object Scale {
     // ×10/16c; these are the cells ∝ N geometry the IVF rule prescribes)
     "x_label_noise_c128" -> ((s, d) => graft.queries.Assay.labelNoiseWith(s, d, 128)),
     "x_label_noise_c2048" -> ((s, d) => graft.queries.Assay.labelNoiseWith(s, d, 2048)),
+    // hierarchical (two-level) assignment at the same cells ∝ N
+    // geometry: the engineered fix for the residual cells×N law the
+    // flat c2048 probe measures — √cells super-cells cut the
+    // assignment pass from N·cells to ~N·3√cells (w=2)
+    "x_label_noise_c128_2l" -> ((s, d) =>
+      graft.queries.Assay.labelNoiseWith(s, d, 128, twoLevel = true)),
+    "x_label_noise_c2048_2l" -> ((s, d) =>
+      graft.queries.Assay.labelNoiseWith(s, d, 2048, twoLevel = true)),
     "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
     "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)),
     // A/B control for q_join_skew_salted: the SAME join UNSALTED, left
@@ -254,6 +262,17 @@ object Scale {
       // fixed hyperplanes, cost law identical
       report(d, s"knn_trained_c${1 << bits}_p5", 3,
         graft.queries.Learn.knnGraphTrained(spark, d, 1 << bits), sample, emb)
+      // the TWO-LEVEL (hierarchically trained) codebook at the same
+      // geometry, w ∈ {2, 4} super-cells probed: what the
+      // 32·cells² → 32·cells^1.5 training and N·cells → N·(1+w)·√cells
+      // assignment cuts cost in end-to-end recall — w is the dial that
+      // buys it back (at w = √cells serving is exact over the codebook)
+      report(d, s"knn_trained2l_c${1 << bits}_p5_w2", 3,
+        graft.queries.Learn.knnGraphTrained2L(spark, d, 1 << bits, 2),
+        sample, emb)
+      report(d, s"knn_trained2l_c${1 << bits}_p5_w4", 3,
+        graft.queries.Learn.knnGraphTrained2L(spark, d, 1 << bits, 4),
+        sample, emb)
       val ivfQs = emb.where(col("label") === 0 && col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       report(d, "simsearch_ivf_16cell", 5,
@@ -361,12 +380,18 @@ object Scale {
     dirs.foreach { d =>
       names.foreach { name =>
         val fn = all(name)
-        materialize(fn(spark, d)) // warm: caches + codegen
+        // the first materialize is reported too: for memoized/persisted
+        // lineages (quantizer families) it is the COLD number that
+        // carries the cost law — the warm number alone would just time
+        // a cache read and hide the pass being probed
+        val c0 = System.nanoTime()
+        materialize(fn(spark, d)) // cold: builds caches + codegen
+        val cold = (System.nanoTime() - c0) / 1e9
         val t0 = System.nanoTime()
         materialize(fn(spark, d))
         val dt = (System.nanoTime() - t0) / 1e9
         val rows = fn(spark, d).count()
-        println(f"""{"dir":"$d","query":"$name","sec":$dt%.3f,"rows":$rows}""")
+        println(f"""{"dir":"$d","query":"$name","sec":$dt%.3f,"cold_sec":$cold%.3f,"rows":$rows}""")
       }
     }
   }

@@ -26,6 +26,10 @@ case class BenchEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   *  - chained: `Streams.chainedAgg` — Spark 4 multiple stateful
   *    operators in ONE query (10-min tumbling → hourly rollup), TWO
   *    watermark-bounded window states back to back
+  *  - multitouch: `Streams.attributionMultiTws` — the ListState
+  *    processor (per-user in-window click LISTS with self-eviction):
+  *    the newest state shape; unlike the scalar ValueState scenarios
+  *    its per-key state size tracks the window's click density
   *
   * Run: sbt -batch "runMain graft.StreamBench [scenario ...]"
   */
@@ -53,7 +57,8 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "5000").toInt
     val scenarios =
-      if (args.nonEmpty) args.toSeq else Seq("session", "kalman", "chained")
+      if (args.nonEmpty) args.toSeq
+      else Seq("session", "kalman", "chained", "multitouch")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,7 +106,13 @@ object StreamBench {
       case "chained" => run("chained")(df =>
         graft.streaming.Streams.chainedAgg(
           df.select("ts", "event_type", "value")))
-      case other => sys.error(s"unknown scenario $other (session|kalman|chained)")
+      case "multitouch" => run("multitouch")(df =>
+        graft.streaming.Streams.attributionMultiTws(
+          df.selectExpr("user_id", "event_id", "event_type",
+            "CAST(unix_micros(ts) div 1000000 AS BIGINT) AS es")
+            .as[graft.streaming.Streams.AttrEvent]).toDF())
+      case other =>
+        sys.error(s"unknown scenario $other (session|kalman|chained|multitouch)")
     }
     spark.stop()
   }

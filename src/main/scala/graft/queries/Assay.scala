@@ -442,9 +442,11 @@ object Assay {
     * both reduce THIS frame (agreement rates vs the kappa scalar), so
     * the probe join + per-query rank run once per JVM, not per query. */
   private[graft] def nnTop3(s: SparkSession, d: String,
-      cells: Int): DataFrame =
-    graft.Memo(s, s"nn3:$d:$cells") {
-      val (qs, cand) = Learn.trainedProbeFrames(s, d, cells, 5)
+      cells: Int, twoLevel: Boolean = false): DataFrame =
+    graft.Memo(s, s"nn3:$d:$cells:$twoLevel") {
+      val (qs, cand) =
+        if (twoLevel) Learn.trainedProbeFrames2L(s, d, cells, 5, 2)
+        else Learn.trainedProbeFrames(s, d, cells, 5)
       val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
       qs.join(cand.hint("shuffle_hash"),
           col("probe") === col("ccell") && col("qid") =!= col("cid2"))
@@ -457,8 +459,8 @@ object Assay {
   /** Parameterized label-noise sweep — the declared query is cells=16;
     * `Scale.extraProbes` measures the cells ∝ N geometry at ×10/×100. */
   private[graft] def labelNoiseWith(s: SparkSession, d: String,
-      cells: Int): DataFrame = {
-    val nn = nnTop3(s, d, cells)
+      cells: Int, twoLevel: Boolean = false): DataFrame = {
+    val nn = nnTop3(s, d, cells, twoLevel)
     nn.groupBy("qid", "qlabel")
       .agg(count(lit(1)).as("n_nbrs"),
         sum((col("clabel") === col("qlabel")).cast("long")).as("n_agree"))

@@ -39,11 +39,20 @@ object Learn {
   private val d2: Column = expr("graft_l2sq(q, c)")
 
   private def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    // argmin as a MIN(struct(d2, cid)) aggregate, NOT a rank window: the
+    // aggregate partial-combines map-side (each input partition collapses
+    // its |partition|·k scored rows to |partition| before any exchange),
+    // while the window form SORTS the full |vecs|·k scored frame — with
+    // the 64-long grid array on every row, that sort was the measured
+    // bulk of the ×100/2048-cell training pass (the scored frame is
+    // 134M rows there). Same result bit-for-bit: lexicographic struct
+    // min ≡ rank 1 under orderBy(d2, cid). first(q) is deterministic —
+    // q is functionally dependent on the group key.
     vecs.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("q"), col("cid"), d2.as("d2"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-      .where(col("rk") === 1)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"),
+        first(col("q")).as("q"))
       .select(col("vec_id"), col("q"), col("cid"))
 
   /** The two frames every trained-quantizer consumer joins: the probe
@@ -83,15 +92,25 @@ object Learn {
       (qs.persist(), cand.persist())
     }
 
-  private def buildProbeFrames(s: org.apache.spark.sql.SparkSession,
-      d: String, cells: Int, probes: Int): (DataFrame, DataFrame) = {
+  /** The (vec_id, embedding, label, 1e-6-grid q) view every quantizer
+    * pass scores — one definition for the flat and two-level paths. */
+  private def probeVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val vecs = Tables(s, d, "embeddings")
+    Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+  }
+
+  /** The memoized sampled-Lloyd centroid frame (cid, c) — trained once
+    * per (session, sfDir, cells) on a ~32·cells stride sample, shared by
+    * the flat AND two-level scoring passes (the hierarchy reorganizes
+    * assignment, it never retrains the cells). */
+  private def trainedCent(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, vecs: DataFrame): DataFrame =
     // integer `div` (not double-divide-then-cast) so the DuckDB twin's
     // `//` agrees exactly at any N
-    val cent = graft.Memo(s, s"quantizer:$d:$cells") {
+    graft.Memo(s, s"quantizer:$d:$cells") {
       val sampleStep = vecs.agg(
         expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * cells})").as("st"))
       val sample = vecs.crossJoin(broadcast(sampleStep))
@@ -114,9 +133,12 @@ object Learn {
       }
       c0.persist()
     }
-    val scored = vecs.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("label"), col("cid"),
-        d2.as("d2"))
+
+  /** The shared tail of every scoring pass: scored (vec_id, embedding,
+    * label, cid, d2) → the probe list (ranks 1..probes) and the argmin
+    * cell assignment. */
+  private def probeFramesFrom(scored: DataFrame,
+      probes: Int): (DataFrame, DataFrame) = {
     val qs = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
@@ -129,6 +151,180 @@ object Learn {
       .select(col("vec_id").as("cid2"), col("ce"), col("clabel"), col("ccell"))
     (qs, cand)
   }
+
+  private def buildProbeFrames(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, probes: Int): (DataFrame, DataFrame) = {
+    val vecs = probeVecs(s, d)
+    val cent = trainedCent(s, d, cells, vecs)
+    val scored = vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cid"),
+        d2.as("d2"))
+    probeFramesFrom(scored, probes)
+  }
+
+  /** HIERARCHICAL (two-level) centroid assignment — the engineered fix
+    * for the measured cells×N law (BASELINE "q_llm_label_noise
+    * scaling"): when cells grows ∝ N (the quantizer-growth rule that
+    * keeps per-cell population constant), the flat pass's N·cells
+    * distance computations go quadratic — ×100/2048 cells measured
+    * 88.6 s, nearly all of it centroid assignment.
+    *
+    * Standard two-level IVF recipe: cluster the `cells` TRAINED
+    * centroids into ⌈√cells⌉ super-centroids (a Lloyd over cells rows —
+    * KB-scale, independent of N), remember each centroid's super-cell,
+    * then score every vector in two stages: N·√cells against the
+    * super-centroids (keep the top-`w` super-cells per vector), then
+    * only against those super-cells' member centroids —
+    * N·(√cells + w·cells/√cells) ≈ N·(1+w)·√cells distance computations
+    * instead of N·cells (2048 cells, w=2: ~136 vs 2048 per vector, 15×
+    * fewer). Both stages are broadcast maps over the vectors — no
+    * vector ever shuffles for scoring, exactly like the flat pass.
+    *
+    * With w = #super-cells the probed set is ALL centroids and the
+    * result is bit-identical to the flat pass (the hierarchy is then
+    * just a partition of the centroid table) — LearnSpec pins that
+    * identity; the scale probes run w=2 and the recall harness prices
+    * what the skipped super-cells cost. The same grid arithmetic and
+    * (d2, id) tie-breaks keep both levels deterministic. */
+  /** (super-centroids, sub-centroids-with-super-cell) — the two-level
+    * model frames, memoized per (session, sfDir, cells).
+    *
+    * The model is trained HIERARCHICALLY, not carved out of a flat
+    * codebook: the flat sampled Lloyd costs 32·cells² pair distances
+    * (sample = 32·cells rows, each scored against all `cells`
+    * centroids) — QUADRATIC in cells, and under the quantizer-growth
+    * rule (cells ∝ N) that made TRAINING the dominant ×100 cost
+    * (measured 413 s of the 493 s cold at ×100/2048; serving was
+    * already two-level and cost seconds). Hierarchical training is the
+    * standard IVF-tree recipe:
+    *   1. Lloyd √cells super-centroids on a 32·√cells sub-sample
+    *      (32·cells pairs — trivial);
+    *   2. tag the full 32·cells training sample with its super-cell
+    *      (one 32·cells·√cells pass);
+    *   3. Lloyd √cells sub-centroids WITHIN each super-cell — all
+    *      super-cells in one data-parallel pass per iteration (an
+    *      equi-join on the super-cell id: 32·cells·√cells pairs).
+    * Total 32·cells^1.5 instead of 32·cells², and the codebook comes
+    * out ALREADY organized as a tree (global cid = sid·sub + local),
+    * so the centroid→super map costs nothing. Cell count is
+    * √cells·⌈cells/√cells⌉ ≈ cells (2048 → 45·46 = 2070).
+    *
+    * EAGER materialization of both frames — measured, not stylistic:
+    * they appear as SIBLING broadcast subtrees in every two-level
+    * scoring plan, and with lazy persist those broadcast builds race
+    * and each re-executes the whole training chain (the r4/r5
+    * racing-broadcast lesson; measured as 352 s for an 18M-row count
+    * that takes ~2 s once the model is frozen). Eager is safe on this
+    * path: the two-level surface is probe-only (x_ probes, recall
+    * harness, LearnSpec) — no plan-only consumer ever builds it — and
+    * the frames are KB-scale, so this is literally "train the model
+    * once, then serve it", the production shape. */
+  private[graft] def twoLevelModel(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int): (DataFrame, DataFrame) = {
+    val vecs = probeVecs(s, d)
+    val scells = math.max(2, math.round(math.sqrt(cells.toDouble)).toInt)
+    val sub = (cells + scells - 1) / scells
+    graft.Memo(s, s"quantizer2l:$d:$cells") {
+      // the full training sample (32·cells rows, arithmetic stride)
+      val sampleStep = vecs.agg(
+        expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * cells})").as("st"))
+      val sample = vecs.crossJoin(broadcast(sampleStep))
+        .where(col("vec_id") % col("st") === 0)
+        .select(col("vec_id"), col("q"), col("st"))
+      // 1. super codebook on a 32·√cells sub-sample (stride widened by
+      //    `sub`; seeds indexed arithmetically like the flat trainer)
+      val sample2 = sample.where(col("vec_id") % (col("st") * sub) === 0)
+        .select(col("vec_id"), col("q"), (col("st") * sub).as("st"))
+      var sup = sample2
+        .where(col("vec_id") < lit(scells.toLong) * col("st"))
+        .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("q").as("c"))
+      for (_ <- 1 to ITERS) {
+        sup = assign(sample2, sup)
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .withColumn("cv", expr(fdiv("sv", "n")))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      }
+      val supM = sup.persist(); supM.count()
+      // 2. tag the full sample with its super-cell
+      val tagged = assign(sample, supM)
+        .select(col("vec_id"), col("q"), col("cid").as("sid"))
+      // 3. per-super-cell sub-Lloyd, all cells in one pass per round:
+      //    seeds = each super-cell's `sub` lowest sample ids (a rank
+      //    window over the BOUNDED 32·cells-row sample, one-time)
+      var cw = tagged
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("sid").orderBy(col("vec_id"))))
+        .where(col("rk") <= sub)
+        .select(col("sid"), (col("rk") - 1).as("lcid"), col("q").as("c"))
+      for (_ <- 1 to ITERS) {
+        cw = assignBy(tagged, cw)
+          .select(col("sid"), col("lcid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("sid", "lcid", "pos")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .withColumn("cv", expr(fdiv("sv", "n")))
+          .groupBy("sid", "lcid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      }
+      // global cid = sid·sub + local — the tree IS the centroid→super map
+      val cs = cw.select((col("sid") * sub + col("lcid")).cast("int").as("ccid"),
+        col("c"), col("sid"))
+      val csm = cs.persist(); csm.count()
+      (supM, csm)
+    }
+  }
+
+  /** [[assign]] with an extra equi-key: vecs (vec_id, q, sid) score only
+    * the cents (sid, lcid, c) of THEIR sid — the data-parallel
+    * per-super-cell Lloyd step (a broadcast hash join, never a cross). */
+  private def assignBy(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents), "sid")
+      .select(col("vec_id"), col("q"), col("sid"), col("lcid"),
+        d2.as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("sid"), col("lcid"))).as("m"),
+        first(col("q")).as("q"))
+      .select(col("vec_id"), col("q"), col("m.sid").as("sid"),
+        col("m.lcid").as("lcid"))
+
+  /** Centroids per super-cell — the geometry the two-level cost model
+    * assumes; the diagnostic main prints it. */
+  private[graft] def twoLevelCentHist(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int): DataFrame =
+    twoLevelModel(s, d, cells)._2.groupBy("sid")
+      .agg(count(lit(1)).as("n_cent")).orderBy(desc("n_cent"))
+
+  private[graft] def twoLevelScored(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, w: Int): DataFrame = {
+    val vecs = probeVecs(s, d)
+    val (sup, centS) = twoLevelModel(s, d, cells)
+    // stage 1: N·√cells — each vector's top-w super-cells
+    val vSup = vecs.crossJoin(broadcast(sup.select(col("cid").as("sid"),
+        col("c"))))
+      .select(col("vec_id"), col("embedding"), col("label"), col("q"),
+        col("sid"), d2.as("sd2"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sd2"), col("sid"))))
+      .where(col("srk") <= w)
+      .select(col("vec_id"), col("embedding"), col("label"), col("q"),
+        col("sid"))
+    // stage 2: only the probed super-cells' member centroids
+    vSup.join(broadcast(centS), "sid")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("ccid").as("cid"), expr("graft_l2sq(q, c)").as("d2"))
+  }
+
+  /** Two-level probe/assignment frames — memoized like
+    * [[trainedProbeFrames]]; probe-only surface (`x_label_noise_*_2l`,
+    * the recall harness). */
+  private[graft] def trainedProbeFrames2L(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, probes: Int, w: Int): (DataFrame, DataFrame) =
+    graft.Memo(s, s"probeframes2l:$d:$cells:$probes:$w") {
+      val (qs, cand) = probeFramesFrom(twoLevelScored(s, d, cells, w), probes)
+      (qs.persist(), cand.persist())
+    }
 
   /** Doc-to-doc kNN graph over a TRAINED coarse quantizer — the
     * documented scale path where the sign-bit IVF's recall decays
@@ -150,6 +346,20 @@ object Learn {
       d: String, cells: Int, probes: Int = 5,
       negatives: Boolean = false): DataFrame = {
     val (qs, cand) = trainedProbeFrames(s, d, cells, probes)
+    knnFromFrames(qs, cand, negatives)
+  }
+
+  /** kNN graph over the TWO-LEVEL quantizer — same bucketed equi-join
+    * as [[knnGraphTrained]], candidates drawn through the hierarchical
+    * assignment; the recall harness prices it against the flat pass. */
+  private[graft] def knnGraphTrained2L(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int, wSup: Int, probes: Int = 5): DataFrame = {
+    val (qs, cand) = trainedProbeFrames2L(s, d, cells, probes, wSup)
+    knnFromFrames(qs, cand, negatives = false)
+  }
+
+  private def knnFromFrames(qs: DataFrame, cand: DataFrame,
+      negatives: Boolean): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
     // negatives mode adds ONE map-side predicate to the same bucketed
     // equi-join: candidates must carry a DIFFERENT class label than the

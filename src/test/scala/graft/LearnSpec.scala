@@ -66,6 +66,53 @@ class LearnSpec extends SparkSpec {
       s"only broadcast-bounded scoring crossJoins are allowed:\n$plan")
   }
 
+  test("two-level quantizer: w = √cells serving is exact over the tree codebook; w = 2 agrees") {
+    // serving consistency: probing ALL super-cells must reproduce the
+    // brute-force argmin over the full hierarchical codebook — the
+    // hierarchy may only ever SKIP candidates, never re-rank them
+    val (_, centS) = Learn.twoLevelModel(spark, sf, 16)
+    val cents = centS.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    assert(cents.length >= 8, s"degenerate codebook: ${cents.length} cells")
+    val grid = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    val brute = grid.map { case (vid, q) =>
+      vid -> cents.map { case (cid, c) => (d2(q, c), cid) }.min._2
+    }.toMap
+    val scells = 4 // round(sqrt(16))
+    val full = Learn.trainedProbeFrames2L(spark, sf, 16, 5, scells)._2
+      .select("cid2", "ccell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(full.size === grid.length, "w = √cells must assign every vector")
+    assert(grid.forall { case (vid, _) => full(vid) === brute(vid) },
+      "w = √cells assignment diverged from brute force over the codebook")
+    // w = 2 probes half the super-cells: assignment must still agree on
+    // nearly every vector — the measured honesty behind the
+    // 32·cells² → 32·cells^1.5 training and N·cells → N·(1+w)·√cells
+    // assignment cuts
+    val two = Learn.trainedProbeFrames2L(spark, sf, 16, 5, 2)._2
+      .select("cid2", "ccell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val agree = grid.count { case (vid, _) =>
+      two.get(vid).contains(brute(vid)) }
+    assert(agree.toDouble / grid.length >= 0.90,
+      s"two-level w=2 assignment agreement too low: $agree/${grid.length}")
+    // and the w=2 graph keeps the kNN contract: ranked, ≤3, no self-edges
+    val t2 = Learn.knnGraphTrained2L(spark, sf, 16, wSup = 2).collect()
+    assert(t2.nonEmpty && t2.forall(r => r.getLong(0) != r.getLong(1)))
+    t2.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.sortBy(_.getInt(3)).map(_.getInt(3)).toSeq === (1 to rs.length))
+    }
+    // determinism across a fresh derivation
+    val again = Learn.knnGraphTrained2L(spark, sf, 16, wSup = 2).collect()
+    assert(t2.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("q_llm_bpe_pairs: ranked top-30 with a verifiable champion count") {
     val out = Learn.queries("q_llm_bpe_pairs")(spark, sf).collect()
     assert(out.length === 30)
