@@ -32,16 +32,26 @@ object Insights {
     * match different subsequences; both DuckDB twins mirror this
     * shape in their shared daily/d2 CTE form. */
   private def dailyWindows(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val daily = Tables(s, d, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
-    val w = Window.partitionBy("user_id").orderBy("day")
-    daily
-      .withColumn("rn", row_number().over(w))
-      .withColumn("arr", collect_list(col("tot")).over(w.rowsBetween(0, 6)))
-      .where(size(col("arr")) === 7)
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    // memoized + lazily persist()ed per (session, sfDir) — the U.coPurchase
+    // discipline: the raw and z-normalized searches each consumed this
+    // events-scan + keyed-window lineage TWICE (query-pattern broadcast +
+    // probe side), so one bench pass re-derived it up to 4×; the frame is
+    // node-bounded (users × days rows, 7 longs each). persist() stays
+    // lazy so plan-only consumers remain execution-free.
+    graft.Memo(s, s"dailywin:$d") {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("tot"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val wins = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("arr", collect_list(col("tot")).over(w.rowsBetween(0, 6)))
+        .where(size(col("arr")) === 7)
+      if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
+        wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else wins
+    }
 
   val queries: Map[String, Q] = Map(
 
