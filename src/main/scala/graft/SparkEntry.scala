@@ -25,7 +25,7 @@ object SparkEntry {
       Curation.queries ++ Learn.queries ++ Frontier.queries ++
       Signals.queries ++ Corpus.queries ++ Refine.queries ++
       Marts.queries ++ Basis.queries ++ Diag.queries ++ Assay.queries ++
-      Behavior.queries
+      Behavior.queries ++ Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
       Curation.oracle ++ Learn.oracle ++ Frontier.oracle ++
       Signals.oracle ++ Corpus.oracle ++ Refine.oracle ++
       Marts.oracle ++ Basis.oracle ++ Diag.oracle ++ Assay.oracle ++
-      Behavior.oracle
+      Behavior.oracle ++ Audit.oracle
 }

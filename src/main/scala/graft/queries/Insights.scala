@@ -540,17 +540,59 @@ object Insights {
     // graph is bipartite (customer↔supplier) and therefore triangle-free
     // by construction — counting on it would be vacuously zero — so
     // triangles declares its own unipartite part-co-occurrence graph.
-    "q_graph_triangles" -> ((s, d) => {
+    "q_graph_triangles" -> ((s, d) =>
+      nodeTriangles(s, d).where(col("n_tri") > 0)
+        .select("id", "n_tri").orderBy("id")),
+
+    // Local clustering coefficient DISTRIBUTION over the same part
+    // co-occurrence graph as q_graph_triangles (one memoized per-node
+    // (deg, n_tri) frame — the coefficient is a projection on top, zero
+    // extra wedge work): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for
+    // deg ≥ 2, reported as the 10-bin histogram a graph-health
+    // dashboard renders (how clustered is the neighborhood structure —
+    // boilerplate co-ordering shows up as a mass at cc ≈ 1). The FULL
+    // bin domain reports (the psi lesson: a bin empty of nodes still
+    // shows n_nodes = 0, never silently vanishes); cc is rounded to
+    // the 1e-6 grid BEFORE binning and averaging so both engines bin
+    // identically, and bin = least(9, floor(cc·10)) puts the exact-1.0
+    // cliques in the top bin. Bounded output (10 rows); cost beyond
+    // the shared triangle frame: one node-sized projection + a 10-row
+    // aggregate.
+    "q_graph_clustering_coeff" -> ((s, d) => {
+      val cc = nodeTriangles(s, d).where(col("deg") >= 2)
+        .withColumn("cc", round(lit(2.0) * col("n_tri") /
+          (col("deg") * (col("deg") - 1)), 6))
+        .withColumn("bin", least(lit(9), floor(col("cc") * 10).cast("int"))
+          .cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_nodes"),
+          U.dsum(col("cc")).as("sum_cc"))
+      s.range(10).select(col("id").as("cc_bin"))
+        .join(broadcast(cc), col("cc_bin") === col("bin"), "left")
+        .select(col("cc_bin"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          when(col("n_nodes") > 0,
+            round(col("sum_cc") / col("n_nodes"), 9)).as("avg_cc"))
+        .orderBy("cc_bin")
+    })
+  )
+
+  /** Per-node (id, deg, n_tri) over the 365-day part co-occurrence
+    * graph — ONE memoized derivation (the U.coPurchase discipline) for
+    * q_graph_triangles and q_graph_clustering_coeff: the wedge
+    * enumeration is the expensive pass and the coefficient is a
+    * projection on it. Inside: e feeds THREE consumers (deg, the
+    * orientation, the closing semi-join) and o TWO (both wedge sides) —
+    * lazy localCheckpoints keep those from re-executing the
+    * co-occurrence self-join ~6×; the final node frame is lazily
+    * persist()ed, so plan-only consumers stay execution-free. */
+  private[graft] def nodeTriangles(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Memo(s, s"part-tri:$d") {
       val l0 = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_shipdate")
       val hi = l0.agg(max("l_shipdate").as("mx"))
       val li = l0.crossJoin(broadcast(hi))
         .where(col("l_shipdate") >= col("mx") - expr("INTERVAL 365 DAYS"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      // e feeds THREE consumers (deg, the orientation, the closing
-      // semi-join) and o TWO (both wedge sides): without materialization
-      // the co-occurrence self-join+distinct re-executes ~6×. Lazy
-      // localCheckpoint (the k-means pattern): reference-tracked blocks,
-      // materialized once by the first action, plan-only consumers free.
       val e = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
@@ -569,11 +611,16 @@ object Insights {
           col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
         .select(col("e1.u").as("w1"), col("e1.v").as("w2"), col("e2.v").as("w3"))
         .join(e, col("w2") === col("a") && col("w3") === col("b"), "left_semi")
-      tri.select(explode(array(col("w1"), col("w2"), col("w3"))).as("id"))
+      val tcnt = tri
+        .select(explode(array(col("w1"), col("w2"), col("w3"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("n_tri"))
-        .orderBy("id")
-    })
-  )
+      val node = deg.join(tcnt, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
+        node.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else node
+    }
 
   /** Sign-bit coarse quantizer over the first `bits` embedding dims
     * (2^bits cells). The declared IVF queries use bits=4 — 16 cells,
@@ -705,6 +752,37 @@ object Insights {
        ${round("l0", "l1", 1)}, ${round("l1", "l2", 2)},
        ${round("l2", "l3", 3)}, ${round("l3", "l4", 4)}"""
   }
+
+  /** DuckDB twin of [[nodeTriangles]] — the CTE chain ending at
+    * `node(id, deg, n_tri)`, shared by the triangle-count and
+    * clustering-coefficient mirrors (one definition, like the frame). */
+  private val oPartTriCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem
+                     WHERE l_shipdate >= (SELECT MAX(l_shipdate)
+                                          - INTERVAL 365 DAY FROM lineitem)),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         deg AS (SELECT id, COUNT(*) AS deg FROM (
+                   SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+                 GROUP BY id),
+         o AS (SELECT
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v
+               FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id),
+         tri AS (SELECT e1.u AS w1, e1.v AS w2, e2.v AS w3
+                 FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+                 WHERE EXISTS (SELECT 1 FROM e
+                               WHERE e.a = e1.v AND e.b = e2.v)),
+         tcnt AS (SELECT id, COUNT(*) AS n_tri FROM (
+                    SELECT w1 AS id FROM tri UNION ALL SELECT w2 AS id FROM tri
+                    UNION ALL SELECT w3 AS id FROM tri)
+                  GROUP BY id),
+         node AS (SELECT deg.id, deg.deg,
+                    CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri
+                  FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id)"""
 
   val oracle: Map[String, String] = Map(
     "q_graph_label_prop" ->
@@ -1017,28 +1095,25 @@ object Insights {
          SELECT qid, cid, dot, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""",
 
     "q_graph_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-                     FROM lineitem
-                     WHERE l_shipdate >= (SELECT MAX(l_shipdate)
-                                          - INTERVAL 365 DAY FROM lineitem)),
-         e AS (SELECT DISTINCT x.p AS a, y.p AS b
-               FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
-         deg AS (SELECT id, COUNT(*) AS deg FROM (
-                   SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
-                 GROUP BY id),
-         o AS (SELECT
-                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
-                      THEN e.a ELSE e.b END AS u,
-                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
-                      THEN e.b ELSE e.a END AS v
-               FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id),
-         tri AS (SELECT e1.u AS w1, e1.v AS w2, e2.v AS w3
-                 FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
-                 WHERE EXISTS (SELECT 1 FROM e
-                               WHERE e.a = e1.v AND e.b = e2.v))
-         SELECT id, COUNT(*) AS n_tri FROM (
-           SELECT w1 AS id FROM tri UNION ALL SELECT w2 AS id FROM tri
-           UNION ALL SELECT w3 AS id FROM tri)
-         GROUP BY id ORDER BY id"""
+      s"""WITH $oPartTriCtes
+         SELECT id, n_tri FROM node WHERE n_tri > 0 ORDER BY id""",
+
+    // same shared node CTE; cc rounded to 1e-6 BEFORE binning/averaging,
+    // full 10-bin domain via range(10) (the psi completeness rule)
+    "q_graph_clustering_coeff" ->
+      s"""WITH $oPartTriCtes,
+         cc AS (SELECT id, round(2.0 * n_tri / (deg * (deg - 1)), 6) AS cc
+                FROM node WHERE deg >= 2),
+         b AS (SELECT least(9, CAST(floor(cc * 10) AS INT)) AS bin,
+                 COUNT(*) AS n_nodes,
+                 ${U.oDsum("cc")} AS sum_cc
+               FROM cc GROUP BY 1),
+         dom AS (SELECT CAST(range AS BIGINT) AS cc_bin FROM range(10))
+         SELECT dom.cc_bin,
+           CAST(coalesce(b.n_nodes, 0) AS BIGINT) AS n_nodes,
+           CASE WHEN b.n_nodes > 0 THEN round(b.sum_cc / b.n_nodes, 9) END
+             AS avg_cc
+         FROM dom LEFT JOIN b ON b.bin = dom.cc_bin
+         ORDER BY dom.cc_bin"""
   )
 }

@@ -269,7 +269,7 @@ object Llm {
     * singleton by construction, merged back at the end). Both the edge
     * set and the converged labels are memoized per (session, sfDir):
     * q_llm_dedup_cc and q_llm_dedup_keep_best share one propagation. */
-  private def ccLabels(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def ccLabels(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame = {
     val lbls = graft.Memo(s, s"cc-labels:$d") {
       val edges = graft.Memo(s, s"cc-edges:$d") {
@@ -609,7 +609,7 @@ object Llm {
                   WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9)"""
 
   /** DuckDB CTE chain mirroring `confirmedPairs` — ends at `conf(a, b)`. */
-  private val oConfCte =
+  private[graft] val oConfCte =
     s"""$oSigCte,
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                   FROM band x JOIN band y ON x.band_id = y.band_id

@@ -107,6 +107,12 @@ object U {
     """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
          (x, i) -> concat_ws(' ', x, tk[i + 1]))""")
 
+  /** DuckDB twin of [[grams2]] (1-based list indexing: range(1, L) =
+    * 1..L−1 bigram starts; L ≤ 1 → empty), over a CTE exposing `tk`. */
+  val oGrams2: String =
+    """list_transform(range(1, greatest(len(tk), 1)),
+         i -> tk[i] || ' ' || tk[i+1])"""
+
   /** DuckDB twin of [[grams5]] (1-based list indexing; range(1, m) = 1..m-1),
     * over a CTE exposing `tk` = string_split(text, ' '). */
   val oGrams5: String =

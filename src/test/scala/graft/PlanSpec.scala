@@ -1063,6 +1063,28 @@ class PlanSpec extends SparkSpec {
       queries.Assay.clusterTerms(spark, sf))
   }
 
+  test("§2.36 audit batch: no cartesian products; bucketed joins where both sides scale") {
+    val batch = Seq("q_llm_source_overlap", "q_llm_js_divergence",
+      "q_dq_t_closeness", "q_dq_cramers_v", "q_ts_pacf", "q_ts_hurst",
+      "q_graph_assortativity", "q_agg_frequency_profile",
+      "q_llm_ngram_coverage", "q_graph_clustering_coeff")
+    batch.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q fell off the equi path")
+    }
+    // the two joins whose BOTH sides grow with N must be shuffle-hash
+    // bucketed (a broadcast would ship an N-sized gram frame at 100 TB)
+    assert(plan("q_llm_source_overlap").contains("ShuffledHashJoin"),
+      "source overlap's gram self-join must bucket")
+    assert(plan("q_llm_ngram_coverage").contains("ShuffledHashJoin"),
+      "coverage's (lang, gram) semi-join must bucket")
+    // t-closeness: per-class cumsum windows are partitioned, never global
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q_dq_t_closeness")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      .isEmpty, "global window in t-closeness")
+  }
+
   test("Sql.run drives the engine through pure SQL over registered views") {
     val r = Sql.run(spark, sf,
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) s
