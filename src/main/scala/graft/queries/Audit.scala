@@ -28,6 +28,16 @@ object Audit {
   private def s9(c: Column): Column =
     sum(c.cast(DecimalType(28, 9))).cast("double")
 
+  /** The deterministic 80/20 document split (keyed md5 draw) — ONE
+    * definition (and one DuckDB twin) shared by q_llm_ngram_coverage and
+    * q_llm_heldout_ppl: the coverage number and the perplexity number
+    * must describe the SAME split or the eval-readiness dashboard pairs
+    * a coverage from one experiment with a perplexity from another. */
+  private val covSide: Column =
+    expr(s"${hexFold("md5(concat('cov', CAST(doc_id AS STRING)))", 13)} % 5")
+  private val oCovSide: String =
+    s"${oHexFold("md5('cov' || CAST(doc_id AS VARCHAR))", 13)} % 5"
+
   /** The exact hourly purchase-value series (hr, x), ZERO-FILLED over
     * the observed span — one definition for the PACF and Hurst
     * diagnostics (the xcorr hourly discipline: exact decimal sums
@@ -480,8 +490,7 @@ object Audit {
         .withColumn("tk", textTokens)
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(grams2)).as("g"))
-        .withColumn("side",
-          expr(s"${hexFold("md5(concat('cov', CAST(doc_id AS STRING)))", 13)} % 5"))
+        .withColumn("side", covSide)
       val train = g.where(col("side") < 4).select("lang", "g").distinct()
       val held = g.where(col("side") === 4).select("lang", "g").distinct()
       val cov = held.join(train.hint("shuffle_hash"), Seq("lang", "g"),
@@ -497,6 +506,204 @@ object Audit {
           when(coalesce(col("n_held"), lit(0L)) > 0,
             round(coalesce(col("n_covered"), lit(0L)) * lit(100.0) /
               col("n_held"), 6)).as("coverage_pct"))
+        .orderBy("lang")
+    }),
+
+    // Held-out bigram-LM perplexity per language — the eval
+    // q_llm_ngram_coverage is the precondition for: an add-1-smoothed
+    // bigram LM trained on the SAME 80% split (one covSide definition),
+    // scored on the held-out 20% as cross-entropy in nats and
+    // perplexity. p(w2|w1) = (c12+1)/(c1+V) with c1 = the bigram-prefix
+    // total (Σ_w2 c12, derived from the c12 frame — never a second
+    // corpus pass) and V = the train-side unigram vocabulary. Held
+    // bigram TOKENS (multiset — perplexity weights by occurrence)
+    // left-join the model on (lang, w1, w2) then (lang, w1) — both
+    // bucketed equi-joins, both sides ∝ N, never broadcast; V rides a
+    // 5-row broadcast. ln on the 1e-9 grid, exact-summed; unseen
+    // histories fall back to p = 1/V via the coalesce-to-0 counts.
+    "q_llm_heldout_ppl" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .withColumn("tk", textTokens)
+        .withColumn("side", covSide)
+        .select(col("lang"), col("side"), explode(grams2).as("g"))
+        .select(col("lang"), col("side"),
+          split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      val c12 = tok.where(col("side") < 4)
+        .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1"))
+      val vocab = Tables(s, d, "documents")
+        .withColumn("side", covSide).where(col("side") < 4)
+        .select(col("lang"), explode(textTokens).as("w")).distinct()
+        .groupBy("lang").agg(count(lit(1)).as("v"))
+      val held = tok.where(col("side") === 4)
+      val scored = held
+        .join(c12.hint("shuffle_hash"), Seq("lang", "w1", "w2"), "left")
+        .join(c1.hint("shuffle_hash"), Seq("lang", "w1"), "left")
+        .join(broadcast(vocab), "lang")
+        .select(col("lang"),
+          expr("""round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+                  / (coalesce(c1, 0) + v)), 9)""").as("lp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_bigrams"), s9(col("lp")).as("slp"))
+        .select(col("lang"), col("n_bigrams"),
+          round(-col("slp") / col("n_bigrams"), 9).as("h_nats"))
+        .withColumn("ppl", round(exp(col("h_nats")), 6))
+      Tables(s, d, "documents").select("lang").distinct()
+        .join(broadcast(scored), Seq("lang"), "left")
+        .select(col("lang"), coalesce(col("n_bigrams"), lit(0L))
+          .as("n_bigrams"), col("h_nats"), col("ppl"))
+        .orderBy("lang")
+    }),
+
+    // Fixed-frequency periodogram of the hourly purchase series — the
+    // seasonality detector ("is there a daily/weekly cycle?"): Goertzel
+    // power at the candidate periods {6, 12, 24, 168} hours over the
+    // SAME zero-filled exact series as PACF/Hurst. P(p) = ((Σx·cos)² +
+    // (Σx·sin)²)/n² with the trig factors on the 1e-9 grid (the libm
+    // round rule — cos/sin like ln), products on the 1e-6 grid, exact
+    // decimal sums; the peak flag compares against a broadcast 4-row
+    // max. Span-bounded frame, 4 rows out.
+    "q_ts_periodogram" -> ((s, d) => {
+      val hourly = hourlyPurchase(s, d)
+      val lo = hourly.agg(min("hr").as("h0"))
+      val terms = hourly.crossJoin(broadcast(lo))
+        .select(col("x"), expr("(hr - h0) div 3600").as("idx"))
+        .select(col("x"), col("idx"),
+          explode(expr("array(6, 12, 24, 168)")).as("p"))
+        .select(col("p"),
+          round(col("x") * expr(
+            "round(cos(6.283185307179586 * (idx % p) / p), 9)"), 6).as("xc"),
+          round(col("x") * expr(
+            "round(sin(6.283185307179586 * (idx % p) / p), 9)"), 6).as("xs"))
+      val pw = terms.groupBy("p")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xc").cast(DecimalType(38, 6))).as("sc"),
+          sum(col("xs").cast(DecimalType(38, 6))).as("ss"))
+        .select(col("p").as("period_h"), col("n").as("n_hours"),
+          round((col("sc").cast("double") * col("sc") +
+            col("ss").cast("double") * col("ss")) /
+            (col("n").cast("double") * col("n")), 9).as("power"))
+      pw.crossJoin(broadcast(pw.agg(max("power").as("mx"))))
+        .select(col("period_h"), col("n_hours"), col("power"),
+          (col("power") === col("mx")).as("is_peak"))
+        .orderBy("period_h")
+    }),
+
+    // Disjunctive-predicate revenue (the TPC-H Q19 shape): revenue from
+    // lineitems matching an OR of three brand/size/quantity conjunction
+    // bands — the query shape that exercises complex-predicate
+    // pushdown: the part-side conjuncts (brand, size) prune the dim
+    // scan, the lineitem-side quantity bands prune the fact scan, and
+    // only the equi-join key ships. Brand sets are disjoint, so the
+    // band tag is a CASE, and the FULL 3-band domain reports (an empty
+    // band is a 0-row, not a missing row). One fact join + a 3-row agg.
+    "q_wl_disjunctive_revenue" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val pt = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val banded = li.join(pt.hint("shuffle_hash"),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("band",
+          when(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15), 1)
+          .when(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13") &&
+            col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30), 2)
+          .when(col("p_brand").isin("Brand#21", "Brand#22", "Brand#23") &&
+            col("p_size").between(1, 35) &&
+            col("l_quantity").between(25, 50), 3))
+        .where(col("band").isNotNull)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      s.range(1, 4).select(col("id").cast("int").as("band"))
+        .join(broadcast(banded), Seq("band"), "left")
+        .select(col("band"), coalesce(col("n_items"), lit(0L)).as("n_items"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy("band")
+    }),
+
+    // Simpson's-paradox audit — does the pooled price~quantity slope
+    // contradict every per-group slope? The aggregation-bias check a
+    // metrics platform runs before publishing a pooled trend. Exact
+    // per-group moments (quantity as BIGINT, price in cents; Σq·p in
+    // DECIMAL(38,0) — n·Σqp passes 2⁶³, so the closed form casts each
+    // factor to double FIRST, the autocorr overflow rule), OLS slope
+    // per return flag plus the pooled 'ALL' row (one extra global
+    // aggregate over the same scan), sign_flip = the per-group slope
+    // disagreeing with the pooled sign. Two aggregates, 4 rows out.
+    "q_dq_simpson" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qn"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+      def moments(df: DataFrame, keyed: Boolean): DataFrame = {
+        val g = if (keyed) df.groupBy("grp") else df.groupBy()
+        val m = g.agg(count(lit(1)).as("n"), sum(col("qn")).as("sq"),
+          sum(col("pc")).as("sp"),
+          sum(col("qn") * col("qn")).as("sqq"),
+          sum(col("qn").cast(DEC38) * col("pc")).as("spq"))
+        if (keyed) m else m.withColumn("grp", lit("ALL"))
+      }
+      val slope = round(
+        (col("n") * col("spq").cast("double") -
+          col("sq").cast("double") * col("sp")) /
+        (col("n") * col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq")), 9)
+      val all = moments(li, keyed = false)
+        .select(col("grp"), col("n"), slope.as("slope"))
+      val pooled = all.select(col("slope").as("pooled_slope"))
+      moments(li, keyed = true)
+        .select(col("grp"), col("n"), slope.as("slope"))
+        .unionAll(all)
+        .crossJoin(broadcast(pooled))
+        .select(col("grp"), col("n"), col("slope"), col("pooled_slope"),
+          (signum(col("slope")) =!= signum(col("pooled_slope")))
+            .as("sign_flip"))
+        .orderBy("grp")
+    }),
+
+    // Class rebalancing — downsample every language to the smallest
+    // class's size by a deterministic keyed draw (the training-data
+    // rebalance step before a classifier ingests the corpus): per-lang
+    // EXACT rank of the md5 key via the house distributed-rank chain
+    // (gridBin over broadcast hash bounds → per-(lang, bin) offsets via
+    // the bounded triangle join → per-bin windows — partitions are
+    // N/(langs·32)-sized, never a global or whole-class sort), keep
+    // rank ≤ min-class size. Output: the per-lang composition card
+    // (before/kept + the kept-set identity as an exact id sum, so the
+    // oracle pins WHICH docs survive, not just how many).
+    "q_llm_class_rebalance" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"${hexFold("md5(concat('bal', CAST(doc_id AS STRING)))", 13)}")
+            .as("hk"))
+      val m = docs.groupBy("lang").agg(count(lit(1)).as("cl"))
+        .agg(min("cl").as("m"))
+      val bounds = docs.agg(min("hk").as("lo"), max("hk").as("hi"))
+      val binned = docs.crossJoin(broadcast(bounds))
+        .withColumn("b", gridBin(col("hk"), col("lo"), col("hi"), 32))
+      val bc = binned.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+      val offs = bc.join(
+          broadcast(bc.select(col("lang").as("l2"), col("b").as("b2"),
+            col("cnt").as("c2"))),
+          col("l2") === col("lang") && col("b2") < col("b"), "left")
+        .groupBy("lang", "b")
+        .agg(coalesce(sum("c2"), lit(0L)).as("off"))
+      val wb = Window.partitionBy("lang", "b").orderBy("hk", "doc_id")
+      binned.join(broadcast(offs), Seq("lang", "b"))
+        .withColumn("pos", col("off") + row_number().over(wb))
+        .crossJoin(broadcast(m))
+        .withColumn("kept", col("pos") <= col("m"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_before"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
         .orderBy("lang")
     })
   )
@@ -798,7 +1005,7 @@ object Audit {
          g AS (SELECT doc_id, lang, unnest(list_distinct(${U.oGrams2})) AS g
                FROM dtk),
          sided AS (SELECT lang, g,
-               ${oHexFold("md5('cov' || CAST(doc_id AS VARCHAR))", 13)} % 5
+               $oCovSide
                  AS side
              FROM g),
          train AS (SELECT DISTINCT lang, g FROM sided WHERE side < 4),
@@ -818,6 +1025,132 @@ object Audit {
          FROM (SELECT DISTINCT lang FROM documents) d
          LEFT JOIN htot ON htot.lang = d.lang
          LEFT JOIN cov ON cov.lang = d.lang
-         ORDER BY d.lang"""
+         ORDER BY d.lang""",
+
+    "q_llm_heldout_ppl" ->
+      s"""WITH dtk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk,
+               $oCovSide AS side
+             FROM documents),
+         g AS (SELECT lang, side, unnest(${U.oGrams2}) AS g FROM dtk),
+         bi AS (SELECT lang, side, string_split(g, ' ')[1] AS w1,
+                  string_split(g, ' ')[2] AS w2 FROM g),
+         c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bi
+                 WHERE side < 4 GROUP BY lang, w1, w2),
+         c1 AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12
+                GROUP BY lang, w1),
+         vocab AS (SELECT lang, COUNT(*) AS v FROM (
+                     SELECT DISTINCT lang, unnest(tk) AS w FROM dtk
+                     WHERE side < 4)
+                   GROUP BY lang),
+         held AS (SELECT lang, w1, w2 FROM bi WHERE side = 4),
+         sc AS (SELECT held.lang,
+               round(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                 / (coalesce(c1.c1, 0) + vocab.v)), 9) AS lp
+             FROM held
+             LEFT JOIN c12 ON c12.lang = held.lang AND c12.w1 = held.w1
+               AND c12.w2 = held.w2
+             LEFT JOIN c1 ON c1.lang = held.lang AND c1.w1 = held.w1
+             JOIN vocab ON vocab.lang = held.lang),
+         agg AS (SELECT lang, COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) AS slp
+             FROM sc GROUP BY lang),
+         p AS (SELECT lang, n_bigrams,
+                 round(-slp / n_bigrams, 9) AS h_nats FROM agg)
+         SELECT d.lang,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           p.h_nats, round(exp(p.h_nats), 6) AS ppl
+         FROM (SELECT DISTINCT lang FROM documents) d
+         LEFT JOIN p ON p.lang = d.lang
+         ORDER BY d.lang""",
+
+    "q_ts_periodogram" ->
+      s"""WITH $oHourlyPurchase,
+         lo AS (SELECT MIN(hr) AS h0 FROM hourly),
+         terms AS (SELECT ps.p,
+               round(x * round(cos(6.283185307179586
+                 * (((hr - h0) // 3600) % ps.p) / ps.p), 9), 6) AS xc,
+               round(x * round(sin(6.283185307179586
+                 * (((hr - h0) // 3600) % ps.p) / ps.p), 9), 6) AS xs
+             FROM hourly, lo, (SELECT unnest([6, 12, 24, 168]) AS p) ps),
+         pw AS (SELECT p AS period_h, COUNT(*) AS n_hours,
+               CAST(SUM(CAST(xc AS DECIMAL(38,6))) AS DOUBLE) AS sc,
+               CAST(SUM(CAST(xs AS DECIMAL(38,6))) AS DOUBLE) AS ss
+             FROM terms GROUP BY p),
+         r AS (SELECT period_h, n_hours,
+                 round((sc * sc + ss * ss)
+                   / (CAST(n_hours AS DOUBLE) * n_hours), 9) AS power
+               FROM pw),
+         mx AS (SELECT MAX(power) AS mx FROM r)
+         SELECT period_h, n_hours, power, power = mx AS is_peak
+         FROM r, mx ORDER BY period_h""",
+
+    "q_wl_disjunctive_revenue" ->
+      s"""WITH j AS (SELECT p_brand, p_size, l_quantity,
+               l_extendedprice * (1.0 - l_discount) AS rev
+             FROM lineitem JOIN part ON l_partkey = p_partkey),
+         b AS (SELECT CASE
+               WHEN p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+                 AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 15 THEN 1
+               WHEN p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+                 AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 10 AND 30 THEN 2
+               WHEN p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+                 AND p_size BETWEEN 1 AND 35
+                 AND l_quantity BETWEEN 25 AND 50 THEN 3 END AS band,
+               rev
+             FROM j),
+         agg AS (SELECT band, COUNT(*) AS n_items,
+               ${U.oDsum("rev")} AS revenue
+             FROM b WHERE band IS NOT NULL GROUP BY band),
+         dom AS (SELECT CAST(range AS INT) AS band FROM range(1, 4))
+         SELECT dom.band,
+           CAST(coalesce(agg.n_items, 0) AS BIGINT) AS n_items,
+           coalesce(agg.revenue, 0.0) AS revenue
+         FROM dom LEFT JOIN agg ON agg.band = dom.band
+         ORDER BY dom.band""",
+
+    "q_dq_simpson" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+               CAST(round(l_quantity) AS BIGINT) AS qn,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+             FROM lineitem),
+         g AS (SELECT grp, COUNT(*) AS n, CAST(SUM(qn) AS BIGINT) AS sq,
+               CAST(SUM(pc) AS BIGINT) AS sp,
+               CAST(SUM(qn * qn) AS BIGINT) AS sqq,
+               SUM(CAST(qn AS DECIMAL(38,0)) * pc) AS spq
+             FROM li GROUP BY grp),
+         a AS (SELECT 'ALL' AS grp, COUNT(*) AS n,
+               CAST(SUM(qn) AS BIGINT) AS sq, CAST(SUM(pc) AS BIGINT) AS sp,
+               CAST(SUM(qn * qn) AS BIGINT) AS sqq,
+               SUM(CAST(qn AS DECIMAL(38,0)) * pc) AS spq
+             FROM li),
+         u AS (SELECT * FROM g UNION ALL SELECT * FROM a),
+         sl AS (SELECT grp, n,
+               round((n * CAST(spq AS DOUBLE) - CAST(sq AS DOUBLE) * sp)
+                 / (n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq), 9)
+                 AS slope
+             FROM u),
+         p AS (SELECT slope AS pooled_slope FROM sl WHERE grp = 'ALL')
+         SELECT grp, n, slope, pooled_slope,
+           sign(slope) <> sign(pooled_slope) AS sign_flip
+         FROM sl, p ORDER BY grp""",
+
+    "q_llm_class_rebalance" ->
+      s"""WITH docs AS (SELECT doc_id, lang,
+               ${oHexFold("md5('bal' || CAST(doc_id AS VARCHAR))", 13)} AS hk
+             FROM documents),
+         m AS (SELECT MIN(cl) AS m FROM (
+                 SELECT lang, COUNT(*) AS cl FROM docs GROUP BY lang)),
+         r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY hk, doc_id) AS pos
+               FROM docs)
+         SELECT r.lang, COUNT(*) AS n_before,
+           CAST(SUM(CASE WHEN pos <= m.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN pos <= m.m THEN doc_id END) AS BIGINT)
+             AS kept_id_sum
+         FROM r, m GROUP BY r.lang ORDER BY r.lang"""
   )
 }

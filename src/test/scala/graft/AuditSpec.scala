@@ -231,6 +231,131 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q_llm_heldout_ppl: full-mirror cross-entropy on one language") {
+    val out = Audit.queries("q_llm_heldout_ppl")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val langs = Tables(spark, sf, "documents")
+      .select("lang").distinct().count()
+    assert(out.size === langs.toInt, "full lang domain")
+    out.values.foreach { case (n, h, ppl) =>
+      assert(n > 0 && h > 0.0 && ppl >= 1.0, "degenerate perplexity row")
+      assert(math.abs(ppl - BigDecimal(math.exp(h))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        "ppl must be exp(h_nats) on the declared grid")
+    }
+    // full local mirror for 'de': same split, same add-1 bigram model
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def side(id: Long): Long =
+      java.lang.Long.parseLong(md5hex("cov" + id).substring(0, 13), 16) % 5
+    val docs = Tables(spark, sf, "documents").where(col("lang") === "de")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val train = docs.filter(d => side(d._1) < 4)
+    val held = docs.filter(d => side(d._1) == 4)
+    def bigrams(tk: Array[String]) = tk.sliding(2).filter(_.length == 2)
+      .map(a => (a(0), a(1))).toSeq
+    val c12 = train.flatMap(d => bigrams(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val v = train.flatMap(_._2).distinct.length.toLong
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lps = held.flatMap(d => bigrams(d._2)).map { b =>
+      BigDecimal(r9(math.log((c12.getOrElse(b, 0L) + 1).toDouble /
+        (c1.getOrElse(b._1, 0L) + v))))
+    }
+    val hM = r9(-(lps.sum.toDouble) / lps.length)
+    assert(out("de")._1 === lps.length.toLong, "held bigram count mirror")
+    assert(math.abs(out("de")._2 - hM) < 1e-9, s"H mirror: ${out("de")._2} vs $hM")
+  }
+
+  test("q_ts_periodogram: full period domain, one peak, nonnegative power") {
+    val out = Audit.queries("q_ts_periodogram")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(6, 12, 24, 168))
+    assert(out.forall(_.getDouble(2) >= 0.0))
+    assert(out.count(_.getBoolean(3)) === 1, "exactly one peak flag")
+    val peak = out.filter(_.getBoolean(3)).head
+    assert(peak.getDouble(2) === out.map(_.getDouble(2)).max)
+  }
+
+  test("q_wl_disjunctive_revenue: bands mirror a local recount of the OR predicate") {
+    val out = Audit.queries("q_wl_disjunctive_revenue")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 3), "full band domain")
+    val joined = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_size", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    def band(b: String, s: Int, q: Double): Option[Int] =
+      if (Set("Brand#1", "Brand#2", "Brand#3")(b) && s >= 1 && s <= 15 &&
+        q >= 1 && q <= 15) Some(1)
+      else if (Set("Brand#11", "Brand#12", "Brand#13")(b) && s <= 25 &&
+        q >= 10 && q <= 30) Some(2)
+      else if (Set("Brand#21", "Brand#22", "Brand#23")(b) && s <= 35 &&
+        q >= 25 && q <= 50) Some(3)
+      else None
+    val counts = joined.flatMap(j => band(j._1, j._2, j._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    out.foreach { r =>
+      assert(r.getLong(1) === counts.getOrElse(r.getInt(0), 0L),
+        s"band ${r.getInt(0)} count")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("q_dq_simpson: pooled row consistent; slopes mirror exact moments") {
+    val out = Audit.queries("q_dq_simpson")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val all = out("ALL")
+    assert(all._2 === all._3 && !all._4, "ALL row must match pooled, no flip")
+    out.foreach { case (_, (_, slope, pooled, flip)) =>
+      assert(pooled === all._2, "one pooled slope everywhere")
+      assert(flip === (math.signum(slope) != math.signum(pooled)))
+    }
+    // local mirror of one group's slope from exact moments
+    val rows = Tables(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1)),
+        math.round(r.getDouble(2) * 100)))
+    def slopeOf(xs: Array[(String, Long, Long)]): Double = {
+      val n = xs.length.toLong
+      val sq = xs.map(_._2).sum; val sp = xs.map(_._3).sum
+      val sqq = xs.map(x => x._2 * x._2).sum
+      val spq = xs.map(x => BigDecimal(x._2) * x._3).sum.toDouble
+      BigDecimal((n * spq - sq.toDouble * sp) /
+        (n * sqq.toDouble - sq.toDouble * sq))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      assert(math.abs(out(g)._2 - slopeOf(xs)) < 1e-9, s"group $g slope")
+    }
+    assert(math.abs(all._2 - slopeOf(rows)) < 1e-9, "pooled slope")
+  }
+
+  test("q_llm_class_rebalance: every class downsampled to the min; kept set mirrored") {
+    val out = Audit.queries("q_llm_class_rebalance")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hk(id: Long): Long =
+      java.lang.Long.parseLong(md5hex("bal" + id).substring(0, 13), 16)
+    val docs = Tables(spark, sf, "documents").select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val m = docs.groupBy(_._2).values.map(_.size).min.toLong
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val kept = ds.map(_._1).sortBy(id => (hk(id), id)).take(m.toInt)
+      val (nb, nk, ks) = out(lang)
+      assert(nb === ds.length.toLong && nk === m, s"$lang sizes")
+      assert(ks === kept.sum, s"$lang kept-set identity diverged")
+    }
+  }
+
   test("q_llm_ngram_coverage: covered ≤ held, full lang domain, split is 80/20-ish") {
     val out = Audit.queries("q_llm_ngram_coverage")(spark, sf).collect()
     val langs = Tables(spark, sf, "documents")

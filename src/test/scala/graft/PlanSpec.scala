@@ -1067,7 +1067,9 @@ class PlanSpec extends SparkSpec {
     val batch = Seq("q_llm_source_overlap", "q_llm_js_divergence",
       "q_dq_t_closeness", "q_dq_cramers_v", "q_ts_pacf", "q_ts_hurst",
       "q_graph_assortativity", "q_agg_frequency_profile",
-      "q_llm_ngram_coverage", "q_graph_clustering_coeff")
+      "q_llm_ngram_coverage", "q_graph_clustering_coeff",
+      "q_llm_heldout_ppl", "q_ts_periodogram", "q_wl_disjunctive_revenue",
+      "q_dq_simpson", "q_llm_class_rebalance")
     batch.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), s"$q fell off the equi path")
     }
@@ -1077,6 +1079,8 @@ class PlanSpec extends SparkSpec {
       "source overlap's gram self-join must bucket")
     assert(plan("q_llm_ngram_coverage").contains("ShuffledHashJoin"),
       "coverage's (lang, gram) semi-join must bucket")
+    assert(plan("q_llm_heldout_ppl").contains("ShuffledHashJoin"),
+      "the LM scoring joins must bucket — both sides grow with N")
     // t-closeness: per-class cumsum windows are partitioned, never global
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val lp = SparkEntry.queries("q_dq_t_closeness")(spark, sf)
