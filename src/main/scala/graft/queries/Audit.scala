@@ -522,6 +522,9 @@ object Audit {
     // 5-row broadcast. ln on the 1e-9 grid, exact-summed; unseen
     // histories fall back to p = 1/V via the coalesce-to-0 counts.
     "q_llm_heldout_ppl" -> ((s, d) => {
+      // tok feeds both the train counts and the held scoring stream:
+      // lazy checkpoint or the tokenize→bigram pass runs once per
+      // consumer (the corpus-frame discipline)
       val tok = Tables(s, d, "documents")
         .withColumn("tk", textTokens)
         .withColumn("side", covSide)
@@ -529,6 +532,7 @@ object Audit {
         .select(col("lang"), col("side"),
           split(col("g"), " ").getItem(0).as("w1"),
           split(col("g"), " ").getItem(1).as("w2"))
+        .localCheckpoint(eager = false)
       val c12 = tok.where(col("side") < 4)
         .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1"))
@@ -602,8 +606,20 @@ object Audit {
       val li = Tables(s, d, "lineitem")
         .select(col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
+      // the part-side half of each conjunction PRE-FILTERS the build
+      // side (only ~9/25 brands can ever match — a third of the dim
+      // never needs to meet the fact); the quantity halves stay in the
+      // post-join CASE because their union spans [1, 50] — no fact
+      // pruning exists for this predicate, which is the Q19 point
       val pt = Tables(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .where(
+          (col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 15)) ||
+          (col("p_brand").isin("Brand#11", "Brand#12", "Brand#13") &&
+            col("p_size").between(1, 25)) ||
+          (col("p_brand").isin("Brand#21", "Brand#22", "Brand#23") &&
+            col("p_size").between(1, 35)))
       val banded = li.join(pt.hint("shuffle_hash"),
           col("l_partkey") === col("p_partkey"))
         .withColumn("band",
