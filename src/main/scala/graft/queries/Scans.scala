@@ -167,13 +167,16 @@ object Scans {
     // write-side connector twin of q_source_custom_dsv2, exercising the
     // two-phase commit protocol a 1000-executor sink must get right —
     // attempt-unique task temps, task commit = a message (nothing
-    // visible), driver commit = rename + manifest-last publish, abort =
-    // temp sweep (SinksSpec drives the retry/abort paths directly). The
-    // query writes an exact integer-cents projection of orders through
-    // the sink (overwrite → SupportsTruncate), reads the published
-    // part files back as text, and aggregates — the oracle computes the
-    // same rollup straight from orders, so a torn/duplicated/dropped
-    // publish would hash-mismatch.
+    // visible), driver commit = generation-unique rename + manifest-last
+    // publish, abort = temp sweep (SinksSpec drives the retry/abort/
+    // crashed-overwrite paths directly). The query writes an exact
+    // integer-cents projection of orders through the sink (overwrite →
+    // SupportsTruncate) and reads it back THROUGH the manifest reader
+    // (graft.sources.GraftManifestSource — one split per committed part,
+    // per-file row counts asserted, \N-null TSV decode), so the full
+    // write→commit→manifest→read contract is what the oracle hashes: a
+    // torn/duplicated/dropped publish would mismatch the straight-from-
+    // orders rollup.
     "q_sink_custom_dsv2" -> ((s, d) => {
       val out = tmpDir(s"dsv2w_${d.replaceAll("[^0-9.]", "")}")
       Tables(s, d, "orders")
@@ -182,10 +185,9 @@ object Scans {
             .as("cents"))
         .write.format("graft.sources.GraftCommitSink")
         .option("path", out).mode("overwrite").save()
-      s.read.text(s"$out/part-*.tsv")
-        .select(split(col("value"), "\t").as("f"))
-        .select(col("f")(0).cast("long").as("k"), col("f")(1).as("st"),
-          col("f")(2).cast("long").as("cents"))
+      s.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, st STRING, cents BIGINT")
+        .option("path", out).load()
         .groupBy(col("st").as("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
           sum(col("cents")).as("total_cents"))

@@ -133,6 +133,64 @@ class SinksSpec extends SparkSpec {
     assert(manifest(dir).map(_._2).sum === 3L)
   }
 
+  test("manifest reader: lossless sink round-trip including NULLs; prunes columns") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("roundtrip")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(7L, "ok"))
+    w.write(new GenericInternalRow(Array[Any](null, null)))
+    w.write(new GenericInternalRow(Array[Any](9L, null)))
+    val m = w.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m))
+    val back = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", dir).load()
+    val rows = back.orderBy(asc_nulls_first("k")).collect()
+    assert(rows.length === 3)
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), "null row round-trip")
+    assert(rows(1).getLong(0) === 7L && rows(1).getString(1) === "ok")
+    assert(rows(2).getLong(0) === 9L && rows(2).isNullAt(1))
+    // column pruning reaches the scan: the BatchScan's output column
+    // list shrinks to the projection (DSv2 prints it inline)
+    val plan = back.select("s").queryExecution.executedPlan.toString
+    assert("""BatchScan[^\n]*\[s#\d+\]""".r.findFirstIn(plan).isDefined,
+      s"projection not pushed into the scan:\n$plan")
+  }
+
+  test("manifest reader fails closed on a torn part") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("torn")
+    spark.range(20).select(col("id").as("k"), lit("x").as("s"))
+      .repartition(2)
+      .write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("overwrite").save()
+    // truncate one committed part behind the manifest's back (and drop
+    // the local FS's .crc sidecar, or the checksum layer masks the tear
+    // with its own error before the reader's row-count check runs)
+    val victim = new java.io.File(dir, manifest(dir).head._1)
+    val lines = Files.readAllLines(victim.toPath)
+    Files.write(victim.toPath,
+      java.util.Arrays.asList(lines.get(0)))
+    new java.io.File(dir, s".${victim.getName}.crc").delete()
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir).load().count()
+    }
+    assert(ex.getMessage.contains("torn part") ||
+      Option(ex.getCause).exists(_.getMessage.contains("torn part")),
+      s"wrong failure: $ex")
+    // and a missing listed file fails at PLANNING, before any task runs
+    assert(victim.delete())
+    val ex2 = intercept[Exception] {
+      spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir).load().count()
+    }
+    assert(ex2.toString.contains("torn commit") ||
+      Option(ex2.getCause).exists(_.toString.contains("torn commit")),
+      s"wrong failure: $ex2")
+  }
+
   test("a failed overwrite publish leaves the previous generation readable") {
     val dir = freshDir("crash")
     // generation 0 publishes normally
