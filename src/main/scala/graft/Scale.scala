@@ -63,6 +63,10 @@ object Scale {
       graft.queries.Assay.labelNoiseWith(s, d, 128, twoLevel = true)),
     "x_label_noise_c2048_2l" -> ((s, d) =>
       graft.queries.Assay.labelNoiseWith(s, d, 2048, twoLevel = true)),
+    // raw-gram-string join identity, no memo — the baseline the
+    // declared q_llm_source_overlap's 60-bit fold + memo was measured
+    // against (403/79.6 vs 72.9/41.4 s at ×100)
+    "x_source_overlap_strkey" -> graft.queries.Audit.sourceOverlapStrKey,
     "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
     "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)),
     // A/B control for q_join_skew_salted: the SAME join UNSALTED, left
