@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Host steal meter: (steal ticks, total ticks) from `/proc/stat`'s
+    * aggregate cpu line. On a multi-tenant host, hypervisor CPU steal is
+    * the documented cause of the 0.5 s ↔ 240 s same-code bench swings
+    * (BASELINE.md variance note): Janino codegen compiles stall when the
+    * vCPU is held. Sampling the counter per query makes an inflated
+    * artifact self-diagnosing — a slow query with a large steal delta is
+    * the environment, not the plan. */
+  private def procSteal(): (Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val v = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (v.length > 7) v(7) else 0L, v.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+
+  /** Whole-stage-codegen compile telemetry: (compile count, approx total
+    * compile ms) from Spark's public `CodegenMetrics` source. The count
+    * is exact; the total is count×reservoir-mean (dropwizard histograms
+    * don't expose a sum). A warm query whose compile count still moves is
+    * re-compiling; a large ms total alongside a steal delta is the
+    * codegen-stall-under-steal signature. */
+  private def codegenStats(): (Long, Double) = {
+    try {
+      val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      val n = h.getCount
+      (n, n * h.getSnapshot.getMean)
+    } catch { case _: Throwable => (0L, 0.0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,14 +45,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (steal0, total0) = procSteal()
     // Warm-up pass (disable with SPARK_GRAFT_WARMUP=0): materializes the
     // table caches and triggers whole-stage-codegen compilation + JIT so
     // the timed pass below measures steady-state query throughput rather
     // than one-time session costs. The protocol is unchanged — the
-    // printed totals are still the per-query wall time of count().
+    // printed totals are still the per-query wall time of count() on the
+    // WARM pass — but the cold pass is now timed too and recorded in
+    // bench_full.json, so a cold/warm split (first-run codegen + cache
+    // build vs steady state) is visible per query in the artifact.
+    val cold = scala.collection.mutable.Map.empty[String, Double]
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        cold(name) = (System.nanoTime() - t0) / 1e9
       }
     // Shuffle diagnostics: a listener tallies shuffle bytes per stage;
     // sequential execution attributes each window to its query. Purely
@@ -42,17 +80,28 @@ object Bench {
     catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val shuffles = scala.collection.mutable.Map.empty[String, Long]
+    val stealTicks = scala.collection.mutable.Map.empty[String, Long]
+    val codegenN = scala.collection.mutable.Map.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val s0 = shuffleBytes.get()
+      val (st0, _) = procSteal()
+      val (cg0, _) = codegenStats()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
+      stealTicks(name) = procSteal()._1 - st0
+      codegenN(name) = codegenStats()._1 - cg0
       try { Thread.sleep(30) } catch { case _: Throwable => () }
       shuffles(name) = shuffleBytes.get() - s0
       name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val (steal1, total1) = procSteal()
+    val stealDelta = steal1 - steal0
+    val stealPct =
+      if (total1 > total0) 100.0 * stealDelta / (total1 - total0) else 0.0
+    val (cgCount, cgMs) = codegenStats()
     // Locale.ROOT: a comma decimal separator from a non-English default
     // locale would make the JSON line unparseable.
     def r3(v: Double): String =
@@ -68,10 +117,13 @@ object Bench {
     // entries that fits a 1500-char budget (a prefix, so n_shown/rest_sum
     // partition the suite exactly).
     try {
-      val shufMb = bySlow.map { case (k, _) =>
-        s""""$k":${r3(shuffles.getOrElse(k, 0L) / 1e6)}""" }
+      def m(f: String => String) = bySlow.map { case (k, _) => s""""$k":${f(k)}""" }
+      val shufMb = m(k => r3(shuffles.getOrElse(k, 0L) / 1e6))
+      val coldJ = m(k => r3(cold.getOrElse(k, -1.0)))
+      val stealJ = m(k => stealTicks.getOrElse(k, 0L).toString)
+      val cgJ = m(k => codegenN.getOrElse(k, 0L).toString)
       val fw = new java.io.FileWriter("bench_full.json")
-      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${full.mkString("{", ",", "}")},"shuffle_mb":${shufMb.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${full.mkString("{", ",", "}")},"cold":${coldJ.mkString("{", ",", "}")},"shuffle_mb":${shufMb.mkString("{", ",", "}")},"steal_ticks":${stealJ.mkString("{", ",", "}")},"codegen_compiles":${cgJ.mkString("{", ",", "}")},"steal_ticks_total":$stealDelta,"steal_pct":${r3(stealPct)},"codegen_compile_count":$cgCount,"codegen_compile_ms":${r3(cgMs)},"failed":$failedJson,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
     val budget = 1500
@@ -82,7 +134,7 @@ object Bench {
       fits
     }
     val restSum = bySlow.drop(shown.size).map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"steal_ticks":$stealDelta,"steal_pct":${r3(stealPct)},"codegen_ms":${r3(cgMs)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,6 +35,68 @@ class SerializableHadoopConf(@transient var value: Configuration)
   }
 }
 
+/** The sink's TSV string-field escaping, shared with the manifest
+  * reader's decode. Without it, a string whose value is literally `\N`
+  * would round-trip as NULL, and an embedded tab/newline would shift or
+  * split columns — silent corruption (or a false "torn part" row-count
+  * failure). Escaped on write: `\` `\t` `\n` `\r` → `\\` `\t` `\n` `\r`
+  * (two-character sequences); everything else passes through, so the
+  * common no-special-chars row costs one scan and zero allocation. */
+object GraftTsv {
+  def escape(s: String): String = {
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' || c == '\t' || c == '\n' || c == '\r') clean = false
+      i += 1
+    }
+    if (clean) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Inverse of [[escape]]; an unknown escape or a trailing lone
+    * backslash is file corruption and fails loudly, never silently. */
+  def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) throw new java.io.IOException(
+            s"corrupt TSV escape (trailing backslash) in: $s")
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case 't' => sb.append('\t')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case other => throw new java.io.IOException(
+              s"corrupt TSV escape \\$other in: $s")
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+}
+
 /** Custom DataSource V2 batch SINK with a two-phase commit protocol —
   * the write-side twin of [[GraftGenSource]]
   * (`df.write.format("graft.sources.GraftCommitSink").option("path", dir)`).
@@ -67,7 +129,10 @@ class SerializableHadoopConf(@transient var value: Configuration)
   * Rows serialize as TSV (long/int/double/string columns — doubles via
   * the same shortest-repr `toString` both engines print); a NULL field
   * serializes as the explicit `\N` token (the classic TSV convention),
-  * never as a silent zero/empty. Uses the Hadoop FileSystem API
+  * never as a silent zero/empty, and string fields escape
+  * backslash/tab/newline/CR ([[GraftTsv]]) so a literal `\N` value or an
+  * embedded delimiter round-trips losslessly instead of reading back as
+  * NULL or shifting columns. Uses the Hadoop FileSystem API
   * throughout with the JOB's conf threaded to executors
   * ([[SerializableHadoopConf]]), so the same code drives HDFS/S3A in
   * production and the local FS here.
@@ -115,23 +180,33 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     new GraftCommitWriterFactory(path, schema, new SerializableHadoopConf(
       org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
 
-  /** Parse the manifest's generation header (if any): first line
-    * `#gen\tG`. Absent/legacy manifests read as generation 0. */
-  private def currentGen(fs: FileSystem, dir: Path): Long = {
+  /** Read the committed manifest: its generation (first line `#gen\tG`;
+    * absent/legacy manifests read as generation 0, no manifest at all as
+    * -1) and its (file, rows) entries. */
+  private def readManifest(fs: FileSystem, dir: Path): (Long, Seq[(String, Long)]) = {
     val man = new Path(dir, "_GRAFT_COMMIT")
-    if (!fs.exists(man)) -1L
+    if (!fs.exists(man)) (-1L, Nil)
     else {
-      val in = fs.open(man)
-      val head = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(man), "UTF-8"))
+      val lines = try Iterator.continually(in.readLine())
+        .takeWhile(_ != null).filter(_.nonEmpty).toArray
       finally in.close()
-      head match {
-        case null => -1L
-        case h if h.startsWith("#gen\t") => h.substring(5).toLong
+      val gen = lines.headOption match {
+        case Some(h) if h.startsWith("#gen\t") => h.substring(5).toLong
         case _ => 0L
       }
+      val entries = lines.filterNot(_.startsWith("#")).toSeq.map { l =>
+        val Array(f, n) = l.split("\t"); (f, n.toLong)
+      }
+      (gen, entries)
     }
   }
+
+  /** Generation a published part name carries (`part-NNNNN-gGGGG.tsv`);
+    * None for any other file. */
+  private def partGen(name: String): Option[Long] =
+    "^part-\\d+-g(\\d+)\\.tsv$".r.findFirstMatchIn(name).map(_.group(1).toLong)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
@@ -142,7 +217,22 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // generation counter in their names so they can never collide with
     // (or clobber) the previous generation's files — the old generation
     // stays fully readable until the new manifest is durable.
-    val gen = currentGen(fs, dir) + 1L
+    val (curGen, prior) = readManifest(fs, dir)
+    // Crash-recovery sweep BEFORE publishing: a driver that died mid-commit
+    // (after some renames, before the manifest swap) leaves part files whose
+    // generation exceeds the committed manifest's — uncommitted by
+    // construction — plus possibly a stranded tmp manifest. A retry computes
+    // the SAME next generation from the old manifest, so on filesystems
+    // where rename fails when the destination exists (HDFS, S3A) those
+    // orphans would make every retry throw forever. Delete them first; the
+    // committed generation is untouched.
+    val existing = fs.globStatus(new Path(dir, "part-*"))
+    if (existing != null) existing
+      .filter(s => partGen(s.getPath.getName).exists(_ > curGen))
+      .foreach(s => fs.delete(s.getPath, false))
+    val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
+    if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
+    val gen = curGen + 1L
     // one attempt per partition becomes visible (retries/speculation may
     // have produced several messages per partition — first wins, the
     // rest stay in _temp and are swept below)
@@ -161,10 +251,15 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // pair is the one non-atomic seam on filesystems without overwriting
     // rename; a crash inside it leaves BOTH data generations on disk and
     // no manifest — fail-closed AND recoverable, never data-lossy.)
+    // Non-truncate commit is a true APPEND: the prior generations' entries
+    // carry forward into the new manifest (their part files stay on disk
+    // and stay visible), with this generation's entries appended. Truncate
+    // starts the manifest over — the old parts are deleted below.
+    val visible = (if (truncateFirst) Nil else prior) ++ published
     val manTmp = new Path(dir, s"_GRAFT_COMMIT.g$gen.tmp")
     val out = fs.create(manTmp, true)
     out.write((s"#gen\t$gen\n" +
-      published.map { case (f, r) => s"$f\t$r" }.mkString("", "\n", "\n"))
+      visible.map { case (f, r) => s"$f\t$r" }.mkString("", "\n", "\n"))
       .getBytes("UTF-8"))
     out.close()
     val man = new Path(dir, "_GRAFT_COMMIT")
@@ -184,8 +279,15 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
-    val fs = new Path(path).getFileSystem(conf)
-    fs.delete(new Path(path, "_temp"), true)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.delete(new Path(dir, "_temp"), true)
+    // an abort between fs.create(manTmp) and the manifest swap would
+    // otherwise strand the tmp manifest forever (commit()'s sweep also
+    // clears these, but abort shouldn't rely on a future commit)
+    val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
+    if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
+    ()
   }
 }
 
@@ -215,7 +317,8 @@ class GraftCommitDataWriter(path: String, schema: StructType,
         case LongType => (r: InternalRow) => r.getLong(i).toString
         case IntegerType => (r: InternalRow) => r.getInt(i).toString
         case DoubleType => (r: InternalRow) => r.getDouble(i).toString
-        case StringType => (r: InternalRow) => r.getUTF8String(i).toString
+        case StringType => (r: InternalRow) =>
+          GraftTsv.escape(r.getUTF8String(i).toString)
         case other => throw new IllegalArgumentException(
           s"GraftCommitSink supports long/int/double/string, got $other")
       }

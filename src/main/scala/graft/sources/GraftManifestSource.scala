@@ -32,8 +32,9 @@ import scala.jdk.CollectionConverters._
   *  - each reader asserts its file's row count against the manifest's
   *    per-file count — a truncated or appended-to part fails loudly;
   *  - rows parse with the sink's exact TSV conventions (long / int /
-  *    double / string, `\N` = NULL), so sink→source round-trips are
-  *    lossless including nulls;
+  *    double / string, `\N` = NULL, [[GraftTsv]] escaping for
+  *    backslash/tab/newline/CR in strings), so sink→source round-trips
+  *    are lossless including nulls and delimiter-bearing values;
   *  - column pruning pushes down (`SupportsPushDownRequiredColumns`):
   *    an un-requested column is never converted, only skipped past;
   *  - the job's Hadoop conf threads to executors via
@@ -126,7 +127,10 @@ class GraftManifestReaderFactory(full: StructType, required: StructType,
         case LongType => (s: String) => java.lang.Long.valueOf(s)
         case IntegerType => (s: String) => java.lang.Integer.valueOf(s)
         case DoubleType => (s: String) => java.lang.Double.valueOf(s)
-        case StringType => (s: String) => UTF8String.fromString(s)
+        // sink-symmetric decode: the writer escaped \ / tab / LF / CR in
+        // string fields, so a literal "\N" value (escaped "\\N" on disk)
+        // never collides with the NULL token checked below
+        case StringType => (s: String) => UTF8String.fromString(GraftTsv.unescape(s))
         case other => throw new IllegalArgumentException(
           s"GraftManifestSource supports long/int/double/string, got $other")
       }

@@ -191,6 +191,97 @@ class SinksSpec extends SparkSpec {
       s"wrong failure: $ex2")
   }
 
+  test("string fields escape delimiters: tab/newline/backslash/literal-\\N round-trip") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("escape")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    // every hostile value the advice named: embedded tab (column shift),
+    // embedded newline (row split = torn-part false positive), literal
+    // \N (silent NULL), lone backslashes, CR
+    val hostile = Seq("a\tb", "line1\nline2", "\\N", "back\\slash", "cr\rhere", "plain")
+    hostile.zipWithIndex.foreach { case (s, i) => w.write(row(i.toLong, s)) }
+    w.write(new GenericInternalRow(Array[Any](99L, null)))
+    val m = w.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m))
+    val back = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", dir).load()
+      .orderBy(asc("k")).collect()
+    assert(back.length === hostile.length + 1,
+      "embedded newline split a row — escaping failed")
+    hostile.zipWithIndex.foreach { case (s, i) =>
+      assert(back(i).getString(1) === s, s"value $i corrupted: ${back(i).getString(1)}")
+    }
+    assert(back.last.isNullAt(1), "real NULL must still decode as NULL")
+    // and on disk, the literal "\N" string is distinguishable from NULL
+    val body = new String(Files.readAllBytes(
+      Paths.get(dir, manifest(dir).head._1)), "UTF-8")
+    assert(body.contains("2\t\\\\N\n"), s"literal \\N not escaped on disk:\n$body")
+    assert(body.contains("99\t\\N\n"), s"NULL token changed on disk:\n$body")
+  }
+
+  test("append mode carries prior generations forward in the manifest") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("append")
+    def gen(n: Int, tag: String) = spark.range(n).select(col("id").as("k"),
+      lit(tag).as("s"))
+    gen(50, "g0").write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("overwrite").save()
+    gen(7, "g1").repartition(1).write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("append").save()
+    // manifest lists BOTH generations' parts; nothing leaked invisible
+    assert(manifest(dir).map(_._2).sum === 57L,
+      "append dropped previously committed rows from the manifest")
+    val back = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", dir).load()
+    assert(back.count() === 57L)
+    assert(back.where(col("s") === "g0").count() === 50L)
+    assert(manifest(dir).map(_._1).sorted === partFiles(dir),
+      "append left unreferenced part files on disk")
+  }
+
+  test("retried overwrite sweeps a crashed commit's orphans before publishing") {
+    val dir = freshDir("retry")
+    // generation 0 commits normally
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w0 = fac.createWriter(0, 1L)
+    w0.write(row(1L, "gen0")); val m0 = w0.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m0))
+    // simulate a generation-1 commit that crashed AFTER renaming a part
+    // but BEFORE the manifest swap: an orphan part under the exact name
+    // the retry will want, plus a stranded tmp manifest
+    Files.write(Paths.get(dir, "part-00000-g0001.tsv"),
+      "666\tghost\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g1.tmp"),
+      "#gen\t1\npart-00000-g0001.tsv\t1\n".getBytes("UTF-8"))
+    // the retry recomputes gen=1 from the old manifest; without the sweep
+    // it would rename onto an existing destination (fatal on HDFS/S3A)
+    val w1 = fac.createWriter(0, 2L)
+    w1.write(row(2L, "gen1-retry")); val m1 = w1.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = true)
+      .commit(Array[WriterCommitMessage](m1))
+    val body = new String(Files.readAllBytes(
+      Paths.get(dir, "part-00000-g0001.tsv")), "UTF-8")
+    assert(body === "2\tgen1-retry\n", s"orphan not swept, ghost data survived: $body")
+    assert(manifest(dir) === Seq(("part-00000-g0001.tsv", 1L)))
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g1.tmp").exists(),
+      "stranded tmp manifest not swept")
+    assert(partFiles(dir) === Seq("part-00000-g0001.tsv"),
+      "old generation not truncated")
+  }
+
+  test("driver abort sweeps stranded tmp manifests") {
+    val dir = freshDir("aborttmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g3.tmp"),
+      "#gen\t3\n".getBytes("UTF-8"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .abort(Array.empty[WriterCommitMessage])
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g3.tmp").exists())
+  }
+
   test("a failed overwrite publish leaves the previous generation readable") {
     val dir = freshDir("crash")
     // generation 0 publishes normally
