@@ -63,10 +63,33 @@ object Scale {
       graft.queries.Assay.labelNoiseWith(s, d, 128, twoLevel = true)),
     "x_label_noise_c2048_2l" -> ((s, d) =>
       graft.queries.Assay.labelNoiseWith(s, d, 2048, twoLevel = true)),
+    // round-9 serving-geometry cost probes (pair with the recall grid's
+    // w×probes rows): end-to-end kNN graph at the ×100 cell count, flat
+    // vs the two constant-recall two-level geometries the grid named —
+    // w8/p10 matches flat's 0.199 recall (0.202), w4/p20 beats it (0.240).
+    // Probe these against the ×100 replica only (2048 cells is that
+    // scale's cells ∝ N geometry).
+    "x_knn_flat_c2048" -> ((s, d) =>
+      graft.queries.Learn.knnGraphTrained(s, d, 2048)),
+    "x_knn_2l_c2048_w8_p10" -> ((s, d) =>
+      graft.queries.Learn.knnGraphTrained2L(s, d, 2048, 8, 10)),
+    "x_knn_2l_c2048_w4_p20" -> ((s, d) =>
+      graft.queries.Learn.knnGraphTrained2L(s, d, 2048, 4, 20)),
     // raw-gram-string join identity, no memo — the baseline the
     // declared q_llm_source_overlap's 60-bit fold + memo was measured
     // against (403/79.6 vs 72.9/41.4 s at ×100)
     "x_source_overlap_strkey" -> graft.queries.Audit.sourceOverlapStrKey,
+    // the round-9 token-frame A/B's runnable artifact: a representative
+    // flat-explode consumer fed from the memoized U.tokenStream instead
+    // of its declared inline explode (the memo LOST in-suite — see
+    // U.tokenStream's scaladoc and BASELINE.md "shared token frame")
+    "x_entropy_tokmemo" -> ((s, d) => graft.queries.Learn.entropyFrom(
+      graft.queries.U.tokenStream(s, d).select("doc_id", "term"))),
+    // the 100 TB dashboard variant: per-source gram HLL sketches +
+    // inclusion–exclusion containment — no gram self-join, no global
+    // distinct, KB per source over the wire; error bracket vs the exact
+    // matrix measured by `Scale hll`
+    "x_source_overlap_sketch" -> graft.queries.Audit.sourceOverlapSketch,
     "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
     "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)),
     // A/B control for q_join_skew_salted: the SAME join UNSALTED, left
@@ -229,9 +252,10 @@ object Scale {
         .select("qid", "cid")
     }
     def report(dir: String, probe: String, k: Int,
-        ann: DataFrame, qs: DataFrame, emb: DataFrame): Unit = {
+        ann: DataFrame, qs: DataFrame, emb: DataFrame,
+        truth0: Option[DataFrame] = None): Unit = {
       if (!want(probe)) return
-      val truth = bruteTopK(emb, qs, k)
+      val truth = truth0.getOrElse(bruteTopK(emb, qs, k))
       val annK = ann.join(qs.select("qid"), Seq("qid"), "left_semi")
         .select("qid", "cid")
       val hits = annK.join(truth, Seq("qid", "cid"), "left_semi").count()
@@ -277,6 +301,32 @@ object Scale {
       report(d, s"knn_trained2l_c${1 << bits}_p5_w4", 3,
         graft.queries.Learn.knnGraphTrained2L(spark, d, 1 << bits, 4),
         sample, emb)
+      // Serving-geometry grid (round 9): the BASELINE tradeoff note names
+      // "w=4-8 with a probe budget grown past 5" as the honest 2048-cell
+      // deployment but measured only w≤4 at p=5 — this grid prices the
+      // full (super-cell width × probe budget) surface at the scaled cell
+      // counts so ONE constant-recall geometry can be named with numbers.
+      // Cost model per row: assignment N·(1+w)·√cells, serving N·p·(N/cells).
+      // One persisted brute-force truth is shared across all grid rows
+      // (same queries, same k) instead of recomputed per row.
+      if (bits > 4) {
+        val grid = for {
+          w <- Seq(4, 8); p <- Seq(5, 10, 20)
+          if !(w == 4 && p == 5) // already reported above
+        } yield (w, p)
+        val wanted = grid.filter { case (w, p) =>
+          want(s"knn_trained2l_c${1 << bits}_p${p}_w$w") }
+        if (wanted.nonEmpty) {
+          val truth3 = bruteTopK(emb, sample, 3).persist()
+          wanted.foreach { case (w, p) =>
+            report(d, s"knn_trained2l_c${1 << bits}_p${p}_w$w", 3,
+              graft.queries.Learn.knnGraphTrained2L(spark, d, 1 << bits, w, p),
+              sample, emb, Some(truth3))
+          }
+          truth3.unpersist()
+          ()
+        }
+      }
       val ivfQs = emb.where(col("label") === 0 && col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       report(d, "simsearch_ivf_16cell", 5,
@@ -361,6 +411,28 @@ object Scale {
       .join(side("click"), Seq("user_id"), "left_semi").count()
     val err = math.abs(est - exact) / math.max(exact, 1L).toDouble
     println(f"""{"dir":"$d","probe":"hll_intersect","est":$est%.1f,"exact":$exact,"rel_err":$err%.4f}""")
+    // source-overlap sketch bracket: the x_source_overlap_sketch matrix
+    // (per-source gram HLLs + inclusion–exclusion) against the exact
+    // declared containment matrix, per pair. Containment error is
+    // reported in ABSOLUTE points (the honest unit for an
+    // inclusion–exclusion sketch: per-sketch σ is relative to set SIZE,
+    // so a near-zero intersection has unbounded relative error by
+    // construction), shared-count error relative to the true count.
+    val exactM = SparkEntry.queries("q_llm_source_overlap")(spark, d)
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("containment"))
+    val estM = graft.queries.Audit.sourceOverlapSketch(spark, d)
+      .select(col("source_a"), col("source_b"), col("est_shared"),
+        col("containment_est"))
+    val j = exactM.join(estM, Seq("source_a", "source_b"))
+      .select(
+        (abs(col("est_shared") - col("n_shared")).cast("double") /
+          greatest(col("n_shared"), lit(1L))).as("rel"),
+        abs(col("containment_est") - col("containment")).as("cabs"))
+    val rr = j.agg(count(lit(1)).as("n"), avg("rel").as("mean_rel"),
+      max("rel").as("max_rel"), avg("cabs").as("mean_cabs"),
+      max("cabs").as("max_cabs")).first()
+    println(f"""{"dir":"$d","probe":"source_overlap_sketch","pairs":${rr.getLong(0)},"mean_rel_shared":${rr.getDouble(1)}%.4f,"max_rel_shared":${rr.getDouble(2)}%.4f,"mean_abs_containment":${rr.getDouble(3)}%.4f,"max_abs_containment":${rr.getDouble(4)}%.4f}""")
   }
 
   /** Evaluate EVERY output column (noop sink). A bare count() would let

@@ -28,8 +28,11 @@ case class BenchEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   *    watermark-bounded window states back to back
   *  - multitouch: `Streams.attributionMultiTws` — the ListState
   *    processor (per-user in-window click LISTS with self-eviction):
-  *    the newest state shape; unlike the scalar ValueState scenarios
   *    its per-key state size tracks the window's click density
+  *  - bandcollide: `Streams.bandCollide` — the streaming near-dup
+  *    candidate emitter over the documents band-key frame: the
+  *    many-small-keys state shape (one short doc list per MinHash band
+  *    bucket; key cardinality ∝ distinct band keys ∝ corpus size)
   *
   * Run: sbt -batch "runMain graft.StreamBench [scenario ...]"
   */
@@ -58,7 +61,7 @@ object StreamBench {
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "5000").toInt
     val scenarios =
       if (args.nonEmpty) args.toSeq
-      else Seq("session", "kalman", "chained", "multitouch")
+      else Seq("session", "kalman", "chained", "multitouch", "bandcollide")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -111,8 +114,30 @@ object StreamBench {
           df.selectExpr("user_id", "event_id", "event_type",
             "CAST(unix_micros(ts) div 1000000 AS BIGINT) AS es")
             .as[graft.streaming.Streams.AttrEvent]).toDF())
+      // streaming near-dup candidate emitter: replays the DOCUMENTS
+      // band-key frame (not events) in doc_id order — state = one doc
+      // list per band bucket (key count tracks distinct band keys, the
+      // dedup family's shuffle-key cardinality), the newest state shape
+      // in the kit: many tiny lists instead of multitouch's few dense ones
+      case "bandcollide" =>
+        val bandRows = graft.queries.Llm.bandKeyFrame(spark, sfDir)
+          .selectExpr("CAST(band_id AS INT) AS band_id", "bkey", "doc_id")
+          .orderBy("doc_id")
+          .as[graft.streaming.Streams.BandKeyRow].collect()
+        val mem = MemoryStream[graft.streaming.Streams.BandKeyRow]
+        val q = graft.streaming.Streams.bandCollide(mem.toDS()).toDF()
+          .writeStream.format("noop").outputMode("append").start()
+        val t0 = System.nanoTime()
+        bandRows.grouped(batchRows).foreach { c =>
+          mem.addData(c.toSeq); q.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val st = stateJson(q)
+        q.stop()
+        val rps = if (dt > 0) bandRows.length / dt else 0.0
+        println(f"""{"metric":"stream_bandcollide_rocksdb","rows":${bandRows.length},"batches":${(bandRows.length + batchRows - 1) / batchRows},"sec":$dt%.2f,"rows_per_sec":$rps%.0f,$st,"sf":"$sfDir"}""")
       case other =>
-        sys.error(s"unknown scenario $other (session|kalman|chained|multitouch)")
+        sys.error(s"unknown scenario $other (session|kalman|chained|multitouch|bandcollide)")
     }
     spark.stop()
   }

@@ -102,6 +102,48 @@ object Audit {
       .orderBy("source_a", "source_b")
   }
 
+  /** SKETCH twin of q_llm_source_overlap (`x_source_overlap_sketch`) —
+    * the 100 TB dashboard answer to the exact matrix's honest floor (the
+    * ×100 cost is the 24M-row two-side bucketed gram self-join; round-8
+    * verdict). Per-source HLL sketches over the SAME 60-bit folded gram
+    * identity, containment estimated by inclusion–exclusion per pair
+    * (the q_agg_hll_intersect recipe applied source-pairwise).
+    *
+    * The structural win is bigger than "skip the self-join": HLL
+    * absorbs duplicates, so the global `(source, gram)` DISTINCT — the
+    * exact path's other ∝N shuffle — disappears too. The whole plan is
+    * one corpus scan into a map-side partial sketch aggregate (KB per
+    * source crossing the wire), then a sources²-bounded broadcast pair
+    * matrix. Denominators are sketch estimates as well (at 100 TB the
+    * exact per-source distinct is itself a job you didn't run).
+    * Accuracy bracket vs the exact matrix is measured per scale by
+    * `graft.Scale hll` and recorded in BASELINE.md — the estimate
+    * inherits ~1.6%σ per sketch and the subtraction compounds it, so
+    * LOW-containment pairs carry large relative error (an absolute-
+    * error instrument, like every inclusion–exclusion sketch). */
+  private[graft] def sourceOverlapSketch(s: SparkSession,
+      d: String): DataFrame = {
+    val raw = Tables(s, d, "documents")
+      .withColumn("tk", textTokens)
+      .select(col("source"), explode(array_distinct(grams5)).as("g"))
+      .select(col("source"), expr(hexFold("md5(g)", 15)).as("h"))
+    val sk = raw.groupBy("source").agg(hll_sketch_agg(col("h")).as("sk"))
+    sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("sk").as("skb"))),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        hll_sketch_estimate(col("ska")).as("n_a_est"),
+        hll_sketch_estimate(col("skb")).as("n_b_est"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      .select(col("source_a"), col("source_b"), col("n_a_est"), col("n_b_est"),
+        greatest(col("n_a_est") + col("n_b_est") - col("est_union"), lit(0L))
+          .as("est_shared"))
+      .withColumn("containment_est",
+        round(col("est_shared").cast("double") /
+          least(col("n_a_est"), col("n_b_est")), 6))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Cross-source 5-gram containment matrix — the FIRST question a

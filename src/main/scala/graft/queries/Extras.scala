@@ -60,6 +60,12 @@ object Extras {
     // ---- text analysis -------------------------------------------------
     "q_llm_langid" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // tok feeds two consumers (profile + vote join). Round-9 finding,
+      // measured both ways and NOT changed: a lazy localCheckpoint here
+      // does NOT help (×10 warm 2.76 s vs 2.71 s inline — the RDD-row
+      // checkpoint re-read costs what the second codegen'd explode
+      // costs), and the cross-query token memo that DID cut it to
+      // 1.05 s lost suite-wide (BASELINE.md "shared token frame").
       val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("term"))
       val wTok = Window.partitionBy("term").orderBy(col("c").desc, col("lang"))
       val profile = tok.groupBy("term", "lang").agg(count(lit(1)).as("c"))

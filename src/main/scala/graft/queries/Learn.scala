@@ -486,6 +486,25 @@ object Learn {
     }
   }
 
+  /** q_llm_entropy's body over any (doc_id, term) frame — factored so
+    * the round-9 token-frame A/B stays runnable (`x_entropy_tokmemo`
+    * feeds it U.tokenStream; the declared query feeds the inline
+    * explode, which WON the A/B — BASELINE.md "shared token frame"). */
+  private[graft] def entropyFrom(tok: DataFrame): DataFrame =
+    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        // DECIMAL(28,9), not (18,9): c·log2(c) for a term repeated
+        // ~3.5e7 times would overflow the (18,9) integral range — Spark
+        // (non-ANSI) would NULL-and-skip while DuckDB errors, an
+        // asymmetric failure; (28,9) holds to c ≈ 2e17
+        sum(expr("CAST(round(c * log2(c), 9) AS DECIMAL(28,9))")).as("sclog"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(expr("CAST(round(log2(n_tok), 9) AS DECIMAL(18,9))").cast("double")
+          - col("sclog").cast("double") / col("n_tok"), 6).as("entropy"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
 
     "q_llm_cluster_kmeans" -> ((s, d) => kmeansWith(s, d, "fused")),
@@ -572,21 +591,8 @@ object Learn {
     // the final arithmetic is same-order IEEE. Two partial-agg shuffles
     // on (doc, term) then doc — linear, no broadcast needed.
     "q_llm_entropy" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), explode(textTokens).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_tok"),
-          count(lit(1)).as("n_types"),
-          // DECIMAL(28,9), not (18,9): c·log2(c) for a term repeated
-          // ~3.5e7 times would overflow the (18,9) integral range — Spark
-          // (non-ANSI) would NULL-and-skip while DuckDB errors, an
-          // asymmetric failure; (28,9) holds to c ≈ 2e17
-          sum(expr("CAST(round(c * log2(c), 9) AS DECIMAL(28,9))")).as("sclog"))
-        .select(col("doc_id"), col("n_tok"), col("n_types"),
-          round(expr("CAST(round(log2(n_tok), 9) AS DECIMAL(18,9))").cast("double")
-            - col("sclog").cast("double") / col("n_tok"), 6).as("entropy"))
-        .orderBy("doc_id")),
+      entropyFrom(Tables(s, d, "documents")
+        .select(col("doc_id"), explode(textTokens).as("term")))),
 
     // Neighbor-overlap similarity (link prediction / collaborative
     // filtering): supplier pairs scored by Jaccard over their shared

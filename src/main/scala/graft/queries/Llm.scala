@@ -60,6 +60,16 @@ object Llm {
       .select(col("doc_id"), col("bb.band_id"), col("bb.bkey"))
   }
 
+  /** The banded signature frame for dir `d` — the ONE banding
+    * definition, exposed for the streaming collide processor
+    * (graft.streaming.Streams.bandCollide replays exactly this frame;
+    * StreamingSpec asserts its emitted candidates equal
+    * [[bandCandidates]] on in-order replay, StreamBench replays it at
+    * bench scale for the state-metrics row). */
+  private[graft] def bandKeyFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    bandKeys(shingles(s, d))
+
   /** (a, b, i, sza, szb): exact trigram intersection size plus both set
     * sizes for candidate pairs — the ONE intersection pipeline every
     * set-overlap confirm (Jaccard, containment) filters; a fix here
@@ -246,7 +256,7 @@ object Llm {
     * in-suite while its siblings shared lineage at ~0.2 s; tiny frame
     * (≈ n·dup-rate rows), lazy checkpoint — first consumer
     * materializes, the rest read it back. */
-  private def bandCandidates(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def bandCandidates(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame =
     graft.Memo(s, s"mh-cand:$d") {
       val band = bandKeys(shingles(s, d))
@@ -570,8 +580,10 @@ object Llm {
   )
 
   /** DuckDB CTE chain building the banded MinHash signatures — ends at
-    * `band(doc_id, band_id, bkey)` (with `g` in scope). */
-  private val oSigCte =
+    * `band(doc_id, band_id, bkey)` (with `g` in scope). Shared with
+    * StreamTwins' q_stream_dedup_cand oracle (the candidate-ledger twin
+    * of the streaming band-collide emitter). */
+  private[graft] val oSigCte =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
                  i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS g

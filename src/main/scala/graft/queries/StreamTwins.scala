@@ -56,6 +56,20 @@ object StreamTwins {
           sum(col("cnt")).as("cnt"), dsum(col("total")).as("total"))
         .orderBy("hour", "event_type")),
 
+    // Near-dup CANDIDATE ledger — the batch twin of the streaming
+    // band-collide emitter (graft.streaming.Streams.bandCollide, round
+    // 9): the distinct pre-confirm pair set q_llm_dedup_near's MinHash
+    // banding produces, declared as its own surface because it is what
+    // an INGEST pipeline consumes incrementally (flag likely dups as
+    // documents arrive; the exact-Jaccard confirm runs downstream on the
+    // tiny candidate stream). Shares the memoized mh-cand frame with the
+    // four batch consumers — zero extra derivation — and StreamingSpec
+    // proves the processor emits exactly this set on in-order replay.
+    // Scale shape: banding keys from one doc-keyed aggregate, bucket-
+    // local self-join, candidates O(n·dup-rate) — see q_llm_dedup_near.
+    "q_stream_dedup_cand" -> ((s, d) =>
+      Llm.bandCandidates(s, d).orderBy("a", "b")),
+
     "q_stream_session" -> ((s, d) => {
       val byId = Window.partitionBy("user_id").orderBy("event_id")
       val cum = byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -313,6 +327,13 @@ object StreamTwins {
   private val esSql = "(epoch_ms(ts) // 1000)"
 
   val oracle: Map[String, String] = Map(
+    "q_stream_dedup_cand" ->
+      s"""WITH ${Llm.oSigCte},
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         SELECT a, b FROM cand ORDER BY a, b""",
+
     "q_stream_tumbling" ->
       s"""SELECT $esSql - ($esSql % 600) AS bucket, event_type,
             COUNT(*) AS cnt, ${oDsum("value")} AS total

@@ -451,4 +451,67 @@ object Streams {
       .transformWithState(new MultiTouchProcessor, TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One banded MinHash signature key of one document — the row shape
+    * `graft.queries.Llm.bandKeyFrame` produces (the ONE banding
+    * definition q_llm_dedup_near's batch path and this stream share). */
+  case class BandKeyRow(band_id: Int, bkey: String, doc_id: Long)
+  case class CandPair(a: Long, b: Long)
+
+  /** Streaming near-dup CANDIDATE emitter — the streaming twin of the
+    * banding half of q_llm_dedup_near (the dedup family's one missing
+    * streaming posture: an ingest pipeline that flags likely dups as
+    * documents ARRIVE, instead of re-running the batch banding join).
+    *
+    * Keyed by band bucket (band_id + band key): per-bucket ListState of
+    * the doc_ids seen in that bucket, so an arriving document emits one
+    * candidate pair per prior occupant of each of its 4 band buckets —
+    * exactly the pairs the batch band self-join produces, emitted
+    * incrementally (the spec asserts set-equality vs the memoized batch
+    * candidates on in-order replay; downstream dedups pairs across
+    * bands, same as the batch `.distinct()`).
+    *
+    * 100 TB posture: state per bucket is that bucket's doc list, whose
+    * size is a dup-group size — bounded by the banding geometry's
+    * measured collision rates (noise < 4·j⁴ ≈ 3%), NOT by stream
+    * length; bucket keys shard across the state store like the batch
+    * join's shuffle keys, and per-arrival work is O(new × bucket
+    * occupancy) — the same bucket-local fanout the batch join pays,
+    * never all-pairs. The batch path's pathological-bucket caveat
+    * carries over (one boilerplate text duplicated millions of times
+    * piles one bucket); a bounded-window deployment sets a TTL on the
+    * list state to age buckets out — the unbounded TTL here mirrors the
+    * batch semantics the spec compares against. */
+  class BandCollideProcessor
+    extends StatefulProcessor[String, BandKeyRow, CandPair] {
+    @transient private var docs: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      docs = getHandle.getListState[Long]("docs", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(bucket: String, rows: Iterator[BandKeyRow],
+        timers: TimerValues): Iterator[CandPair] = {
+      // in-batch doc_id order + a seen-guard: a replayed/duplicate band
+      // row must not re-emit its pairs (at-least-once feeds), and pair
+      // emission order is deterministic under any intra-batch shuffle
+      val seen = scala.collection.mutable.LinkedHashSet(docs.get().toSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      rows.map(_.doc_id).toArray.distinct.sorted.foreach { dNew =>
+        if (!seen.contains(dNew)) {
+          seen.foreach { p =>
+            out += (if (p < dNew) CandPair(p, dNew) else CandPair(dNew, p))
+          }
+          seen += dNew
+          docs.appendValue(dNew)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def bandCollide(bands: Dataset[BandKeyRow]): Dataset[CandPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(r => s"${r.band_id}|${r.bkey}")
+      .transformWithState(new BandCollideProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
 }

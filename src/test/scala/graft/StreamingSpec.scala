@@ -783,4 +783,48 @@ class StreamingSpec extends SparkSpec {
       s"streaming metric $dropped != rule $mirrorSuper")
     assert(mirrorSuper > 0, "super-batch replay dropped nothing")
   }
+
+  test("streaming band-collide candidates equal the batch banding candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the RocksDB (multi-column-family) store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the ONE banding definition: the stream replays exactly the frame
+      // the batch candidate join consumes, in doc_id (arrival) order
+      val bands = queries.Llm.bandKeyFrame(spark, sf)
+        .select(col("band_id").cast("int"), col("bkey"), col("doc_id"))
+        .as[Streams.BandKeyRow].collect().toSeq.sortBy(_.doc_id)
+      val mem = MemoryStream[Streams.BandKeyRow]
+      val q = Streams.bandCollide(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("t_bandcollide")
+        .outputMode("append").start()
+      bands.grouped(300).foreach { c => mem.addData(c); q.processAllAvailable() }
+      // a REPLAYED chunk (at-least-once delivery) into the SAME query
+      // must emit nothing new: every doc in it is already in its
+      // buckets' lists, so the seen-guard swallows it
+      val before = spark.table("t_bandcollide").count()
+      mem.addData(bands.take(300)); q.processAllAvailable()
+      val after = spark.table("t_bandcollide").count()
+      q.stop()
+      assert(before === after,
+        s"replayed band rows re-emitted ${after - before} candidate pairs")
+      // pairs dedup across bands downstream — the batch frame's .distinct()
+      val got = spark.table("t_bandcollide").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = queries.Llm.bandCandidates(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty, "band-collide emitted no candidates on the fixture")
+      assert(got === want,
+        s"stream candidates diverge from batch banding: " +
+          s"stream-only=${(got -- want).take(5)}, batch-only=${(want -- got).take(5)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
