@@ -85,11 +85,8 @@ object Scale {
     // U.tokenStream's scaladoc and BASELINE.md "shared token frame")
     "x_entropy_tokmemo" -> ((s, d) => graft.queries.Learn.entropyFrom(
       graft.queries.U.tokenStream(s, d).select("doc_id", "term"))),
-    // the 100 TB dashboard variant: per-source gram HLL sketches +
-    // inclusion–exclusion containment — no gram self-join, no global
-    // distinct, KB per source over the wire; error bracket vs the exact
-    // matrix measured by `Scale hll`
-    "x_source_overlap_sketch" -> graft.queries.Audit.sourceOverlapSketch,
+    // (the sketch source-overlap variant was promoted to the DECLARED
+    // surface in-round — q_llm_source_overlap_sketch; probe it by name)
     "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
     "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)),
     // A/B control for q_join_skew_salted: the SAME join UNSALTED, left
@@ -411,7 +408,7 @@ object Scale {
       .join(side("click"), Seq("user_id"), "left_semi").count()
     val err = math.abs(est - exact) / math.max(exact, 1L).toDouble
     println(f"""{"dir":"$d","probe":"hll_intersect","est":$est%.1f,"exact":$exact,"rel_err":$err%.4f}""")
-    // source-overlap sketch bracket: the x_source_overlap_sketch matrix
+    // source-overlap sketch bracket: the q_llm_source_overlap_sketch matrix
     // (per-source gram HLLs + inclusion–exclusion) against the exact
     // declared containment matrix, per pair. Containment error is
     // reported in ABSOLUTE points (the honest unit for an

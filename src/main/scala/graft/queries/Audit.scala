@@ -102,7 +102,8 @@ object Audit {
       .orderBy("source_a", "source_b")
   }
 
-  /** SKETCH twin of q_llm_source_overlap (`x_source_overlap_sketch`) —
+  /** SKETCH twin of q_llm_source_overlap (declared as
+    * `q_llm_source_overlap_sketch`) —
     * the 100 TB dashboard answer to the exact matrix's honest floor (the
     * ×100 cost is the 24M-row two-side bucketed gram self-join; round-8
     * verdict). Per-source HLL sketches over the SAME 60-bit folded gram
@@ -145,6 +146,19 @@ object Audit {
   }
 
   val queries: Map[String, Q] = Map(
+
+    // Declared sketch form of the containment matrix (round 9) — the
+    // SCREENING instrument a 100 TB corpus dashboard actually runs (the
+    // exact matrix below is the on-demand confirm for flagged pairs).
+    // No DuckDB oracle by design (DataSketches HLL state has no DuckDB
+    // twin — the q_agg_hll_intersect/sketch_merge convention, SURVEY
+    // Oracle "—"); PropertySpec brackets every pair's containment
+    // estimate against the exact matrix at fixture scale, and the
+    // measured three-scale bracket lives in BASELINE.md (±0.05–0.08
+    // absolute). See [[sourceOverlapSketch]] for the plan shape: one
+    // corpus scan → map-side per-source sketches (KB/source) →
+    // sources²-bounded broadcast pair matrix; zero ∝N shuffles.
+    "q_llm_source_overlap_sketch" -> sourceOverlapSketch _,
 
     // Cross-source 5-gram containment matrix — the FIRST question a
     // multi-source corpus audit asks ("how much of source B's content

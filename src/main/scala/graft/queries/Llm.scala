@@ -44,14 +44,23 @@ object Llm {
       .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
   }
 
-  /** (doc_id, band_id, bkey): banded MinHash signature keys over `g`. */
-  private def bandKeys(g: org.apache.spark.sql.DataFrame)
+  /** Per-doc MinHash signature (doc_id, mh0..mh15) over gram frame `g`
+    * — 16 columnar min-aggregates on ONE doc-keyed shuffle. Factored
+    * from [[bandKeys]] so the round-9 estimator-calibration audit
+    * (q_llm_dedup_minhash_calib) reads the same signature definition. */
+  private def mhSig(g: org.apache.spark.sql.DataFrame)
     : org.apache.spark.sql.DataFrame = {
     val h = (i: Int) =>
       expr(hexFold(s"md5(concat(g, '|', '$i'))", 12)).as(s"h$i")
     val mins = (0 until mhHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
-    val sig = g.select(col("doc_id") +: (0 until mhHashes).map(h): _*)
+    g.select(col("doc_id") +: (0 until mhHashes).map(h): _*)
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band_id, bkey): banded MinHash signature keys over `g`. */
+  private def bandKeys(g: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val sig = mhSig(g)
     val bandCols = (0 until mhHashes / mhRowsPerBand).map { b =>
       val ms = (0 until mhRowsPerBand).map(j => col(s"mh${b * mhRowsPerBand + j}"))
       struct(lit(b).as("band_id"), md5(concat_ws(",", ms: _*)).as("bkey"))
@@ -256,15 +265,22 @@ object Llm {
     * in-suite while its siblings shared lineage at ~0.2 s; tiny frame
     * (≈ n·dup-rate rows), lazy checkpoint — first consumer
     * materializes, the rest read it back. */
+  /** The candidate join's full lineage, pre-checkpoint — split out so
+    * PlanSpec can guard the banding join's shape (the memoized form
+    * below truncates to an ExistingRDD scan at plan time). */
+  private[graft] def bandCandidatesRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val band = bandKeys(shingles(s, d))
+    band.as("x").join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
   private[graft] def bandCandidates(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame =
     graft.Memo(s, s"mh-cand:$d") {
-      val band = bandKeys(shingles(s, d))
-      band.as("x").join(band.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-        .localCheckpoint(false)
+      bandCandidatesRaw(s, d).localCheckpoint(false)
     }
 
   private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
@@ -342,6 +358,63 @@ object Llm {
     // for that shape anyway.
     "q_llm_dedup_near" -> ((s, d) =>
       U.dupGroups(Tables(s, d, "documents"), confirmedPairs(s, d))),
+
+    // MinHash ESTIMATOR CALIBRATION (round 9) — the instrumentation the
+    // dedup family ran without: per candidate pair, the signature
+    // estimate ĵ = (# equal hashes)/16 against the exact trigram
+    // Jaccard, bucketed into the 17-point eq16 domain (the calibration
+    // curve a threshold choice reads: "at what estimate does true
+    // similarity clear 0.8?"). E[ĵ] = j is the MinHash guarantee; this
+    // measures it on the corpus's own candidates. Banding algebra gives
+    // a sharp testable edge: a candidate collides in ≥1 band of 4 rows,
+    // so eq16 < 4 bins are provably empty (PropertySpec pins it).
+    // Cost shape: rides the memoized mh-cand frame + ONE signature
+    // aggregate + the family's shared interSizes confirm on candidates
+    // only (O(n·dup-rate), never all-pairs); output is the fixed 17-row
+    // domain (full-domain report, the q_dq_psi lesson). Exact-decimal
+    // mean of the 1e-6-rounded per-pair Jaccards, one division rounded
+    // once; ĵ = eq16/16 is exact in binary (power-of-two divisor).
+    "q_llm_dedup_minhash_calib" -> ((s, d) => {
+      val cand = bandCandidates(s, d)
+      // everything downstream touches only CANDIDATE docs (~n·dup-rate
+      // of the corpus), so the gram frame is endpoint-pruned BEFORE the
+      // 16-md5-draw signature aggregate and the intersection join — the
+      // full-corpus mhSig re-derivation was the first cut's cost
+      // (measured ×100 warm 48.0 → 10.6 s and ×10 8.6 → 5.2 s with this
+      // semi-join; the candidate-doc list is n·dup-rate rows, bucketed
+      // semi-join, and interSizes' per-pair work is unchanged — it was
+      // already candidate-bounded)
+      val candDocs = cand.select(col("a").as("doc_id"))
+        .unionAll(cand.select(col("b").as("doc_id"))).distinct()
+      val g = shingles(s, d)
+        .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      val sig = mhSig(g)
+      val sa = sig.toDF(sig.columns.map(c =>
+        if (c == "doc_id") "a" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c =>
+        if (c == "doc_id") "b" else s"b_$c"): _*)
+      val eq = (0 until mhHashes)
+        .map(i => (col(s"a_mh$i") === col(s"b_mh$i")).cast("long"))
+        .reduce(_ + _)
+      val withEst = cand.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"), eq.as("eq16"))
+      val exact = interSizes(g, cand).select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 6)
+          .as("j"))
+      val pairs = withEst.join(exact, Seq("a", "b"), "left")
+        .select(col("eq16"), coalesce(col("j"), lit(0.0)).as("j"))
+      val bins = pairs.groupBy("eq16").agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(j AS DECIMAL(18,6))")).as("sj"))
+      s.range(0, 17).select(col("id").as("eq16"))
+        .join(broadcast(bins), Seq("eq16"), "left")
+        .select(col("eq16"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          round(col("eq16") / lit(16.0), 6).as("est_jaccard"),
+          when(col("n_pairs") > 0,
+            round(col("sj").cast("double") / col("n_pairs"), 6))
+            .as("mean_jaccard"))
+        .orderBy("eq16")
+    }),
 
     // WEIGHTED-Jaccard dedup (SURVEY §2.34) via 0-bit consistent
     // weighted sampling — the tf-aware sibling of q_llm_dedup_near:
@@ -642,6 +715,36 @@ object Llm {
     "q_llm_dedup_near" ->
       s"""WITH $oConfCte,
          ${U.oDupGroups("conf", "documents")}""",
+
+    "q_llm_dedup_minhash_calib" ->
+      s"""WITH $oSigCte,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         $oInterCte,
+         eq AS (SELECT c.a, c.b,
+                  CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS eq16
+                FROM cand c
+                  JOIN sig sa ON sa.doc_id = c.a
+                  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
+                GROUP BY c.a, c.b),
+         jx AS (SELECT e.eq16,
+                  coalesce(round(CAST(i.i AS DOUBLE)
+                    / (sa2.sz + sb2.sz - i.i), 6), 0.0) AS j
+                FROM eq e
+                  LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+                  JOIN sz sa2 ON sa2.doc_id = e.a
+                  JOIN sz sb2 ON sb2.doc_id = e.b),
+         bins AS (SELECT eq16, COUNT(*) AS n_pairs,
+                    round(CAST(SUM(CAST(j AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS mean_jaccard
+                  FROM jx GROUP BY eq16)
+         SELECT d.eq16, coalesce(b.n_pairs, 0) AS n_pairs,
+           round(d.eq16 / 16.0, 6) AS est_jaccard, b.mean_jaccard
+         FROM (SELECT CAST(unnest(range(0, 17)) AS BIGINT) AS eq16) d
+           LEFT JOIN bins b USING (eq16)
+         ORDER BY d.eq16""",
 
     "q_llm_dedup_wjaccard" ->
       s"""WITH dtk AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -120,6 +120,35 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Context-length fit audit (round 9) — q_llm_pack's DESIGN-TIME
+    // companion: before packing, an SFT/eval pipeline picks a context
+    // length by pricing the one-doc-per-sequence shape (truncate at L,
+    // pad to L) at the candidate lengths. Per L ∈ {256, 512, 1024,
+    // 2048}: tokens kept, tokens truncated away, padding burned, and
+    // utilization = kept / (docs·L) — the number that says "1024 wastes
+    // 61% of FLOPs on this corpus, pack instead" (pretraining packs —
+    // q_llm_pack; SFT with per-example loss masks pads, hence this
+    // report). ONE documents pass with a 4-way map-side explode of the
+    // bounded L domain, a 4-group aggregate, exact BIGINT token sums,
+    // one rounded division. Scales as a single corpus scan at any N.
+    "q_llm_context_fit" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(size(tk).cast("long").as("n"))
+        .select(col("n"), explode(array(
+          lit(256L), lit(512L), lit(1024L), lit(2048L))).as("ctx_len"))
+        .groupBy("ctx_len").agg(
+          count(lit(1)).as("n_docs"),
+          sum(least(col("n"), col("ctx_len"))).as("kept_tokens"),
+          sum(greatest(col("n") - col("ctx_len"), lit(0L)))
+            .as("truncated_tokens"),
+          sum(col("ctx_len") - least(col("n"), col("ctx_len")))
+            .as("padding_tokens"))
+        .select(col("ctx_len"), col("n_docs"), col("kept_tokens"),
+          col("truncated_tokens"), col("padding_tokens"),
+          round(col("kept_tokens").cast("double")
+            / (col("n_docs") * col("ctx_len")), 6).as("utilization"))
+        .orderBy("ctx_len")),
+
     // Corpus-statistics vocabulary pruning: the top-5 terms by global
     // frequency are corpus-derived stopwords; strip them from every
     // document, preserving original token order (positions ride through
@@ -292,6 +321,19 @@ object Pipeline {
   private val oGrams5 = U.oGrams5
 
   val oracle: Map[String, String] = Map(
+    "q_llm_context_fit" ->
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+         x AS (SELECT n, CAST(unnest([256, 512, 1024, 2048]) AS BIGINT)
+                 AS ctx_len FROM n)
+         SELECT ctx_len, COUNT(*) AS n_docs,
+           CAST(SUM(least(n, ctx_len)) AS BIGINT) AS kept_tokens,
+           CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT) AS truncated_tokens,
+           CAST(SUM(ctx_len - least(n, ctx_len)) AS BIGINT) AS padding_tokens,
+           round(CAST(SUM(least(n, ctx_len)) AS DOUBLE)
+             / (COUNT(*) * ctx_len), 6) AS utilization
+         FROM x GROUP BY ctx_len ORDER BY ctx_len""",
+
     "q_llm_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),

@@ -54,6 +54,30 @@ class PipelineSpec extends SparkSpec {
       .where(col("s") =!= col("n") || col("e") =!= col("n")).count() == 0)
   }
 
+  test("context-fit audit: exact recompute at L=512, token conservation, monotonicity") {
+    val rows = q("q_llm_context_fit").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(256L, 512L, 1024L, 2048L))
+    // exact recompute from raw doc lengths at one L
+    val ns = Tables(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0))
+    val L = 512L
+    val r = rows.find(_.getLong(0) == L).get
+    assert(r.getLong(1) == ns.length)
+    assert(r.getLong(2) == ns.map(n => math.min(n, L)).sum, "kept")
+    assert(r.getLong(3) == ns.map(n => math.max(n - L, 0L)).sum, "truncated")
+    assert(r.getLong(4) == ns.map(n => L - math.min(n, L)).sum, "padding")
+    rows.foreach { x =>
+      // conservation: kept + truncated = corpus tokens; kept + padding = docs·L
+      assert(x.getLong(2) + x.getLong(3) == ns.sum, s"token leak at $x")
+      assert(x.getLong(2) + x.getLong(4) == x.getLong(1) * x.getLong(0), x.toString)
+    }
+    // growing L never truncates more, never pads less
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) <= a.getLong(3) && b.getLong(4) >= a.getLong(4))
+    }
+  }
+
   test("packing conserves offsets: start_off is the running sum per source") {
     val p = q("q_llm_pack").collect()
     p.groupBy(_.getString(1)).foreach { case (_, rows) =>

@@ -955,6 +955,42 @@ class PlanSpec extends SparkSpec {
       s"per-purchase share count must be a partitioned window:\n$p")
   }
 
+  test("q_stream_dedup_cand twin: bucket-local equi-join, no window, no cartesian") {
+    // guard the PRE-checkpoint lineage (the declared query reads the
+    // memoized frame, whose localCheckpoint truncates to an ExistingRDD
+    // scan at plan time and would hide the join shape)
+    val p = queries.Llm.bandCandidatesRaw(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the band self-join must ride the (band_id, bkey) equi keys — a
+    // cartesian/BNLJ here would be the all-pairs blowup banding exists
+    // to avoid, and a Window would mean a global candidate ranking
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidate join fell off the equi path:\n$p")
+    assert(!p.contains("Window"), s"unexpected window over candidates:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"signature mins must stay hash-aggregable:\n$p")
+  }
+
+  test("q_llm_context_fit: one documents scan, bounded explode, no join/window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("q_llm_context_fit")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"unexpected join in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"unexpected window in:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collectLeaves().size == 1,
+      s"documents scanned more than once:\n${qe.optimizedPlan}")
+  }
+
+  test("q_llm_dedup_minhash_calib: equi-joins only, no window, domain broadcast") {
+    val p = plan("q_llm_dedup_minhash_calib")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"calibration joins fell off the equi path:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"17-row domain must broadcast onto the bins:\n$p")
+  }
+
   test("q_ts_holt_winters: one events scan, bounded-series fold — no join, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     val qe = SparkEntry.queries("q_ts_holt_winters")(spark, sf).queryExecution

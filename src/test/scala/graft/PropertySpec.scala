@@ -97,6 +97,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sketch source-overlap: full pair domain, containment bracketed vs exact") {
+    val est = queries.Audit.queries("q_llm_source_overlap_sketch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(r.fieldIndex("containment_est"))).toMap
+    val exact = queries.Audit.queries("q_llm_source_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(r.fieldIndex("containment"))).toMap
+    assert(est.keySet == exact.keySet, "sketch matrix must cover every pair")
+    assert(est.nonEmpty)
+    // the absolute-points bracket BASELINE.md records at three scales
+    // (±0.05–0.08); fixture scale gets the loose end of the envelope
+    val worst = exact.map { case (k, j) => math.abs(est(k) - j) }.max
+    assert(worst < 0.10, s"containment estimate off by $worst absolute")
+  }
+
+  test("MinHash calibration: eq16<4 bins empty, pairs conserved, curve monotone-sane") {
+    val rows = queries.Llm.queries("q_llm_dedup_minhash_calib")(spark, sf)
+      .collect()
+    assert(rows.length == 17, "full eq16 domain must report")
+    // banding algebra: a candidate collides in ≥1 band of 4 rows ⇒ at
+    // least 4 signature hashes equal — bins 0..3 are provably empty
+    rows.filter(_.getLong(0) < 4).foreach { r =>
+      assert(r.getLong(1) == 0L, s"eq16=${r.getLong(0)} has pairs: $r")
+    }
+    // pair conservation: Σ n_pairs over bins = |banding candidates|
+    val nCand = queries.Llm.bandCandidates(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nCand,
+      s"calibration lost pairs: ${rows.map(_.getLong(1)).sum} vs $nCand")
+    // E[ĵ] = j (the MinHash guarantee): the pair-weighted mean estimate
+    // must bracket the pair-weighted mean exact Jaccard. (A bin-order
+    // monotonicity assert would be fixture-hostage — this corpus's
+    // candidates are bimodal near-exact dups, so the curve is flat at
+    // the top and single-pair bins reorder by noise.)
+    val populated = rows.filter(_.getLong(1) > 0)
+    assert(populated.nonEmpty)
+    val n = populated.map(_.getLong(1)).sum.toDouble
+    val meanEst = populated.map(r => r.getLong(1) * r.getDouble(2)).sum / n
+    val meanJ = populated.map(r => r.getLong(1) * r.getDouble(3)).sum / n
+    assert(math.abs(meanEst - meanJ) < 0.1,
+      s"estimator bias out of bracket: mean est $meanEst vs mean j $meanJ")
+  }
+
   test("MinHash-band dedup: every keep assignment is a confirmed near-dup") {
     val out = queries.Llm.queries("q_llm_dedup_near")(spark, sf).collect()
     val shingles = Tables(spark, sf, "documents")
