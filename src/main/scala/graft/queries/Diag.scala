@@ -208,6 +208,71 @@ object Diag {
                 col("qb") * col("qb") / (col("n_b") - 1)), 6)).as("df"))
     }),
 
+    // Poisson-bootstrap confidence intervals per A/B arm (round 9) —
+    // the nonparametric companion to q_dq_ab_test/q_dq_ab_welch on the
+    // SAME U.abArm split (one experiment, three readings — the
+    // dashboard-consistency discipline). The distributed bootstrap as
+    // published (Poisson(1) resample weights instead of multinomial
+    // draws — the streaming/massive-data form): each of B=64 replicas
+    // assigns every user a deterministic md5-uniform Poisson(1) weight,
+    // the replica's weighted mean re-estimates the arm mean, and the
+    // CI is the nearest-rank 2.5/97.5 percentile band over replica
+    // means. Why a pipeline wants it next to Welch: the t-interval
+    // assumes near-normal means; per-user revenue is heavy-tailed, and
+    // the bootstrap band prices the actual sampling spread.
+    //
+    // Determinism without libm: the Poisson(1) inverse CDF is SEVEN
+    // HARDCODED integer thresholds on an md5-uniform in [0, 1e6)
+    // (367879 = ⌈e⁻¹·1e6⌉-ish cumulative grid, k capped at 7 — tail
+    // mass 8.3e-5 documented), identical in both engines by
+    // construction; percentile indices are integer ceil divisions
+    // ((25·n_b+999) div 1000), never a float quantile.
+    //
+    // Scale shape: ONE user-keyed pass (∝N events → ∝users frame),
+    // then the 64-way replica explode fans out the AGGREGATED per-user
+    // frame (64·users rows, map-side weights, partial-agg combine into
+    // 128 (arm, b) cells) — the bootstrap never touches raw events
+    // twice; the rank window runs over a 64-row-per-arm bounded frame.
+    "q_dq_bootstrap_ci" -> ((s, d) => {
+      val users = Tables(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        .withColumn("arm", U.abArm)
+      val u = expr(s"${hexFold(
+        "md5(concat('boot', CAST(b AS STRING), '|', CAST(user_id AS STRING)))",
+        12)} % 1000000")
+      val w = when(u < 367879, 0L).when(u < 735759, 1L)
+        .when(u < 919699, 2L).when(u < 981012, 3L).when(u < 996340, 4L)
+        .when(u < 999406, 5L).when(u < 999917, 6L).otherwise(7L)
+      val reps = users
+        .select(col("arm"), col("user_id"), col("v"),
+          explode(expr("sequence(0L, 63L)")).as("b"))
+        .select(col("arm"), col("b"), (w * col("v")).as("wv"), w.as("w"))
+        .groupBy("arm", "b")
+        .agg(sum(col("wv")).as("sw"), sum(col("w")).as("ww"))
+        .where(col("ww") > 0)
+        .select(col("arm"), col("b"),
+          round(col("sw").cast("double") / (col("ww") * 100.0), 6).as("m"))
+      val wnd = Window.partitionBy("arm").orderBy(col("m"), col("b"))
+      val nb = reps.groupBy("arm").agg(count(lit(1)).as("n_replicas"))
+      val ci = reps.withColumn("rn", row_number().over(wnd))
+        .join(broadcast(nb), "arm")
+        .groupBy("arm")
+        .agg(min(when(col("rn") === expr("(n_replicas * 25 + 999) div 1000"),
+            col("m"))).as("ci_lo"),
+          min(when(col("rn") === expr("(n_replicas * 975 + 999) div 1000"),
+            col("m"))).as("ci_hi"))
+      users.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("v")).as("sv"))
+        .select(col("arm"), col("n_users"),
+          round(col("sv").cast("double") / (col("n_users") * 100.0), 6)
+            .as("mean_value"))
+        .join(broadcast(ci), "arm")
+        .join(broadcast(nb), "arm")
+        .orderBy("arm")
+    }),
+
     // k-anonymity audit (SURVEY §2.34) — the re-identification check a
     // governance pipeline runs before releasing a table: group rows by
     // a quasi-identifier tuple (here segment × nation × $2500 balance
@@ -615,6 +680,44 @@ object Diag {
       // the double chain (means, variances, t, df) mirrors the Spark
       // operation order LITERALLY — exact integer moments in, one
       // pinned IEEE sequence out
+      "q_dq_bootstrap_ci" ->
+        s"""WITH u AS (SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,
+               ${U.oAbArm} AS arm
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           wts AS (SELECT u.arm, u.v, bb.b,
+               (${U.oHexFold(
+                 "md5('boot' || CAST(bb.b AS VARCHAR) || '|' || CAST(u.user_id AS VARCHAR))",
+                 12)}) % 1000000 AS h
+             FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb),
+           wc AS (SELECT arm, b, v,
+               CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+                    WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+                    WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+                    WHEN h < 999917 THEN 6 ELSE 7 END AS w
+             FROM wts),
+           rep AS (SELECT arm, b,
+               round(CAST(SUM(w * v) AS DOUBLE) / (SUM(w) * 100.0), 6) AS m
+             FROM wc GROUP BY arm, b HAVING SUM(w) > 0),
+           nb AS (SELECT arm, COUNT(*) AS n_replicas FROM rep GROUP BY arm),
+           rk AS (SELECT arm, b, m,
+               row_number() OVER (PARTITION BY arm ORDER BY m, b) AS rn
+             FROM rep),
+           ci AS (SELECT rk.arm,
+               MIN(CASE WHEN rn = (n_replicas * 25 + 999) // 1000
+                   THEN m END) AS ci_lo,
+               MIN(CASE WHEN rn = (n_replicas * 975 + 999) // 1000
+                   THEN m END) AS ci_hi
+             FROM rk JOIN nb ON nb.arm = rk.arm GROUP BY rk.arm),
+           pt AS (SELECT arm, COUNT(*) AS n_users,
+               round(CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+                 AS mean_value
+             FROM u GROUP BY arm)
+           SELECT pt.arm, pt.n_users, pt.mean_value, ci.ci_lo, ci.ci_hi,
+             nb.n_replicas
+           FROM pt JOIN ci ON ci.arm = pt.arm JOIN nb ON nb.arm = pt.arm
+           ORDER BY pt.arm""",
+
       "q_dq_ab_welch" ->
         s"""WITH u AS (SELECT user_id,
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,

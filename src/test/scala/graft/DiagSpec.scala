@@ -115,6 +115,58 @@ class DiagSpec extends SparkSpec {
     }
   }
 
+  test("q_dq_bootstrap_ci matches the Scala Poisson-bootstrap mirror exactly") {
+    val out = Diag.queries("q_dq_bootstrap_ci")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(out.length == 2, "both arms must report")
+    // independent Scala mirror: same md5 fold, same hardcoded Poisson
+    // thresholds, same nearest-rank percentile arithmetic
+    def md5Fold(sIn: String, n: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(n).foldLeft(0L)((acc, c) =>
+        acc * 16 + java.lang.Long.parseLong(c.toString, 16))
+    }
+    def pois(u: Long): Long =
+      if (u < 367879) 0 else if (u < 735759) 1 else if (u < 919699) 2
+      else if (u < 981012) 3 else if (u < 996340) 4 else if (u < 999406) 5
+      else if (u < 999917) 6 else 7
+    val users = Tables(spark, sf, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byArm = users.groupBy { case (uid, _) => md5Fold(s"ab$uid", 13) % 2 }
+    out.foreach { row =>
+      val arm = row.getLong(0)
+      val us = byArm(arm)
+      assert(row.getLong(1) == us.length, "n_users")
+      val mean = BigDecimal(us.map(_._2).sum.toDouble / (us.length * 100.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(2) == mean, s"mean_value arm $arm")
+      val ms = (0L until 64L).flatMap { b =>
+        var sw = 0L; var ww = 0L
+        us.foreach { case (uid, v) =>
+          val w = pois(md5Fold(s"boot$b|$uid", 12) % 1000000)
+          sw += w * v; ww += w
+        }
+        if (ww > 0) Some((BigDecimal(sw.toDouble / (ww * 100.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, b))
+        else None
+      }.sorted
+      val nB = ms.length
+      assert(row.getLong(5) == nB, "n_replicas")
+      val lo = ms((nB * 25 + 999) / 1000 - 1)._1
+      val hi = ms((nB * 975 + 999) / 1000 - 1)._1
+      assert(row.getDouble(3) == lo, s"ci_lo arm $arm: ${row.getDouble(3)} vs $lo")
+      assert(row.getDouble(4) == hi, s"ci_hi arm $arm: ${row.getDouble(4)} vs $hi")
+      assert(lo <= mean && mean <= hi,
+        s"point estimate outside its own CI (arm $arm): $lo $mean $hi")
+    }
+  }
+
   test("q_dq_ab_test matches the exact two-proportion mirror; rates non-degenerate") {
     val out = Diag.queries("q_dq_ab_test")(spark, sf).collect()
     assert(out.length === 1)

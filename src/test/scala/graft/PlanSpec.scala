@@ -971,6 +971,18 @@ class PlanSpec extends SparkSpec {
       s"signature mins must stay hash-aggregable:\n$p")
   }
 
+  test("q_dq_bootstrap_ci: map-side replica explode, bounded rank window, no cartesian") {
+    val p = plan("q_dq_bootstrap_ci")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bootstrap fan-out must be a Generate, not a join:\n$p")
+    assert(p.contains("Generate"),
+      s"the 64-way replica fan-out should be an explode:\n$p")
+    // the rank window runs over the 64-row-per-arm replica frame — it
+    // must be arm-partitioned (bounded), never a global window
+    assert(p.contains("windowspecdefinition(arm"),
+      s"replica ranking must partition by arm:\n$p")
+  }
+
   test("q_llm_context_fit: one documents scan, bounded explode, no join/window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     val qe = SparkEntry.queries("q_llm_context_fit")(spark, sf).queryExecution
