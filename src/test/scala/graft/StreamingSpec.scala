@@ -629,6 +629,63 @@ class StreamingSpec extends SparkSpec {
       "restart duplicated committed output")
   }
 
+  test("band-collide survives a checkpointed restart: bucket state carries, no re-emission") {
+    // the newest state shape under the house restart discipline: stop a
+    // checkpointed run after half the corpus, restart from the SAME
+    // checkpoint with the rest — cross-half candidate pairs can only
+    // exist if the first half's bucket lists survived the restart, and
+    // a third drain with NO new input must emit nothing (the replay
+    // guard across the checkpoint boundary, not just within a batch)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_bandrestart"
+      wipe(new java.io.File(base))
+      val bands = queries.Llm.bandKeyFrame(spark, sf)
+        .selectExpr("CAST(band_id AS INT) AS band_id", "bkey", "doc_id")
+      val med = bands.agg(expr("percentile_approx(doc_id, 0.5)")).first().getLong(0)
+      bands.where(col("doc_id") <= med).coalesce(1).write.parquet(s"$base/src")
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(bands.schema).parquet(s"$base/src")
+          .as[Streams.BandKeyRow]
+        val q = Streams.bandCollide(stream).toDF().writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(180000), "band-collide drain did not terminate")
+      }
+      drain()
+      bands.where(col("doc_id") > med).coalesce(1).write.mode("append")
+        .parquet(s"$base/src")
+      drain()
+      val got = spark.read.parquet(s"$base/out").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = queries.Llm.bandCandidates(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, "restarted stream diverges from batch candidates")
+      // cross-restart pairs prove the bucket lists carried
+      assert(got.exists { case (a, b) => a <= med && b > med },
+        "no cross-restart candidate pairs — state did not carry")
+      // replayed drain with no new input: nothing re-emitted
+      val before = spark.read.parquet(s"$base/out").count()
+      drain()
+      assert(spark.read.parquet(s"$base/out").count() === before,
+        "empty restart re-emitted candidate pairs")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-sink stream (writeStream parquet + checkpoint) persists the append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
