@@ -87,6 +87,12 @@ object Scale {
       graft.queries.U.tokenStream(s, d).select("doc_id", "term"))),
     // (the sketch source-overlap variant was promoted to the DECLARED
     // surface in-round — q_llm_source_overlap_sketch; probe it by name)
+    // banded aHash Hamming search — measured and NOT declared: exact
+    // pigeonhole recall but 8-bit band keys go ~quadratic at ×100
+    // (217 s vs multi-probe's sub-second; the MIH band-width-vs-log₂N
+    // law — see Multimodal.phashBandedDedup's scaladoc)
+    "x_mm_phash_banded" -> ((s, d) =>
+      graft.queries.Multimodal.phashBandedDedup(graft.Tables(s, d, "documents"))),
     "x_dedup_semantic_b7" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 7)),
     "x_dedup_semantic_b11" -> ((s, d) => graft.queries.Insights.dedupSemanticWithBits(s, d, 11)),
     // A/B control for q_join_skew_salted: the SAME join UNSALTED, left

@@ -226,28 +226,38 @@ object Multimodal {
     * block and hash aggregates share the doc_id shuffle key, the window
     * total rides that same partitioning, and the probe join moves 33
     * (doc_id, probe) longs per doc — payloads never shuffle twice. */
-  private[graft] def phashDedup(docs: org.apache.spark.sql.DataFrame)
+  private def phashBase(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame =
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+
+  /** (doc_id, phash): the 32-bit aHash over a phashBase frame — ONE
+    * hash definition shared by the Hamming-≤1 multi-probe dedup and the
+    * round-9 banded variant. */
+  private[graft] def phashFrame(base: org.apache.spark.sql.DataFrame)
     : org.apache.spark.sql.DataFrame = {
     val nBlk = 32
-    val base = docs
-      .where(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
     val codes = base.select(col("doc_id"), col("n"),
       posexplode(expr(
         "transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))"))
         .as(Seq("pos", "code")))
-    val blocks = codes
+    codes
       .withColumn("blk", expr(s"(pos * $nBlk) div n"))
       .groupBy("doc_id", "n", "blk")
       .agg(sum(col("code")).as("sb"), count(lit(1)).as("nb"))
-    val hashes = blocks
       .withColumn("st",
         sum(col("sb")).over(Window.partitionBy("doc_id")))
       .groupBy("doc_id")
       .agg(sum(when(col("sb") * col("n") > col("st") * col("nb"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT))"))
         .otherwise(0L)).as("phash"))
-    val masks = "phash" +: (0 until nBlk).map(b => s"phash ^ ${1L << b}L")
+  }
+
+  private[graft] def phashDedup(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val base = phashBase(docs)
+    val hashes = phashFrame(base)
+    val masks = "phash" +: (0 until 32).map(b => s"phash ^ ${1L << b}L")
     val probes = hashes.select(col("doc_id"),
       explode(expr(masks.mkString("array(", ", ", ")"))).as("probe"))
     val pairs = probes.as("x").join(hashes.as("y"),
@@ -256,9 +266,75 @@ object Multimodal {
     U.dupGroups(base, pairs)
   }
 
+  /** Banded Hamming search over the SAME 32-bit aHash — a PROBE-ONLY
+    * A/B artifact (`x_mm_phash_banded`), NOT declared, and the measured
+    * reason the Hamming-≤1 MULTI-PROBE form is the family's declared
+    * member at this hash width. The attraction: 4 bands of 8 bits need
+    * FOUR keys per doc at any radius (multi-probe needs 33 at r=1, 529
+    * at r=2, 5,489 at r=3), and by pigeonhole two hashes within
+    * Hamming ≤3 share an intact band — recall at the ≤2 confirm is
+    * EXACT, a provable property MinHash banding lacks (AnalyticsSpec
+    * asserts grouping ≡ brute-force Hamming-≤2 on the fixture). The
+    * disqualifier, measured round 9 at ×100 (500k docs): an 8-bit
+    * fragment carries only 256 buckets, so ~2k docs pile per bucket
+    * and the bucket-local join goes ~quadratic — 217 s warm vs the
+    * multi-probe's sub-second, the multi-index-hashing law that band
+    * width must track log₂N, unreachable inside a 32-bit hash. The
+    * length-composite key (band, bits, n) was measured as the fix and
+    * rejected too: it shards buckets but is VACUOUS on this corpus
+    * (near-dups here differ in length — zero same-length Hamming-≤2
+    * pairs at any gate scale), failing the house vacuity rule for a
+    * declared operator. Deployment answer: banding earns its keys at a
+    * 64-bit hash with ≥16-bit bands (4×16 ⇒ radius ≤3 exact, 65k
+    * buckets); below that, enumerate the ball. */
+  private[graft] def phashBandedDedup(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val base = phashBase(docs)
+    val hashes = phashFrame(base)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(phash div ${1L << (b * 8)}L) % 256").as("bits"))
+    }
+    val bk = hashes.select(col("doc_id"), col("phash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.phash").as("ha"),
+        col("y.doc_id").as("b"), col("y.phash").as("hb"))
+      .distinct()
+      .where(expr("bit_count(ha ^ hb) <= 2"))
+      .select("a", "b")
+    U.dupGroups(base, pairs)
+  }
+
   // The corpus is pure ASCII (verified: octet_length == length at every
   // sf), so DuckDB's per-character ascii() sees exactly the utf-8 bytes
   // the Scala side consumes.
+  /** Shared DuckDB aHash chain — ends at `h(doc_id, phash)` with `base`
+    * in scope; the ONE mirror of [[phashFrame]] both dedup oracles
+    * build on. Declared BEFORE the oracle map (a forward val reference
+    * would interpolate null into the SQL). */
+  private val oPhashCte =
+    """base AS (SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         c AS (SELECT doc_id, n, text, unnest(range(0, n)) AS pos FROM base),
+         d AS (SELECT doc_id, n, (pos * 32) // n AS blk,
+                 CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS code
+               FROM c),
+         g AS (SELECT doc_id, n, blk, CAST(SUM(code) AS BIGINT) AS sb,
+                 COUNT(*) AS nb
+               FROM d GROUP BY doc_id, n, blk),
+         t AS (SELECT *, CAST(SUM(sb) OVER (PARTITION BY doc_id) AS BIGINT) AS st
+               FROM g),
+         h AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN sb * n > st * nb
+                   THEN (CAST(1 AS BIGINT) << CAST(blk AS INT))
+                   ELSE 0 END) AS BIGINT) AS phash
+               FROM t GROUP BY doc_id)"""
+
   val oracle: Map[String, String] = Map(
     "q_mm_features" ->
       """WITH b AS (SELECT doc_id, n_chars,
@@ -372,22 +448,7 @@ object Multimodal {
          FROM r WHERE rk = 1 ORDER BY doc_id""",
 
     "q_mm_dedup_phash" ->
-      s"""WITH base AS (SELECT doc_id, text, length(text) AS n
-           FROM documents WHERE length(text) > 0),
-         c AS (SELECT doc_id, n, text, unnest(range(0, n)) AS pos FROM base),
-         d AS (SELECT doc_id, n, (pos * 32) // n AS blk,
-                 CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS code
-               FROM c),
-         g AS (SELECT doc_id, n, blk, CAST(SUM(code) AS BIGINT) AS sb,
-                 COUNT(*) AS nb
-               FROM d GROUP BY doc_id, n, blk),
-         t AS (SELECT *, CAST(SUM(sb) OVER (PARTITION BY doc_id) AS BIGINT) AS st
-               FROM g),
-         h AS (SELECT doc_id,
-                 CAST(SUM(CASE WHEN sb * n > st * nb
-                   THEN (CAST(1 AS BIGINT) << CAST(blk AS INT))
-                   ELSE 0 END) AS BIGINT) AS phash
-               FROM t GROUP BY doc_id),
+      s"""WITH $oPhashCte,
          probes AS (SELECT doc_id,
              unnest(list_concat([phash],
                list_transform(range(0, 32),
