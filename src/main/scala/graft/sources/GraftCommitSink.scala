@@ -136,6 +136,17 @@ object GraftTsv {
   * throughout with the JOB's conf threaded to executors
   * ([[SerializableHadoopConf]]), so the same code drives HDFS/S3A in
   * production and the local FS here.
+  *
+  * PROTOCOL REQUIREMENT — single writer per directory. The generation
+  * counter, the crash-recovery sweep, and the manifest swap all assume
+  * exactly one driver commits to a directory at a time (the same
+  * contract Hive/Iceberg-style table commits place on their metastore
+  * lock): two concurrent commits would read the same `curGen`, race the
+  * manifest swap, and the later starter's sweep would delete the other's
+  * freshly renamed next-generation parts mid-commit. Serialize writers
+  * externally (one writing job per output directory — the normal batch
+  * topology); this sink detects and repairs CRASHED commits, not
+  * CONCURRENT ones.
   */
 class GraftCommitSink extends TableProvider {
   // write-only source: the schema always comes from the incoming frame
@@ -208,6 +219,11 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
   private def partGen(name: String): Option[Long] =
     "^part-\\d+-g(\\d+)\\.tsv$".r.findFirstMatchIn(name).map(_.group(1).toLong)
 
+  /** Generation a tmp manifest name carries (`_GRAFT_COMMIT.gGGGG.tmp`). */
+  private def tmpGen(name: String): Long =
+    "^_GRAFT_COMMIT\\.g(\\d+)\\.tmp$".r.findFirstMatchIn(name)
+      .map(_.group(1).toLong).getOrElse(-1L)
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val dir = new Path(path)
@@ -217,7 +233,39 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // generation counter in their names so they can never collide with
     // (or clobber) the previous generation's files — the old generation
     // stays fully readable until the new manifest is durable.
-    val (curGen, prior) = readManifest(fs, dir)
+    val (rawGen, rawPrior) = readManifest(fs, dir)
+    // Missing-manifest guard BEFORE the orphan sweep: with no committed
+    // manifest every part file reads as "gen > curGen" and the sweep
+    // below would delete it. A truly fresh directory has neither parts
+    // nor tmp manifests — anything else is the delete(man)/rename(manTmp)
+    // seam crash (committed parts on disk, fully-written tmp manifest,
+    // no manifest) or a manually damaged directory, and must be repaired
+    // or refused, never swept. The tmp manifest is safe to promote: it is
+    // written and closed strictly AFTER every part rename of its
+    // generation succeeded and strictly BEFORE the old manifest's delete,
+    // so its existence alongside a missing manifest proves its
+    // generation's data is complete on disk — renaming it into place
+    // finishes that commit exactly.
+    val (curGen, prior) =
+      if (rawGen >= 0L) (rawGen, rawPrior)
+      else {
+        val parts = Option(fs.globStatus(new Path(dir, "part-*")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        val stranded = Option(fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        if (parts.isEmpty && stranded.isEmpty) (rawGen, rawPrior)
+        else if (stranded.nonEmpty) {
+          val newest = stranded.maxBy(s => tmpGen(s.getPath.getName))
+          if (!fs.rename(newest.getPath, new Path(dir, "_GRAFT_COMMIT")))
+            throw new java.io.IOException(
+              s"manifest recovery failed for ${newest.getPath}")
+          readManifest(fs, dir)
+        } else
+          throw new java.io.IOException(
+            s"$dir has part files but no manifest and no tmp manifest to " +
+              "recover from — refusing to sweep committed data; manual " +
+              "recovery required")
+      }
     // Crash-recovery sweep BEFORE publishing: a driver that died mid-commit
     // (after some renames, before the manifest swap) leaves part files whose
     // generation exceeds the committed manifest's — uncommitted by
@@ -249,8 +297,10 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // then move it into place — written LAST, so readers keyed on it
     // never observe a partially-published generation. (The delete+rename
     // pair is the one non-atomic seam on filesystems without overwriting
-    // rename; a crash inside it leaves BOTH data generations on disk and
-    // no manifest — fail-closed AND recoverable, never data-lossy.)
+    // rename; a crash inside it leaves BOTH data generations on disk,
+    // no manifest, and the fully-written tmp manifest — the next
+    // commit's missing-manifest guard promotes that tmp into place,
+    // completing this commit. Never data-lossy.)
     // Non-truncate commit is a true APPEND: the prior generations' entries
     // carry forward into the new manifest (their part files stay on disk
     // and stay visible), with this generation's entries appended. Truncate

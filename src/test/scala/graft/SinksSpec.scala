@@ -306,4 +306,56 @@ class SinksSpec extends SparkSpec {
       Files.readAllBytes(Paths.get(dir, man0.head._1)), "UTF-8")
     assert(body === "1\tgen0\n", "old generation's data lost")
   }
+
+  test("seam crash (manifest deleted, tmp stranded): next commit recovers, never sweeps") {
+    val dir = freshDir("seam")
+    // generation 1 commits fully
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w0 = fac.createWriter(0, 1L)
+    w0.write(row(1L, "committed")); val m0 = w0.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m0))
+    // simulate the delete(man)/rename(manTmp) seam crash: the committed
+    // manifest is gone, its fully-written content survives only as the
+    // stranded tmp — gen-0's parts are on disk but every part now reads
+    // as "gen > curGen" to a naive sweep
+    val manBytes = Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT"))
+    Files.delete(Paths.get(dir, "_GRAFT_COMMIT"))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g0.tmp"), manBytes)
+    // the next APPEND commit must first promote the tmp manifest
+    // (finishing gen 0), then append as gen 1 — not delete gen-0's data
+    val w1 = fac.createWriter(0, 2L)
+    w1.write(row(2L, "appended")); val m1 = w1.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m1))
+    assert(manifest(dir) ===
+      Seq(("part-00000-g0000.tsv", 1L), ("part-00000-g0001.tsv", 1L)),
+      "recovered manifest must carry gen-0 forward plus the new gen-1 part")
+    val gen0 = new String(
+      Files.readAllBytes(Paths.get(dir, "part-00000-g0000.tsv")), "UTF-8")
+    assert(gen0 === "1\tcommitted\n", "seam-crash recovery lost committed data")
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0.tmp").exists(),
+      "promoted tmp manifest left behind")
+  }
+
+  test("parts but no manifest and no tmp: commit fails loudly, sweeps nothing") {
+    val dir = freshDir("nomanifest")
+    Files.createDirectories(Paths.get(dir))
+    // a damaged directory: committed-looking data, no recovery artifact
+    Files.write(Paths.get(dir, "part-00000-g0001.tsv"),
+      "1\torphaned\n".getBytes("UTF-8"))
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(2L, "new")); val m = w.commit()
+    val ex = intercept[java.io.IOException] {
+      new GraftCommitWrite(dir, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](m))
+    }
+    assert(ex.getMessage.contains("manual recovery"),
+      s"wrong failure mode: ${ex.getMessage}")
+    val body = new String(
+      Files.readAllBytes(Paths.get(dir, "part-00000-g0001.tsv")), "UTF-8")
+    assert(body === "1\torphaned\n",
+      "refusal path must not touch the existing part files")
+  }
 }
