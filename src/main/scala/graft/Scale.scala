@@ -395,6 +395,30 @@ object Scale {
         val nPq2 = pqQs.count()
         println(f"""{"dir":"$d","probe":"simsearch_pq_rerank50","k":3,"n_queries":$nPq2,"recall":${rrHits.toDouble / (3 * nPq2)}%.4f}""")
       }
+      // Growth-rule residual PQ: coarse cells ∝ N (the same bits rule
+      // the trained-IVF probes apply). Under it per-cell population —
+      // and hence residual spread — stays CONSTANT, so the fixed 12-bit
+      // code budget keeps its per-cell precision at any N; the declared
+      // fixed-16-cell rows above price what happens when cells do NOT
+      // grow (residuals widen ∝ N/cells and the codes saturate).
+      if (bits > 4) {
+        val cellsG = 1 << bits
+        val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+        if (want(s"simsearch_pq_res_c$cellsG")) {
+          val adcG = graft.queries.Refine.pqAdcScores(spark, d, cellsG)
+            .withColumn("rnk", row_number().over(wA))
+            .where(col("rnk") <= 3).select("qid", "cid")
+          val gHits = adcG.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+          val nG = pqQs.count()
+          println(f"""{"dir":"$d","probe":"simsearch_pq_res_c$cellsG","k":3,"n_queries":$nG,"recall":${gHits.toDouble / (3 * nG)}%.4f}""")
+        }
+        if (want(s"simsearch_pq_res_c${cellsG}_rerank50")) {
+          val rrG = graft.queries.Refine.pqRerank(spark, d, 50, cellsG)
+          val gHits = rrG.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+          val nG = pqQs.count()
+          println(f"""{"dir":"$d","probe":"simsearch_pq_res_c${cellsG}_rerank50","k":3,"n_queries":$nG,"recall":${gHits.toDouble / (3 * nG)}%.4f}""")
+        }
+      }
     }
   }
 

@@ -152,6 +152,15 @@ object Learn {
     (qs, cand)
   }
 
+  /** The memoized flat trained centroid frame (cid, c) — exposed for
+    * the residual-PQ encoder (q_llm_simsearch_pq quantizes
+    * x − centroid(x) against exactly these coarse cells, the IVF-PQ
+    * composition; same memo key as every other consumer, so the
+    * quantizer still trains once per (session, sfDir, cells)). */
+  private[graft] def trainedCentFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int): DataFrame =
+    trainedCent(s, d, cells, probeVecs(s, d))
+
   private def buildProbeFrames(s: org.apache.spark.sql.SparkSession,
       d: String, cells: Int, probes: Int): (DataFrame, DataFrame) = {
     val vecs = probeVecs(s, d)

@@ -12,18 +12,25 @@ import U._
   * "training mixture".
   *
   * Scale notes, per operator:
-  *  - simsearch_pq: the IVF-PQ memory story. Codebooks are M×K tiny
-  *    tables trained on a stride SAMPLE (cost independent of N, the
-  *    trained-quantizer recipe from q_llm_knn_graph_trained), encoding
-  *    is one broadcast map pass (each vector → M one-byte codes — a
-  *    64-float vector compresses 64× to 4 bytes + id), and ADC scoring
-  *    reads the M·K distance table instead of the raw vectors, so the
-  *    query side touches codes only. Everything stays on the 1e-6
-  *    integer grid — squared-distance sums are exact BIGINTs, no float
-  *    order sensitivity anywhere. At 100 TB the same codes would join
-  *    through the trained coarse cells (IVF-PQ proper — compose with
-  *    q_llm_knn_graph_trained's cell equi-join); the declared query
-  *    keeps the capped-query ADC form so the oracle stays exact.
+  *  - simsearch_pq: the IVF-PQ memory story, RESIDUAL-encoded (round
+  *    10). Vectors first assign to the memoized 16-cell trained coarse
+  *    quantizer (shared with q_llm_knn_graph_trained — zero extra
+  *    training), then PQ quantizes x − centroid(x): codebooks are M×K
+  *    tiny tables trained on a stride SAMPLE of residuals (cost
+  *    independent of N), encoding is one broadcast map pass (each
+  *    vector → cell id + M one-byte codes — a 64-float vector
+  *    compresses 64× to ~5 bytes + id), and ADC scoring reads the
+  *    per-(query, cell) M·K distance table instead of the raw vectors,
+  *    so the query side touches codes only. Everything stays on the
+  *    1e-6 integer grid — squared-distance sums are exact BIGINTs, no
+  *    float order sensitivity anywhere. The round-9 raw-vector form
+  *    measured ADC recall 0.00–0.05 at ×10/×100 — correct but not a
+  *    usable retrieval instrument; residual encoding is the published
+  *    IVF-PQ fix (quantize the small residual, not the spread-out raw
+  *    vector) and the re-measured table is in BASELINE.md. At 100 TB
+  *    the query side prices only its probed cells' tables
+  *    (Q·probes·M·K rows) through the same cell equi-join the
+  *    knn_graph_trained composition demonstrates.
   *  - importance_resample: DoReMi-style domain reweighting — acceptance
   *    probability per language = target share / actual share, normalized
   *    so the most under-represented language keeps everything. Shares,
@@ -104,9 +111,9 @@ object Refine {
     * compression costs when PQ is used as designed (a shortlist stage),
     * not as the final ranking. */
   private[graft] def pqRerank(s: org.apache.spark.sql.SparkSession, d: String,
-      shortlist: Int): org.apache.spark.sql.DataFrame = {
+      shortlist: Int, cells: Int = 16): org.apache.spark.sql.DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    val short = pqAdcScores(s, d)
+    val short = pqAdcScores(s, d, cells)
       .withColumn("rk", row_number().over(wA)).where(col("rk") <= shortlist)
       .select("qid", "cid")
     val grid = gridVecs(s, d)
@@ -120,34 +127,66 @@ object Refine {
       .select("qid", "cid")
   }
 
-  /** The full PQ pipeline up to the per-(query, candidate) ADC score:
-    * train M per-subspace codebooks (sampled Lloyd — the
-    * knn_graph_trained machinery on dim slices), encode every vector as
-    * M argmin codes, then score the capped query set by asymmetric
-    * distance computation: per query an M×K table of exact subspace
-    * distances, per candidate the sum of M table lookups keyed by its
-    * codes. The candidate side never touches a raw vector after
-    * encoding. Shared by the declared top-3 query and the re-rank
-    * probe. */
-  private def pqAdcScores(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  /** The full IVF-PQ pipeline up to the per-(query, candidate) ADC
+    * score — RESIDUAL encoding (round 10): vectors are first assigned
+    * to the memoized 16-cell trained coarse quantizer
+    * (`Learn.trainedProbeFrames` — the SAME frames
+    * q_llm_knn_graph_trained & co already share, zero extra training),
+    * and PQ quantizes the residual x − centroid(x), not the raw
+    * vector. This is IVF-PQ proper (Jégou et al.'s "encode the
+    * residual" recipe): residuals are concentrated around 0 with far
+    * smaller spread than raw vectors, so the same M=4×K=8 integer-grid
+    * codebooks capture them with materially less quantization error —
+    * the round-9 raw-vector ADC measured recall 0.00–0.05 at ×10/×100
+    * (BASELINE "ANN recall"), the round-10 residual form is re-measured
+    * there. Serving reads per-(query, coarse-cell) distance tables:
+    * ‖q − c − r̂‖² decomposes exactly over the disjoint dim slices as
+    * Σₘ‖(q−c)ₘ − cbₘ[code]‖², so ADC stays an exact BIGINT given the
+    * codes — the table is Q·cells·M·K rows (32·16·4·8 = 16 k,
+    * broadcast); at 100 TB the query side prices only its PROBED cells
+    * (Q·probes·M·K), the composition q_llm_knn_graph_trained already
+    * demonstrates. The candidate side never touches a raw vector after
+    * encoding: one byte-scale code row per vector per subspace. */
+  /** `cells` parametrizes the coarse quantizer for the Scale recall
+    * probe: the DECLARED (oracled) query runs cells=16; the probe also
+    * measures the quantizer-growth rule (cells ∝ N — the same law every
+    * other ANN member in BASELINE.md applies), under which per-cell
+    * population and hence residual spread stay CONSTANT, so the fixed
+    * M×K code budget keeps constant per-cell precision at any N. */
+  private[graft] def pqAdcScores(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int = 16): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val vecs = gridVecs(s, d)
-    // one codebook per subspace: seeds indexed arithmetically from the
-    // stride construction (no window), then ROUNDS Lloyd iterations
-    // entirely on the sample — constant work at any N. The M·K-row
-    // codebook frame is memoized per (session, sfDir) and lazily
-    // persist()ed (the q_llm_knn_graph_trained quantizer discipline),
-    // so its two consumers below — the encode pass and the query-side
-    // distance tables — share ONE training materialization instead of
-    // each re-running the sampled Lloyd subplan; plan-only consumers
-    // stay execution-free because persist() is lazy.
-    val cbs = graft.Memo(s, s"pq-codebooks:$d") {
-      val sampleStep = vecs.agg(
+    // coarse assignment: the memoized cells/5-probe frames every
+    // trained-quantizer consumer shares; cand = (cid2, ce, clabel,
+    // ccell) — each vector's argmin cell, tie-broken (d2, cid) exactly
+    // like the oracle's rank-1 window
+    val (_, cand) = Learn.trainedProbeFrames(s, d, cells, 5)
+    val centG = Learn.trainedCentFrame(s, d, cells)
+      .select(col("cid").as("gcell"), col("c").as("gc"))
+    // residuals on the 1e-6 grid: r = grid(x) − centroid(cell(x)) — one
+    // broadcast map pass over the assignment frame, no extra shuffle
+    val res = cand.select(col("cid2").as("vec_id"), col("ccell").as("gcell"),
+        expr("transform(ce, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+      .join(broadcast(centG), "gcell")
+      .select(col("vec_id"), col("gcell"),
+        expr("zip_with(q, gc, (x, y) -> x - y)").as("r"))
+    // one codebook per subspace, trained on RESIDUAL slices: seeds
+    // indexed arithmetically from the stride construction (no window),
+    // then ROUNDS Lloyd iterations entirely on the sample — constant
+    // work at any N. The M·K-row codebook frame is memoized per
+    // (session, sfDir) and lazily persist()ed (the
+    // q_llm_knn_graph_trained quantizer discipline), so its two
+    // consumers below — the encode pass and the query-side distance
+    // tables — share ONE training materialization instead of each
+    // re-running the sampled Lloyd subplan; plan-only consumers stay
+    // execution-free because persist() is lazy.
+    val cbs = graft.Memo(s, s"pq-res-codebooks:$d:$cells") {
+      val sampleStep = res.agg(
         expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * KPQ})").as("st"))
-      val sample = vecs.crossJoin(broadcast(sampleStep))
+      val sample = res.crossJoin(broadcast(sampleStep))
         .where(col("vec_id") % col("st") === 0)
-        .select(col("vec_id"), col("q"), col("st"))
+        .select(col("vec_id"), col("r").as("q"), col("st"))
       (0 until M).map { m =>
         val sub = sample.select(col("vec_id"),
           slice(col("q"), m * SUBDIM + 1, SUBDIM).as("sq"), col("st"))
@@ -172,25 +211,38 @@ object Refine {
         cent.select(lit(m).as("m"), col("cid"), col("c"))
       }.reduce(_ unionAll _).persist()
     }
-    // every vector's M subvectors, reused by the encode pass and the
-    // query-side distance tables
-    val subs = vecs.select(col("vec_id"), explode(expr(
+    // every vector's M residual subvectors (tagged with its coarse cell)
+    val subs = res.select(col("vec_id"), col("gcell"), explode(expr(
         s"""transform(sequence(0, ${M - 1}), m -> named_struct(
-             'm', CAST(m AS INT), 'sq', slice(q, m * $SUBDIM + 1, $SUBDIM)))"""))
+             'm', CAST(m AS INT), 'sq', slice(r, m * $SUBDIM + 1, $SUBDIM)))"""))
         .as("e"))
-      .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
+      .select(col("vec_id"), col("gcell"), col("e.m").as("m"), col("e.sq").as("sq"))
     // encode: argmin code per (vector, subspace) — a broadcast map pass
     val codes = subs.join(broadcast(cbs), "m")
-      .select(col("vec_id"), col("m"), col("cid"),
+      .select(col("vec_id"), col("gcell"), col("m"), col("cid"),
         expr("graft_l2sq(sq, c)").as("d2"))
-      .groupBy("vec_id", "m")
+      .groupBy("vec_id", "gcell", "m")
       .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code"))
-    // ADC tables: exact subspace distances query × codebook (Q·M·K rows)
-    val dtab = subs.where(col("vec_id") < QCAP)
-      .join(broadcast(cbs), "m")
-      .select(col("vec_id").as("qid"), col("m"), col("cid").as("code"),
+    // ADC tables: per (query, coarse cell) the query residual q − c_cell
+    // sliced per subspace, scored against the codebook (Q·cells·M·K rows)
+    val qres = gridVecs(s, d).where(col("vec_id") < QCAP)
+      .crossJoin(broadcast(centG))
+      .select(col("vec_id").as("qid"), col("gcell"),
+        expr("zip_with(q, gc, (x, y) -> x - y)").as("qr"))
+      .select(col("qid"), col("gcell"), explode(expr(
+        s"""transform(sequence(0, ${M - 1}), m -> named_struct(
+             'm', CAST(m AS INT), 'sq', slice(qr, m * $SUBDIM + 1, $SUBDIM)))"""))
+        .as("e"))
+      .select(col("qid"), col("gcell"), col("e.m").as("m"), col("e.sq").as("sq"))
+    val dtab = qres.join(broadcast(cbs), "m")
+      .select(col("qid"), col("gcell"), col("m"), col("cid").as("code"),
         expr("graft_l2sq(sq, c)").as("d2"))
-    codes.join(broadcast(dtab), Seq("m", "code"))
+    // the table is Q·cells·M·K rows: KB-scale at the declared 16 cells
+    // (broadcast — pins the declared plan), tens of MB under the probe's
+    // growth-rule cell counts where a shuffled hash join is the honest
+    // strategy (the code side is the big side either way)
+    val dtabSide = if (cells <= 64) broadcast(dtab) else dtab
+    codes.join(dtabSide, Seq("gcell", "m", "code"))
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"), col("d2"))
       .groupBy("qid", "cid")
@@ -302,11 +354,12 @@ object Refine {
          GROUP BY cid)"""
 
   /** One subspace's full training chain (sample slice → seeds → 2 Lloyd
-    * rounds), CTE names suffixed `_m`. */
+    * rounds), CTE names suffixed `_m`; `rsamp` is the residual training
+    * sample (vec_id, q = residual array, s = stride). */
   private def oSubspace(m: Int): String = {
     val lo = m * SUBDIM + 1
     val hi = (m + 1) * SUBDIM
-    s"""s_$m AS (SELECT vec_id, q[$lo:$hi] AS sq, s FROM samp),
+    s"""s_$m AS (SELECT vec_id, q[$lo:$hi] AS sq, s FROM rsamp),
        c0_$m AS (SELECT CAST(vec_id // s AS INT) AS cid, sq AS c
                  FROM s_$m WHERE vec_id < $KPQ * s),
        ${oAssign16(s"a1_$m", s"c0_$m", s"s_$m")},
@@ -321,32 +374,46 @@ object Refine {
 
   val oracle: Map[String, String] = Map(
 
+    // Residual IVF-PQ mirror: Learn.oTrainedCtes is the SAME coarse
+    // trainer chain q_llm_knn_graph_trained's oracle runs (v, samp, 2
+    // Lloyd rounds → c2 centroids, cand = every vector's argmin cell) —
+    // one definition, the mirrors cannot drift. PQ then trains/encodes
+    // the residual grid(ce) − c2.c per vector, and ADC reads the
+    // per-(query, coarse cell) subspace distance tables.
     "q_llm_simsearch_pq" ->
-      s"""WITH v AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-           FROM embeddings),
-         st AS (SELECT greatest(1, COUNT(*) // ${32 * KPQ}) AS s FROM v),
-         samp AS (SELECT vec_id, q, st.s FROM v, st WHERE vec_id % st.s = 0),
+      s"""WITH ${Learn.oTrainedCtes},
+         res AS (SELECT cand.vec_id, cand.ccell AS gcell,
+             list_transform(range(1, 65), i ->
+               CAST(round(CAST(cand.ce[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                 - c2.c[i]) AS q
+           FROM cand JOIN c2 ON cand.ccell = c2.cid),
+         rst AS (SELECT greatest(1, COUNT(*) // ${32 * KPQ}) AS s FROM res),
+         rsamp AS (SELECT vec_id, q, rst.s FROM res, rst WHERE vec_id % rst.s = 0),
          ${(0 until M).map(oSubspace).mkString(",\n         ")},
          cb AS (${(0 until M).map(m =>
              s"SELECT $m AS m, cid, c FROM c2_$m").mkString(" UNION ALL ")}),
-         sub AS (SELECT vec_id, CAST(t.m AS INT) AS m,
+         sub AS (SELECT res.vec_id, res.gcell, CAST(t.m AS INT) AS m,
              list_transform(range(t.m * $SUBDIM + 1, (t.m + 1) * $SUBDIM + 1),
                i -> q[i]) AS sq
-           FROM v, unnest(range(0, $M)) AS t(m)),
-         codes AS (SELECT vec_id, m, cid AS code FROM (
-             SELECT sub.vec_id, sub.m, cb.cid,
+           FROM res, unnest(range(0, $M)) AS t(m)),
+         codes AS (SELECT vec_id, gcell, m, cid AS code FROM (
+             SELECT sub.vec_id, sub.gcell, sub.m, cb.cid,
                row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
                  list_sum(list_transform(range(1, ${SUBDIM + 1}),
                    i -> (sub.sq[i] - cb.c[i]) * (sub.sq[i] - cb.c[i]))), cb.cid) AS rk
              FROM sub JOIN cb ON sub.m = cb.m) WHERE rk = 1),
-         dtab AS (SELECT sub.vec_id AS qid, sub.m, cb.cid AS code,
+         qres AS (SELECT v.vec_id AS qid, c2.cid AS gcell, CAST(t.m AS INT) AS m,
+             list_transform(range(t.m * $SUBDIM + 1, (t.m + 1) * $SUBDIM + 1),
+               i -> v.q[i] - c2.c[i]) AS sq
+           FROM v, c2, unnest(range(0, $M)) AS t(m) WHERE v.vec_id < $QCAP),
+         dtab AS (SELECT qres.qid, qres.gcell, qres.m, cb.cid AS code,
              list_sum(list_transform(range(1, ${SUBDIM + 1}),
-               i -> (sub.sq[i] - cb.c[i]) * (sub.sq[i] - cb.c[i]))) AS d2
-           FROM sub JOIN cb ON sub.m = cb.m WHERE sub.vec_id < $QCAP),
+               i -> (qres.sq[i] - cb.c[i]) * (qres.sq[i] - cb.c[i]))) AS d2
+           FROM qres JOIN cb ON qres.m = cb.m),
          adc AS (SELECT dtab.qid, codes.vec_id AS cid,
              CAST(SUM(d2) AS BIGINT) AS adc
-           FROM codes JOIN dtab ON codes.m = dtab.m AND codes.code = dtab.code
+           FROM codes JOIN dtab ON codes.gcell = dtab.gcell
+             AND codes.m = dtab.m AND codes.code = dtab.code
            WHERE dtab.qid <> codes.vec_id
            GROUP BY dtab.qid, codes.vec_id),
          r AS (SELECT qid, cid, adc,
