@@ -95,5 +95,24 @@ object GraftFunctions {
       "graft_l2sq",
       (exprs: Seq[Expression]) => L2SquaredLong(exprs.head, exprs(1)),
       "built-in")
+    // Spark's own Bloom expressions (the pair its injected runtime
+    // filters are built from) are internal — not in the public SQL
+    // registry — so expose them under their canonical names:
+    // bloom_filter_agg(xxhash64(x), items, bits) builds the binary
+    // sketch executor-side, might_contain(bf, xxhash64(x)) is a
+    // codegen'd probe (vs a black-box Scala-UDF closure).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+          .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
   }
 }

@@ -288,20 +288,35 @@ object Analytics {
     // exactly the contaminated-doc set. This is the runtime-filter shape
     // Spark itself injects for large joins (runtime.bloomFilter.*): at
     // 100 TB the sketch probe drops ~99% of gram rows at the scan.
+    // Round 10: the sketch is built IN-PLAN by bloom_filter_agg (the
+    // same BloomFilterAggregate Spark's injected runtime filters use —
+    // one 1-row binary frame, broadcast) and probed by the codegen'd
+    // might_contain expression over xxhash64(g), replacing the r5
+    // driver-built `stat.bloomFilter` + black-box Scala-UDF closure:
+    // the probe now lives inside WholeStageCodegen and the sketch build
+    // is an executor-side aggregate, not a driver collect.
     "q_llm_decontaminate_bloom" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       // tokenizer/grams shared with q_llm_decontaminate via U — the
       // equivalence test requires the two paths to tokenize identically
       val docs = Tables(s, d, "documents").withColumn("tk", textTokens)
       val grams = U.grams5
       val bench = docs.where(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(grams)).as("g")).distinct()
-      val bloom = Memo(s, s"bloom:$d") {
-        s.sparkContext.broadcast(bench.stat.bloomFilter("g", 4096L, 0.01))
+      // 4096 expected items × 10 bits/item ≈ the old 1% fpp geometry.
+      // might_contain requires its sketch CONSTANT (or scalar subquery),
+      // so the 1-row aggregate lands driver-side as a literal — the same
+      // KB-scale plan-build job the old stat.bloomFilter ran, but the
+      // build is now an executor-side partial aggregate and the probe a
+      // codegen'd expression instead of a Scala-closure UDF.
+      val bloomBytes = Memo(s, s"bloom:$d") {
+        bench.agg(expr(
+          "bloom_filter_agg(xxhash64(g), CAST(4096 AS BIGINT), CAST(40960 AS BIGINT))")
+          .as("bf")).head.getAs[Array[Byte]](0)
       }
-      val probe = udf((g: String) => bloom.value.mightContainString(g))
       docs.where(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
-        .where(probe(col("g")))
+        .where(call_function("might_contain", lit(bloomBytes), xxhash64(col("g"))))
         .join(broadcast(bench), Seq("g"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
         .orderBy("doc_id")

@@ -400,9 +400,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_llm_decontaminate_bloom")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
     val joinIdx = p.indexOf("BroadcastHashJoin")
-    // the UDF probe must appear in the plan AFTER (i.e. beneath) the
-    // join node — pruning rows before the join ever sees them
-    assert(p.indexOf("UDF", joinIdx) > joinIdx, s"bloom probe not below the join:\n$p")
+    // the might_contain probe must appear in the plan AFTER (i.e.
+    // beneath) the join node — pruning rows before the join ever sees
+    // them — and it must be the codegen'd Catalyst expression, not a
+    // black-box Scala-closure UDF
+    assert(p.indexOf("might_contain", joinIdx) > joinIdx,
+      s"bloom probe not below the join:\n$p")
+    assert(!p.contains("UDF"), s"closure UDF crept back into the bloom path:\n$p")
   }
 
   test("q_join_range_binned stays on the equi-join path (bin key, no nested loop)") {
