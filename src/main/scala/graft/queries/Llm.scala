@@ -283,9 +283,28 @@ object Llm {
       bandCandidatesRaw(s, d).localCheckpoint(false)
     }
 
-  private def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
+  /** Exposed (round 10) as the equivalence target of the streaming
+    * confirm pipeline (graft.streaming.Streams.dedupConfirm):
+    * StreamingSpec asserts the stream's confirmed set equals exactly
+    * this frame on in-order replay. */
+  private[graft] def confirmedPairs(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame =
     jaccardConfirm(shingles(s, d), bandCandidates(s, d))
+
+  /** Per-doc arrival frame for the streaming dedup pipeline: each doc's
+    * distinct trigram set plus its banded signature keys — the ONE row
+    * per document an ingest stream delivers (Streams.DocArrival's
+    * schema). Derived from the same [[shingles]]/[[bandKeys]] frames the
+    * batch path uses, so the streaming twin cannot drift. */
+  private[graft] def docArrivalFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val g = shingles(s, d)
+    val sets = g.groupBy("doc_id")
+      .agg(expr("sort_array(collect_set(g))").as("shingles"))
+    val bands = bandKeys(g).groupBy("doc_id")
+      .agg(expr("sort_array(collect_list(struct(band_id, bkey)))").as("bands"))
+    sets.join(bands, "doc_id")
+  }
 
   /** (doc_id, component_id) for EVERY document: iterative min-label
     * propagation over the confirmed near-dup pairs (the standard Spark

@@ -884,4 +884,131 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def docArrivals: Seq[Streams.DocArrival] = {
+    import spark.implicits._
+    queries.Llm.docArrivalFrame(spark, sf)
+      .select(col("doc_id"), col("shingles"), col("bands"))
+      .as[Streams.DocArrival].collect().toSeq.sortBy(_.doc_id)
+  }
+
+  private def batchConfirmed: Set[(Long, Long)] =
+    queries.Llm.confirmedPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("end-to-end streaming dedup: confirmed pairs equal the batch exact-Jaccard confirm") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[Streams.DocArrival]
+      val q = Streams.dedupConfirm(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("t_dedupconfirm")
+        .outputMode("append").start()
+      val docs = docArrivals
+      docs.grouped(60).foreach { c => mem.addData(c); q.processAllAvailable() }
+      // at-least-once replay of a chunk: stage 1's seen-guard swallows
+      // the band rows (no new candidates) and the set hops ignore a
+      // re-arriving set, so NOTHING new may confirm
+      val before = spark.table("t_dedupconfirm").count()
+      mem.addData(docs.take(60)); q.processAllAvailable()
+      val after = spark.table("t_dedupconfirm").count()
+      q.stop()
+      assert(before === after,
+        s"replayed doc arrivals re-confirmed ${after - before} pairs")
+      // a pair confirms once per colliding band — downstream dedups,
+      // exactly like the batch candidate frame's .distinct()
+      val got = spark.table("t_dedupconfirm").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = batchConfirmed
+      assert(got.nonEmpty, "streaming confirm emitted nothing on the fixture")
+      assert(got === want,
+        s"stream confirm diverges from batch: stream-only=${(got -- want).take(5)}, " +
+          s"batch-only=${(want -- got).take(5)}")
+    }
+  }
+
+  test("streaming dedup confirm survives a checkpointed restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    withRocksDb {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_confirmrestart"
+      wipe(new java.io.File(base))
+      val arrivals = queries.Llm.docArrivalFrame(spark, sf)
+        .select(col("doc_id"), col("shingles"), col("bands"))
+      val med = arrivals.agg(expr("percentile_approx(doc_id, 0.5)")).first().getLong(0)
+      arrivals.where(col("doc_id") <= med).coalesce(1).write.parquet(s"$base/src")
+      def drain(): Unit = {
+        import spark.implicits._
+        val stream = spark.readStream.schema(arrivals.schema).parquet(s"$base/src")
+          .as[Streams.DocArrival]
+        val q = Streams.dedupConfirm(stream).toDF().writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(240000), "confirm drain did not terminate")
+      }
+      drain()
+      arrivals.where(col("doc_id") > med).coalesce(1).write.mode("append")
+        .parquet(s"$base/src")
+      drain()
+      val got = spark.read.parquet(s"$base/out").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = batchConfirmed
+      assert(got === want, "restarted confirm stream diverges from batch: " +
+        s"stream-only=${(got -- want).take(5)}, batch-only=${(want -- got).take(5)}")
+      // cross-restart confirmed pairs prove ALL THREE states carried
+      // (bucket lists + both hops' shingle sets)
+      assert(got.exists { case (a, b) => a <= med && b > med },
+        "no cross-restart confirmed pairs — state did not carry")
+      val before = spark.read.parquet(s"$base/out").count()
+      drain()
+      assert(spark.read.parquet(s"$base/out").count() === before,
+        "empty restart re-emitted confirmed pairs")
+    }
+  }
+
+  test("confirm hop stashes a candidate that outruns its set, drains on arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[Streams.AttachMsg]
+      val q = mem.toDS().groupByKey(_.key)
+        .transformWithState(new Streams.SetConfirmProcessor(0.8),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append()).toDF()
+        .writeStream.format("memory").queryName("t_confirmpending")
+        .outputMode("append").start()
+      // candidates arrive BEFORE the key's set (a replay/out-of-order
+      // shape the in-order contract never produces): must stash, not drop
+      mem.addData(
+        Streams.AttachMsg(2L, is_set = false, 1L, 2L, Seq("x a b", "x b c", "x c d", "x d e")),
+        Streams.AttachMsg(2L, is_set = false, 3L, 2L, Seq("q q q", "r r r")))
+      q.processAllAvailable()
+      assert(spark.table("t_confirmpending").count() === 0,
+        "candidate confirmed before its endpoint's set arrived")
+      // the set arrives: pair (1,2) is jaccard 4/5 >= 0.8 vs the stored
+      // set, pair (3,2) is far below — exactly one confirm drains out
+      mem.addData(Streams.AttachMsg(2L, is_set = true, 2L, -1L,
+        Seq("x a b", "x b c", "x c d", "x d e", "x e f")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_confirmpending").select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 2L)),
+        s"pending drain wrong: $got (want exactly (1,2))")
+    }
+  }
 }
