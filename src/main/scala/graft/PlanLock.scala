@@ -13,13 +13,24 @@ import org.apache.spark.sql.SparkSession
   * sort-merge, an extra Exchange, a lost pushdown collapsing into a
   * post-scan Filter, a window appearing where a heap used to be).
   *
-  * The fingerprint is deliberately COARSE: operator class names and
-  * counts only, parsed from the plan string's leading tokens
-  * (`*(n)` codegen stage markers stripped, argument lists ignored), so
-  * it is invariant to expression ids, statistics, partition counts,
-  * and file paths — it changes exactly when the plan's OPERATOR
-  * structure changes. Plans are built (never executed) at the spec's
-  * sf0.001 fixture under the shared test session.
+  * The fingerprint is deliberately COARSE: operator node names and
+  * counts only, collected by WALKING the physical tree (argument
+  * lists, expression ids, statistics, partition counts and file paths
+  * never enter), so it changes exactly when the plan's OPERATOR
+  * structure changes. Two descent rules keep it STATE-INDEPENDENT
+  * (round 10 — the r9 string parse descended into whatever the plan
+  * happened to print, so a cached frame's materialization state leaked
+  * QueryStage nodes into the fingerprint and made it depend on which
+  * queries ran first in the session):
+  *  - AdaptiveSparkPlan descends into its INPUT plan — the shape
+  *    Catalyst chose before AQE's runtime replanning, the same plan
+  *    whether or not the query (or any shared cached frame) has run;
+  *  - InMemoryTableScan is a LEAF — a memoized frame's internal
+  *    lineage is not this query's shape (its own consumers pin it),
+  *    and its printed form flips between logical lineage and executed
+  *    stages depending on materialization state.
+  * Plans are built (never executed) at the spec's sf0.001 fixture
+  * under the shared test session.
   *
   * Maintenance contract: an INTENDED plan change regenerates the lock
   * (`runMain graft.PlanLock` — writes PLANS.lock in place) in the same
@@ -31,20 +42,27 @@ import org.apache.spark.sql.SparkSession
 object PlanLock {
 
   /** "Name×count" histogram of plan-tree operator names, sorted — the
-    * shape fingerprint. */
-  def fingerprint(planString: String): String = {
-    val op = "^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?([A-Za-z][A-Za-z0-9]*)".r
-    val names = planString.linesIterator.flatMap { line =>
-      op.findFirstMatchIn(line).map(_.group(1))
-    }.toSeq
-    names.groupBy(identity).toSeq.sortBy(_._1)
+    * shape fingerprint (tree walk; see the descent rules above). */
+  def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Iterator[String] = {
+      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: InMemoryTableScanExec => Nil
+        case o => o.children
+      }
+      Iterator(p.nodeName) ++ kids.iterator.flatMap(walk)
+    }
+    walk(plan).toSeq.groupBy(identity).toSeq.sortBy(_._1)
       .map { case (n, v) => s"$n x${v.size}" }.mkString(", ")
   }
 
   def fingerprintOf(spark: SparkSession, sfDir: String,
       name: String): String =
     fingerprint(SparkEntry.queries(name)(spark, sfDir)
-      .queryExecution.executedPlan.toString)
+      .queryExecution.executedPlan)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

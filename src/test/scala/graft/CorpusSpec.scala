@@ -118,6 +118,8 @@ class CorpusSpec extends SparkSpec {
       case _ => ()
     }
     assert(out.where(col("shard") < 0 || col("shard") > 7).count() == 0)
+    out.unpersist()  // shared CacheManager: don't leak the declared plan
+    ()
   }
 
   test("hard negatives: never same-label, ≤3 per anchor, dot-ranked") {
@@ -167,6 +169,8 @@ class CorpusSpec extends SparkSpec {
         s"argmin diverges for part ${r.getLong(0)}")
     }
     offers.unpersist()
+    out.unpersist()  // shared CacheManager: don't leak the declared plan
+    ()
   }
 
   test("unigram_lm matches the plain-Scala Viterbi mirror; pieces gain mass") {

@@ -21,6 +21,8 @@ class CurationSpec extends SparkSpec {
       !c.endsWith("/") && !c.contains("WWW") && !c.contains("Example")))
     // keep_id is a member of its own group: minimal id implies distinct keeps
     assert(out.select("keep_id").distinct().count() === out.count())
+    out.unpersist()  // shared CacheManager: don't leak the declared plan
+    ()
   }
 
   test("q_llm_substring_dedup: span accounting is internally consistent") {
@@ -40,6 +42,8 @@ class CurationSpec extends SparkSpec {
     val expected = spans.groupBy("gram").count().where(col("count") > 1)
       .join(spans, "gram").count()
     assert(totalDup === expected)
+    out.unpersist()  // shared CacheManager: don't leak the declared plan
+    ()
   }
 
   test("classifier and curation composite score with the SAME logit (shared U.qualityLogit)") {
@@ -69,6 +73,8 @@ class CurationSpec extends SparkSpec {
     val n = out.count()
     val kept = out.where(col("keep")).count()
     assert(kept > 0 && kept < n)
+    out.unpersist()  // shared CacheManager: don't leak the declared plan
+    ()
   }
 
   test("q_join_asof_nearest: matches brute-force nearest click per purchase") {

@@ -14,6 +14,12 @@ class LearnSpec extends SparkSpec {
     // fixed seeds + integer arithmetic: a second run is bit-identical
     val again = Learn.queries("q_llm_cluster_kmeans")(spark, sf)
     assert(out.collect().toSeq === again.collect().toSeq)
+    // drop the cache entry: the shared CacheManager would otherwise
+    // substitute the WHOLE declared plan with one InMemoryTableScan in
+    // every later identical build (PlanLockSpec's fingerprint would see
+    // a 1-node plan instead of the query's shape)
+    out.unpersist()
+    ()
   }
 
   test("kmeans checkpoint strategies are result-equivalent (fused = lazy = eager = none)") {
