@@ -145,7 +145,71 @@ object Audit {
       .orderBy("source_a", "source_b")
   }
 
+  /** The distinct (source, 60-bit-folded gram) frame both overlap legs
+    * join on — memoized per (session, sfDir) + lazy localCheckpoint
+    * (the mh-cand discipline): the tokenize→shingle→fold pass — the
+    * family's dominant cost, ~60 s at ×100 — runs once per JVM. */
+  private def srcGrams(s: SparkSession, d: String): DataFrame =
+    graft.Memo(s, s"srcgrams:$d") {
+      Tables(s, d, "documents")
+        .withColumn("tk", textTokens)
+        .select(col("source"), explode(array_distinct(grams5)).as("g"))
+        .select(col("source"),
+          expr(hexFold("md5(g)", 15)).as("h"))
+        .distinct()
+        .localCheckpoint(eager = false)
+    }
+
+  /** Triage threshold on the sketch containment estimate: pairs at or
+    * above it get the exact gram join. Sits above the sketch's measured
+    * ±0.05–0.08 absolute bracket floor (BASELINE.md), so a flag is a
+    * signal, not sketch noise; the fixture flags a handful of its 190
+    * pairs (non-vacuous at every gate scale). ONE definition
+    * interpolated into the query and its specs. */
+  private[graft] val triageThreshold = 0.05
+
   val queries: Map[String, Q] = Map(
+
+    // Sketch→exact overlap TRIAGE (round 10) — the deployment flow the
+    // sketch matrix exists for, wired as one declared composite: the KB
+    // per-source HLL matrix SCREENS every pair (sources²-bounded, zero
+    // ∝N shuffles), pairs with containment_est ≥ the threshold get the
+    // EXACT bucketed gram join — restricted BEFORE the join to the
+    // flagged sources' grams (broadcast semi-join), so the expensive
+    // leg's cost tracks the flagged set, never sources². Output: the
+    // flagged pairs with both the estimate that flagged them and their
+    // exact n_shared/containment. Self-checked like its sketch parent
+    // (the flag leg has no DuckDB twin): PropertySpec asserts the exact
+    // columns equal the oracled full matrix's rows for exactly the
+    // sketch-flagged pair set.
+    "q_llm_source_overlap_triage" -> ((s, d) => {
+      val flagged = sourceOverlapSketch(s, d)
+        .where(col("containment_est") >= triageThreshold)
+        .select(col("source_a"), col("source_b"), col("containment_est"))
+      val flaggedSrcs = flagged.select(col("source_a").as("source"))
+        .union(flagged.select(col("source_b").as("source"))).distinct()
+      val dhF = srcGrams(s, d)
+        .join(broadcast(flaggedSrcs), Seq("source"), "left_semi")
+      val tot = dhF.groupBy("source").agg(count(lit(1)).as("nd"))
+      val shared = dhF.as("x")
+        .join(dhF.as("y").hint("shuffle_hash"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("ns"))
+      flagged
+        .join(broadcast(tot.select(col("source").as("source_a"), col("nd").as("n_a"))),
+          Seq("source_a"))
+        .join(broadcast(tot.select(col("source").as("source_b"), col("nd").as("n_b"))),
+          Seq("source_b"))
+        .join(broadcast(shared),
+          col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
+        .select(col("source_a"), col("source_b"), col("containment_est"),
+          col("n_a"), col("n_b"),
+          coalesce(col("ns"), lit(0L)).as("n_shared"),
+          round(coalesce(col("ns"), lit(0L)).cast("double") /
+            least(col("n_a"), col("n_b")), 6).as("containment"))
+        .orderBy("source_a", "source_b")
+    }),
 
     // Declared sketch form of the containment matrix (round 9) — the
     // SCREENING instrument a 100 TB corpus dashboard actually runs (the
@@ -188,15 +252,7 @@ object Audit {
       // lazy localCheckpoint (the mh-cand discipline), so the
       // tokenize→shingle→fold pass — the dominant cost, ~60 s at ×100
       // — runs once per JVM instead of once per call per side.
-      val dh = graft.Memo(s, s"srcgrams:$d") {
-        Tables(s, d, "documents")
-          .withColumn("tk", textTokens)
-          .select(col("source"), explode(array_distinct(grams5)).as("g"))
-          .select(col("source"),
-            expr(hexFold("md5(g)", 15)).as("h"))
-          .distinct()
-          .localCheckpoint(eager = false)
-      }
+      val dh = srcGrams(s, d)
       val tot = dh.groupBy("source").agg(count(lit(1)).as("nd"))
       val shared = dh.as("x")
         .join(dh.as("y").hint("shuffle_hash"),

@@ -214,7 +214,12 @@ object Multimodal {
     // paths (q_llm_dedup_near, q_llm_dedup_semantic) are the
     // edit-tolerant tools; this is the byte-geometry one.
     "q_mm_dedup_phash" -> ((s, d) =>
-      phashDedup(Tables(s, d, "documents")))
+      phashDedup(Tables(s, d, "documents"))),
+
+    // 64-bit banded aHash near-dup — the scale-safe Hamming-≤2 geometry
+    // (4×16-bit bands, exact recall by pigeonhole); see [[phash64Dedup]].
+    "q_mm_dedup_phash64" -> ((s, d) =>
+      phash64Dedup(Tables(s, d, "documents")))
   )
 
   /** aHash dedup pipeline over (doc_id, text-as-payload): 32 positional
@@ -231,12 +236,14 @@ object Multimodal {
     docs.where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
 
-  /** (doc_id, phash): the 32-bit aHash over a phashBase frame — ONE
-    * hash definition shared by the Hamming-≤1 multi-probe dedup and the
-    * round-9 banded variant. */
-  private[graft] def phashFrame(base: org.apache.spark.sql.DataFrame)
-    : org.apache.spark.sql.DataFrame = {
-    val nBlk = 32
+  /** (doc_id, phash): the nBlk-bit aHash over a phashBase frame — ONE
+    * hash definition shared by the Hamming-≤1 multi-probe dedup (32
+    * blocks), the round-9 banded probe (same 32), and the round-10
+    * 64-bit banded operator (64 blocks: bit 63 rides the long's sign
+    * bit — harmless, XOR/bit_count/band-mask arithmetic is bit-pattern
+    * arithmetic in both engines). */
+  private[graft] def phashFrame(base: org.apache.spark.sql.DataFrame,
+      nBlk: Int = 32): org.apache.spark.sql.DataFrame = {
     val codes = base.select(col("doc_id"), col("n"),
       posexplode(expr(
         "transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))"))
@@ -310,6 +317,46 @@ object Multimodal {
     U.dupGroups(base, pairs)
   }
 
+  /** 64-bit banded aHash dedup — the deployment geometry the rejected
+    * 32-bit banded probe's own analysis names (BASELINE "banded aHash":
+    * band width must track log₂N — the multi-index-hashing law — and
+    * ≥16-bit bands need a 64-bit hash). 64 positional block means → a
+    * 64-bit hash, 4×16-bit bands as join keys, exact-Hamming ≤2
+    * confirm: by pigeonhole any two hashes within Hamming ≤3 share an
+    * intact band, so recall at the ≤2 confirm is EXACT (a provable
+    * property MinHash banding lacks; MultimodalSpec asserts grouping ≡
+    * brute-force Hamming-≤2 on constructed block corruptions). Cost
+    * law vs multi-probe at the same radius: 4 keys/doc vs the 2,081
+    * probes/doc a Hamming-≤2 ball enumeration needs on 64 bits, and a
+    * 16-bit fragment carries 65k buckets, so ×100's 500k docs average
+    * ~8 per bucket — the bucket-local join stays linear where the
+    * 8-bit fragment measured 217 s (×100 probe row in BASELINE.md).
+    * Same n_dups=0 caveat as q_mm_dedup_phash on this byte-shifting
+    * text stand-in corpus: the hashes and grouping machinery are the
+    * oracled substance. */
+  private[graft] def phash64Dedup(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val base = phashBase(docs)
+    val hashes = phashFrame(base, nBlk = 64)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(phash, ${b * 16}) & 65535").as("bits"))
+    }
+    val bk = hashes.select(col("doc_id"), col("phash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.phash").as("ha"),
+        col("y.doc_id").as("b"), col("y.phash").as("hb"))
+      .distinct()
+      .where(expr("bit_count(ha ^ hb) <= 2"))
+      .select("a", "b")
+    U.dupGroups(base, pairs)
+  }
+
   // The corpus is pure ASCII (verified: octet_length == length at every
   // sf), so DuckDB's per-character ascii() sees exactly the utf-8 bytes
   // the Scala side consumes.
@@ -317,11 +364,11 @@ object Multimodal {
     * in scope; the ONE mirror of [[phashFrame]] both dedup oracles
     * build on. Declared BEFORE the oracle map (a forward val reference
     * would interpolate null into the SQL). */
-  private val oPhashCte =
-    """base AS (SELECT doc_id, text, length(text) AS n
+  private def oPhashCteN(nBlk: Int) =
+    s"""base AS (SELECT doc_id, text, length(text) AS n
            FROM documents WHERE length(text) > 0),
          c AS (SELECT doc_id, n, text, unnest(range(0, n)) AS pos FROM base),
-         d AS (SELECT doc_id, n, (pos * 32) // n AS blk,
+         d AS (SELECT doc_id, n, (pos * $nBlk) // n AS blk,
                  CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS code
                FROM c),
          g AS (SELECT doc_id, n, blk, CAST(SUM(code) AS BIGINT) AS sb,
@@ -330,10 +377,17 @@ object Multimodal {
          t AS (SELECT *, CAST(SUM(sb) OVER (PARTITION BY doc_id) AS BIGINT) AS st
                FROM g),
          h AS (SELECT doc_id,
-                 CAST(SUM(CASE WHEN sb * n > st * nb
-                   THEN (CAST(1 AS BIGINT) << CAST(blk AS INT))
-                   ELSE 0 END) AS BIGINT) AS phash
+                 CAST(SUM(CASE WHEN sb * n <= st * nb THEN 0
+                   WHEN blk = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << CAST(blk AS INT))
+                   END) AS BIGINT) AS phash
                FROM t GROUP BY doc_id)"""
+  // blk=63 is the long's sign bit: DuckDB's << checks overflow where
+  // Spark's shiftleft wraps, so the mirror names MinValue directly —
+  // the same two's-complement bit pattern both engines then SUM into
+  // the hash (distinct powers: no carry, MinValue + positives in range)
+
+  private val oPhashCte = oPhashCteN(32)
 
   val oracle: Map[String, String] = Map(
     "q_mm_features" ->
@@ -456,6 +510,22 @@ object Multimodal {
            FROM h),
          pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM probes x JOIN h y ON x.probe = y.phash AND x.doc_id < y.doc_id),
+         ${U.oDupGroups("pairs", "base")}""",
+
+    // The 64-block mirror: band extraction is shift-then-mask, so the
+    // engines' arithmetic-vs-logical shift fill never reaches the low
+    // 16 bits, and xor/bit_count are two's-complement bit-pattern ops —
+    // the sign bit (block 63) costs nothing.
+    "q_mm_dedup_phash64" ->
+      s"""WITH ${oPhashCteN(64)},
+         bk AS (SELECT doc_id, phash, CAST(t.b AS INT) AS band,
+             (phash >> CAST(t.b * 16 AS INT)) & 65535 AS bits
+           FROM h, unnest(range(0, 4)) AS t(b)),
+         pairs AS (SELECT DISTINCT a, b FROM (
+             SELECT x.doc_id AS a, y.doc_id AS b, x.phash AS ha, y.phash AS hb
+             FROM bk x JOIN bk y ON x.band = y.band AND x.bits = y.bits
+               AND x.doc_id < y.doc_id)
+           WHERE bit_count(xor(ha, hb)) <= 2),
          ${U.oDupGroups("pairs", "base")}"""
   )
 }

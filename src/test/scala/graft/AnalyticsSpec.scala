@@ -205,6 +205,42 @@ class AnalyticsSpec extends SparkSpec {
       "banded grouping diverges from brute-force Hamming<=2")
   }
 
+  test("q_mm_dedup_phash64: 16-bit bands equal brute-force Hamming<=2; corruptions group") {
+    import spark.implicits._
+    // the DECLARED 64-bit geometry (4×16-bit bands — band width tracks
+    // log2 N, the multi-index-hashing law the rejected 8-bit probe
+    // violated): corpus-wide output equality against brute-force
+    // all-pairs Hamming<=2 over the 64-block hash
+    val docs = Tables(spark, sf, "documents")
+    val base = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val hashes = queries.Multimodal.phashFrame(base, nBlk = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      if java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) <= 2
+    } yield (hashes(i)._1, hashes(j)._1)
+    val want = queries.U.dupGroups(base, brute.toDF("a", "b")).collect()
+      .map(_.toString).sorted
+    val got = queries.Multimodal.phash64Dedup(docs)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq,
+      "64-bit banded grouping diverges from brute-force Hamming<=2")
+    // non-vacuous grouping on constructed byte-aligned corruptions: two
+    // same-length payloads differing in two bytes (two blocks touched →
+    // Hamming <=2 plus at-most-negligible global-mean drift) must land
+    // in one group; an unrelated payload stays a singleton
+    val payload = ("the quick brown fox jumps over the lazy dog " * 16).trim
+    val corrupt = payload.updated(5, 'Z').updated(400, '!').toString
+    val other = ("zzzz aaaa " + "m" * 600 + " qqqq").trim
+    val out = queries.Multimodal.phash64Dedup(
+        Seq((1L, payload), (2L, corrupt), (3L, other)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L) && out(2L) == (1L, 1L),
+      s"two-byte corruption not grouped at 64 bits: $out")
+    assert(out(3L) == (3L, 0L), s"unrelated payload grouped: $out")
+  }
+
   test("frame sampling keeps every 4th frame and tiles the payload") {
     val out = SparkEntry.queries("q_mm_frame_sample")(spark, sf)
     assert(out.where(col("frame_id") % 4 =!= 0).count() == 0)

@@ -212,6 +212,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_mm_dedup_phash64: band join is equi (bucket-local), no cartesian") {
+    val p = plan("q_mm_dedup_phash64")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_llm_source_overlap_triage: flagged-source semi-join below the gram self-join") {
+    val p = plan("q_llm_source_overlap_triage")
+    // the expensive leg must be restricted to flagged sources BEFORE the
+    // gram self-join (broadcast LeftSemi), and the self-join must stay
+    // the bucketed shuffle_hash equi-join — never a cartesian
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_llm_decontaminate_fuzzy: bench side broadcasts, candidate join is equi") {
     val p = plan("q_llm_decontaminate_fuzzy")
     assert(!p.contains("CartesianProduct"), p)

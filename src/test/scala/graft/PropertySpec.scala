@@ -112,6 +112,34 @@ class PropertySpec extends SparkSpec {
     assert(worst < 0.10, s"containment estimate off by $worst absolute")
   }
 
+  test("triage composite: flag set = sketch >= threshold; exact leg equals the oracled matrix") {
+    val triage = queries.Audit.queries("q_llm_source_overlap_triage")(spark, sf)
+      .collect()
+    assert(triage.nonEmpty, "no flagged pairs at fixture scale — vacuous")
+    // flag leg: exactly the sketch pairs at/above the one threshold
+    val wantFlags = queries.Audit.queries("q_llm_source_overlap_sketch")(spark, sf)
+      .collect()
+      .filter(_.getDouble(5) >= queries.Audit.triageThreshold)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val gotFlags = triage.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotFlags == wantFlags,
+      s"flag set diverges from sketch>=T: only-triage=${gotFlags -- wantFlags}, " +
+        s"only-sketch=${wantFlags -- gotFlags}")
+    // exact leg: per flagged pair, n_shared/containment (and the n_a/n_b
+    // totals) must equal the ORACLED full matrix's row — the composite's
+    // flagged-source gram restriction changes cost, never values
+    val exactRows = queries.Audit.queries("q_llm_source_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    triage.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (na, nb, ns, c) = exactRows(k)
+      assert(r.getLong(3) == na && r.getLong(4) == nb &&
+        r.getLong(5) == ns && r.getDouble(6) == c,
+        s"exact leg diverges for $k: $r vs ${exactRows(k)}")
+    }
+  }
+
   test("MinHash calibration: eq16<4 bins empty, pairs conserved, curve monotone-sane") {
     val rows = queries.Llm.queries("q_llm_dedup_minhash_calib")(spark, sf)
       .collect()
