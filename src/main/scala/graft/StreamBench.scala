@@ -55,6 +55,35 @@ object StreamBench {
     }
   }
 
+  /** Shared replay harness of the two band-collide variants: the
+    * documents band-key frame in doc_id order through `mk`, memory sink
+    * so emitted/distinct pair counts land in the JSON row. */
+  private def runBands(name: String, spark: SparkSession, sfDir: String,
+      batchRows: Int)(
+      mk: org.apache.spark.sql.Dataset[graft.streaming.Streams.BandKeyRow]
+        => DataFrame): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bandRows = graft.queries.Llm.bandKeyFrame(spark, sfDir)
+      .selectExpr("CAST(band_id AS INT) AS band_id", "bkey", "doc_id")
+      .orderBy("doc_id")
+      .as[graft.streaming.Streams.BandKeyRow].collect()
+    val mem = MemoryStream[graft.streaming.Streams.BandKeyRow]
+    val q = mk(mem.toDS()).writeStream.format("memory")
+      .queryName(s"sb_$name").outputMode("append").start()
+    val t0 = System.nanoTime()
+    bandRows.grouped(batchRows).foreach { c =>
+      mem.addData(c.toSeq); q.processAllAvailable()
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    val st = stateJson(q)
+    val emitted = spark.table(s"sb_$name").count()
+    val pairs = spark.table(s"sb_$name").select("a", "b").distinct().count()
+    q.stop()
+    val rps = if (dt > 0) bandRows.length / dt else 0.0
+    println(f"""{"metric":"stream_${name}_rocksdb","rows":${bandRows.length},"batches":${(bandRows.length + batchRows - 1) / batchRows},"sec":$dt%.2f,"rows_per_sec":$rps%.0f,"emitted":$emitted,"cand_pairs":$pairs,$st,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,26 +147,90 @@ object StreamBench {
       // band-key frame (not events) in doc_id order — state = one doc
       // list per band bucket (key count tracks distinct band keys, the
       // dedup family's shuffle-key cardinality), the newest state shape
-      // in the kit: many tiny lists instead of multitouch's few dense ones
+      // in the kit: many tiny lists instead of multitouch's few dense
+      // ones. Round 10: memory sink (candidate volume is n·dup-rate —
+      // tiny) so emitted-pair counts land in the artifact; the TTL'd
+      // variant's pair DELTA vs this row is the window's honest loss.
       case "bandcollide" =>
+        runBands("bandcollide", spark, sfDir, batchRows)(
+          ds => graft.streaming.Streams.bandCollide(ds).toDF())
+      // the TTL'd deployment variant: bucket lists age out
+      // SPARK_GRAFT_BAND_TTL_MS (default 2000) after their last write.
+      // A ProcessingTime-TimeMode query never quiesces on its own — TTL
+      // cleanup keeps reporting work, so BOTH processAllAvailable and
+      // Trigger.AvailableNow spin empty micro-batches forever (measured:
+      // 1,501 committed offsets before the harness killed it). The
+      // scenario therefore drives checkpointed Trigger.Once DRAINS over
+      // a file source — exactly ONE micro-batch per drain, then stop —
+      // 4 chunk drains, sleeping ttl+1s between them, so every prior
+      // drain's bucket entries are expired when the next chunk arrives.
+      // The row prices BOTH sides of the trade: trailing-window state
+      // instead of full history, and emitted pairs missing exactly the
+      // cross-window collisions whose elder fell out first (A/B against
+      // the unbounded bandcollide row's cand_pairs).
+      case "bandcollide_ttl" =>
+        val ttlMs = sys.env.getOrElse("SPARK_GRAFT_BAND_TTL_MS", "2000").toLong
+        import org.apache.spark.sql.streaming.Trigger
         val bandRows = graft.queries.Llm.bandKeyFrame(spark, sfDir)
           .selectExpr("CAST(band_id AS INT) AS band_id", "bkey", "doc_id")
           .orderBy("doc_id")
           .as[graft.streaming.Streams.BandKeyRow].collect()
-        val mem = MemoryStream[graft.streaming.Streams.BandKeyRow]
-        val q = graft.streaming.Streams.bandCollide(mem.toDS()).toDF()
-          .writeStream.format("noop").outputMode("append").start()
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sb_bandttl"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val schema = graft.queries.Llm.bandKeyFrame(spark, sfDir)
+          .selectExpr("CAST(band_id AS INT) AS band_id", "bkey", "doc_id").schema
+        val nChunks = 4
+        val chunkSz = (bandRows.length + nChunks - 1) / nChunks
         val t0 = System.nanoTime()
-        bandRows.grouped(batchRows).foreach { c =>
+        var lastState = "\"state_rows\":-1"
+        bandRows.grouped(chunkSz).zipWithIndex.foreach { case (chunk, i) =>
+          if (i > 0) Thread.sleep(ttlMs + 1000)
+          chunk.toSeq.toDF("band_id", "bkey", "doc_id")
+            .coalesce(1).write.mode("append").parquet(s"$base/src")
+          val stream = spark.readStream.schema(schema).parquet(s"$base/src")
+            .as[graft.streaming.Streams.BandKeyRow]
+          val q = graft.streaming.Streams.bandCollideTtl(stream, ttlMs).toDF()
+            .writeStream.format("parquet").option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ck")
+            .outputMode("append").trigger(Trigger.Once()).start()
+          q.awaitTermination(180000)
+          lastState = stateJson(q)
+          q.stop()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val outDf = spark.read.parquet(s"$base/out")
+        val emitted = outDf.count()
+        val pairs = outDf.select("a", "b").distinct().count()
+        println(f"""{"metric":"stream_bandcollide_ttl${ttlMs}_rocksdb","rows":${bandRows.length},"batches":$nChunks,"sec":$dt%.2f,"emitted":$emitted,"cand_pairs":$pairs,$lastState,"sf":"$sfDir"}""")
+      // end-to-end online dedup: one doc-arrival row per document
+      // (trigram set + band keys) through the three chained stateful
+      // stages — the state total spans the bucket lists PLUS both hops'
+      // per-doc shingle sets (the 2× set payload the scaladoc names as
+      // the price of exact online confirm)
+      case "dedupconfirm" =>
+        val docRows = graft.queries.Llm.docArrivalFrame(spark, sfDir)
+          .select("doc_id", "shingles", "bands")
+          .orderBy("doc_id")
+          .as[graft.streaming.Streams.DocArrival].collect()
+        val mem = MemoryStream[graft.streaming.Streams.DocArrival]
+        val q = graft.streaming.Streams.dedupConfirm(mem.toDS()).toDF()
+          .writeStream.format("memory").queryName("sb_dedupconfirm")
+          .outputMode("append").start()
+        val t0 = System.nanoTime()
+        docRows.grouped(batchRows).foreach { c =>
           mem.addData(c.toSeq); q.processAllAvailable()
         }
         val dt = (System.nanoTime() - t0) / 1e9
         val st = stateJson(q)
+        val emitted = spark.table("sb_dedupconfirm").count()
+        val pairs = spark.table("sb_dedupconfirm")
+          .select("a", "b").distinct().count()
         q.stop()
-        val rps = if (dt > 0) bandRows.length / dt else 0.0
-        println(f"""{"metric":"stream_bandcollide_rocksdb","rows":${bandRows.length},"batches":${(bandRows.length + batchRows - 1) / batchRows},"sec":$dt%.2f,"rows_per_sec":$rps%.0f,$st,"sf":"$sfDir"}""")
+        val rps = if (dt > 0) docRows.length / dt else 0.0
+        println(f"""{"metric":"stream_dedupconfirm_rocksdb","rows":${docRows.length},"batches":${(docRows.length + batchRows - 1) / batchRows},"sec":$dt%.2f,"rows_per_sec":$rps%.0f,"emitted":$emitted,"confirmed_pairs":$pairs,$st,"sf":"$sfDir"}""")
       case other =>
-        sys.error(s"unknown scenario $other (session|kalman|chained|multitouch|bandcollide)")
+        sys.error(s"unknown scenario $other (session|kalman|chained|" +
+          "multitouch|bandcollide|bandcollide_ttl|dedupconfirm)")
     }
     spark.stop()
   }
