@@ -183,13 +183,25 @@ object Audit {
     // columns equal the oracled full matrix's rows for exactly the
     // sketch-flagged pair set.
     "q_llm_source_overlap_triage" -> ((s, d) => {
-      val flagged = sourceOverlapSketch(s, d)
-        .where(col("containment_est") >= triageThreshold)
-        .select(col("source_a"), col("source_b"), col("containment_est"))
+      // flagged pair set memoized + persisted: its lineage is the whole
+      // sketch pipeline (a corpus scan), and it feeds FIVE consumers
+      // below (the pair frame, the source set, and through dhF the
+      // tot/shared legs) — without the memo each consumer re-ran the
+      // sketch build (measured ×100 warm 332 s; the full exact matrix
+      // is 41 s). Same discipline for the restricted gram frame.
+      val flagged = graft.Memo(s, s"overlap-flagged:$d") {
+        sourceOverlapSketch(s, d)
+          .where(col("containment_est") >= triageThreshold)
+          .select(col("source_a"), col("source_b"), col("containment_est"))
+          .persist()
+      }
       val flaggedSrcs = flagged.select(col("source_a").as("source"))
         .union(flagged.select(col("source_b").as("source"))).distinct()
-      val dhF = srcGrams(s, d)
-        .join(broadcast(flaggedSrcs), Seq("source"), "left_semi")
+      val dhF = graft.Memo(s, s"overlap-dhf:$d") {
+        srcGrams(s, d)
+          .join(broadcast(flaggedSrcs), Seq("source"), "left_semi")
+          .persist()
+      }
       val tot = dhF.groupBy("source").agg(count(lit(1)).as("nd"))
       val shared = dhF.as("x")
         .join(dhF.as("y").hint("shuffle_hash"),
