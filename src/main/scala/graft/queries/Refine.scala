@@ -164,13 +164,25 @@ object Refine {
     val centG = Learn.trainedCentFrame(s, d, cells)
       .select(col("cid").as("gcell"), col("c").as("gc"))
     // residuals on the 1e-6 grid: r = grid(x) − centroid(cell(x)) — one
-    // broadcast map pass over the assignment frame, no extra shuffle
-    val res = cand.select(col("cid2").as("vec_id"), col("ccell").as("gcell"),
-        expr("transform(ce, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
-          .as("q"))
-      .join(broadcast(centG), "gcell")
-      .select(col("vec_id"), col("gcell"),
-        expr("zip_with(q, gc, (x, y) -> x - y)").as("r"))
+    // broadcast map pass over the assignment frame, no extra shuffle.
+    // Memoized + LAZY localCheckpoint (not persist): the coarse
+    // trainer's logical lineage rides in through `cand`, and the Lloyd
+    // loop + encode below reference `res` nine times — with persist the
+    // ANALYZER re-walked the multiplied ~20k-node tree on every
+    // invocation (measured: the declared query's warm bench time went
+    // 1.6 → 20.4 s, pure driver-side analysis + the GC smear it threw
+    // over neighboring bench queries). localCheckpoint truncates the
+    // LOGICAL plan to a LogicalRDD immediately while staying lazy, so
+    // plan-only consumers remain execution-free.
+    val res = graft.Memo(s, s"pq-res:$d:$cells") {
+      cand.select(col("cid2").as("vec_id"), col("ccell").as("gcell"),
+          expr("transform(ce, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+            .as("q"))
+        .join(broadcast(centG), "gcell")
+        .select(col("vec_id"), col("gcell"),
+          expr("zip_with(q, gc, (x, y) -> x - y)").as("r"))
+        .localCheckpoint(false)
+    }
     // one codebook per subspace, trained on RESIDUAL slices: seeds
     // indexed arithmetically from the stride construction (no window),
     // then ROUNDS Lloyd iterations entirely on the sample — constant
@@ -242,11 +254,18 @@ object Refine {
     // growth-rule cell counts where a shuffled hash join is the honest
     // strategy (the code side is the big side either way)
     val dtabSide = if (cells <= 64) broadcast(dtab) else dtab
-    codes.join(dtabSide, Seq("gcell", "m", "code"))
-      .where(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("cid"), col("d2"))
-      .groupBy("qid", "cid")
-      .agg(sum(col("d2")).as("adc"))
+    // final ADC frame memoized + lazily checkpoint-truncated like `res`:
+    // the declared query and the re-rank probe each window over it, and
+    // the query-side tables still carry the coarse trainer's lineage —
+    // per-invocation analysis must stop at a LogicalRDD leaf
+    graft.Memo(s, s"pq-adc:$d:$cells") {
+      codes.join(dtabSide, Seq("gcell", "m", "code"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("cid"), col("d2"))
+        .groupBy("qid", "cid")
+        .agg(sum(col("d2")).as("adc"))
+        .localCheckpoint(false)
+    }
   }
 
   val queries: Map[String, Q] = Map(
