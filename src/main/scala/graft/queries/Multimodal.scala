@@ -293,7 +293,9 @@ object Multimodal {
     * pairs at any gate scale), failing the house vacuity rule for a
     * declared operator. Deployment answer: banding earns its keys at a
     * 64-bit hash with ≥16-bit bands (4×16 ⇒ radius ≤3 exact, 65k
-    * buckets); below that, enumerate the ball. */
+    * buckets); below that, enumerate the ball — DECLARED in round 10 as
+    * [[phash64Dedup]] (`q_mm_dedup_phash64`), whose ×100 cost is
+    * output-bound (true pair volume), not bucket-bound. */
   private[graft] def phashBandedDedup(docs: org.apache.spark.sql.DataFrame)
     : org.apache.spark.sql.DataFrame = {
     val base = phashBase(docs)
