@@ -563,6 +563,44 @@ object Streams {
     * with the batch path). */
   case class BandRef(band_id: Int, bkey: String)
   case class DocArrival(doc_id: Long, shingles: Seq[String], bands: Seq[BandRef])
+
+  /** Row-wise [[DocArrival]] derivation from RAW text — the true ingest
+    * head of the dedup pipeline (the replay specs feed precomputed
+    * batch frames; a production stream maps each arriving document
+    * through THIS function — stateless, per-row, no shuffle before the
+    * band-collide stage). Bit-exact with the batch definitions by
+    * construction: the same single-space tokenizer, the same
+    * distinct-trigram shingle set, the same 16 `md5(gram|i)` draws
+    * folded through the first-12-hex-digit integer fold, the same
+    * 4-rows-per-band `md5(mh,mh,mh,mh)` keys — StreamingSpec asserts
+    * corpus-wide equality against `Llm.docArrivalFrame`, so the two
+    * heads cannot drift. Docs with fewer than 3 tokens have no trigram
+    * set and no signature — None, matching the batch frames' inner
+    * join. */
+  def docArrivalOf(docId: Long, text: String): Option[DocArrival] = {
+    val tk = text.split(" ", -1)
+    if (tk.length < 3) None
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i + 2 < tk.length) {
+        seen += s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"
+        i += 1
+      }
+      val grams = seen.toSeq
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val sig = (0 until 16).map { h =>
+        grams.map(g =>
+          java.lang.Long.parseLong(md5hex(s"$g|$h").substring(0, 12), 16)).min
+      }
+      val bands = (0 until 4).map { b =>
+        BandRef(b, md5hex((0 until 4).map(j => sig(b * 4 + j)).mkString(",")))
+      }
+      Some(DocArrival(docId, grams.sorted, bands))
+    }
+  }
   /** Internal message of the confirm stages: a doc's shingle set
     * (`is_set`) or a candidate pair in flight, `key` = the endpoint the
     * current hop routes by, `set` = the payload accumulated so far. */

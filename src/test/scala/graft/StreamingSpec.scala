@@ -980,6 +980,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("docArrivalOf derives the batch frames bit-exactly from raw text") {
+    // the true ingest head: the row-wise Scala derivation must equal
+    // the batch SQL derivation (tokenizer, distinct trigrams, 16-hash
+    // md5 minhash signature, 4-row band keys) on every corpus doc —
+    // one definition, two heads, zero drift
+    val want = docArrivals
+      .map(d => d.doc_id ->
+        ((d.shingles.toList, d.bands.map(b => (b.band_id, b.bkey)).toList)))
+      .toMap
+    val texts = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = texts.flatMap { case (id, t) =>
+      Streams.docArrivalOf(id, t).map(d => d.doc_id ->
+        ((d.shingles.toList, d.bands.map(b => (b.band_id, b.bkey)).toList)))
+    }.toMap
+    assert(got.keySet == want.keySet,
+      s"doc set diverges: only-scala=${(got.keySet -- want.keySet).take(5)}, " +
+        s"only-batch=${(want.keySet -- got.keySet).take(5)}")
+    val bad = want.keys.filter(k => got(k) != want(k))
+    assert(bad.isEmpty,
+      s"${bad.size} docs diverge, first: ${bad.headOption.map(k => (k, got(k), want(k)))}")
+  }
+
   test("confirm hop stashes a candidate that outruns its set, drains on arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
