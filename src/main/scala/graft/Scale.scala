@@ -362,7 +362,11 @@ object Scale {
       // what that compression costs against the EXACT integer-grid L2
       // top-3 over all candidates, on the query set the declared query
       // caps (vec_id < 32). Truth uses L2 ordering (not dot): that is
-      // the metric PQ approximates.
+      // the metric PQ approximates. Since round 11 the DECLARED entry
+      // derives coarse cells from N (Refine.cellsFor — same bits rule as
+      // this probe), so these rows read the growth-rule recall at every
+      // scale; the explicit c16 rows below are the fixed-geometry
+      // CONTROL (what the pre-round-11 declared form served).
       val grid = emb.select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
         .as("g"))
@@ -395,28 +399,26 @@ object Scale {
         val nPq2 = pqQs.count()
         println(f"""{"dir":"$d","probe":"simsearch_pq_rerank50","k":3,"n_queries":$nPq2,"recall":${rrHits.toDouble / (3 * nPq2)}%.4f}""")
       }
-      // Growth-rule residual PQ: coarse cells ∝ N (the same bits rule
-      // the trained-IVF probes apply). Under it per-cell population —
-      // and hence residual spread — stays CONSTANT, so the fixed 12-bit
-      // code budget keeps its per-cell precision at any N; the declared
-      // fixed-16-cell rows above price what happens when cells do NOT
-      // grow (residuals widen ∝ N/cells and the codes saturate).
+      // Fixed-geometry CONTROL: coarse cells pinned at 16 regardless of
+      // N — the pre-round-11 declared form. At scale per-cell population
+      // grows ∝ N/16, residual spread widens with it, and the fixed
+      // 12-bit code budget saturates (measured 0.00 ADC recall at
+      // ×10/×100) — the decay the declared growth rule exists to stop.
       if (bits > 4) {
-        val cellsG = 1 << bits
         val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-        if (want(s"simsearch_pq_res_c$cellsG")) {
-          val adcG = graft.queries.Refine.pqAdcScores(spark, d, cellsG)
+        if (want("simsearch_pq_res_c16fixed")) {
+          val adcF = graft.queries.Refine.pqAdcScores(spark, d, 16)
             .withColumn("rnk", row_number().over(wA))
             .where(col("rnk") <= 3).select("qid", "cid")
-          val gHits = adcG.join(truthL2, Seq("qid", "cid"), "left_semi").count()
-          val nG = pqQs.count()
-          println(f"""{"dir":"$d","probe":"simsearch_pq_res_c$cellsG","k":3,"n_queries":$nG,"recall":${gHits.toDouble / (3 * nG)}%.4f}""")
+          val fHits = adcF.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+          val nF = pqQs.count()
+          println(f"""{"dir":"$d","probe":"simsearch_pq_res_c16fixed","k":3,"n_queries":$nF,"recall":${fHits.toDouble / (3 * nF)}%.4f}""")
         }
-        if (want(s"simsearch_pq_res_c${cellsG}_rerank50")) {
-          val rrG = graft.queries.Refine.pqRerank(spark, d, 50, cellsG)
-          val gHits = rrG.join(truthL2, Seq("qid", "cid"), "left_semi").count()
-          val nG = pqQs.count()
-          println(f"""{"dir":"$d","probe":"simsearch_pq_res_c${cellsG}_rerank50","k":3,"n_queries":$nG,"recall":${gHits.toDouble / (3 * nG)}%.4f}""")
+        if (want("simsearch_pq_res_c16fixed_rerank50")) {
+          val rrF = graft.queries.Refine.pqRerank(spark, d, 50, 16)
+          val fHits = rrF.join(truthL2, Seq("qid", "cid"), "left_semi").count()
+          val nF = pqQs.count()
+          println(f"""{"dir":"$d","probe":"simsearch_pq_res_c16fixed_rerank50","k":3,"n_queries":$nF,"recall":${fHits.toDouble / (3 * nF)}%.4f}""")
         }
       }
     }

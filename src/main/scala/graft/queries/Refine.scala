@@ -13,7 +13,8 @@ import U._
   *
   * Scale notes, per operator:
   *  - simsearch_pq: the IVF-PQ memory story, RESIDUAL-encoded (round
-  *    10). Vectors first assign to the memoized 16-cell trained coarse
+  *    10), coarse cells ∝ N (round 11 — [[Refine.cellsFor]]; 16 at the
+  *    gate scales). Vectors first assign to the memoized trained coarse
   *    quantizer (shared with q_llm_knn_graph_trained — zero extra
   *    training), then PQ quantizes x − centroid(x): codebooks are M×K
   *    tiny tables trained on a stride SAMPLE of residuals (cost
@@ -103,6 +104,29 @@ object Refine {
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
       .as("q"))
 
+  /** Quantizer-growth rule, DECLARED (round 11): coarse cells =
+    * 2^max(4, round(log₂(N/125))) — the same cells-∝-N law `graft.Scale
+    * recall` anchors at the fixture's ~2k vectors → 16 cells (so every
+    * gate scale ≤ sf0.1 resolves to 16 and the fixed-16 DuckDB mirror
+    * stays exact), 128 at ×10, 2048 at ×100. Growing cells with N keeps
+    * per-cell population — hence residual spread — CONSTANT, which is
+    * what lets the fixed M=4×K=8 code budget hold its per-cell precision
+    * at any N: the round-10 fixed-16 A/B measured pure-ADC recall
+    * collapsing to 0.00 at ×10/×100 while cells ∝ N held 0.04/0.03
+    * (ADC) and 0.29/0.27 (shortlist-rerank) — BASELINE.md ANN table.
+    * One memoized count job per (session, corpus): sizing a quantizer
+    * from corpus statistics is the index-build phase every IVF system
+    * runs before serving; the declared plan itself stays fully lazy. */
+  private[graft] def cellsForCount(n: Long): Int =
+    1 << math.max(4,
+      math.round(math.log(n / 125.0) / math.log(2.0)).toInt)
+
+  private[graft] def cellsFor(s: org.apache.spark.sql.SparkSession,
+      d: String): Int =
+    graft.Memo(s, s"pq-cells:$d") {
+      cellsForCount(Tables(s, d, "embeddings").count())
+    }
+
   /** Shortlist-then-re-rank PQ retrieval (IVF-PQ's actual serving
     * architecture): ADC ranks a `shortlist`-deep candidate set per query
     * (compressed codes only), then ONLY those ≤shortlist rows join back
@@ -111,7 +135,7 @@ object Refine {
     * compression costs when PQ is used as designed (a shortlist stage),
     * not as the final ranking. */
   private[graft] def pqRerank(s: org.apache.spark.sql.SparkSession, d: String,
-      shortlist: Int, cells: Int = 16): org.apache.spark.sql.DataFrame = {
+      shortlist: Int, cells: Int = -1): org.apache.spark.sql.DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
     val short = pqAdcScores(s, d, cells)
       .withColumn("rk", row_number().over(wA)).where(col("rk") <= shortlist)
@@ -147,14 +171,16 @@ object Refine {
     * (Q·probes·M·K), the composition q_llm_knn_graph_trained already
     * demonstrates. The candidate side never touches a raw vector after
     * encoding: one byte-scale code row per vector per subspace. */
-  /** `cells` parametrizes the coarse quantizer for the Scale recall
-    * probe: the DECLARED (oracled) query runs cells=16; the probe also
-    * measures the quantizer-growth rule (cells ∝ N — the same law every
-    * other ANN member in BASELINE.md applies), under which per-cell
-    * population and hence residual spread stay CONSTANT, so the fixed
-    * M×K code budget keeps constant per-cell precision at any N. */
+  /** `cells` parametrizes the coarse quantizer. The default −1 derives
+    * it from the corpus via [[cellsFor]] (the quantizer-growth rule,
+    * cells ∝ N) — since round 11 that IS the declared form: the round-10
+    * fixed-16 declared plan's own ANN table showed pure-ADC recall 0.00
+    * at ×10/×100, so the growth rule every other ANN member applies
+    * moved into the declared operator. An explicit positive `cells`
+    * pins the geometry for A/B probes (`graft.Scale recall`). */
   private[graft] def pqAdcScores(s: org.apache.spark.sql.SparkSession,
-      d: String, cells: Int = 16): org.apache.spark.sql.DataFrame = {
+      d: String, cells0: Int = -1): org.apache.spark.sql.DataFrame = {
+    val cells = if (cells0 > 0) cells0 else cellsFor(s, d)
     graft.functions.GraftFunctions.register(s)
     // coarse assignment: the memoized cells/5-probe frames every
     // trained-quantizer consumer shares; cand = (cid2, ce, clabel,
@@ -271,7 +297,12 @@ object Refine {
   val queries: Map[String, Q] = Map(
 
     // Product-quantization similarity search — the declared top-3-by-ADC
-    // surface over the shared [[pqAdcScores]] pipeline.
+    // surface over the shared [[pqAdcScores]] pipeline. Coarse cells are
+    // DERIVED from corpus size (the [[cellsFor]] growth rule, round 11):
+    // 16 at every gate scale — where the fixed-16 DuckDB mirror below is
+    // therefore exact — growing to 128/2048 at ×10/×100 so answer
+    // quality survives scale (the measured 0.29/0.27 rerank recall vs
+    // the fixed form's 0.09/0.02, BASELINE.md ANN table).
     "q_llm_simsearch_pq" -> ((s, d) => {
       val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
       pqAdcScores(s, d)

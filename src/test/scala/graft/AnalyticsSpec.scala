@@ -226,19 +226,32 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.toSeq == want.toSeq,
       "64-bit banded grouping diverges from brute-force Hamming<=2")
-    // non-vacuous grouping on constructed byte-aligned corruptions: two
-    // same-length payloads differing in two bytes (two blocks touched →
-    // Hamming <=2 plus at-most-negligible global-mean drift) must land
-    // in one group; an unrelated payload stays a singleton
+    // non-vacuous grouping THROUGH THE DECLARED ENTRY (round 11 — the
+    // fixture corpus has no byte-aligned near-dups, so every gate-scale
+    // run legitimately returns all-zero n_dups and only this constructed
+    // corpus exercises the operator's grouping logic end-to-end): a
+    // byte-aligned corruption corpus written as a documents table, read
+    // back via SparkEntry.queries — two same-length payloads differing
+    // in two bytes (two blocks touched → Hamming <=2 plus at-most-
+    // negligible global-mean drift) must land in one group with
+    // n_dups > 0; unrelated payloads stay singletons.
     val payload = ("the quick brown fox jumps over the lazy dog " * 16).trim
     val corrupt = payload.updated(5, 'Z').updated(400, '!').toString
+    val pay2 = ("sphinx of black quartz judge my vow again and " * 14).trim
+    val corrupt2 = pay2.updated(30, '#').toString
     val other = ("zzzz aaaa " + "m" * 600 + " qqqq").trim
-    val out = queries.Multimodal.phash64Dedup(
-        Seq((1L, payload), (2L, corrupt), (3L, other)).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("phash64corpus").toString
+    Seq((1L, payload), (2L, corrupt), (3L, other), (4L, pay2), (5L, corrupt2))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_mm_dedup_phash64")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(1L) == (1L, 1L) && out(2L) == (1L, 1L),
       s"two-byte corruption not grouped at 64 bits: $out")
+    assert(out(4L) == (4L, 1L) && out(5L) == (4L, 1L),
+      s"one-byte corruption not grouped at 64 bits: $out")
     assert(out(3L) == (3L, 0L), s"unrelated payload grouped: $out")
+    assert(out.values.map(_._2).sum > 0, "declared query returned all-zero n_dups")
   }
 
   test("frame sampling keeps every 4th frame and tiles the payload") {

@@ -74,6 +74,24 @@ class RefineSpec extends SparkSpec {
         "distance — barely better than random selection")
   }
 
+  test("q_llm_simsearch_pq: declared quantizer-growth rule — 16 cells at every gate scale, ∝N beyond") {
+    // the declared entry derives coarse cells from corpus size; the rule
+    // must resolve to 16 wherever the fixed-16 DuckDB mirror runs (any
+    // gate scale) and reproduce the measured probe grid beyond it —
+    // 2k → 16 (sf0.1 anchor), 20k → 128 (×10), 200k → 2048 (×100)
+    assert(Refine.cellsFor(spark, sf) === 16,
+      "fixture corpus must resolve to the oracle's 16-cell geometry")
+    assert(Refine.cellsForCount(125L) === 16)
+    assert(Refine.cellsForCount(2000L) === 16)
+    assert(Refine.cellsForCount(20000L) === 128)
+    assert(Refine.cellsForCount(200000L) === 2048)
+    // monotone non-decreasing in N: a bigger corpus never gets a
+    // coarser quantizer
+    val grid = Seq(100L, 1000L, 5000L, 50000L, 500000L, 5000000L)
+      .map(Refine.cellsForCount)
+    assert(grid.zip(grid.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q_ts_cusum: matches an independent Scala fold over the same windows") {
     val rows = Tables(spark, sf, "events")
       .select("user_id", "event_id", "value").collect()
