@@ -146,7 +146,15 @@ object GraftTsv {
   * freshly renamed next-generation parts mid-commit. Serialize writers
   * externally (one writing job per output directory — the normal batch
   * topology); this sink detects and repairs CRASHED commits, not
-  * CONCURRENT ones.
+  * CONCURRENT ones. Since round 11 the requirement is FAIL-SAFE, not
+  * just documented: `commit()` takes a best-effort `_GRAFT_LOCK` lease
+  * (atomic create-no-overwrite — a real mutex on HDFS/local FS, advisory
+  * on stores without atomic create) before touching anything, releases
+  * it when the commit finishes or throws, and a second writer arriving
+  * under a live lease is REFUSED loudly instead of destructively racing;
+  * a lease older than the staleness bound is a crashed holder and is
+  * broken (the crashed commit's on-disk state is then repaired by the
+  * normal recovery paths below).
   */
 class GraftCommitSink extends TableProvider {
   // write-only source: the schema always comes from the incoming frame
@@ -194,8 +202,10 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
   /** Read the committed manifest: its generation (first line `#gen\tG`;
     * absent/legacy manifests read as generation 0, no manifest at all as
     * -1) and its (file, rows) entries. */
-  private def readManifest(fs: FileSystem, dir: Path): (Long, Seq[(String, Long)]) = {
-    val man = new Path(dir, "_GRAFT_COMMIT")
+  private def readManifest(fs: FileSystem, dir: Path): (Long, Seq[(String, Long)]) =
+    readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
+
+  private def readManifestFile(fs: FileSystem, man: Path): (Long, Seq[(String, Long)]) = {
     if (!fs.exists(man)) (-1L, Nil)
     else {
       val in = new java.io.BufferedReader(
@@ -224,11 +234,61 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     "^_GRAFT_COMMIT\\.g(\\d+)\\.tmp$".r.findFirstMatchIn(name)
       .map(_.group(1).toLong).getOrElse(-1L)
 
+  /** A lease held longer than this is a crashed holder (no commit here
+    * runs remotely that long) and is broken by the next writer. */
+  private val leaseStaleMs = 10L * 60 * 1000
+
+  /** Best-effort single-writer lease: atomically create `_GRAFT_LOCK`
+    * (create-no-overwrite — atomic on HDFS and the local FS; advisory on
+    * object stores without atomic create, where an external lock service
+    * is the real answer). A LIVE foreign lease refuses this commit
+    * loudly — the destructive alternative is two writers reading the
+    * same `curGen` and the later one's sweep deleting the other's
+    * freshly renamed parts. A STALE lease (older than [[leaseStaleMs]])
+    * is a crashed holder: break it and take over — the crashed commit's
+    * on-disk state is whatever seam it died at, which the recovery paths
+    * in [[commit]] already repair. */
+  private def acquireLease(fs: FileSystem, dir: Path): Path = {
+    val lock = new Path(dir, "_GRAFT_LOCK")
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.write((s"${java.util.UUID.randomUUID()}\t" +
+          s"${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val st =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      val ageMs = st.map(s => System.currentTimeMillis() - s.getModificationTime)
+      if (ageMs.exists(_ < leaseStaleMs))
+        throw new java.io.IOException(
+          s"$dir is being committed by another writer (lease $lock, " +
+            s"age ${ageMs.get} ms) — single writer per directory is a " +
+            "protocol requirement; refusing to race it")
+      fs.delete(lock, false)
+      if (!tryCreate())
+        throw new java.io.IOException(
+          s"could not acquire lease $lock after breaking a stale one " +
+            "(another writer took it) — refusing to race")
+    }
+    lock
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    val lease = acquireLease(fs, dir)
+    try commitLocked(fs, dir, messages)
+    finally { fs.delete(lease, false); () }
+  }
+
+  private def commitLocked(fs: FileSystem, dir: Path,
+      messages: Array[WriterCommitMessage]): Unit = {
     // The manifest is the ONLY commit point. New parts carry a
     // generation counter in their names so they can never collide with
     // (or clobber) the previous generation's files — the old generation
@@ -253,18 +313,53 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
           .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         val stranded = Option(fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp")))
           .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        // only NAME-CONFORMING tmp manifests are recovery candidates: a
+        // non-parsing `_GRAFT_COMMIT.*.tmp` (manual damage) has tmpGen
+        // -1 and promoting it would install garbage as the manifest —
+        // split('\t') MatchError at best, a wrong generation whose
+        // gen>curGen sweep deletes committed parts at worst
+        val conforming = stranded.filter(s => tmpGen(s.getPath.getName) >= 0L)
         if (parts.isEmpty && stranded.isEmpty) (rawGen, rawPrior)
-        else if (stranded.nonEmpty) {
-          val newest = stranded.maxBy(s => tmpGen(s.getPath.getName))
+        else if (conforming.nonEmpty) {
+          val newest = conforming.maxBy(s => tmpGen(s.getPath.getName))
+          val nameGen = tmpGen(newest.getPath.getName)
+          // ALL validation BEFORE the rename: a post-promotion throw
+          // would leave a bogus/too-old manifest installed that the NEXT
+          // commit trusts — and its gen>curGen sweep would delete
+          // committed data. The write order (tmp manifest strictly after
+          // its generation's part renames; tmps swept at every commit
+          // start) makes the newest tmp's gen ≥ every on-disk part gen
+          // and its content gen ≡ its name gen — anything else is manual
+          // damage and is refused, never promoted.
+          val recovered @ (recGen, _) =
+            try readManifestFile(fs, newest.getPath)
+            catch {
+              case e: Exception => throw new java.io.IOException(
+                s"stranded tmp manifest ${newest.getPath} does not parse " +
+                  "— refusing to promote it; manual recovery required", e)
+            }
+          if (recGen != nameGen)
+            throw new java.io.IOException(
+              s"stranded tmp manifest ${newest.getPath} carries content " +
+                s"generation $recGen under name generation $nameGen — " +
+                "refusing to promote damaged metadata; manual recovery required")
+          val maxPart = parts.iterator
+            .flatMap(s => partGen(s.getPath.getName)).foldLeft(-1L)(math.max)
+          if (recGen < maxPart)
+            throw new java.io.IOException(
+              s"stranded tmp manifest generation $recGen is older than " +
+                s"on-disk part generation $maxPart in $dir — refusing to " +
+                "sweep newer committed data; manual recovery required")
           if (!fs.rename(newest.getPath, new Path(dir, "_GRAFT_COMMIT")))
             throw new java.io.IOException(
               s"manifest recovery failed for ${newest.getPath}")
-          readManifest(fs, dir)
+          recovered
         } else
           throw new java.io.IOException(
-            s"$dir has part files but no manifest and no tmp manifest to " +
-              "recover from — refusing to sweep committed data; manual " +
-              "recovery required")
+            s"$dir has part files but no manifest and no " +
+              (if (stranded.nonEmpty) "name-conforming " else "") +
+              "tmp manifest to recover from — refusing to sweep " +
+              "committed data; manual recovery required")
       }
     // Crash-recovery sweep BEFORE publishing: a driver that died mid-commit
     // (after some renames, before the manifest swap) leaves part files whose

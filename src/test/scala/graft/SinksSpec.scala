@@ -338,6 +338,105 @@ class SinksSpec extends SparkSpec {
       "promoted tmp manifest left behind")
   }
 
+  test("two interleaved committers: the second is refused by the live lease") {
+    val dir = freshDir("lease")
+    Files.createDirectories(Paths.get(dir))
+    // writer A is mid-commit: its lease is on disk and fresh
+    Files.write(Paths.get(dir, "_GRAFT_LOCK"),
+      s"writer-a\t${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(1L, "b")); val m = w.commit()
+    val ex = intercept[java.io.IOException] {
+      new GraftCommitWrite(dir, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](m))
+    }
+    assert(ex.getMessage.contains("another writer"),
+      s"wrong failure mode: ${ex.getMessage}")
+    assert(new java.io.File(dir, "_GRAFT_LOCK").exists(),
+      "refused committer must not delete the holder's lease")
+    assert(partFiles(dir).isEmpty && !new java.io.File(dir, "_GRAFT_COMMIT").exists(),
+      "refused committer must publish nothing")
+    // writer A finishes (lease released) → the retry commits normally
+    // and releases its own lease afterwards
+    Files.delete(Paths.get(dir, "_GRAFT_LOCK"))
+    val w2 = fac.createWriter(0, 2L)
+    w2.write(row(1L, "b")); val m2 = w2.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m2))
+    assert(manifest(dir).map(_._2).sum === 1L)
+    assert(!new java.io.File(dir, "_GRAFT_LOCK").exists(),
+      "successful commit must release its lease")
+  }
+
+  test("a stale lease (crashed holder) is broken and the commit proceeds") {
+    val dir = freshDir("stalelease")
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_GRAFT_LOCK")
+    Files.write(lock, "crashed-writer\t0\n".getBytes("UTF-8"))
+    // age the lease past the staleness bound (10 min)
+    assert(lock.toFile.setLastModified(
+      System.currentTimeMillis() - 11L * 60 * 1000))
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(1L, "x")); val m = w.commit()
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](m))
+    assert(manifest(dir).map(_._2).sum === 1L, "commit blocked by a stale lease")
+    assert(!new java.io.File(dir, "_GRAFT_LOCK").exists(),
+      "broken-and-retaken lease must be released after the commit")
+  }
+
+  test("missing-manifest recovery refuses a non-conforming or too-old tmp manifest") {
+    // a junk-named tmp (tmpGen = -1) must never be promoted: installing
+    // it as the manifest would at best MatchError on read and at worst
+    // install a wrong generation whose sweep deletes committed parts
+    val dir = freshDir("junktmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "part-00000-g0001.tsv"),
+      "1\tcommitted\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.damaged.tmp"),
+      "not a manifest\n".getBytes("UTF-8"))
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(2L, "new")); val m = w.commit()
+    val ex = intercept[java.io.IOException] {
+      new GraftCommitWrite(dir, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](m))
+    }
+    assert(ex.getMessage.contains("manual recovery"),
+      s"wrong failure mode: ${ex.getMessage}")
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT").exists(),
+      "junk tmp promoted into place")
+    assert(new String(Files.readAllBytes(
+      Paths.get(dir, "part-00000-g0001.tsv")), "UTF-8") === "1\tcommitted\n",
+      "refusal path must not touch the existing part files")
+    // a conforming tmp whose generation is OLDER than an on-disk part
+    // (impossible under the write order — manual damage) is refused
+    // BEFORE promotion, so the next commit can't trust it and sweep
+    val dir2 = freshDir("oldtmp")
+    Files.createDirectories(Paths.get(dir2))
+    Files.write(Paths.get(dir2, "part-00000-g0002.tsv"),
+      "1\tnewer\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir2, "_GRAFT_COMMIT.g1.tmp"),
+      "#gen\t1\npart-00000-g0001.tsv\t1\n".getBytes("UTF-8"))
+    val w2 = fac.createWriter(0, 2L)
+    w2.write(row(3L, "z")); val m2 = w2.commit()
+    val ex2 = intercept[java.io.IOException] {
+      new GraftCommitWrite(dir2, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](m2))
+    }
+    assert(ex2.getMessage.contains("older than"),
+      s"wrong failure mode: ${ex2.getMessage}")
+    assert(!new java.io.File(dir2, "_GRAFT_COMMIT").exists(),
+      "too-old tmp promoted into place")
+    assert(new java.io.File(dir2, "_GRAFT_COMMIT.g1.tmp").exists(),
+      "refusal must leave the evidence in place for manual recovery")
+    assert(new String(Files.readAllBytes(
+      Paths.get(dir2, "part-00000-g0002.tsv")), "UTF-8") === "1\tnewer\n",
+      "newer committed part swept")
+  }
+
   test("parts but no manifest and no tmp: commit fails loudly, sweeps nothing") {
     val dir = freshDir("nomanifest")
     Files.createDirectories(Paths.get(dir))
