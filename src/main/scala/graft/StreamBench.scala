@@ -193,7 +193,11 @@ object StreamBench {
             .writeStream.format("parquet").option("path", s"$base/out")
             .option("checkpointLocation", s"$base/ck")
             .outputMode("append").trigger(Trigger.Once()).start()
-          q.awaitTermination(180000)
+          // a drain that outruns the timeout was stopped MID-BATCH — its
+          // emitted/state numbers would silently under-report in the
+          // artifact; fail loudly instead (the StreamingSpec discipline)
+          if (!q.awaitTermination(180000))
+            sys.error("bandcollide_ttl drain did not terminate in 180 s")
           lastState = stateJson(q)
           q.stop()
         }
@@ -228,9 +232,54 @@ object StreamBench {
         q.stop()
         val rps = if (dt > 0) docRows.length / dt else 0.0
         println(f"""{"metric":"stream_dedupconfirm_rocksdb","rows":${docRows.length},"batches":${(docRows.length + batchRows - 1) / batchRows},"sec":$dt%.2f,"rows_per_sec":$rps%.0f,"emitted":$emitted,"confirmed_pairs":$pairs,$st,"sf":"$sfDir"}""")
+      // TTL'd END-TO-END dedup (round 11 — the deployment form of the
+      // dedupconfirm scenario): all three stages' states age out
+      // SPARK_GRAFT_BAND_TTL_MS after their last write. Driven like
+      // bandcollide_ttl (checkpointed Trigger.Once drains, ttl+1s sleeps
+      // between chunks so every prior drain's entries are expired). The
+      // row prices the trade end-to-end: bounded trailing-window state
+      // vs the unbounded dedupconfirm row, and confirmed_pairs missing
+      // exactly the cross-window dups (delta vs that row's
+      // confirmed_pairs — and vs the batch confirm, printed alongside).
+      case "dedupconfirm_ttl" =>
+        val ttlMs = sys.env.getOrElse("SPARK_GRAFT_BAND_TTL_MS", "2000").toLong
+        import org.apache.spark.sql.streaming.Trigger
+        val arrivals = graft.queries.Llm.docArrivalFrame(spark, sfDir)
+          .select("doc_id", "shingles", "bands")
+        val docRows = arrivals.orderBy("doc_id")
+          .as[graft.streaming.Streams.DocArrival].collect()
+        val batchPairs = graft.queries.Llm.confirmedPairs(spark, sfDir).count()
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sb_confirmttl"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val nChunks = 4
+        val chunkSz = (docRows.length + nChunks - 1) / nChunks
+        val t0 = System.nanoTime()
+        var lastState = "\"state_rows\":-1"
+        docRows.grouped(chunkSz).zipWithIndex.foreach { case (chunk, i) =>
+          if (i > 0) Thread.sleep(ttlMs + 1000)
+          chunk.toSeq.toDS().coalesce(1)
+            .write.mode("append").parquet(s"$base/src")
+          val stream = spark.readStream.schema(arrivals.schema)
+            .parquet(s"$base/src")
+            .as[graft.streaming.Streams.DocArrival]
+          val q = graft.streaming.Streams.dedupConfirmTtl(stream, ttlMs).toDF()
+            .writeStream.format("parquet").option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ck")
+            .outputMode("append").trigger(Trigger.Once()).start()
+          if (!q.awaitTermination(180000))
+            sys.error("dedupconfirm_ttl drain did not terminate in 180 s")
+          lastState = stateJson(q)
+          q.stop()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val outDf = spark.read.parquet(s"$base/out")
+        val emitted = outDf.count()
+        val pairs = outDf.select("a", "b").distinct().count()
+        println(f"""{"metric":"stream_dedupconfirm_ttl${ttlMs}_rocksdb","rows":${docRows.length},"batches":$nChunks,"sec":$dt%.2f,"emitted":$emitted,"confirmed_pairs":$pairs,"batch_confirm_pairs":$batchPairs,$lastState,"sf":"$sfDir"}""")
       case other =>
         sys.error(s"unknown scenario $other (session|kalman|chained|" +
-          "multitouch|bandcollide|bandcollide_ttl|dedupconfirm)")
+          "multitouch|bandcollide|bandcollide_ttl|dedupconfirm|" +
+          "dedupconfirm_ttl)")
     }
     spark.stop()
   }

@@ -577,6 +577,30 @@ object Streams {
     * heads cannot drift. Docs with fewer than 3 tokens have no trigram
     * set and no signature — None, matching the batch frames' inner
     * join. */
+  /** UTF-8 binary string order — the collation Spark's `sort_array`
+    * applies (UTF8String compares raw utf-8 bytes). Scala's default
+    * String ordering compares UTF-16 code units, which diverges for
+    * supplementary-plane characters (surrogates sort above U+E000..FFFF
+    * in UTF-16 but below them in UTF-8), so the stream head sorts with
+    * THIS ordering to keep the bit-exact-equality contract with the
+    * batch `docArrivalFrame` on any corpus, not just ASCII. Dedup
+    * semantics never depended on it (Jaccard/minhash are set/min based);
+    * the ordering is the equality contract's, and StreamingSpec's. */
+  private[graft] val utf8BinaryOrder: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val xa = a.getBytes("UTF-8"); val xb = b.getBytes("UTF-8")
+        val n = math.min(xa.length, xb.length)
+        var i = 0
+        while (i < n) {
+          val c = (xa(i) & 0xff) - (xb(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        xa.length - xb.length
+      }
+    }
+
   def docArrivalOf(docId: Long, text: String): Option[DocArrival] = {
     val tk = text.split(" ", -1)
     if (tk.length < 3) None
@@ -598,7 +622,7 @@ object Streams {
       val bands = (0 until 4).map { b =>
         BandRef(b, md5hex((0 until 4).map(j => sig(b * 4 + j)).mkString(",")))
       }
-      Some(DocArrival(docId, grams.sorted, bands))
+      Some(DocArrival(docId, grams.sorted(utf8BinaryOrder), bands))
     }
   }
   /** Internal message of the confirm stages: a doc's shingle set
@@ -619,11 +643,15 @@ object Streams {
     extends StatefulProcessor[Long, AttachMsg, O] {
     @transient protected var myset: ValueState[DocSet] = _
     @transient protected var pending: ListState[AttachMsg] = _
+    /** State TTL — NONE (the batch-equivalent unbounded form) unless a
+      * TTL'd deployment subclass overrides; a TTL requires the query to
+      * run under TimeMode.ProcessingTime. */
+    protected def ttlConf: TTLConfig = TTLConfig.NONE
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       myset = getHandle.getValueState[DocSet]("set",
-        Encoders.product[DocSet], TTLConfig.NONE)
+        Encoders.product[DocSet], ttlConf)
       pending = getHandle.getListState[AttachMsg]("pending",
-        Encoders.product[AttachMsg], TTLConfig.NONE)
+        Encoders.product[AttachMsg], ttlConf)
     }
     /** What the hop does with a candidate once the key's set is known. */
     protected def emit(m: AttachMsg, set: Seq[String]): Iterator[O]
@@ -719,5 +747,61 @@ object Streams {
     sets.union(hop1).groupByKey(_.key)
       .transformWithState(new SetConfirmProcessor(thresh), TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** TTL'd hop 1 — [[SetAttachProcessor]] whose per-doc shingle set and
+    * pending list age out `ttlMs` after their last write. */
+  class SetAttachTtlProcessor(ttlMs: Long) extends SetAttachProcessor {
+    override protected def ttlConf: TTLConfig =
+      TTLConfig(java.time.Duration.ofMillis(ttlMs))
+  }
+
+  /** TTL'd hop 2 — [[SetConfirmProcessor]] with the same aging. */
+  class SetConfirmTtlProcessor(thresh: Double, ttlMs: Long)
+    extends SetConfirmProcessor(thresh) {
+    override protected def ttlConf: TTLConfig =
+      TTLConfig(java.time.Duration.ofMillis(ttlMs))
+  }
+
+  /** TTL'd DEPLOYMENT form of [[dedupConfirm]] (round 11, declared test
+    * surface — previously the TTL existed only on the StreamBench
+    * candidate stage): the same three chained stages, every state TTL'd
+    * at `ttlMs` — stage 1's bucket doc lists ([[BandCollideTtlProcessor]])
+    * and both set hops' per-doc shingle sets + pending lists — under
+    * TimeMode.ProcessingTime (a TTL's required time mode).
+    *
+    * Semantics vs the unbounded form, by construction: a pair is
+    * confirmed iff BOTH endpoints arrived within one `ttlMs` window of
+    * each other — stage 1 loses cross-window band collisions (the elder
+    * occupant aged out of the bucket), and a candidate that somehow
+    * outlives its endpoints' sets is dropped when its pending stash ages
+    * out rather than held forever. Within a window (e.g. an in-order
+    * replay that drains faster than the TTL) the output is set-equal to
+    * the unbounded form — StreamingSpec asserts both sides: equality to
+    * the batch confirm under a generous TTL, and the constructed
+    * cross-window pair loss under a tight one. This is the bounded-state
+    * posture a 100 TB ingest actually deploys: state is the trailing
+    * window's documents, not the corpus.
+    *
+    * Driving caveat (measured, BASELINE.md): a ProcessingTime-TimeMode
+    * query never quiesces — TTL cleanup keeps scheduling micro-batches,
+    * so `processAllAvailable`/`Trigger.AvailableNow` spin forever; drive
+    * drains with `Trigger.Once` over a checkpointed file source. */
+  def dedupConfirmTtl(docs: Dataset[DocArrival], ttlMs: Long,
+      thresh: Double = 0.8): Dataset[ConfirmedPair] = {
+    import docs.sparkSession.implicits._
+    val bands = docs.flatMap(d =>
+      d.bands.map(b => BandKeyRow(b.band_id, b.bkey, d.doc_id)))
+    val cands = bandCollideTtl(bands, ttlMs)
+    val sets = docs.map(d =>
+      AttachMsg(d.doc_id, is_set = true, d.doc_id, -1L, d.shingles))
+    val half = cands.map(c =>
+      AttachMsg(c.a, is_set = false, c.a, c.b, Seq.empty))
+    val hop1 = sets.union(half).groupByKey(_.key)
+      .transformWithState(new SetAttachTtlProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+    sets.union(hop1).groupByKey(_.key)
+      .transformWithState(new SetConfirmTtlProcessor(thresh, ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

@@ -980,6 +980,107 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL'd dedup confirm: equals batch under a generous window, survives restart") {
+    // the DEPLOYMENT form (every state TTL'd, TimeMode.ProcessingTime):
+    // with a window that outlives the replay nothing ages out, so the
+    // confirmed set must equal the batch exact-Jaccard confirm — and the
+    // two-drain shape doubles as the checkpoint-restart case (drain 2
+    // resumes from drain 1's RocksDB state across a fresh query)
+    import org.apache.spark.sql.streaming.Trigger
+    withRocksDb {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_confirmttl"
+      wipe(new java.io.File(base))
+      val arrivals = queries.Llm.docArrivalFrame(spark, sf)
+        .select(col("doc_id"), col("shingles"), col("bands"))
+      val med = arrivals.agg(expr("percentile_approx(doc_id, 0.5)")).first().getLong(0)
+      arrivals.where(col("doc_id") <= med).coalesce(1).write.parquet(s"$base/src")
+      def drain(): Unit = {
+        import spark.implicits._
+        val stream = spark.readStream.schema(arrivals.schema).parquet(s"$base/src")
+          .as[Streams.DocArrival]
+        // ProcessingTime TimeMode never quiesces (TTL cleanup keeps
+        // scheduling batches) — Trigger.Once is the drain protocol
+        val q = Streams.dedupConfirmTtl(stream, ttlMs = 3600L * 1000).toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .outputMode("append").trigger(Trigger.Once()).start()
+        assert(q.awaitTermination(240000), "ttl confirm drain did not terminate")
+      }
+      drain()
+      arrivals.where(col("doc_id") > med).coalesce(1).write.mode("append")
+        .parquet(s"$base/src")
+      drain()
+      val got = spark.read.parquet(s"$base/out").select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = batchConfirmed
+      assert(got === want, "TTL'd confirm (generous window) diverges from batch: " +
+        s"stream-only=${(got -- want).take(5)}, batch-only=${(want -- got).take(5)}")
+      assert(got.exists { case (a, b) => a <= med && b > med },
+        "no cross-restart confirmed pairs — TTL'd state did not carry")
+    }
+  }
+
+  test("TTL'd dedup confirm: a cross-window pair is lost, the same pair in-window confirms") {
+    // what the TTL loses, pinned on a constructed pair: two near-dup docs
+    // (trigram Jaccard ≥ 0.8 by construction) fed TTL-apart must NOT
+    // confirm (the elder aged out of every state before the newer
+    // arrived); the same two docs inside one window MUST confirm — so the
+    // miss is provably the window, not a banding accident
+    import org.apache.spark.sql.streaming.Trigger
+    withRocksDb {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      val toks = (1 to 40).map(i => s"tok$i")
+      val textA = toks.mkString(" ")
+      val textB = (toks.dropRight(1) :+ "changed").mkString(" ")
+      val docA = Streams.docArrivalOf(1L, textA).get
+      val docB = Streams.docArrivalOf(2L, textB).get
+      val sa = docA.shingles.toSet; val sb = docB.shingles.toSet
+      val jac = (sa & sb).size.toDouble / (sa | sb).size
+      assert(jac >= 0.8, f"constructed pair's true Jaccard $jac%.3f below threshold")
+      val schema = org.apache.spark.sql.Encoders.product[Streams.DocArrival].schema
+      def run(tag: String, together: Boolean, ttlMs: Long): Set[(Long, Long)] = {
+        import spark.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ttlloss_$tag"
+        wipe(new java.io.File(base))
+        def drain(): Unit = {
+          val stream = spark.readStream.schema(schema).parquet(s"$base/src")
+            .as[Streams.DocArrival]
+          val q = Streams.dedupConfirmTtl(stream, ttlMs).toDF()
+            .writeStream.format("parquet").option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ck")
+            .outputMode("append").trigger(Trigger.Once()).start()
+          assert(q.awaitTermination(240000), s"$tag drain did not terminate")
+        }
+        if (together) {
+          Seq(docA, docB).toDS().coalesce(1).write.parquet(s"$base/src")
+          drain()
+        } else {
+          Seq(docA).toDS().coalesce(1).write.parquet(s"$base/src")
+          drain()
+          Thread.sleep(ttlMs + 1500)
+          Seq(docB).toDS().coalesce(1).write.mode("append").parquet(s"$base/src")
+          drain()
+        }
+        spark.read.parquet(s"$base/out").select("a", "b").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val inWindow = run("inwin", together = true, ttlMs = 3600L * 1000)
+      assert(inWindow === Set((1L, 2L)),
+        s"in-window constructed pair did not confirm: $inWindow")
+      val crossWindow = run("crosswin", together = false, ttlMs = 2000L)
+      assert(crossWindow.isEmpty,
+        s"cross-window pair survived a 2 s TTL: $crossWindow")
+    }
+  }
+
   test("docArrivalOf derives the batch frames bit-exactly from raw text") {
     // the true ingest head: the row-wise Scala derivation must equal
     // the batch SQL derivation (tokenizer, distinct trigrams, 16-hash
@@ -1002,6 +1103,29 @@ class StreamingSpec extends SparkSpec {
     val bad = want.keys.filter(k => got(k) != want(k))
     assert(bad.isEmpty,
       s"${bad.size} docs diverge, first: ${bad.headOption.map(k => (k, got(k), want(k)))}")
+  }
+
+  test("docArrivalOf shingle order matches sort_array beyond the basic plane") {
+    // the bit-exact contract with the batch head must hold for
+    // supplementary-plane text too: UTF-16 code-unit order puts a
+    // surrogate-pair char (U+1F600, utf-8 f0 9f 98 80) BELOW U+FFFD
+    // (utf-8 ef bf bd) while UTF-8 binary order — sort_array's — puts it
+    // above; the stream head must sort like the batch side
+    val emoji = new String(Character.toChars(0x1F600))
+    val high = "�"
+    assert(Ordering.String.compare(emoji, high) < 0, "UTF-16 premise")
+    assert(Streams.utf8BinaryOrder.compare(emoji, high) > 0, "UTF-8 order")
+    val text = s"$emoji $high zz $emoji $high zz aa"
+    val got = Streams.docArrivalOf(7L, text).get.shingles
+    import spark.implicits._
+    val want = Seq(Tuple1(text)).toDF("text")
+      .selectExpr(
+        """sort_array(array_distinct(transform(
+             sequence(1, size(split(text, ' ', -1)) - 2),
+             i -> concat_ws(' ', slice(split(text, ' ', -1), i, 3))))) AS s""")
+      .first().getSeq[String](0)
+    assert(got.toList === want.toList,
+      s"stream-head shingle order diverges from sort_array: $got vs $want")
   }
 
   test("confirm hop stashes a candidate that outruns its set, drains on arrival") {
