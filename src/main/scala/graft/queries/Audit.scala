@@ -160,13 +160,36 @@ object Audit {
         .localCheckpoint(eager = false)
     }
 
-  /** Triage threshold on the sketch containment estimate: pairs at or
-    * above it get the exact gram join. Sits above the sketch's measured
-    * ±0.05–0.08 absolute bracket floor (BASELINE.md), so a flag is a
-    * signal, not sketch noise; the fixture flags a handful of its 190
-    * pairs (non-vacuous at every gate scale). ONE definition
-    * interpolated into the query and its specs. */
-  private[graft] val triageThreshold = 0.05
+  /** Triage screen calibration (round 11 — the previous bare 0.05
+    * estimate cutoff sat at the EDGE of the instrument's own error
+    * bracket, so a true ~0.05-containment pair could estimate 0 and be
+    * silently missed, and at sf0.1 the single flagged pair was
+    * indistinguishable from bracket noise — measured this round).
+    *
+    * The screen is a GUARANTEED-RECALL instrument, calibrated from two
+    * declared constants:
+    *  - [[sketchBracket]]: the sketch containment estimate's worst
+    *    measured absolute error (±0.05–0.08 across the three BASELINE.md
+    *    scales; the declared constant holds the worst end);
+    *  - [[triageTarget]]: the true-containment level the triage
+    *    GUARANTEES to surface — set ABOVE the bracket, because a target
+    *    the instrument cannot resolve against its own noise is not a
+    *    guarantee (the round-10 flaw in one number).
+    * The estimate cutoff is derived, not chosen:
+    * [[triageThreshold]] = target − bracket. Any pair with true
+    * containment ≥ target estimates ≥ threshold wherever the bracket
+    * holds, so it CANNOT be silently missed at any scale — false
+    * negatives were the failure mode; a false positive costs one
+    * bounded, sources²-capped exact join and is adjudicated by the
+    * exact columns in the output (a flag is a CANDIDATE, the exact leg
+    * is the verdict). PropertySpec proves the guarantee on a
+    * constructed corpus with a pair at exactly the target; ScaleSpec
+    * proves the flag is scale-stable (the same true-target pair flags
+    * at ×1 and ×8). ONE definition interpolated into the query and its
+    * specs. */
+  private[graft] val sketchBracket = 0.08
+  private[graft] val triageTarget = 0.12
+  private[graft] val triageThreshold = triageTarget - sketchBracket
 
   val queries: Map[String, Q] = Map(
 

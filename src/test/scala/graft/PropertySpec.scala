@@ -140,6 +140,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triage guarantee: a pair at the target containment is flagged and adjudicated exactly") {
+    // the screen's calibration identity — the estimate cutoff is DERIVED
+    // (target − bracket), never hand-picked below the instrument's noise
+    assert(queries.Audit.triageThreshold ===
+      queries.Audit.triageTarget - queries.Audit.sketchBracket)
+    assert(queries.Audit.triageTarget > queries.Audit.sketchBracket,
+      "a target the instrument cannot resolve against its own bracket is not a guarantee")
+    // constructed corpus: containment(srcA, srcB) = 0.12 = target exactly
+    // (the real corpus has no pair near the target — this is the only
+    // non-vacuous probe of the guarantee); srcC is gram-disjoint
+    val dir = TriageFixture.write(spark, 1)
+    val triage = queries.Audit.queries("q_llm_source_overlap_triage")(spark, dir)
+      .collect()
+    val ab = triage.find(r => r.getString(0) == "srcA" && r.getString(1) == "srcB")
+    assert(ab.nonEmpty,
+      s"true-target pair MISSED by the screen — the guarantee is broken: " +
+        s"flagged=${triage.map(r => (r.getString(0), r.getString(1))).toSeq}")
+    // exact leg adjudicates: n_shared and containment are the constructed
+    // truth, and the estimate that flagged it sits inside the bracket
+    assert(ab.get.getLong(5) === 12L, s"n_shared: ${ab.get}")
+    assert(ab.get.getDouble(6) === 0.12, s"exact containment: ${ab.get}")
+    assert(math.abs(ab.get.getDouble(2) - 0.12) <= queries.Audit.sketchBracket,
+      s"estimate ${ab.get.getDouble(2)} outside the declared bracket at truth 0.12")
+    // the disjoint pairs must not flag (nothing to adjudicate): on a
+    // corpus this small the sketch is near-exact, so an A-C/B-C flag
+    // would be a real screen defect, not bracket noise
+    assert(!triage.exists(r => r.getString(1) == "srcC"),
+      s"gram-disjoint source flagged: ${triage.toSeq}")
+  }
+
   test("MinHash calibration: eq16<4 bins empty, pairs conserved, curve monotone-sane") {
     val rows = queries.Llm.queries("q_llm_dedup_minhash_calib")(spark, sf)
       .collect()

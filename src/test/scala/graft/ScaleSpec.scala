@@ -103,6 +103,28 @@ class ScaleSpec extends SparkSpec {
         s"intra-copy dot drifted for pair ($i, $j)")
   }
 
+  test("triage target-band flag is scale-stable: the same true-target pair flags at x1 and x8") {
+    // the guarantee the derived threshold buys (target − bracket, see
+    // Audit): a pair whose TRUE containment sits at the target must be
+    // flagged at EVERY corpus size — provably not sketch noise, which
+    // flips pairs scale to scale (measured round 11: the old 0.05 cutoff
+    // flagged 20/16/1 entirely different pairs at the three gate scales).
+    // The constructed corpus replicates with disjoint per-copy grams, so
+    // containment(A, B) = 0.12 = target at any size while totals scale.
+    Seq(1, 8).foreach { k =>
+      val d = TriageFixture.write(spark, k)
+      val triage = queries.Audit.queries("q_llm_source_overlap_triage")(spark, d)
+        .collect()
+      val ab = triage.find(r =>
+        r.getString(0) == "srcA" && r.getString(1) == "srcB")
+      assert(ab.nonEmpty, s"x$k: true-target pair not flagged — scale-unstable")
+      assert(ab.get.getLong(5) === 12L * k && ab.get.getDouble(6) === 0.12,
+        s"x$k: exact leg drifted: ${ab.get}")
+      assert(!triage.exists(r => r.getString(1) == "srcC"),
+        s"x$k: gram-disjoint source flagged: ${triage.toSeq}")
+    }
+  }
+
   test("events keep strict event_id <-> ts co-ordering after replication") {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
