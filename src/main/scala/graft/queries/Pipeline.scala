@@ -206,6 +206,26 @@ object Pipeline {
       s.read.schema(sup.schema).orc(out).orderBy("s_suppkey")
     }),
 
+    // Avro roundtrip: the row-oriented interchange format every
+    // Kafka/ingest boundary speaks — write the customer dim to Avro,
+    // read it back with the original schema (avro's long/int/double/
+    // string map 1:1 onto the dim's catalyst types). The output IS the
+    // source table (the ORC-roundtrip convention), so the oracle reads
+    // the table directly and any Avro type mangling breaks the hash
+    // compare. Addressed by the FileFormat class name: this Spark 4.1
+    // distribution bundles the complete avro FileFormat (reader, writer,
+    // schema converters) inside spark-sql but without the shortname
+    // service registration the standalone spark-avro module carries, so
+    // format("avro") throws failed-to-find while the class-name form is
+    // the same code end-to-end.
+    "q_source_avro_roundtrip" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+      val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val out = tmpDir(s"avro_${d.replaceAll("[^0-9.]", "")}")
+      cust.write.mode("overwrite").format(fmt).save(out)
+      s.read.schema(cust.schema).format(fmt).load(out).orderBy("c_custkey")
+    }),
+
     // Small-files compaction: streaming ingests and over-parallel writes
     // leave thousands of KB-scale files; compaction rewrites them at a
     // target file count. Here: fragment orders into 64 files, compact
@@ -423,6 +443,9 @@ object Pipeline {
 
     "q_source_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "q_source_avro_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
 
     "q_sink_compaction" ->
       s"""SELECT o_orderpriority, COUNT(*) AS cnt,

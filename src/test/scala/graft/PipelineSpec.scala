@@ -131,6 +131,12 @@ class PipelineSpec extends SparkSpec {
     assert(rt.toSeq == src.toSeq)
   }
 
+  test("avro roundtrip preserves the customer table exactly") {
+    val rt = q("q_source_avro_roundtrip").collect()
+    val src = Tables(spark, sf, "customer").orderBy("c_custkey").collect()
+    assert(rt.toSeq == src.toSeq)
+  }
+
   test("compaction collapses the file count and conserves the data") {
     q("q_sink_compaction").collect() // runs the fragment → compact pipeline
     def parts(dir: String): Int = {
