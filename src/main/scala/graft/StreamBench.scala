@@ -95,6 +95,10 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // sized codegen cache: the Spark-default 100-entry LRU thrashes on a
+      // 320-query surface (measured round 11: 4,341 warm recompiles, bench
+      // 139.4 -> 92.3 s at 8192 — BASELINE.md "codegen cache")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // track sizes so stateMemory/rocksdb metrics are populated

@@ -13,6 +13,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // sized codegen cache: the Spark-default 100-entry LRU thrashes on a
+      // 320-query surface (measured round 11: 4,341 warm recompiles, bench
+      // 139.4 -> 92.3 s at 8192 — BASELINE.md "codegen cache")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
