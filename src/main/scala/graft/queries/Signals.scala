@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import U._
@@ -27,6 +28,47 @@ object Signals {
   /** The fixed demo query — three mid-frequency corpus terms. */
   private val QueryTerms = Seq("spark", "hash", "join")
 
+  /** The declared BM25 top-20 ranking (doc_id, n_terms, score) — the one
+    * frame both `q_llm_bm25` and its grading twin `q_llm_retrieval_ndcg`
+    * walk, so the evaluated ranking cannot drift from the declared ranker.
+    * See the q_llm_bm25 entry comment for the plan discipline.
+    */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), size(textTokens).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val tf = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(textTokens).as("term"))
+      .where(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 9)
+          .as("idf"))
+    tf.join(broadcast(idf), "term")
+      .join(docs.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(col("idf") * (col("tf") * (K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) *
+            (col("dl") * col("n")).cast("double") / col("sdl"))), 9)
+          .as("ts_term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("ts_term").cast("decimal(18,9)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  /** Per-rank NDCG contribution on the exactness grid: gain 2^rel−1 is an
+    * exact integer (rel ≤ 3), the log2 discount is libm ⇒ rounded to the
+    * 1e-9 grid BEFORE the division (the ppl_proxy rule), and the quotient
+    * is rounded again so both engines sum identical grid points. */
+  private def dcgContrib(relCol: String, rankCol: String): Column =
+    round(expr(s"CAST(shiftleft(1L, CAST($relCol AS INT)) - 1L AS DOUBLE)") /
+      round(log(2.0, col(rankCol).cast("double") + 1.0), 9), 9)
+
   val queries: Map[String, Q] = Map(
     // BM25 retrieval scoring — the lexical ranking function under every
     // search-based curation / decontamination pass. Per-(doc, term) tf
@@ -39,31 +81,55 @@ object Signals {
     // DECIMAL(18,9) sum so partition order can't perturb the emitted
     // double. Top-20 via a TakeOrdered heap. Linear in corpus size at
     // any scale; the only shuffle is the (doc, term) group-by.
-    "q_llm_bm25" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), size(textTokens).as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
-      val tf = Tables(s, d, "documents")
+    "q_llm_bm25" -> ((s, d) => bm25Ranked(s, d)),
+
+    // Retrieval-quality grading of the DECLARED BM25 ranking — the eval
+    // side the ranker was missing (a curation pipeline that searches its
+    // corpus publishes NDCG@k/MRR next to the ranker, not just scores).
+    // Ground truth is the term-coverage grade rel = |distinct query terms
+    // present| ∈ {1,2,3} — derived from the corpus itself, so the metric
+    // is deterministic and engine-portable. The actual list is the shared
+    // bm25Ranked frame (rank = its own (score desc, doc_id) order); the
+    // ideal list is the rel-descending top-10 over ALL matched docs via a
+    // TakeOrdered heap — never a global sort; the matched-doc frame is the
+    // same query-filtered explode BM25 walks, ∝ |matching docs| ≪ N.
+    // Gains 2^rel−1 are exact integers; log2 discounts round to the 1e-9
+    // grid before dividing (dcgContrib); cumulative DCG/IDCG ride
+    // DECIMAL(18,9) sums over a ≤10-row rank window (dim-bounded by the
+    // heaps — the arm-partitioned-window rule, not a data-sized window);
+    // NDCG@r = round(dcg/idcg, 9). MRR = 1/rank of the first fully
+    // relevant (rel=3) doc in the top-20, 0.0 when absent — a 1-row
+    // broadcast. Every frame after the two heaps is KB-scale at any N.
+    "q_llm_retrieval_ndcg" -> ((s, d) => {
+      val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+      val ranked = bm25Ranked(s, d)
+        .withColumn("rank", row_number().over(wAll).cast("long"))
+      val actual = ranked.where(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("n_terms").as("rel"))
+      val relAll = Tables(s, d, "documents")
         .select(col("doc_id"), explode(textTokens).as("term"))
         .where(col("term").isin(QueryTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"),
-          round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 9)
-            .as("idf"))
-      tf.join(broadcast(idf), "term")
-        .join(docs.hint("shuffle_hash"), "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          round(col("idf") * (col("tf") * (K1 + 1.0)) /
-            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) *
-              (col("dl") * col("n")).cast("double") / col("sdl"))), 9)
-            .as("ts_term"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("ts_term").cast("decimal(18,9)")).cast("double").as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .groupBy("doc_id").agg(countDistinct("term").as("rel"))
+      val ideal = relAll.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .select(row_number().over(
+            Window.orderBy(col("rel").desc, col("doc_id")))
+            .cast("long").as("rank"),
+          col("rel").as("ideal_rel"))
+      val mrr = ranked.where(col("n_terms") === 3)
+        .agg(min("rank").as("fr"))
+        .select(coalesce(round(lit(1.0) / col("fr"), 9), lit(0.0)).as("mrr"))
+      val wc = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      actual.join(ideal, "rank")
+        .withColumn("dcg", sum(dcgContrib("rel", "rank")
+          .cast("decimal(18,9)")).over(wc).cast("double"))
+        .withColumn("idcg", sum(dcgContrib("ideal_rel", "rank")
+          .cast("decimal(18,9)")).over(wc).cast("double"))
+        .withColumn("ndcg", round(col("dcg") / col("idcg"), 9))
+        .crossJoin(broadcast(mrr))
+        .select(col("rank"), col("doc_id"), col("rel"), col("ideal_rel"),
+          col("dcg"), col("idcg"), col("ndcg"), col("mrr"))
+        .orderBy("rank")
     }),
 
     // Count-min sketch — the mergeable point-frequency summary (the CMS
@@ -243,10 +309,12 @@ object Signals {
         .orderBy("doc_id", "bucket"))
   )
 
-  val oracle: Map[String, String] = Map(
-    "q_llm_bm25" -> {
-      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+  /** The BM25 oracle's shared CTE chain (docs → stats → tf → idf → sc →
+    * ranked) — one text, two oracles, mirroring the shared bm25Ranked
+    * frame on the Spark side. */
+  private def bm25OracleCtes: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
              FROM documents),
          st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM docs),
          tf AS (SELECT doc_id, term, COUNT(*) AS tf
@@ -260,12 +328,46 @@ object Signals {
              round(idf * (tf * ${K1 + 1.0}) /
                (tf + $K1 * (${1.0 - B} + $B *
                  CAST(dl * n AS DOUBLE) / sdl)), 9) AS ts_term
-           FROM tf JOIN idf USING (term) JOIN docs USING (doc_id), st)
-         SELECT doc_id, COUNT(*) AS n_terms,
-           CAST(SUM(CAST(ts_term AS DECIMAL(18,9))) AS DOUBLE) AS score
-         FROM sc GROUP BY doc_id
-         ORDER BY score DESC, doc_id LIMIT 20"""
-    },
+           FROM tf JOIN idf USING (term) JOIN docs USING (doc_id), st),
+         ranked AS (SELECT doc_id, COUNT(*) AS n_terms,
+             CAST(SUM(CAST(ts_term AS DECIMAL(18,9))) AS DOUBLE) AS score
+           FROM sc GROUP BY doc_id
+           ORDER BY score DESC, doc_id LIMIT 20)"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_bm25" ->
+      s"""WITH $bm25OracleCtes
+         SELECT doc_id, n_terms, score FROM ranked
+         ORDER BY score DESC, doc_id""",
+
+    "q_llm_retrieval_ndcg" ->
+      s"""WITH $bm25OracleCtes,
+         rk AS (SELECT doc_id, n_terms AS rel,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM ranked),
+         relall AS (SELECT doc_id, COUNT(DISTINCT term) AS rel FROM tf
+           GROUP BY doc_id),
+         ideal AS (SELECT ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+             AS rank, rel AS ideal_rel
+           FROM (SELECT * FROM relall ORDER BY rel DESC, doc_id LIMIT 10)),
+         mrr AS (SELECT COALESCE(round(CAST(1.0 AS DOUBLE) / MIN(rank), 9),
+             CAST(0.0 AS DOUBLE)) AS mrr FROM rk WHERE rel = 3),
+         c AS (SELECT r.rank, r.doc_id, r.rel, i.ideal_rel,
+             round(CAST((1 << r.rel) - 1 AS DOUBLE)
+               / round(log2(r.rank + 1), 9), 9) AS g,
+             round(CAST((1 << i.ideal_rel) - 1 AS DOUBLE)
+               / round(log2(r.rank + 1), 9), 9) AS ig
+           FROM rk r JOIN ideal i USING (rank) WHERE r.rank <= 10),
+         w AS (SELECT rank, doc_id, rel, ideal_rel,
+             CAST(SUM(CAST(g AS DECIMAL(18,9))) OVER (ORDER BY rank)
+               AS DOUBLE) AS dcg,
+             CAST(SUM(CAST(ig AS DECIMAL(18,9))) OVER (ORDER BY rank)
+               AS DOUBLE) AS idcg
+           FROM c)
+         SELECT rank, doc_id, rel, ideal_rel, dcg, idcg,
+           round(dcg / idcg, 9) AS ndcg, mrr
+         FROM w, mrr ORDER BY rank""",
 
     "q_agg_countmin" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term

@@ -70,6 +70,49 @@ class SignalsSpec extends SparkSpec {
     }
   }
 
+  test("q_llm_retrieval_ndcg equals a brute-force NDCG/MRR recompute") {
+    val out = SparkEntry.queries("q_llm_retrieval_ndcg")(spark, sf).collect()
+    assert(out.length == 10)
+    val qts = Set("spark", "hash", "join")
+    // ground-truth relevance straight from the raw corpus
+    val rel = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1).split(" ").toSet & qts).size)
+      .filter(_._2 > 0).toMap
+    // the declared ranking the eval grades (shared frame ⇒ must agree)
+    val ranked = SparkEntry.queries("q_llm_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val r9 = (x: Double) =>
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def contrib(g: Int, rank: Int): Double =
+      r9(((1 << g) - 1).toDouble /
+        r9(math.log(rank + 1.0) / math.log(2.0)))
+    val idealRel = rel.toSeq.sortBy { case (id, g) => (-g, id) }
+      .take(10).map(_._2)
+    var (dcg, idcg) = (BigDecimal(0), BigDecimal(0))
+    out.zipWithIndex.foreach { case (row, i) =>
+      val rank = i + 1
+      assert(row.getLong(0) == rank)
+      val docId = row.getLong(1)
+      assert(row.getLong(2) == rel(docId), s"rel drift for doc $docId")
+      assert(row.getLong(2) == ranked(i)._2,
+        "graded list diverges from the declared BM25 ranking")
+      assert(row.getLong(3) == idealRel(i), s"ideal_rel drift at rank $rank")
+      dcg += BigDecimal(contrib(rel(docId), rank))
+      idcg += BigDecimal(contrib(idealRel(i), rank))
+      assert(math.abs(row.getDouble(4) - dcg.toDouble) < 1e-9)
+      assert(math.abs(row.getDouble(5) - idcg.toDouble) < 1e-9)
+      val ndcg = r9(dcg.toDouble / idcg.toDouble)
+      assert(math.abs(row.getDouble(6) - ndcg) < 1e-9)
+      assert(row.getDouble(6) > 0.0 && row.getDouble(6) <= 1.0)
+    }
+    val firstFull = ranked.zipWithIndex
+      .collectFirst { case ((_, nt), i) if nt == 3L => i + 1 }
+    val mrr = firstFull.map(r => r9(1.0 / r)).getOrElse(0.0)
+    assert(out.map(_.getDouble(7)).distinct.length == 1)
+    assert(math.abs(out.head.getDouble(7) - mrr) < 1e-9)
+  }
+
   test("q_ts_markov is row-stochastic and conserves transition count") {
     val out = SparkEntry.queries("q_ts_markov")(spark, sf).collect()
     val byFrom = out.groupBy(_.getString(0))
