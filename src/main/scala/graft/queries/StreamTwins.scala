@@ -110,6 +110,24 @@ object StreamTwins {
         .orderBy("event_id")
     }),
 
+    // Streaming heavy hitters twin — the top-20 the SpaceSaving ledger
+    // (Streams.heavyHittersTws: bounded cap-counter sketch per user-hash
+    // bucket on MapState, the streaming member of the sketch family)
+    // reduces to in its EXACT regime: at the gate scales every bucket's
+    // distinct-user count sits under the 512-counter capacity, so no
+    // displacement ever fires, every estimate is the true count and every
+    // err is 0 — which is precisely what makes the twin DuckDB-oracle-able
+    // (the eviction regime is spec'd separately on a constructed skewed
+    // stream where StreamingSpec replays the ledger against a reference
+    // SpaceSaving). One partial+final agg + TakeOrdered heap; the err
+    // column is pinned 0 so a displacement at gate scale would break the
+    // hash compare, not just a property.
+    "q_stream_heavy_hitters" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(20)
+        .select(col("user_id"), col("cnt"), lit(0L).as("err"))),
+
     "q_stream_join_static" -> ((s, d) =>
       Tables(s, d, "events")
         .join(Tables(s, d, "customer"), col("user_id") === col("c_custkey"))
@@ -380,6 +398,11 @@ object StreamTwins {
       """SELECT user_id, event_id,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS purchase_seq
          FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "q_stream_heavy_hitters" ->
+      """SELECT user_id, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS err
+         FROM events GROUP BY user_id
+         ORDER BY cnt DESC, user_id LIMIT 20""",
 
     "q_stream_join_static" ->
       s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oDsum("value")} AS total

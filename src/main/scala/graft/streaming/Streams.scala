@@ -131,6 +131,86 @@ object Streams {
       .transformWithState(new PurchaseSeqProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  case class HhEvent(user_id: Long, event_id: Long)
+  /** One SpaceSaving ledger row: the counter this event updated (and the
+    * key it displaced, −1 if none). `event_id` makes the ledger exactly
+    * replayable — a consumer (or the spec) reconstructs the sketch state
+    * at any point by applying rows in event order. */
+  case class HhUpdate(bucket: Long, user_id: Long, cnt: Long, err: Long,
+    evicted_user: Long, event_id: Long)
+  case class HhCounter(cnt: Long, err: Long)
+
+  /** Streaming heavy hitters — SpaceSaving (Metwally et al. 2005) over
+    * the event stream's user activity, the STREAMING member the sketch
+    * family (`q_agg_countmin`/`q_agg_heavy_hitters`/sketch_merge) ran
+    * without. Unlike `statefulCountTws` (exact per-key counts, state ∝
+    * distinct keys) this holds a BOUNDED `cap`-counter summary per hash
+    * bucket in MapState: a tracked key increments; an untracked key
+    * displaces the minimum counter and inherits its count as `err`
+    * (est ∈ [true, true+err], err ≤ N_bucket/cap, and any key with true
+    * frequency above that bound is guaranteed tracked — the SpaceSaving
+    * invariants). Buckets parallelize the sketch across executors
+    * (`user % buckets`; each key lives in exactly one bucket, so merged
+    * counters never double-count) and total state is buckets·cap rows at
+    * ANY stream length. Eviction scans the bucket's map for the minimum —
+    * O(cap) but only on displacement; the classic stream-summary
+    * linked-bucket structure is the constant-time production upgrade and
+    * changes nothing about the emitted ledger. The map loads into a
+    * local mirror once per (bucket, micro-batch) and writes back only
+    * dirty keys, so the state store sees O(touched) I/O, not O(cap·rows).
+    * Rows sort by event_id inside a batch (house determinism rule), ties
+    * in the minimum break by (cnt, user) — the ledger is bit-reproducible
+    * on any in-order replay. */
+  class HeavyHitterProcessor(cap: Int)
+    extends StatefulProcessor[Long, HhEvent, HhUpdate] {
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[Long, HhCounter] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[Long, HhCounter]("hh",
+        Encoders.scalaLong, Encoders.product[HhCounter], TTLConfig.NONE)
+    override def handleInputRows(bucket: Long, rows: Iterator[HhEvent],
+        timers: TimerValues): Iterator[HhUpdate] = {
+      val local = scala.collection.mutable.HashMap[Long, HhCounter]()
+      counters.iterator().foreach { case (k, v) => local(k) = v }
+      val dirty = scala.collection.mutable.Set[Long]()
+      val removed = scala.collection.mutable.Set[Long]()
+      val out = scala.collection.mutable.ArrayBuffer[HhUpdate]()
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        val u = e.user_id
+        local.get(u) match {
+          case Some(c) =>
+            val nc = HhCounter(c.cnt + 1, c.err)
+            local(u) = nc; dirty += u
+            out += HhUpdate(bucket, u, nc.cnt, nc.err, -1L, e.event_id)
+          case None if local.size < cap =>
+            local(u) = HhCounter(1L, 0L); dirty += u
+            out += HhUpdate(bucket, u, 1L, 0L, -1L, e.event_id)
+          case None =>
+            val (vu, vc) = local.minBy { case (k, c) => (c.cnt, k) }
+            local.remove(vu); removed += vu; dirty -= vu
+            val nc = HhCounter(vc.cnt + 1, vc.cnt)
+            local(u) = nc; dirty += u
+            out += HhUpdate(bucket, u, nc.cnt, nc.err, vu, e.event_id)
+        }
+      }
+      removed.foreach { k => if (!local.contains(k)) counters.removeKey(k) }
+      dirty.foreach { k => counters.updateValue(k, local(k)) }
+      out.iterator
+    }
+  }
+
+  /** SpaceSaving heavy-hitter ledger over `user_id % buckets` sharded
+    * sketches of `cap` counters each. Defaults make the fixture regime
+    * EXACT (distinct users per bucket < cap ⇒ no displacement ever, every
+    * err = 0 — the regime the declared batch twin oracles); production
+    * sizes cap to the memory budget and reads the err column. */
+  def heavyHittersTws(events: Dataset[HhEvent], buckets: Int = 8,
+      cap: Int = 512): Dataset[HhUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => e.user_id % buckets)
+      .transformWithState(new HeavyHitterProcessor(cap), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Enrich the stream with the static customer dim (stream-static join),
     * then aggregate per market segment. */
   def joinStatic(events: DataFrame, customer: DataFrame): DataFrame =

@@ -189,6 +189,161 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters (SpaceSaving) exact regime converges to the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val ds = mem.toDS().map(e => Streams.HhEvent(e.user_id, e.event_id))
+      val q = Streams.heavyHittersTws(ds).toDF().writeStream.format("memory")
+        .queryName("t_hh").outputMode("append").start()
+      chunksInOrder.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val ledger = spark.table("t_hh").collect()
+      // fixture regime: distinct users per bucket < cap ⇒ no displacement
+      assert(ledger.forall(_.getLong(4) == -1L), "unexpected eviction at fixture scale")
+      assert(ledger.forall(_.getLong(3) == 0L), "nonzero err without eviction")
+      // every event produced exactly one ledger row
+      assert(ledger.length == allEvents.length)
+      // final counter per user = its max cnt (per-user cnt strictly increases)
+      val finalCnt = ledger.groupBy(_.getLong(1))
+        .map { case (u, rs) => (u, rs.map(_.getLong(2)).max) }
+      val got = finalCnt.toSeq.sortBy { case (u, c) => (-c, u) }.take(20)
+        .map { case (u, c) => (u, c, 0L) }
+      val want = queries.StreamTwins.queries("q_stream_heavy_hitters")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, "SpaceSaving exact-regime top-20 diverges from the twin")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("heavy hitters eviction regime: ledger replays to a reference SpaceSaving") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // constructed skew: users 1..3 dominate, 4..20 are background noise —
+      // with cap=4 per bucket the background keys churn through the
+      // displaced slot while the heavy keys stay tracked (the guarantee)
+      val evs = (1L to 400L).map { i =>
+        val u = if (i % 4 != 0) 1L + (i % 3) else 4L + (i % 17)
+        Ev(i, new java.sql.Timestamp(i * 1000), u, "click", 1.0, "")
+      }
+      val mem = MemoryStream[Ev]
+      val ds = mem.toDS().map(e => Streams.HhEvent(e.user_id, e.event_id))
+      val q = Streams.heavyHittersTws(ds, buckets = 2, cap = 4).toDF()
+        .writeStream.format("memory")
+        .queryName("t_hh_ev").outputMode("append").start()
+      evs.grouped(37).foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      val ledger = spark.table("t_hh_ev").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).sortBy(_._6)
+      assert(ledger.exists(_._5 != -1L), "constructed skew produced no eviction")
+      // reference SpaceSaving, replayed in plain Scala event order
+      val ref = Seq(0L, 1L).map(b => b ->
+        scala.collection.mutable.HashMap[Long, (Long, Long)]()).toMap
+      evs.sortBy(_.event_id).foreach { e =>
+        val m = ref(e.user_id % 2)
+        m.get(e.user_id) match {
+          case Some((c, er)) => m(e.user_id) = (c + 1, er)
+          case None if m.size < 4 => m(e.user_id) = (1L, 0L)
+          case None =>
+            val (vu, (vc, _)) = m.minBy { case (k, (c, _)) => (c, k) }
+            m.remove(vu); m(e.user_id) = (vc + 1, vc)
+        }
+      }
+      // ledger replay reconstructs the reference state exactly
+      val replayed = Seq(0L, 1L).map(b => b ->
+        scala.collection.mutable.HashMap[Long, (Long, Long)]()).toMap
+      ledger.foreach { case (b, u, c, er, ev, _) =>
+        if (ev != -1L) replayed(b).remove(ev)
+        replayed(b)(u) = (c, er)
+      }
+      assert(replayed(0L).toMap == ref(0L).toMap && replayed(1L).toMap == ref(1L).toMap,
+        "ledger replay diverges from reference SpaceSaving")
+      // SpaceSaving invariants vs true counts: est ∈ [true, true+err],
+      // and every key with true count > N_bucket/cap is tracked
+      val truth = evs.groupBy(_.user_id).map { case (u, g) => (u, g.size.toLong) }
+      (0L to 1L).foreach { b =>
+        val nb = evs.count(_.user_id % 2 == b).toLong
+        replayed(b).foreach { case (u, (est, err)) =>
+          val t = truth.getOrElse(u, 0L)
+          assert(est >= t && est - t <= err, s"est $est outside [t, t+err] for $u")
+        }
+        truth.filter { case (u, t) => u % 2 == b && t > nb / 4 }.keys.foreach { u =>
+          assert(replayed(b).contains(u), s"guaranteed heavy key $u not tracked")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("heavy hitters survives a checkpointed restart: MapState carries") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_hhrestart"
+      wipe(new java.io.File(base))
+      import spark.implicits._
+      val src = eventsDf.select(col("user_id"), col("event_id"))
+      val med = src.agg(expr("percentile_approx(event_id, 0.5)")).first().getLong(0)
+      src.where(col("event_id") <= med).coalesce(1).write.parquet(s"$base/src")
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(src.schema).parquet(s"$base/src")
+          .as[Streams.HhEvent]
+        val q = Streams.heavyHittersTws(stream).toDF().writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(180000), "heavy-hitter drain did not terminate")
+      }
+      drain()
+      src.where(col("event_id") > med).coalesce(1).write.mode("append")
+        .parquet(s"$base/src")
+      drain()
+      val ledger = spark.read.parquet(s"$base/out")
+      // MapState carried: a user counted before the restart keeps
+      // accumulating after it, so its max cnt equals its full event count
+      val got = ledger.groupBy("user_id").agg(max("cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = queries.StreamTwins.queries("q_stream_heavy_hitters")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, "restarted sketch diverges from the batch twin")
+      // replayed drain with no new input: nothing re-emitted
+      val before = ledger.count()
+      drain()
+      assert(spark.read.parquet(s"$base/out").count() === before,
+        "empty restart re-emitted ledger rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState last-touch attribution converges to the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
