@@ -147,6 +147,13 @@ object StreamBench {
           df.selectExpr("user_id", "event_id", "event_type",
             "CAST(unix_micros(ts) div 1000000 AS BIGINT) AS es")
             .as[graft.streaming.Streams.AttrEvent]).toDF())
+      // SpaceSaving heavy hitters: the bounded-state counter sketch —
+      // numStateRows here is min(users, buckets·cap) by construction,
+      // the contrast row to multitouch/kalman's per-key state growth
+      case "heavyhitters" => run("heavyhitters")(df =>
+        graft.streaming.Streams.heavyHittersTws(
+          df.select("user_id", "event_id")
+            .as[graft.streaming.Streams.HhEvent]).toDF())
       // streaming near-dup candidate emitter: replays the DOCUMENTS
       // band-key frame (not events) in doc_id order — state = one doc
       // list per band bucket (key count tracks distinct band keys, the
@@ -282,8 +289,8 @@ object StreamBench {
         println(f"""{"metric":"stream_dedupconfirm_ttl${ttlMs}_rocksdb","rows":${docRows.length},"batches":$nChunks,"sec":$dt%.2f,"emitted":$emitted,"confirmed_pairs":$pairs,"batch_confirm_pairs":$batchPairs,$lastState,"sf":"$sfDir"}""")
       case other =>
         sys.error(s"unknown scenario $other (session|kalman|chained|" +
-          "multitouch|bandcollide|bandcollide_ttl|dedupconfirm|" +
-          "dedupconfirm_ttl)")
+          "multitouch|heavyhitters|bandcollide|bandcollide_ttl|" +
+          "dedupconfirm|dedupconfirm_ttl)")
     }
     spark.stop()
   }
