@@ -341,6 +341,50 @@ object Refine {
         .orderBy("lang")
     }),
 
+    // Temperature-based language mixing (the mT5/XLM-R sampling rule,
+    // α = 0.5) — the smooth sibling of the target-driven DoReMi
+    // resampler above: sampled share q(l) ∝ p(l)^α upweights tails
+    // WITHOUT a hand-written target table. α = 0.5 is chosen from the
+    // published range deliberately: the per-language keep probability
+    // algebraically collapses to p_l = sqrt(cnt_min / cnt_l) (the
+    // N and Σ√ normalizers cancel against the keep-the-rarest-whole
+    // normalization), and sqrt is IEEE-correctly-rounded in BOTH
+    // engines — the one libm-free power, so the whole mix is
+    // bit-identical cross-engine with no grid gymnastics beyond the
+    // reported q column (rounded √cnt summed as decimals — the 5-row
+    // dim frame rule). Accept iff the doc's deterministic md5
+    // micro-draw clears p_e6 (the importance_resample convention).
+    // Per-lang table is dim-bounded and broadcast; the corpus makes ONE
+    // map-side pass. Output: per-language card (share, sampled share q,
+    // keep probability, kept count).
+    "q_llm_temperature_mix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val mn = byLang.agg(min("cnt").as("mn"))
+      val ssum = byLang.agg(
+        sum(round(sqrt(col("cnt").cast("double")), 9).cast("decimal(18,9)"))
+          .cast("double").as("ssum"))
+      val pl = byLang.crossJoin(broadcast(tot)).crossJoin(broadcast(mn))
+        .crossJoin(broadcast(ssum))
+        .select(col("lang"), col("cnt").as("n_docs"),
+          expr("(cnt * 1000000) div n").as("share_e6"),
+          round(round(sqrt(col("cnt").cast("double")), 9) / col("ssum")
+            * 1e6).cast("long").as("q_e6"),
+          round(sqrt(col("mn").cast("double") / col("cnt").cast("double"))
+            * 1e6).cast("long").as("p_e6"))
+      val kept = docs
+        .withColumn("u_e6", expr(
+          s"${hexFold("md5(concat('tm', CAST(doc_id AS STRING)))", 13)} % 1000000"))
+        .join(broadcast(pl.select("lang", "p_e6")), "lang")
+        .where(col("u_e6") < col("p_e6"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      pl.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("share_e6"), col("q_e6"),
+          col("p_e6"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // Two-sided CUSUM over the trailing-50 per-user window: s+ and s−
     // accumulate deviations beyond the slack k around the grid-exact
     // global mean; `crossings` counts threshold exceedances (no reset —
@@ -489,6 +533,29 @@ object Refine {
                     % 1000000 < pl.p_e6
                   GROUP BY d.lang)
          SELECT pl.lang, pl.n_docs, pl.t_e6, pl.p_e6,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+         FROM pl LEFT JOIN kept ON pl.lang = kept.lang
+         ORDER BY pl.lang""",
+
+    "q_llm_temperature_mix" ->
+      s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+         bl AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         mn AS (SELECT MIN(cnt) AS mn FROM bl),
+         ss AS (SELECT CAST(SUM(CAST(round(sqrt(CAST(cnt AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS DOUBLE) AS ssum FROM bl),
+         pl AS (SELECT lang, cnt AS n_docs,
+             (cnt * 1000000) // n AS share_e6,
+             CAST(round(round(sqrt(CAST(cnt AS DOUBLE)), 9) / ssum
+               * 1000000) AS BIGINT) AS q_e6,
+             CAST(round(sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE))
+               * 1000000) AS BIGINT) AS p_e6
+           FROM bl, tot, mn, ss),
+         kept AS (SELECT d.lang, COUNT(*) AS n_kept
+                  FROM documents d JOIN pl ON d.lang = pl.lang
+                  WHERE ${oHexFold("md5('tm' || CAST(doc_id AS VARCHAR))", 13)}
+                    % 1000000 < pl.p_e6
+                  GROUP BY d.lang)
+         SELECT pl.lang, pl.n_docs, pl.share_e6, pl.q_e6, pl.p_e6,
            CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
          FROM pl LEFT JOIN kept ON pl.lang = kept.lang
          ORDER BY pl.lang""",

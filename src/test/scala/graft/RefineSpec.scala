@@ -175,6 +175,42 @@ class RefineSpec extends SparkSpec {
     assert(tvAfter < 0.1, f"kept mix TV distance $tvAfter%.3f too far from target")
   }
 
+  test("q_llm_temperature_mix: p = sqrt(min/cnt) exactly; kept set matches the draw") {
+    import org.apache.spark.sql.functions.col
+    val out = Refine.queries("q_llm_temperature_mix")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cnt = docs.groupBy(_._2).map { case (l, g) => l -> g.length.toLong }
+    assert(out.map(_.getString(0)).toSet == cnt.keySet, "one row per observed language")
+    val mn = cnt.values.min
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def draw(id: Long): Long =
+      java.lang.Long.parseLong(md5(s"tm$id").take(13), 16) % 1000000L
+    out.foreach { r =>
+      val (l, nd, pE6, nKept) =
+        (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(nd == cnt(l))
+      // the α=0.5 closed form, recomputed independently
+      assert(pE6 == math.round(math.sqrt(mn.toDouble / nd.toDouble) * 1e6),
+        s"p_e6 drift for $l")
+      // kept count = exact replay of the deterministic draw
+      val want = docs.count { case (id, dl) => dl == l && draw(id) < pE6 }
+      assert(nKept == want, s"kept-count drift for $l: $nKept vs $want")
+    }
+    // the rarest language is kept whole; temperature flattens the mix:
+    // q ratios are the square root of the share ratios (monotone, compressed)
+    assert(out.map(_.getLong(4)).max == 1000000L)
+    val en = out.find(_.getString(0) == "en").get
+    val fr = out.find(_.getString(0) == "fr").get
+    val shareRatio = en.getLong(2).toDouble / fr.getLong(2)
+    val qRatio = en.getLong(3).toDouble / fr.getLong(3)
+    assert(qRatio > 1.0 && qRatio < shareRatio,
+      f"q must compress the dominant/rare ratio (share $shareRatio%.2f, q $qRatio%.2f)")
+    assert(math.abs(qRatio - math.sqrt(shareRatio)) < 0.01,
+      "q ratio must be the square root of the share ratio at α = 0.5")
+  }
+
   test("q_llm_tokenizer_fertility: ratio identities hold per language") {
     val out = Refine.queries("q_llm_tokenizer_fertility")(spark, sf).collect()
     assert(out.nonEmpty)
