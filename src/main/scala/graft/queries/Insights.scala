@@ -77,6 +77,26 @@ object Insights {
     // convergence looping is the same driver shape as q_llm_dedup_cc.
     "q_graph_label_prop" -> ((s, d) => labelProp(s, d).orderBy("id")),
 
+    // Louvain community detection (Blondel et al. 2008), one local-move
+    // PHASE — the modularity-GREEDY member of the community family
+    // (q_graph_label_prop adopts the majority neighbor label with no
+    // objective; this moves each node to the neighbor community with
+    // the best modularity GAIN, the step Louvain iterates): 4
+    // semi-synchronous rounds alternating bipartite sides (the LPA
+    // oscillation rule), every gain an EXACT integer — ΔQ·2m² =
+    // 2m·k_iC − k_i·Σtot(C∖i) needs no floats, so the argmax cannot
+    // drift cross-engine; factors ride DECIMAL(38,0) (the ks_drift
+    // overflow rule: k_i·Σtot passes 2⁶³ at ~10⁶-degree nodes). Move
+    // iff the best foreign community's gain strictly beats staying
+    // (ties stay — deterministic); candidates are NEIGHBOR communities
+    // only (the Louvain invariant — a non-adjacent community can only
+    // lose the k_iC term). Per round: one edge⋈label shuffle for
+    // k_iC, one node-sized degree-mass aggregate, keyed node-sized
+    // joins — never all-pairs, never a global window; label frames
+    // lazily localCheckpoint (the CC rule), whole loop memoized per
+    // (session, sfDir) via [[louvain]].
+    "q_graph_louvain" -> ((s, d) => louvain(s, d).orderBy("id")),
+
     // Modularity score of the label-propagation communities — the
     // quality number every community detection reports: Q = Σ_c
     // [E2_cc/E2 − (d_c/E2)²] over the directed edge count E2 (= 2m on
@@ -667,6 +687,68 @@ object Insights {
       lbl
     }
 
+  /** 4 semi-synchronous Louvain local-move rounds over
+    * [[U.coPurchaseEdges]] — see the q_graph_louvain entry for the
+    * algorithm and determinism notes. `m2` (= 2m, the both-directions
+    * edge count) and the static degree frame derive once; each round
+    * recomputes the community degree masses from the CURRENT labels —
+    * all moving-side nodes decide against one snapshot, then merge.
+    * Memoized per (session, sfDir) like [[labelProp]]. */
+  private[graft] def louvain(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Memo(s, s"louvain:$d") {
+      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      val m2f = e.agg(count(lit(1)).as("m2")) // = 2m (both directions)
+      var lbl = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (k <- 1 to 4) {
+        val side = (c: org.apache.spark.sql.Column) =>
+          if (k % 2 == 1) c >= U.supplierIdOffset
+          else c < U.supplierIdOffset
+        // edges INTO a moving node from each current community
+        val kic = e.where(side(col("dst")))
+          .join(lbl.select(col("id"), col("lbl").as("clbl")),
+            col("src") === col("id"))
+          .groupBy(col("dst"), col("clbl")).agg(count(lit(1)).as("kic"))
+        // per-community degree mass under the current labels (node-sized)
+        val tot = lbl.join(deg, "id").groupBy("lbl").agg(sum("deg").as("tot"))
+        // moving-node context: current label, degree, own community mass
+        val cur = lbl.where(side(col("id")))
+          .join(deg, "id")
+          .join(tot.select(col("lbl"), col("tot").as("totcur")), "lbl")
+          .select(col("id").as("dst"), col("lbl").as("curlbl"),
+            col("deg").as("kd"), col("totcur"))
+        // exact integer gain: ΔQ·2m² = 2m·k_iC − k_i·Σtot(C∖i)
+        val g = kic.join(cur, "dst")
+          .join(tot.select(col("lbl").as("clbl"), col("tot").as("totc")), "clbl")
+          .crossJoin(broadcast(m2f))
+          .withColumn("g", expr(
+            """CAST(m2 AS DECIMAL(38,0)) * kic - CAST(kd AS DECIMAL(38,0)) *
+               (CASE WHEN clbl = curlbl THEN totc - kd ELSE totc END)"""))
+        val best = g.where(col("clbl") =!= col("curlbl"))
+          .groupBy("dst")
+          .agg(max(struct(col("g"), (-col("clbl")).as("nl"))).as("mb"))
+          .select(col("dst"), col("mb.g").as("gbest"),
+            (-col("mb.nl")).as("bestlbl"))
+        val stay = g.where(col("clbl") === col("curlbl"))
+          .select(col("dst"), col("g").as("gstay"))
+        val upd = cur.join(best, Seq("dst"), "left")
+          .join(stay, Seq("dst"), "left")
+          // no internal edge ⇒ staying scores −k_i·(Σtot(cur)−k_i)
+          .withColumn("gs", coalesce(col("gstay"), expr(
+            "CAST(0 AS DECIMAL(38,0)) - CAST(kd AS DECIMAL(38,0)) * (totcur - kd)")))
+          .select(col("dst").as("id"),
+            when(col("gbest").isNotNull && col("gbest") > col("gs"),
+              col("bestlbl")).otherwise(col("curlbl")).as("nu"))
+        lbl = lbl.join(upd, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nu"), col("lbl")).as("lbl"))
+          .localCheckpoint(false)
+      }
+      lbl
+    }
+
   /** `flips` = how many neighbor cells to probe besides the query's own
     * (the probe BUDGET — the recall knob): first the `bits` single-bit
     * flips, then two-bit flips in index order. The declared query uses 4
@@ -731,6 +813,56 @@ object Insights {
     * Round k updates only one bipartite side (odd → suppliers, id ≥
     * 1e6; even → customers), the carried frame merges via LEFT JOIN +
     * COALESCE, mirroring the semi-synchronous Spark loop. */
+  /** DuckDB twin of [[louvain]] — the unrolled 4-round CTE chain ending
+    * at `v4(id, lbl)`. Gains are HUGEINT (the DECIMAL(38,0) twin); the
+    * argmax (ORDER BY g DESC, clbl) and the strict move-beats-stay
+    * comparison mirror the Spark struct-max + `>` exactly. */
+  private def oLouvainChain: String = {
+    def round(prev: String, n: Int): String = {
+      val side = (c: String) =>
+        if (n % 2 == 1) s"$c >= ${U.supplierIdOffset}"
+        else s"$c < ${U.supplierIdOffset}"
+      s"""kic$n AS MATERIALIZED (SELECT e.dst, lp.lbl AS clbl, COUNT(*) AS kic
+            FROM e JOIN $prev lp ON e.src = lp.id
+            WHERE ${side("e.dst")} GROUP BY e.dst, lp.lbl),
+         tot$n AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.deg) AS BIGINT) AS tot
+            FROM $prev l JOIN deg d ON l.id = d.id GROUP BY l.lbl),
+         cur$n AS MATERIALIZED (SELECT l.id AS dst, l.lbl AS curlbl, d.deg AS kd,
+              t.tot AS totcur
+            FROM $prev l JOIN deg d ON l.id = d.id
+              JOIN tot$n t ON l.lbl = t.lbl
+            WHERE ${side("l.id")}),
+         g$n AS MATERIALIZED (SELECT k.dst, k.clbl, c.curlbl, c.kd, c.totcur,
+              CAST(m.m2 AS HUGEINT) * k.kic - CAST(c.kd AS HUGEINT) *
+                (CASE WHEN k.clbl = c.curlbl THEN t.tot - c.kd
+                      ELSE t.tot END) AS g
+            FROM kic$n k JOIN cur$n c ON k.dst = c.dst
+              JOIN tot$n t ON k.clbl = t.lbl, m),
+         best$n AS (SELECT dst, g AS gbest, clbl AS bestlbl FROM (
+              SELECT dst, g, clbl, ROW_NUMBER() OVER (PARTITION BY dst
+                ORDER BY g DESC, clbl) AS rk
+              FROM g$n WHERE clbl <> curlbl) WHERE rk = 1),
+         stay$n AS (SELECT dst, g AS gstay FROM g$n WHERE clbl = curlbl),
+         upd$n AS (SELECT c.dst AS id,
+              CASE WHEN b.gbest IS NOT NULL AND b.gbest >
+                     COALESCE(s.gstay, 0 - CAST(c.kd AS HUGEINT) *
+                       (c.totcur - c.kd))
+                   THEN b.bestlbl ELSE c.curlbl END AS nu
+            FROM cur$n c LEFT JOIN best$n b ON c.dst = b.dst
+              LEFT JOIN stay$n s ON c.dst = s.dst),
+         v$n AS MATERIALIZED (SELECT l.id, COALESCE(u.nu, l.lbl) AS lbl
+            FROM $prev l LEFT JOIN upd$n u ON l.id = u.id)"""
+    }
+    s"""${U.oCoPurchase},
+       e AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM oi
+             UNION ALL SELECT supp AS src, cust AS dst FROM oi),
+       deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+       m AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM e),
+       v0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       ${round("v0", 1)}, ${round("v1", 2)},
+       ${round("v2", 3)}, ${round("v3", 4)}"""
+  }
+
   private def oLabelChain: String = {
     def round(prev: String, out: String, k: Int): String = {
       val side = if (k % 2 == 1) s"e.dst >= ${U.supplierIdOffset}"
@@ -788,6 +920,10 @@ object Insights {
     "q_graph_label_prop" ->
       s"""WITH $oLabelChain
          SELECT id, lbl FROM l4 ORDER BY id""",
+
+    "q_graph_louvain" ->
+      s"""WITH $oLouvainChain
+         SELECT id, lbl FROM v4 ORDER BY id""",
 
     "q_graph_modularity" ->
       s"""WITH $oLabelChain,

@@ -195,6 +195,87 @@ class SignalsSpec extends SparkSpec {
     assert(q >= 0.0, s"bipartite oscillation resurfaced: $q")
   }
 
+  test("q_graph_louvain: matches an independent Scala replay; improves modularity") {
+    val out = SparkEntry.queries("q_graph_louvain")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full 4-round semi-synchronous local-move replay from raw edges
+    val edges = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + queries.U.supplierIdOffset).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e = edges.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val deg = e.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
+    val m2 = e.length.toLong
+    var lbl = deg.keys.map(n => n -> n).toMap
+    for (k <- 1 to 4) {
+      val side = (n: Long) =>
+        if (k % 2 == 1) n >= queries.U.supplierIdOffset
+        else n < queries.U.supplierIdOffset
+      val tot = lbl.toSeq.groupBy(_._2)
+        .map { case (l, g) => l -> g.map(p => deg(p._1)).sum }
+      val kic = e.filter(p => side(p._2))
+        .groupBy(p => (p._2, lbl(p._1)))
+        .map { case ((dst, cl), g) => (dst, cl) -> g.length.toLong }
+      val upd = lbl.keys.filter(side).map { i =>
+        val kd = deg(i); val cl = lbl(i)
+        def gain(c: Long, k2: Long): BigInt =
+          BigInt(m2) * k2 - BigInt(kd) *
+            (if (c == cl) tot(c) - kd else tot(c))
+        val gs = gain(cl, kic.getOrElse((i, cl), 0L))
+        val cands = kic.collect { case ((d, c), k2) if d == i && c != cl =>
+          (gain(c, k2), c) }
+        val best = if (cands.isEmpty) None
+          else Some(cands.maxBy { case (g, c) => (g, -c) })
+        i -> (best match {
+          case Some((g, c)) if g > gs => c
+          case _ => cl
+        })
+      }.toMap
+      lbl = lbl.map { case (i, l) => i -> upd.getOrElse(i, l) }
+    }
+    assert(out == lbl, "declared Louvain diverges from the Scala replay")
+    // modularity: the greedy objective must land a real partition that
+    // beats both random (Q > 0) and the label-propagation communities
+    // it shares the graph with (LPA has no objective; Louvain climbs Q)
+    def q(labels: Map[Long, Long]): Double = {
+      val within = e.count { case (a, b) => labels(a) == labels(b) }.toDouble
+      val dmass = labels.toSeq.groupBy(_._2)
+        .map { case (_, g) => g.map(p => deg(p._1)).sum.toDouble }
+      within / m2 - dmass.map(d => (d / m2) * (d / m2)).sum
+    }
+    val qLouvain = q(lbl)
+    val qLpa = q(SparkEntry.queries("q_graph_label_prop")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // the sf0.001 co-purchase graph is small and dense enough that one
+    // community IS the greedy optimum (Q = 0, matching LPA) — so the
+    // fixture asserts the ordering, and non-vacuity is proved at 10×
+    assert(qLouvain >= 0.0, s"Louvain modularity $qLouvain negative")
+    assert(qLouvain >= qLpa - 1e-9,
+      f"greedy modularity $qLouvain%.4f below LPA's $qLpa%.4f")
+    // 10× fixture: real structure exists and the greedy finds it —
+    // many communities, strictly positive modularity
+    val sf01 = "/root/testdata/sf0.01"
+    val out01 = SparkEntry.queries("q_graph_louvain")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e01 = Tables(spark, sf01, "orders")
+      .join(Tables(spark, sf01, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + queries.U.supplierIdOffset).as("s"))
+      .distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val deg01 = e01.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
+    val m01 = e01.length.toDouble
+    val within01 = e01.count { case (a, b) => out01(a) == out01(b) } / m01
+    val dm01 = out01.toSeq.groupBy(_._2)
+      .map { case (_, g) => g.map(p => deg01(p._1)).sum / m01 }
+    val q01 = within01 - dm01.map(d => d * d).sum
+    val nc01 = out01.values.toSeq.distinct.length
+    assert(nc01 > 1 && nc01 < out01.size,
+      s"sf0.01 Louvain degenerate: $nc01 communities over ${out01.size} nodes")
+    assert(q01 > 0.0, f"sf0.01 Louvain modularity $q01%.4f not positive")
+  }
+
   test("q_dq_benford: 9 digits, shares sum to 1, counts conserve") {
     val out = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
     assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9),
