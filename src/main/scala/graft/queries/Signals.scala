@@ -101,24 +101,45 @@ object Signals {
     // relevant (rel=3) doc in the top-20, 0.0 when absent — a 1-row
     // broadcast. Every frame after the two heaps is KB-scale at any N.
     "q_llm_retrieval_ndcg" -> ((s, d) => {
-      val wAll = Window.orderBy(col("score").desc, col("doc_id"))
-      val ranked = bm25Ranked(s, d)
-        .withColumn("rank", row_number().over(wAll).cast("long"))
+      // ranks are WINDOWLESS broadcast triangle joins over the ≤20-row
+      // heap outputs (the bpe_pairs discipline — a ranking function's
+      // constant partition key gets stripped by the optimizer, so no
+      // global-window-free row_number spec survives); the cumulative
+      // DCG/IDCG aggregate windows pin the non-foldable rank*0 key
+      // instead (the llm_mix rule — aggregate windows keep it), so the
+      // whole query plans zero single-partition windows
+      val r20 = bm25Ranked(s, d)
+      val ranked = r20.join(broadcast(
+          r20.select(col("doc_id").as("d2"), col("score").as("s2"))),
+          col("s2") > col("score") ||
+            (col("s2") === col("score") && col("d2") < col("doc_id")),
+          "left")
+        .groupBy("doc_id", "n_terms", "score")
+        .agg((count(col("d2")) + 1L).as("rank"))
       val actual = ranked.where(col("rank") <= 10)
         .select(col("rank"), col("doc_id"), col("n_terms").as("rel"))
       val relAll = Tables(s, d, "documents")
         .select(col("doc_id"), explode(textTokens).as("term"))
         .where(col("term").isin(QueryTerms: _*))
         .groupBy("doc_id").agg(countDistinct("term").as("rel"))
-      val ideal = relAll.orderBy(col("rel").desc, col("doc_id")).limit(10)
-        .select(row_number().over(
-            Window.orderBy(col("rel").desc, col("doc_id")))
-            .cast("long").as("rank"),
-          col("rel").as("ideal_rel"))
+      val i10 = relAll.orderBy(col("rel").desc, col("doc_id")).limit(10)
+      val ideal = i10.join(broadcast(
+          i10.select(col("doc_id").as("d2"), col("rel").as("r2"))),
+          col("r2") > col("rel") ||
+            (col("r2") === col("rel") && col("d2") < col("doc_id")),
+          "left")
+        .groupBy(col("doc_id"), col("rel"))
+        .agg((count(col("d2")) + 1L).as("rank"))
+        .select(col("rank"), col("rel").as("ideal_rel"))
       val mrr = ranked.where(col("n_terms") === 3)
         .agg(min("rank").as("fr"))
         .select(coalesce(round(lit(1.0) / col("fr"), 9), lit(0.0)).as("mrr"))
-      val wc = Window.orderBy("rank")
+      // 0·length(doc_id) — the llm_mix constant-but-not-foldable key,
+      // anchored on the NULLABLE doc_id (rank = count+1 is non-nullable,
+      // so any expression over it folds to a literal and gets stripped)
+      val wc = Window
+        .partitionBy(length(col("doc_id").cast("string")) * lit(0))
+        .orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       actual.join(ideal, "rank")
         .withColumn("dcg", sum(dcgContrib("rel", "rank")
