@@ -97,6 +97,24 @@ object Insights {
     // (session, sfDir) via [[louvain]].
     "q_graph_louvain" -> ((s, d) => louvain(s, d).orderBy("id")),
 
+    // Louvain LEVEL TWO — the coarsening phase that makes q_graph_louvain
+    // the full algorithm: phase-1 communities become super-nodes of a
+    // WEIGHTED community graph (edge weight = inter-community edge
+    // count, self-loops = internal mass — the aggregate a distributed
+    // Louvain materializes between levels; community-count-sized, built
+    // in ONE edge⋈label⋈label pass), then one synchronous weighted move
+    // round over super-nodes: singleton start makes the weighted gain
+    // ΔQ·2m² = 2m·w_iC − wdeg_i·wdeg_C (same exact-integer DECIMAL(38,0)
+    // discipline; staying gains exactly 0, so move iff the best
+    // neighbor's gain is strictly positive, ties to the smaller
+    // super-node label). Synchronous evaluation is the published
+    // distributed-Louvain variant — every super-node decides against
+    // the same snapshot, deterministic by construction. Output maps
+    // every ORIGINAL node to its level-2 community, so downstream
+    // consumers (modularity, size histograms) read it exactly like the
+    // phase-1 frame.
+    "q_graph_louvain_coarse" -> ((s, d) => louvainCoarse(s, d).orderBy("id")),
+
     // Modularity score of the label-propagation communities — the
     // quality number every community detection reports: Q = Σ_c
     // [E2_cc/E2 − (d_c/E2)²] over the directed edge count E2 (= 2m on
@@ -749,6 +767,42 @@ object Insights {
       lbl
     }
 
+  /** Louvain level 2 — coarsen [[louvain]]'s communities into a weighted
+    * super-node graph and run one synchronous weighted move round (see
+    * the q_graph_louvain_coarse entry). Memoized per (session, sfDir);
+    * rides the phase-1 memo, so the marginal cost is the two node-sized
+    * tag joins plus community-count-sized aggregates. */
+  private[graft] def louvainCoarse(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Memo(s, s"louvain2:$d") {
+      val lbl1 = louvain(s, d)
+      val e = U.coPurchaseEdges(s, d)
+      val ce = e
+        .join(lbl1.select(col("id"), col("lbl").as("cs")), col("src") === col("id"))
+        .drop("id")
+        .join(lbl1.select(col("id"), col("lbl").as("cd")), col("dst") === col("id"))
+        .drop("id")
+        .groupBy("cs", "cd").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val wdeg = ce.groupBy(col("cs").as("c")).agg(sum("w").as("wdeg"))
+      // Σw over the both-direction community graph = 2m, the same total
+      // as phase 1 (self-loops carry the internal mass)
+      val m2f = ce.agg(sum("w").as("m2"))
+      val cand = ce.where(col("cs") =!= col("cd"))
+        .join(wdeg.select(col("c").as("cs"), col("wdeg").as("wi")), "cs")
+        .join(wdeg.select(col("c").as("cd"), col("wdeg").as("wc")), "cd")
+        .crossJoin(broadcast(m2f))
+        .withColumn("g", expr(
+          "CAST(m2 AS DECIMAL(38,0)) * w - CAST(wi AS DECIMAL(38,0)) * wc"))
+      val moved = cand.groupBy("cs")
+        .agg(max(struct(col("g"), (-col("cd")).as("nc"))).as("mb"))
+        .select(col("cs").as("lbl"),
+          when(col("mb").getField("g") > lit(0),
+            -col("mb").getField("nc")).otherwise(col("cs")).as("lbl2"))
+      lbl1.join(moved, Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+    }
+
   /** `flips` = how many neighbor cells to probe besides the query's own
     * (the probe BUDGET — the recall knob): first the `bits` single-bit
     * flips, then two-bit flips in index order. The declared query uses 4
@@ -924,6 +978,25 @@ object Insights {
     "q_graph_louvain" ->
       s"""WITH $oLouvainChain
          SELECT id, lbl FROM v4 ORDER BY id""",
+
+    "q_graph_louvain_coarse" ->
+      s"""WITH $oLouvainChain,
+         ce AS MATERIALIZED (SELECT ls.lbl AS cs, ld.lbl AS cd,
+             COUNT(*) AS w
+           FROM e JOIN v4 ls ON e.src = ls.id JOIN v4 ld ON e.dst = ld.id
+           GROUP BY 1, 2),
+         wdeg AS MATERIALIZED (SELECT cs AS c, CAST(SUM(w) AS BIGINT)
+             AS wdeg FROM ce GROUP BY cs),
+         cand AS (SELECT ce.cs, ce.cd, CAST(m.m2 AS HUGEINT) * ce.w
+             - CAST(wi.wdeg AS HUGEINT) * wc.wdeg AS g
+           FROM ce JOIN wdeg wi ON ce.cs = wi.c
+             JOIN wdeg wc ON ce.cd = wc.c, m
+           WHERE ce.cs <> ce.cd),
+         mv AS (SELECT cs, CASE WHEN g > 0 THEN cd ELSE cs END AS lbl2
+           FROM (SELECT cs, cd, g, ROW_NUMBER() OVER (PARTITION BY cs
+               ORDER BY g DESC, cd) AS rk FROM cand) WHERE rk = 1)
+         SELECT v.id, COALESCE(b.lbl2, v.lbl) AS lbl
+         FROM v4 v LEFT JOIN mv b ON v.lbl = b.cs ORDER BY v.id""",
 
     "q_graph_modularity" ->
       s"""WITH $oLabelChain,

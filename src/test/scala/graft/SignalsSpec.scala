@@ -276,6 +276,46 @@ class SignalsSpec extends SparkSpec {
     assert(q01 > 0.0, f"sf0.01 Louvain modularity $q01%.4f not positive")
   }
 
+  test("q_graph_louvain_coarse: matches a Scala replay of the weighted level-2 move") {
+    val lbl1 = SparkEntry.queries("q_graph_louvain")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("q_graph_louvain_coarse")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + queries.U.supplierIdOffset).as("s"))
+      .distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    // weighted community graph (self-loops carry internal mass)
+    val ce = e.groupBy { case (a, b) => (lbl1(a), lbl1(b)) }
+      .map { case (k, g) => k -> g.length.toLong }
+    val wdeg = ce.toSeq.groupBy(_._1._1)
+      .map { case (c, g) => c -> g.map(_._2).sum }
+    val m2 = e.length.toLong
+    val moved = wdeg.keys.map { i =>
+      val cands = ce.collect { case ((cs, cd), w) if cs == i && cd != i =>
+        (BigInt(m2) * w - BigInt(wdeg(i)) * wdeg(cd), cd) }
+      i -> (if (cands.isEmpty) i
+        else {
+          val (g, cd) = cands.maxBy { case (g, c) => (g, -c) }
+          if (g > 0) cd else i
+        })
+    }.toMap
+    val want = lbl1.map { case (id, l) => id -> moved.getOrElse(l, l) }
+    assert(out == want, "level-2 labels diverge from the Scala replay")
+    // coarsening only merges: level-2 community count never exceeds
+    // level 1, and every level-1 community maps to exactly one target
+    assert(out.values.toSeq.distinct.length <= lbl1.values.toSeq.distinct.length)
+    // non-vacuity at 10×: the move round actually merges communities
+    val sf01 = "/root/testdata/sf0.01"
+    val n1 = SparkEntry.queries("q_graph_louvain")(spark, sf01).collect()
+      .map(_.getLong(1)).distinct.length
+    val n2 = SparkEntry.queries("q_graph_louvain_coarse")(spark, sf01).collect()
+      .map(_.getLong(1)).distinct.length
+    assert(n2 < n1, s"level 2 merged nothing at 10×: $n1 -> $n2")
+  }
+
   test("q_dq_benford: 9 digits, shares sum to 1, counts conserve") {
     val out = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
     assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9),
