@@ -115,6 +115,40 @@ object Insights {
     // phase-1 frame.
     "q_graph_louvain_coarse" -> ((s, d) => louvainCoarse(s, d).orderBy("id")),
 
+    // Per-community CONDUCTANCE of the level-2 Louvain partition —
+    // the cut-based quality metric complementing modularity (modularity
+    // rewards density vs a null model; conductance φ(C) = cut(C)/
+    // min(vol(C), vol(V∖C)) prices the boundary — the number a
+    // partitioning-for-locality decision reads). Rides the memoized
+    // louvainCoarse labels the same way q_graph_modularity rides
+    // labelProp: two node-sized tag joins, one per-community aggregate
+    // over exact longs, a 1-row broadcast for 2m; φ rounds the one
+    // integer ratio to the 1e-9 grid (cut = 0 pins φ = 0 exactly — the
+    // whole-graph community has no boundary, and 0/0 must not NaN).
+    // Community-count rows out at any N.
+    "q_graph_conductance" -> ((s, d) => {
+      val e = U.coPurchaseEdges(s, d)
+      val l2 = louvainCoarse(s, d)
+      val tagged = e
+        .join(l2.select(col("id"), col("lbl").as("ls")), col("src") === col("id"))
+        .drop("id")
+        .join(l2.select(col("id"), col("lbl").as("ld")), col("dst") === col("id"))
+        .drop("id")
+      val per = tagged.groupBy(col("ls").as("community"))
+        .agg(count(lit(1)).as("vol"),
+          sum((col("ls") =!= col("ld")).cast("long")).as("cut"))
+      val sizes = l2.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val m2f = e.agg(count(lit(1)).as("m2"))
+      per.join(sizes, "community").crossJoin(broadcast(m2f))
+        .select(col("community"), col("n_nodes"), col("vol"), col("cut"),
+          when(col("cut") === 0L, lit(0.0)).otherwise(
+            round(col("cut").cast("double") /
+              least(col("vol"), col("m2") - col("vol")), 9))
+            .as("conductance"))
+        .orderBy("community")
+    }),
+
     // Modularity score of the label-propagation communities — the
     // quality number every community detection reports: Q = Σ_c
     // [E2_cc/E2 − (d_c/E2)²] over the directed edge count E2 (= 2m on
@@ -917,6 +951,29 @@ object Insights {
        ${round("v2", 3)}, ${round("v3", 4)}"""
   }
 
+  /** [[oLouvainChain]] + the coarsen/move CTEs ending at `lv2(id, lbl)`
+    * — one text, shared by the louvain_coarse and conductance mirrors
+    * (the oLabelChain sharing rule: one definition, every consumer
+    * provably walks the same partition). */
+  private def oLouvainCoarseCtes: String =
+    s"""$oLouvainChain,
+       ce AS MATERIALIZED (SELECT ls.lbl AS cs, ld.lbl AS cd,
+           COUNT(*) AS w
+         FROM e JOIN v4 ls ON e.src = ls.id JOIN v4 ld ON e.dst = ld.id
+         GROUP BY 1, 2),
+       wdeg AS MATERIALIZED (SELECT cs AS c, CAST(SUM(w) AS BIGINT)
+           AS wdeg FROM ce GROUP BY cs),
+       cand AS (SELECT ce.cs, ce.cd, CAST(m.m2 AS HUGEINT) * ce.w
+           - CAST(wi.wdeg AS HUGEINT) * wc.wdeg AS g
+         FROM ce JOIN wdeg wi ON ce.cs = wi.c
+           JOIN wdeg wc ON ce.cd = wc.c, m
+         WHERE ce.cs <> ce.cd),
+       mv AS (SELECT cs, CASE WHEN g > 0 THEN cd ELSE cs END AS lbl2
+         FROM (SELECT cs, cd, g, ROW_NUMBER() OVER (PARTITION BY cs
+             ORDER BY g DESC, cd) AS rk FROM cand) WHERE rk = 1),
+       lv2 AS MATERIALIZED (SELECT v.id, COALESCE(b.lbl2, v.lbl) AS lbl
+         FROM v4 v LEFT JOIN mv b ON v.lbl = b.cs)"""
+
   private def oLabelChain: String = {
     def round(prev: String, out: String, k: Int): String = {
       val side = if (k % 2 == 1) s"e.dst >= ${U.supplierIdOffset}"
@@ -980,23 +1037,26 @@ object Insights {
          SELECT id, lbl FROM v4 ORDER BY id""",
 
     "q_graph_louvain_coarse" ->
-      s"""WITH $oLouvainChain,
-         ce AS MATERIALIZED (SELECT ls.lbl AS cs, ld.lbl AS cd,
-             COUNT(*) AS w
-           FROM e JOIN v4 ls ON e.src = ls.id JOIN v4 ld ON e.dst = ld.id
-           GROUP BY 1, 2),
-         wdeg AS MATERIALIZED (SELECT cs AS c, CAST(SUM(w) AS BIGINT)
-             AS wdeg FROM ce GROUP BY cs),
-         cand AS (SELECT ce.cs, ce.cd, CAST(m.m2 AS HUGEINT) * ce.w
-             - CAST(wi.wdeg AS HUGEINT) * wc.wdeg AS g
-           FROM ce JOIN wdeg wi ON ce.cs = wi.c
-             JOIN wdeg wc ON ce.cd = wc.c, m
-           WHERE ce.cs <> ce.cd),
-         mv AS (SELECT cs, CASE WHEN g > 0 THEN cd ELSE cs END AS lbl2
-           FROM (SELECT cs, cd, g, ROW_NUMBER() OVER (PARTITION BY cs
-               ORDER BY g DESC, cd) AS rk FROM cand) WHERE rk = 1)
-         SELECT v.id, COALESCE(b.lbl2, v.lbl) AS lbl
-         FROM v4 v LEFT JOIN mv b ON v.lbl = b.cs ORDER BY v.id""",
+      s"""WITH $oLouvainCoarseCtes
+         SELECT id, lbl FROM lv2 ORDER BY id""",
+
+    "q_graph_conductance" ->
+      s"""WITH $oLouvainCoarseCtes,
+         tagged AS (SELECT ls.lbl AS ls, ld.lbl AS ld
+           FROM e JOIN lv2 ls ON e.src = ls.id
+             JOIN lv2 ld ON e.dst = ld.id),
+         per AS (SELECT ls AS community, COUNT(*) AS vol,
+             CAST(SUM(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut
+           FROM tagged GROUP BY ls),
+         sz AS (SELECT lbl AS community, COUNT(*) AS n_nodes
+           FROM lv2 GROUP BY lbl)
+         SELECT community, n_nodes, vol, cut,
+           CASE WHEN cut = 0 THEN 0.0 ELSE
+             round(CAST(cut AS DOUBLE) / least(vol, m.m2 - vol), 9)
+           END AS conductance
+         FROM per JOIN sz USING (community), m
+         ORDER BY community""",
 
     "q_graph_modularity" ->
       s"""WITH $oLabelChain,

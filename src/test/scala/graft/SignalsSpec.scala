@@ -316,6 +316,41 @@ class SignalsSpec extends SparkSpec {
     assert(n2 < n1, s"level 2 merged nothing at 10×: $n1 -> $n2")
   }
 
+  test("q_graph_conductance: brute recompute; bounds; edge-mass conservation") {
+    val l2 = SparkEntry.queries("q_graph_louvain_coarse")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + queries.U.supplierIdOffset).as("s"))
+      .distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val m2 = e.length.toLong
+    val out = SparkEntry.queries("q_graph_conductance")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == l2.values.toSet,
+      "one row per level-2 community")
+    var volSum = 0L
+    out.foreach { r =>
+      val (c, nn, vol, cut, phi) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nn == l2.count(_._2 == c))
+      assert(vol == e.count(p => l2(p._1) == c), s"vol drift for $c")
+      assert(cut == e.count(p => l2(p._1) == c && l2(p._2) != c),
+        s"cut drift for $c")
+      val want = if (cut == 0) 0.0
+        else BigDecimal(cut.toDouble / math.min(vol, m2 - vol))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(phi - want) < 1e-9, s"phi drift for $c")
+      assert(phi >= 0.0 && phi <= 1.0)
+      volSum += vol
+    }
+    // volumes partition the directed edge mass exactly
+    assert(volSum == m2, s"sum of community volumes $volSum != 2m $m2")
+    // cuts are symmetric over the both-direction list: total directed
+    // cross-edge count is even
+    assert(out.map(_.getLong(3)).sum % 2 == 0)
+  }
+
   test("q_dq_benford: 9 digits, shares sum to 1, counts conserve") {
     val out = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
     assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9),
