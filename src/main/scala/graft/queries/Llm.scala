@@ -488,6 +488,67 @@ object Llm {
         .orderBy("a", "b")
     }),
 
+    // Corpus BLEU grading (hypothesis = b, reference = a) — the
+    // machine-translation sibling of the ROUGE-2 grade, over the SAME
+    // banding candidates (bucket-local join, never all-pairs): clipped
+    // n-gram precision p_n = Σmin(tf_b, tf_a)/|b|_n for n = 1..4 from
+    // ONE unioned (doc, n, gram, tf) frame (the four orders share the
+    // U.gramsN definition), BLEU = BP·exp(Σ ln p_n / 4) with the
+    // standard no-smoothing rule: any order with zero overlap ⇒ BLEU 0
+    // (the n_orders column says which). Grid discipline: each ln p_n
+    // rounds to 1e-9 BEFORE the DECIMAL(18,9) sum (the ppl_proxy
+    // rule), exp rounds to 1e-9, the brevity penalty
+    // min(1, e^(1−len_a/len_b)) rounds to 1e-9, and the product to
+    // 1e-6 — identical op order in the DuckDB twin, so the doubles
+    // match bit-for-bit. Candidate-bounded like every pair grade.
+    "q_llm_bleu_pairs" -> ((s, d) => {
+      val cand = bandCandidates(s, d)
+      // the 4-order gram frame is ~4× the corpus token stream — but only
+      // CANDIDATE docs' grams ever reach a join, so the explode is
+      // semi-join-restricted to the candidate doc set BEFORE the shuffle
+      // (measured: corpus-wide tf ran 37 s warm at ×10; restricted, the
+      // frame is candidate-bound like every other pair grade). The doc
+      // set is dup-rate-bounded ⇒ broadcast here; at a 100 TB dup rate
+      // the same restriction rides a keyed semi-join instead.
+      val cd = cand.select(col("a").as("doc_id"))
+        .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+      val base = Tables(s, d, "documents")
+        .join(broadcast(cd), Seq("doc_id"), "left_semi")
+        .withColumn("tk", toks)
+      val tf = (1 to 4).map { n =>
+        base.select(col("doc_id"), lit(n).as("n"),
+          explode(U.gramsN(n)).as("g"))
+      }.reduce(_ unionByName _)
+        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("tf"))
+      val sz = tf.groupBy("doc_id", "n").agg(sum("tf").as("sz"))
+      val ov = cand
+        .join(tf.as("tx"), col("tx.doc_id") === col("a"))
+        .join(tf.as("ty"), col("ty.doc_id") === col("b") &&
+          col("ty.g") === col("tx.g") && col("ty.n") === col("tx.n"))
+        .groupBy(col("a"), col("b"), col("tx.n").as("n"))
+        .agg(sum(least(col("tx.tf"), col("ty.tf"))).as("ov"))
+      val perN = ov
+        .join(sz.select(col("doc_id").as("b"), col("n"),
+          col("sz").as("szb")), Seq("b", "n"))
+        .withColumn("lnp",
+          round(log(col("ov").cast("double") / col("szb")), 9))
+      val lens = sz.where(col("n") === 1)
+      perN.groupBy("a", "b")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("lnp").cast("decimal(18,9)")).cast("double").as("slnp"))
+        .join(lens.select(col("doc_id").as("a"), col("sz").as("len_a")), "a")
+        .join(lens.select(col("doc_id").as("b"), col("sz").as("len_b")), "b")
+        .withColumn("bp", when(col("len_b") >= col("len_a"), lit(1.0))
+          .otherwise(round(
+            exp(lit(1.0) - col("len_a").cast("double") / col("len_b")), 9)))
+        .select(col("a"), col("b"), col("len_a"), col("len_b"),
+          col("n_orders"), col("bp"),
+          when(col("n_orders") < 4, lit(0.0)).otherwise(
+            round(col("bp") * round(exp(col("slnp") / 4.0), 9), 6))
+            .as("bleu"))
+        .orderBy("a", "b")
+    }),
+
     // CONTAINMENT dedup — the asymmetric cousin of the Jaccard confirm:
     // flags pairs where the SMALLER trigram set is ≥90% inside the larger
     // (quotes, re-posts with boilerplate, doc-in-doc). Candidates come
@@ -824,6 +885,42 @@ object Llm {
            round(ov * 2.0 / (sa.sz + sb.sz), 6) AS rouge_f1
          FROM ovl JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
          ORDER BY a, b""",
+
+    "q_llm_bleu_pairs" -> {
+      val tfUnion = (1 to 4).map { n =>
+        s"""SELECT doc_id, $n AS n, unnest(${U.oGramsN(n)}) AS g FROM tk"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $oSigCte,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         gtf AS MATERIALIZED (SELECT doc_id, n, g, COUNT(*) AS tf
+             FROM ($tfUnion) GROUP BY doc_id, n, g),
+         gsz AS MATERIALIZED (SELECT doc_id, n, CAST(SUM(tf) AS BIGINT)
+             AS sz FROM gtf GROUP BY doc_id, n),
+         ovl AS (SELECT c.a, c.b, x.n,
+               CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS ov
+             FROM cand c JOIN gtf x ON x.doc_id = c.a
+               JOIN gtf y ON y.doc_id = c.b AND y.g = x.g AND y.n = x.n
+             GROUP BY c.a, c.b, x.n),
+         pn AS (SELECT o.a, o.b, o.n,
+               round(ln(CAST(o.ov AS DOUBLE) / sb.sz), 9) AS lnp
+             FROM ovl o JOIN gsz sb ON sb.doc_id = o.b AND sb.n = o.n),
+         agg AS (SELECT a, b, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(lnp AS DECIMAL(18,9))) AS DOUBLE) AS slnp
+             FROM pn GROUP BY a, b)
+         SELECT g.a, g.b, la.sz AS len_a, lb.sz AS len_b, g.n_orders,
+           CASE WHEN lb.sz >= la.sz THEN 1.0 ELSE
+             round(exp(1.0 - CAST(la.sz AS DOUBLE) / lb.sz), 9) END AS bp,
+           CASE WHEN g.n_orders < 4 THEN 0.0 ELSE
+             round((CASE WHEN lb.sz >= la.sz THEN 1.0 ELSE
+               round(exp(1.0 - CAST(la.sz AS DOUBLE) / lb.sz), 9) END)
+               * round(exp(slnp / 4.0), 9), 6) END AS bleu
+         FROM agg g
+           JOIN gsz la ON la.doc_id = g.a AND la.n = 1
+           JOIN gsz lb ON lb.doc_id = g.b AND lb.n = 1
+         ORDER BY g.a, g.b"""
+    },
 
     "q_llm_dedup_containment" ->
       s"""WITH $oSigCte,

@@ -119,6 +119,25 @@ object U {
     """list_transform(range(1, greatest(len(tk) - 3, 1)),
          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"""
 
+  /** Parameterized n-gram array over `tk` — the [[grams2]]/[[grams5]]
+    * construction at any order (n = 1 is the token array itself). One
+    * definition for the BLEU family's four orders, so a tokenization
+    * fix reaches all of them at once. */
+  def gramsN(n: Int): Column =
+    if (n == 1) col("tk")
+    else expr(
+      s"""transform(slice(tk, 1, greatest(size(tk) - ${n - 1}, 0)),
+           (x, i) -> concat_ws(' ', x, ${
+             (1 until n).map(k => s"tk[i + $k]").mkString(", ")}))""")
+
+  /** DuckDB twin of [[gramsN]] (1-based list indexing, the
+    * [[oGrams2]]/[[oGrams5]] convention). */
+  def oGramsN(n: Int): String =
+    if (n == 1) "tk"
+    else s"""list_transform(range(1, greatest(len(tk) - ${n - 2}, 1)),
+           i -> ${(0 until n).map(k => if (k == 0) "tk[i]" else s"tk[i+$k]")
+             .mkString(" || ' ' || ")})"""
+
   /** The quality-classifier logit (fixed linear model over four exact
     * rational features; NO libm ⇒ same-order IEEE ⇒ bit-identical
     * cross-engine). Single definition: q_llm_quality_classifier and the

@@ -290,6 +290,44 @@ class PropertySpec extends SparkSpec {
     assert(out.exists(r => r.getDouble(3) != r.getDouble(4)))
   }
 
+  test("BLEU pairs equal a brute-force 4-order recompute with brevity penalty") {
+    val out = queries.Llm.queries("q_llm_bleu_pairs")(spark, sf).collect()
+    assert(out.nonEmpty, "banding found no candidate pairs to grade")
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def tf(id: Long, n: Int): Map[String, Int] =
+      toks(id).sliding(n).filter(_.length == n).map(_.mkString(" "))
+        .toSeq.groupBy(identity).map { case (g, v) => g -> v.length }
+    val r9 = (x: Double) =>
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == toks(a).length && r.getLong(3) == toks(b).length)
+      val ps = (1 to 4).map { n =>
+        val (ta, tb) = (tf(a, n), tf(b, n))
+        val ov = tb.map { case (g, c) => math.min(c, ta.getOrElse(g, 0)) }.sum
+        (ov, tb.values.sum)
+      }
+      val nOrders = ps.count(_._1 > 0)
+      assert(r.getLong(4) == nOrders)
+      val bp = if (toks(b).length >= toks(a).length) 1.0
+        else r9(math.exp(1.0 - toks(a).length.toDouble / toks(b).length))
+      assert(math.abs(r.getDouble(5) - bp) < 1e-9)
+      val want = if (nOrders < 4) 0.0 else {
+        val slnp = ps.map { case (ov, sz) =>
+          BigDecimal(r9(math.log(ov.toDouble / sz))) }.sum.toDouble
+        BigDecimal(bp * r9(math.exp(slnp / 4.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(math.abs(r.getDouble(6) - want) < 1e-6, s"bleu drift for ($a,$b)")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // identical-doc-shape pairs would all score bp = 1; the corpus's
+    // length-shifted near-dups must exercise the brevity penalty
+    assert(out.exists(_.getDouble(5) < 1.0), "brevity penalty never fired")
+  }
+
   test("two-pass approx quartiles agree with exact ntile within one rank") {
     val exact = queries.Windows.queries("q_win_ntile_pct")(spark, sf)
       .select("c_custkey", "quartile")
