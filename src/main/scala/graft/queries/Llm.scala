@@ -488,14 +488,20 @@ object Llm {
         .orderBy("a", "b")
     }),
 
-    // Corpus BLEU grading (hypothesis = b, reference = a) — the
-    // machine-translation sibling of the ROUGE-2 grade, over the SAME
-    // banding candidates (bucket-local join, never all-pairs): clipped
-    // n-gram precision p_n = Σmin(tf_b, tf_a)/|b|_n for n = 1..4 from
+    // Per-pair (sentence-level) BLEU grading (hypothesis = b,
+    // reference = a) — the machine-translation sibling of the ROUGE-2
+    // grade, over the SAME banding candidates (bucket-local join, never
+    // all-pairs). Each pair is graded as a one-segment corpus: n-gram
+    // statistics are NEVER pooled across pairs (a pooled corpus-BLEU
+    // over a doc set would be a different operator). Clipped n-gram
+    // precision p_n = Σmin(tf_b, tf_a)/|b|_n for n = 1..4 from
     // ONE unioned (doc, n, gram, tf) frame (the four orders share the
     // U.gramsN definition), BLEU = BP·exp(Σ ln p_n / 4) with the
     // standard no-smoothing rule: any order with zero overlap ⇒ BLEU 0
-    // (the n_orders column says which). Grid discipline: each ln p_n
+    // (the n_orders column says which). EVERY banding candidate emits a
+    // row — pairs disjoint at all four orders left-join back onto the
+    // candidate frame as (n_orders = 0, bleu = 0.0) instead of silently
+    // vanishing from the grade. Grid discipline: each ln p_n
     // rounds to 1e-9 BEFORE the DECIMAL(18,9) sum (the ppl_proxy
     // rule), exp rounds to 1e-9, the brevity penalty
     // min(1, e^(1−len_a/len_b)) rounds to 1e-9, and the product to
@@ -533,11 +539,16 @@ object Llm {
         .withColumn("lnp",
           round(log(col("ov").cast("double") / col("szb")), 9))
       val lens = sz.where(col("n") === 1)
-      perN.groupBy("a", "b")
+      val agg = perN.groupBy("a", "b")
         .agg(count(lit(1)).as("n_orders"),
           sum(col("lnp").cast("decimal(18,9)")).cast("double").as("slnp"))
+      // left join back onto cand: a pair with zero overlap at EVERY
+      // order (no perN row at all) still grades, as (0 orders, bleu 0);
+      // agg is candidate-bounded like cand itself → broadcast, not SMJ
+      cand.join(broadcast(agg), Seq("a", "b"), "left")
         .join(lens.select(col("doc_id").as("a"), col("sz").as("len_a")), "a")
         .join(lens.select(col("doc_id").as("b"), col("sz").as("len_b")), "b")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
         .withColumn("bp", when(col("len_b") >= col("len_a"), lit(1.0))
           .otherwise(round(
             exp(lit(1.0) - col("len_a").cast("double") / col("len_b")), 9)))
@@ -909,17 +920,19 @@ object Llm {
          agg AS (SELECT a, b, COUNT(*) AS n_orders,
                CAST(SUM(CAST(lnp AS DECIMAL(18,9))) AS DOUBLE) AS slnp
              FROM pn GROUP BY a, b)
-         SELECT g.a, g.b, la.sz AS len_a, lb.sz AS len_b, g.n_orders,
+         SELECT c.a, c.b, la.sz AS len_a, lb.sz AS len_b,
+           CAST(COALESCE(g.n_orders, 0) AS BIGINT) AS n_orders,
            CASE WHEN lb.sz >= la.sz THEN 1.0 ELSE
              round(exp(1.0 - CAST(la.sz AS DOUBLE) / lb.sz), 9) END AS bp,
-           CASE WHEN g.n_orders < 4 THEN 0.0 ELSE
+           CASE WHEN COALESCE(g.n_orders, 0) < 4 THEN 0.0 ELSE
              round((CASE WHEN lb.sz >= la.sz THEN 1.0 ELSE
                round(exp(1.0 - CAST(la.sz AS DOUBLE) / lb.sz), 9) END)
                * round(exp(slnp / 4.0), 9), 6) END AS bleu
-         FROM agg g
-           JOIN gsz la ON la.doc_id = g.a AND la.n = 1
-           JOIN gsz lb ON lb.doc_id = g.b AND lb.n = 1
-         ORDER BY g.a, g.b"""
+         FROM cand c
+           LEFT JOIN agg g ON g.a = c.a AND g.b = c.b
+           JOIN gsz la ON la.doc_id = c.a AND la.n = 1
+           JOIN gsz lb ON lb.doc_id = c.b AND lb.n = 1
+         ORDER BY c.a, c.b"""
     },
 
     "q_llm_dedup_containment" ->

@@ -136,7 +136,11 @@ object Signals {
         .select(coalesce(round(lit(1.0) / col("fr"), 9), lit(0.0)).as("mrr"))
       // 0·length(doc_id) — the llm_mix constant-but-not-foldable key,
       // anchored on the NULLABLE doc_id (rank = count+1 is non-nullable,
-      // so any expression over it folds to a literal and gets stripped)
+      // so any expression over it folds to a literal and gets stripped).
+      // If a future optimizer folds nullable 0·length too, the partition
+      // spec silently drops — the ≤10-row result is unchanged, but the
+      // zero-single-partition-window plan claim regresses; the Window x2
+      // entry in PLANS.lock is the tripwire that catches that diff.
       val wc = Window
         .partitionBy(length(col("doc_id").cast("string")) * lit(0))
         .orderBy("rank")

@@ -312,6 +312,13 @@ object StreamTwins {
     // max event time over batches < b minus the delay (watermarks
     // advance at batch boundaries); floored-second arithmetic
     // represents that boundary exactly (⌊maxTs − 600⌋ = ⌊maxTs⌋ − 600).
+    // The prefix max over the batch frame is DISTRIBUTED (round 12 —
+    // this was the repo's one keyless window): gridBin batches into 64
+    // buckets, carry cross-bucket maxima through the U.prefixOffsets
+    // triangle-broadcast shape (max, not sum), and window only WITHIN a
+    // bucket — per-task rows = batches/64 at any stream length, where
+    // the keyless form put the whole cadence-bounded frame (≈43k rows
+    // for the 30-day fixture, ≈525k for a year) on one task.
     // StreamingSpec replays the same batches through a real
     // MemoryStream windowed count and proves Σ numRowsDroppedByWatermark
     // equals this twin's total. One events pass + a cadence-bounded
@@ -322,10 +329,26 @@ object StreamTwins {
         .withColumn("jit", expr(
           s"${hexFold("md5(concat('late', CAST(event_id AS STRING)))", 13)} % 1800"))
         .withColumn("batch", expr("(es + jit) div 60"))
-      val wm = e.groupBy("batch").agg(max(col("es")).as("mx"))
-        .withColumn("w", max(col("mx")).over(
-          Window.orderBy("batch")
-            .rowsBetween(Window.unboundedPreceding, -1)) - 600)
+      val bm = e.groupBy("batch").agg(max(col("es")).as("mx"))
+      val rng = bm.agg(min(col("batch")).as("lo"),
+        (max(col("batch")) + 1L).as("hi"))
+      val binned = bm.crossJoin(broadcast(rng))
+        .withColumn("bk", U.gridBin(col("batch"), col("lo"), col("hi"), 64))
+        .select("batch", "mx", "bk")
+      // cross-bucket carry: max(mx) over buckets < bk — the ≤64-row
+      // triangle-broadcast prefix shape (prefixOffsets with max)
+      val bmax = binned.groupBy("bk").agg(max(col("mx")).as("bm"))
+      val boff = bmax.join(broadcast(
+          bmax.select(col("bk").as("bk2"), col("bm").as("bm2"))),
+          col("bk2") < col("bk"), "left")
+        .groupBy("bk").agg(max(col("bm2")).as("boff"))
+      val wm = binned.join(broadcast(boff), "bk")
+        .withColumn("inb", max(col("mx")).over(
+          Window.partitionBy("bk").orderBy("batch")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        // greatest skips NULLs: first batch of a bucket reads the carry
+        // alone, the globally first batch stays NULL (no watermark yet)
+        .withColumn("w", greatest(col("inb"), col("boff")) - 600)
         .select("batch", "w")
       e.join(broadcast(wm), "batch")
         .withColumn("late", (col("w").isNotNull &&

@@ -158,6 +158,11 @@ object Streams {
     * changes nothing about the emitted ledger. The map loads into a
     * local mirror once per (bucket, micro-batch) and writes back only
     * dirty keys, so the state store sees O(touched) I/O, not O(cap·rows).
+    * The in-batch sort buffers ~1/buckets of the micro-batch in one
+    * executor (the house in-batch-sort rule) — with only 8 bucket keys
+    * that fan-in is the repo's most exposed instance, so for
+    * production-sized batches raise `buckets`: it divides BOTH the sort
+    * buffer and the per-displacement O(cap) eviction scan.
     * Rows sort by event_id inside a batch (house determinism rule), ties
     * in the minimum break by (cnt, user) — the ledger is bit-reproducible
     * on any in-order replay. */
