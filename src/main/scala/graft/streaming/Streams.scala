@@ -203,11 +203,29 @@ object Streams {
     }
   }
 
+  /** SpaceSaving capacity-growth rule, IN CODE (round 12 — the
+    * `Refine.cellsForCount` discipline: fixed-capacity structures derive
+    * their size instead of defaulting it). The sketch guarantees every
+    * counter's overestimation `err` ≤ the bucket's minimum counter ≤
+    * N_bucket/cap, and any key with true frequency > N_bucket/cap is
+    * guaranteed tracked (Metwally et al. 2005). So to bound error at
+    * `targetErr` counts — equivalently, to guarantee tracking of every
+    * key above targetErr — size cap = ⌈N_bucket/targetErr⌉: cap ∝
+    * N_bucket/ε, exactly the BASELINE.md prose rule. Floor 16 keeps the
+    * sketch non-degenerate on tiny buckets. The zipf StreamBench
+    * scenario (`heavyhitters_zipf`) measures what the rule buys under
+    * real displacement pressure; StreamingSpec pins the arithmetic. */
+  def capFor(nBucket: Long, targetErr: Long): Int =
+    math.max(16L,
+      (nBucket + math.max(1L, targetErr) - 1) / math.max(1L, targetErr))
+      .toInt
+
   /** SpaceSaving heavy-hitter ledger over `user_id % buckets` sharded
     * sketches of `cap` counters each. Defaults make the fixture regime
     * EXACT (distinct users per bucket < cap ⇒ no displacement ever, every
     * err = 0 — the regime the declared batch twin oracles); production
-    * sizes cap to the memory budget and reads the err column. */
+    * derives cap from the bucket volume and error target via [[capFor]]
+    * and reads the err column. */
   def heavyHittersTws(events: Dataset[HhEvent], buckets: Int = 8,
       cap: Int = 512): Dataset[HhUpdate] = {
     import events.sparkSession.implicits._

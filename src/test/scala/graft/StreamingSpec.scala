@@ -292,6 +292,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("capFor derives SpaceSaving capacity from bucket volume and error target") {
+    // cap = ceil(nBucket/targetErr) — the err ≤ targetErr guarantee
+    assert(Streams.capFor(75000, 1600) == 47)
+    assert(Streams.capFor(1000000, 1000) == 1000)
+    // ceiling, not floor: one extra counter rather than a broken bound
+    assert(Streams.capFor(1001, 10) == 101)
+    // floor 16 keeps tiny buckets non-degenerate; zero targets clamp
+    assert(Streams.capFor(100, 1000) == 16)
+    assert(Streams.capFor(0, 0) == 16)
+    // the bound the rule exists for: nBucket/capFor(nBucket, t) ≤ t
+    for ((nb, te) <- Seq((75000L, 1600L), (123457L, 77L), (999L, 1L)))
+      assert(nb / Streams.capFor(nb, te) <= te,
+        s"bound broken for nBucket=$nb targetErr=$te")
+  }
+
   test("heavy hitters survives a checkpointed restart: MapState carries") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
