@@ -403,6 +403,39 @@ object Scale {
         val nPq2 = pqQs.count()
         println(f"""{"dir":"$d","probe":"simsearch_pq_rerank50","k":3,"n_queries":$nPq2,"recall":${rrHits.toDouble / (3 * nPq2)}%.4f}""")
       }
+      // Round-12 geometry frontier: recall-vs-(M×K code budget,
+      // shortlist depth) THROUGH the declared pqAdcScores/pqRerank
+      // pipeline at growth-rule cells. M·log₂K is bits per vector
+      // (4×8 = 12 bits/64× compression … 8×16 = 32 bits/16×); the grid
+      // is what names the declared default with a number instead of a
+      // guess. One persisted truth shared across all grid rows.
+      locally {
+        val geoms = Seq((4, 8), (8, 8), (4, 16), (8, 16))
+        val rows = for {
+          (m, kq) <- geoms; sl <- Seq(0, 50, 200)
+        } yield (m, kq, sl)
+        val wanted = rows.filter { case (m, kq, sl) =>
+          want(if (sl == 0) s"simsearch_pq_m${m}k${kq}_adc"
+               else s"simsearch_pq_m${m}k${kq}_rerank$sl") }
+        if (wanted.nonEmpty) {
+          val truthP = truthL2.persist()
+          val nPq = pqQs.count()
+          val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+          wanted.foreach { case (m, kq, sl) =>
+            val probe = if (sl == 0) s"simsearch_pq_m${m}k${kq}_adc"
+              else s"simsearch_pq_m${m}k${kq}_rerank$sl"
+            val ann =
+              if (sl == 0) graft.queries.Refine.pqAdcScores(spark, d, -1, m, kq)
+                .withColumn("rnk", row_number().over(wA))
+                .where(col("rnk") <= 3).select("qid", "cid")
+              else graft.queries.Refine.pqRerank(spark, d, sl, -1, m, kq)
+            val hits = ann.join(truthP, Seq("qid", "cid"), "left_semi").count()
+            println(f"""{"dir":"$d","probe":"$probe","k":3,"n_queries":$nPq,"recall":${hits.toDouble / (3 * nPq)}%.4f}""")
+          }
+          truthP.unpersist()
+          ()
+        }
+      }
       // Fixed-geometry CONTROL: coarse cells pinned at 16 regardless of
       // N — the pre-round-11 declared form. At scale per-cell population
       // grows ∝ N/16, residual spread widens with it, and the fixed

@@ -115,6 +115,30 @@ object Insights {
     // phase-1 frame.
     "q_graph_louvain_coarse" -> ((s, d) => louvainCoarse(s, d).orderBy("id")),
 
+    // Louvain TO CONVERGENCE (round 12) — the full Blondel et al. loop:
+    // phase-1 local moves continue past q_graph_louvain's 4 fixed rounds
+    // until modularity stops improving, then (coarsen,
+    // move-until-no-improvement) LEVELS until a whole level accepts
+    // nothing — ΔQ = 0, the convergence criterion, read off the exact
+    // integer Q·(2m)² so "stopped improving" is never a float call.
+    // Every semi-synchronous round is Q-GUARDED (accepted only if the
+    // exact modularity numerator strictly rises): unguarded parallel
+    // moves PILE ON — measured at sf0.01, free-running rounds collapse
+    // the graph to ONE community (Q = 0); the guarded loop climbs
+    // 418M → 664M and lands modularity 0.0705 vs the fixed two-level
+    // pair's 0.0426 (sf0.1: 0.0530 vs 0.0428; InsightsSpec asserts
+    // full ≥ coarse through the declared entries, ScaleSpec re-proves
+    // at ×8). Convergence is driver-coordinated (one DECIMAL(38,0)
+    // scalar per round — the ccLabels discipline), data moves only
+    // through keyed joins, and the round/level caps [[FullR1Cap]]/
+    // [[FullR2Cap]]/[[FullLevelCap]] are part of the SEMANTICS: the
+    // DuckDB twin unrolls exactly the caps, and the acceptance gate
+    // makes post-fixpoint rounds provable no-ops, so a convergence
+    // LOOP hash-matches a fixed UNROLL. Cost per round = one
+    // edge⋈label shuffle + node-sized joins + the qNum edge pass —
+    // edge-linear at any N, never all-pairs, never a global window.
+    "q_graph_louvain_full" -> ((s, d) => louvainFull(s, d).orderBy("id")),
+
     // Per-community CONDUCTANCE of the level-2 Louvain partition —
     // the cut-based quality metric complementing modularity (modularity
     // rewards density vs a null model; conductance φ(C) = cut(C)/
@@ -837,6 +861,237 @@ object Insights {
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
     }
 
+  /** One semi-synchronous WEIGHTED Louvain move round — the [[louvain]]
+    * round body generalized to a weighted, possibly self-looped edge
+    * frame, so ONE definition serves both phase-1 continuation rounds
+    * (w = 1, no self-loops ⇒ sum(w) ≡ the 4-round loop's count) and the
+    * super-node move phases of every coarsened level. `mapping(id, com)`
+    * is the current membership; `ce(src, dst, w)` the static
+    * both-directions weighted edges (self-loops carry internal mass —
+    * they are EXCLUDED from k_iC, an edge to yourself is not an edge to
+    * another member, but INCLUDED in wdeg/tot, the standard k_i
+    * convention); round parity `k` picks the moving side (odd =
+    * supplier-labeled ids). Gains are the exact-integer ΔQ·2m² =
+    * 2m·k_iC − k_i·Σtot(C∖i) in DECIMAL(38,0); move iff the best
+    * foreign gain strictly beats staying, ties stay, foreign ties to
+    * the smallest label — bit-identical to the DuckDB twin's HUGEINT
+    * window form. */
+  private[graft] def wRoundProbe(mapping: org.apache.spark.sql.DataFrame,
+      ce: org.apache.spark.sql.DataFrame,
+      wdeg: org.apache.spark.sql.DataFrame,
+      m2f: org.apache.spark.sql.DataFrame, k: Int)
+    : org.apache.spark.sql.DataFrame = wRound(mapping, ce, wdeg, m2f, k)
+
+  /** Exact-integer modularity NUMERATOR Q·(2m)² = 2m·Σ_c within_c −
+    * Σ_c (Σtot_c)² of a membership over the weighted edge frame —
+    * self-loops count as within mass (they carry a community's internal
+    * edges after coarsening), so the super-node value equals the induced
+    * node-partition value exactly. DECIMAL(38,0) scalar, collected
+    * driver-side: the [[louvainFull]] round-acceptance guard. */
+  private[graft] def qNum(mapping: org.apache.spark.sql.DataFrame,
+      ce: org.apache.spark.sql.DataFrame,
+      wdeg: org.apache.spark.sql.DataFrame,
+      m2f: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+    val within = ce
+      .join(mapping.select(col("id"), col("com").as("cs")),
+        col("src") === col("id")).drop("id")
+      .join(mapping.select(col("id"), col("com").as("cd")),
+        col("dst") === col("id")).drop("id")
+      .where(col("cs") === col("cd"))
+      .agg(coalesce(sum("w"), lit(0L)).as("win"))
+    val dsq = mapping.join(wdeg, "id")
+      .groupBy("com").agg(sum("wdeg").as("tot"))
+      .agg(sum(expr("CAST(tot AS DECIMAL(38,0)) * tot")).as("dsq"))
+    within.crossJoin(broadcast(dsq)).crossJoin(broadcast(m2f))
+      .select(expr("CAST(m2 AS DECIMAL(38,0)) * win - dsq").as("qn"))
+      .collect()(0).getDecimal(0)
+  }
+
+  private def wRound(mapping: org.apache.spark.sql.DataFrame,
+      ce: org.apache.spark.sql.DataFrame,
+      wdeg: org.apache.spark.sql.DataFrame,
+      m2f: org.apache.spark.sql.DataFrame, k: Int)
+    : org.apache.spark.sql.DataFrame = {
+    val side = (c: org.apache.spark.sql.Column) =>
+      if (k % 2 == 1) c >= U.supplierIdOffset
+      else c < U.supplierIdOffset
+    val kic = ce.where(col("src") =!= col("dst") && side(col("dst")))
+      .join(mapping.select(col("id"), col("com").as("clbl")),
+        col("src") === col("id"))
+      .groupBy(col("dst"), col("clbl")).agg(sum("w").as("kic"))
+    val tot = mapping.join(wdeg, "id")
+      .groupBy("com").agg(sum("wdeg").as("tot"))
+    val cur = mapping.where(side(col("id")))
+      .join(wdeg, "id")
+      .join(tot.select(col("com"), col("tot").as("totcur")), "com")
+      .select(col("id").as("dst"), col("com").as("curlbl"),
+        col("wdeg").as("kd"), col("totcur"))
+    val g = kic.join(cur, "dst")
+      .join(tot.select(col("com").as("clbl"), col("tot").as("totc")), "clbl")
+      .crossJoin(broadcast(m2f))
+      .withColumn("g", expr(
+        """CAST(m2 AS DECIMAL(38,0)) * kic - CAST(kd AS DECIMAL(38,0)) *
+           (CASE WHEN clbl = curlbl THEN totc - kd ELSE totc END)"""))
+    val best = g.where(col("clbl") =!= col("curlbl"))
+      .groupBy("dst")
+      .agg(max(struct(col("g"), (-col("clbl")).as("nl"))).as("mb"))
+      .select(col("dst"), col("mb.g").as("gbest"),
+        (-col("mb.nl")).as("bestlbl"))
+    val stay = g.where(col("clbl") === col("curlbl"))
+      .select(col("dst"), col("g").as("gstay"))
+    val upd = cur.join(best, Seq("dst"), "left")
+      .join(stay, Seq("dst"), "left")
+      .withColumn("gs", coalesce(col("gstay"), expr(
+        "CAST(0 AS DECIMAL(38,0)) - CAST(kd AS DECIMAL(38,0)) * (totcur - kd)")))
+      .select(col("dst").as("id"),
+        when(col("gbest").isNotNull && col("gbest") > col("gs"),
+          col("bestlbl")).otherwise(col("curlbl")).as("nu"))
+    mapping.join(upd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("nu"), col("com")).as("com"))
+  }
+
+  /** Round/level caps for [[louvainFull]] — part of the operator's
+    * SEMANTICS, not tuning knobs: the declared query runs
+    * min(fixpoint, cap) rounds and the DuckDB twin unrolls exactly the
+    * cap. The Q-acceptance guard is what lets a CONVERGENCE loop
+    * hash-match a fixed unroll: a round is a deterministic function of
+    * (label state, side parity), and a REJECTED round leaves the state
+    * unchanged — so after two consecutive rejections (one full side
+    * cycle) every later round recomputes the same candidate and rejects
+    * it again, making the twin's post-stop rounds exact no-ops. Values
+    * chosen from measured convergence (BASELINE.md louvain_full rows):
+    * sf0.01 accepts phase-1 rounds 6–9 and stops at 10–11; sf0.1 and
+    * the ×10 replica fit the same envelope. */
+  private[graft] val FullR1Cap = 10 // phase-1 rounds 5..14
+  private[graft] val FullR2Cap = 6 // move rounds per coarsened level
+  private[graft] val FullLevelCap = 2 // coarsen levels
+
+  /** Eager localCheckpoint + STATS RESET for iterative join loops.
+    * localCheckpoint truncates the logical plan, but its LogicalRDD
+    * INHERITS the checkpointed plan's sizeInBytes ESTIMATE — and a join
+    * loop feeds each round's estimate (a PRODUCT over the round's ~7
+    * join levels) into the next round's leaves, so the stat's bit
+    * length grows ×4 per round (measured: 5.7k → 23k → 92k → 369k →
+    * 1.5M bits over five rounds; by round 11 the driver spent minutes
+    * in BigInteger Toom-Cook inside the stats walk — 16 s to PLAN a
+    * 16-row round). Rebuilding from the checkpointed RDD through the
+    * public createDataFrame API resets the leaf statistic to the
+    * session default, keeping per-round planning cost constant; the
+    * price is one Row decode pass over a node-sized frame per action,
+    * and joins against the frame need explicit broadcast hints (the
+    * default stat disables auto-broadcast — every small side in
+    * [[wRound]]/[[qNum]] is dim- or node-bounded, so that is a
+    * planning-cost trade, not a correctness one). */
+  private def ckptReset(df: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val c = df.localCheckpoint(true)
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  /** Louvain TO CONVERGENCE — the full Blondel et al. loop the one-phase
+    * [[louvain]] + one-level [[louvainCoarse]] pair demonstrates in
+    * fixed form: continue phase-1 local moves until modularity stops
+    * improving, then (coarsen, move-until-no-improvement) levels until a
+    * whole level accepts nothing (ΔQ = 0). Each round is Q-GUARDED: the
+    * semi-synchronous candidate labeling is accepted only if its EXACT
+    * integer modularity numerator Q·(2m)² strictly improves ([[qNum]] —
+    * one driver-side DECIMAL(38,0) scalar per round, the `Llm.ccLabels`
+    * bounded-scalar convergence discipline). The guard is load-bearing,
+    * not cosmetic: un-guarded semi-synchronous moves PILE ON (all nodes
+    * of a side chasing the same big community at once) — measured at
+    * sf0.01, free-running rounds collapse the graph to ONE community
+    * (Q = 0) where the guarded loop climbs 418M → 664M and lands
+    * modularity 0.0705 vs the fixed two-level pair's 0.0426. Guarded
+    * acceptance also makes Q monotone from the 4-round base, which is
+    * the q_graph_louvain_full ≥-coarse quality claim's proof sketch.
+    * Label frames checkpoint per round through [[ckptReset]] (each
+    * round runs a qNum action anyway; plain localCheckpoint is NOT
+    * enough — see ckptReset for the compounding-statistics failure it
+    * exists to stop). Memoized per (session, sfDir). */
+  private[graft] def louvainFull(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Memo(s, s"louvainfull:$d") {
+      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      val e1 = e.select(col("src"), col("dst"), lit(1L).as("w"))
+      val wdeg1 = e1.groupBy(col("src").as("id")).agg(sum("w").as("wdeg"))
+        .localCheckpoint(false)
+      val m2f1 = e1.agg(sum("w").as("m2"))
+      // phase-1 continuation: rounds 5.. from the memoized 4-round frame
+      // (side parity carries through, so round 5 moves suppliers)
+      var lbl = ckptReset(louvain(s, d).select(col("id"), col("lbl").as("com")))
+      var qn = qNum(lbl, e1, wdeg1, m2f1)
+      var k = 5
+      var rej = 0
+      while (k <= 4 + FullR1Cap && rej < 2) {
+        val cand = ckptReset(wRound(lbl, e1, wdeg1, m2f1, k))
+        val qc = qNum(cand, e1, wdeg1, m2f1)
+        if (qc.compareTo(qn) > 0) { lbl = cand; qn = qc; rej = 0 }
+        else rej += 1
+        k += 1
+      }
+      // levels: coarsen to the weighted community graph (self-loops =
+      // internal mass), move super-nodes under the same guard, fold the
+      // relabel into the node mapping
+      var nodeLbl = lbl
+      var level = 1
+      var levelAccepted = 1
+      while (level <= FullLevelCap && levelAccepted > 0) {
+        val ce = e
+          .join(nodeLbl.select(col("id"), col("com").as("cs")),
+            col("src") === col("id")).drop("id")
+          .join(nodeLbl.select(col("id"), col("com").as("cd")),
+            col("dst") === col("id")).drop("id")
+          .groupBy("cs", "cd").agg(count(lit(1)).as("w"))
+          .select(col("cs").as("src"), col("cd").as("dst"), col("w"))
+        val ceR = ckptReset(ce)
+        val wdegC = ckptReset(
+          ceR.groupBy(col("src").as("id")).agg(sum("w").as("wdeg")))
+        val m2fC = ceR.agg(sum("w").as("m2"))
+        var com = ckptReset(nodeLbl.select(col("com").as("id")).distinct()
+          .select(col("id"), col("id").as("com")))
+        var qnC = qNum(com, ceR, wdegC, m2fC)
+        var kk = 1
+        var rj = 0
+        levelAccepted = 0
+        while (kk <= FullR2Cap && rj < 2) {
+          val cand = ckptReset(wRound(com, ceR, wdegC, m2fC, kk))
+          val qc = qNum(cand, ceR, wdegC, m2fC)
+          if (qc.compareTo(qnC) > 0) {
+            com = cand; qnC = qc; rj = 0; levelAccepted += 1
+          } else rj += 1
+          kk += 1
+        }
+        nodeLbl = ckptReset(nodeLbl.select(col("id"), col("com").as("c0"))
+          .join(com.select(col("id").as("c0"), col("com").as("cN")), "c0")
+          .select(col("id"), col("cN").as("com")))
+        level += 1
+      }
+      nodeLbl.select(col("id"), col("com").as("lbl"))
+    }
+
+  /** Modularity Q of an arbitrary (id, lbl) partition over
+    * [[U.coPurchaseEdges]] — the q_graph_modularity arithmetic
+    * factored out so specs can grade [[louvainFull]] against
+    * [[louvainCoarse]] on the SAME definition. */
+  private[graft] def modularityOf(s: org.apache.spark.sql.SparkSession,
+      d: String, lbl: org.apache.spark.sql.DataFrame): Double = {
+    val e = U.coPurchaseEdges(s, d)
+    val tagged = e
+      .join(lbl.select(col("id"), col("lbl").as("ls")), e("src") === col("id"))
+      .drop("id")
+      .join(lbl.select(col("id"), col("lbl").as("ld")), col("dst") === col("id"))
+    val per = tagged.groupBy("ls")
+      .agg(count(lit(1)).as("dc"),
+        sum((col("ls") === col("ld")).cast("long")).as("within"))
+    val tot = per.agg(sum("dc").as("e2"))
+    per.crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        """CAST(round(CAST(within AS DOUBLE) / e2
+           - (CAST(dc AS DOUBLE) / e2) * (CAST(dc AS DOUBLE) / e2), 9)
+           AS DECIMAL(18,9))""")).cast("double").as("q"))
+      .collect()(0).getDouble(0)
+  }
+
   /** `flips` = how many neighbor cells to probe besides the query's own
     * (the probe BUDGET — the recall knob): first the `bits` single-bit
     * flips, then two-bit flips in index order. The declared query uses 4
@@ -951,6 +1206,117 @@ object Insights {
        ${round("v2", 3)}, ${round("v3", 4)}"""
   }
 
+  /** DuckDB scalar expression for [[qNum]] over labels CTE `lbl(id, com)`,
+    * weighted edges `ce(src, dst, w)`, degrees `wd(id, wdeg)` and the
+    * 1-row `m2(m2)`: Q·(2m)² = 2m·Σwithin − Σtot² in HUGEINT (the
+    * DECIMAL(38,0) twin). */
+  private def oQn(lbl: String, ce: String, wd: String, m2: String): String =
+    s"""(SELECT CAST(mm.m2 AS HUGEINT) FROM $m2 mm) *
+        (SELECT COALESCE(CAST(SUM(ce.w) AS HUGEINT), 0) FROM $ce ce
+          JOIN $lbl qa2 ON ce.src = qa2.id JOIN $lbl qb2 ON ce.dst = qb2.id
+          WHERE qa2.com = qb2.com)
+      - (SELECT CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) FROM (
+          SELECT CAST(SUM(d.wdeg) AS BIGINT) AS t FROM $lbl ql2
+          JOIN $wd d ON ql2.id = d.id GROUP BY ql2.com))"""
+
+  /** One Q-GUARDED weighted move round of the louvain_full twin —
+    * [[wRound]]'s CTE mirror plus the acceptance gate: the candidate
+    * labeling `cd` is adopted into `va` only when its [[oQn]] strictly
+    * beats the best accepted value threaded through `qa` (so rejected
+    * rounds pass the previous state through unchanged, which is what
+    * makes post-fixpoint unrolled rounds exact no-ops). CTE names are
+    * `$p$n`-prefixed so phase-1 and per-level chains coexist. */
+  private def oGRound(p: String, n: Int, prev: String, qaPrev: String,
+      ce: String, wd: String, m2: String): String = {
+    val side = (c: String) =>
+      if (n % 2 == 1) s"$c >= ${U.supplierIdOffset}"
+      else s"$c < ${U.supplierIdOffset}"
+    val P = s"$p$n"
+    s"""${P}kic AS MATERIALIZED (SELECT ce.dst, mp.com AS clbl,
+            CAST(SUM(ce.w) AS BIGINT) AS kic
+          FROM $ce ce JOIN $prev mp ON ce.src = mp.id
+          WHERE ce.src <> ce.dst AND ${side("ce.dst")}
+          GROUP BY ce.dst, mp.com),
+       ${P}tot AS MATERIALIZED (SELECT mp.com, CAST(SUM(d.wdeg) AS BIGINT)
+            AS tot
+          FROM $prev mp JOIN $wd d ON mp.id = d.id GROUP BY mp.com),
+       ${P}cur AS MATERIALIZED (SELECT mp.id AS dst, mp.com AS curlbl,
+            d.wdeg AS kd, t.tot AS totcur
+          FROM $prev mp JOIN $wd d ON mp.id = d.id
+            JOIN ${P}tot t ON mp.com = t.com
+          WHERE ${side("mp.id")}),
+       ${P}g AS MATERIALIZED (SELECT k.dst, k.clbl, c.curlbl, c.kd,
+            c.totcur,
+            CAST(mm.m2 AS HUGEINT) * k.kic - CAST(c.kd AS HUGEINT) *
+              (CASE WHEN k.clbl = c.curlbl THEN t.tot - c.kd
+                    ELSE t.tot END) AS g
+          FROM ${P}kic k JOIN ${P}cur c ON k.dst = c.dst
+            JOIN ${P}tot t ON k.clbl = t.com, $m2 mm),
+       ${P}best AS (SELECT dst, g AS gbest, clbl AS bestlbl FROM (
+            SELECT dst, g, clbl, ROW_NUMBER() OVER (PARTITION BY dst
+              ORDER BY g DESC, clbl) AS rk
+            FROM ${P}g WHERE clbl <> curlbl) WHERE rk = 1),
+       ${P}stay AS (SELECT dst, g AS gstay FROM ${P}g WHERE clbl = curlbl),
+       ${P}upd AS (SELECT c.dst AS id,
+            CASE WHEN b.gbest IS NOT NULL AND b.gbest >
+                   COALESCE(s.gstay, 0 - CAST(c.kd AS HUGEINT) *
+                     (c.totcur - c.kd))
+                 THEN b.bestlbl ELSE c.curlbl END AS nu
+          FROM ${P}cur c LEFT JOIN ${P}best b ON c.dst = b.dst
+            LEFT JOIN ${P}stay s ON c.dst = s.dst),
+       ${P}cd AS MATERIALIZED (SELECT mp.id, COALESCE(u.nu, mp.com) AS com
+          FROM $prev mp LEFT JOIN ${P}upd u ON mp.id = u.id),
+       ${P}qc AS MATERIALIZED (SELECT ${oQn(s"${P}cd", ce, wd, m2)} AS qn),
+       ${P}qa AS MATERIALIZED (SELECT CASE
+            WHEN (SELECT qn FROM ${P}qc) > (SELECT qa FROM $qaPrev)
+            THEN (SELECT qn FROM ${P}qc) ELSE (SELECT qa FROM $qaPrev)
+            END AS qa),
+       ${P}va AS MATERIALIZED (SELECT c.id,
+            CASE WHEN (SELECT qn FROM ${P}qc) > (SELECT qa FROM $qaPrev)
+                 THEN c.com ELSE p2.com END AS com
+          FROM ${P}cd c JOIN $prev p2 ON c.id = p2.id)"""
+  }
+
+  /** The full louvain_full twin: [[oLouvainChain]]'s v4, then
+    * `FullR1Cap` Q-guarded phase-1 rounds, then `FullLevelCap` levels of
+    * (coarsen + `FullR2Cap` guarded rounds + relabel) — the EXACT unroll
+    * of [[louvainFull]]'s capped convergence loop (post-fixpoint rounds
+    * no-op under the acceptance gate). Ends at `nlF(id, com)`. */
+  private def oLouvainFullCtes: String = {
+    val sb = new StringBuilder
+    sb ++= oLouvainChain
+    sb ++= s""",
+       we AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e),
+       wd0 AS MATERIALIZED (SELECT id, CAST(deg AS BIGINT) AS wdeg FROM deg),
+       p4va AS MATERIALIZED (SELECT id, lbl AS com FROM v4),
+       p4qa AS MATERIALIZED (SELECT ${oQn("p4va", "we", "wd0", "m")} AS qa)"""
+    for (n <- 5 to 4 + Insights.FullR1Cap)
+      sb ++= s",\n       ${oGRound("p", n, s"p${n - 1}va", s"p${n - 1}qa", "we", "wd0", "m")}"
+    sb ++= s""",
+       nl0 AS MATERIALIZED (SELECT id, com FROM p${4 + Insights.FullR1Cap}va)"""
+    for (l <- 1 to Insights.FullLevelCap) {
+      sb ++= s""",
+       ce$l AS MATERIALIZED (SELECT a.com AS src, b.com AS dst,
+            CAST(COUNT(*) AS BIGINT) AS w
+          FROM e JOIN nl${l - 1} a ON e.src = a.id
+            JOIN nl${l - 1} b ON e.dst = b.id GROUP BY 1, 2),
+       wd$l AS MATERIALIZED (SELECT src AS id, CAST(SUM(w) AS BIGINT)
+            AS wdeg FROM ce$l GROUP BY src),
+       mm$l AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM ce$l),
+       L${l}r0va AS MATERIALIZED (SELECT DISTINCT com AS id, com AS com
+          FROM nl${l - 1}),
+       L${l}r0qa AS MATERIALIZED (SELECT ${oQn(s"L${l}r0va", s"ce$l", s"wd$l", s"mm$l")} AS qa)"""
+      for (n <- 1 to Insights.FullR2Cap)
+        sb ++= s",\n       ${oGRound(s"L${l}r", n, s"L${l}r${n - 1}va", s"L${l}r${n - 1}qa", s"ce$l", s"wd$l", s"mm$l")}"
+      sb ++= s""",
+       nl$l AS MATERIALIZED (SELECT n.id, c.com
+          FROM nl${l - 1} n JOIN L${l}r${Insights.FullR2Cap}va c ON n.com = c.id)"""
+    }
+    sb ++= s""",
+       nlF AS MATERIALIZED (SELECT id, com FROM nl${Insights.FullLevelCap})"""
+    sb.toString
+  }
+
   /** [[oLouvainChain]] + the coarsen/move CTEs ending at `lv2(id, lbl)`
     * — one text, shared by the louvain_coarse and conductance mirrors
     * (the oLabelChain sharing rule: one definition, every consumer
@@ -1039,6 +1405,10 @@ object Insights {
     "q_graph_louvain_coarse" ->
       s"""WITH $oLouvainCoarseCtes
          SELECT id, lbl FROM lv2 ORDER BY id""",
+
+    "q_graph_louvain_full" ->
+      s"""WITH $oLouvainFullCtes
+         SELECT id, com AS lbl FROM nlF ORDER BY id""",
 
     "q_graph_conductance" ->
       s"""WITH $oLouvainCoarseCtes,

@@ -51,11 +51,15 @@ import U._
   */
 object Refine {
 
-  /** PQ geometry: 64 dims → M=4 subspaces × 16 dims, K=8 codes each,
-    * 2 Lloyd rounds on a ~32·K stride sample. */
-  private val M = 4
-  private val SUBDIM = 16
-  private val KPQ = 8
+  /** Declared PQ geometry: 64 dims → M subspaces × (64/M) dims, K codes
+    * each, 2 Lloyd rounds on a ~32·K stride sample. M·log₂K is the code
+    * budget in BITS per vector — the knob the round-12 recall frontier
+    * (Scale recall `simsearch_pq_m*k*` grid) prices through the declared
+    * pipeline; `pqAdcScores`/`pqRerank` take the geometry as parameters
+    * so every grid point is A/B-measurable against the declared form. */
+  private[graft] val M = 4
+  private[graft] val KPQ = 8
+  private val SUBDIM = 64 / M
   private val ROUNDS = 2
   /** Capped ADC query set (the q_llm_simsearch_topk convention). */
   private val QCAP = 32
@@ -135,9 +139,10 @@ object Refine {
     * compression costs when PQ is used as designed (a shortlist stage),
     * not as the final ranking. */
   private[graft] def pqRerank(s: org.apache.spark.sql.SparkSession, d: String,
-      shortlist: Int, cells: Int = -1): org.apache.spark.sql.DataFrame = {
+      shortlist: Int, cells: Int = -1, m: Int = M, kpq: Int = KPQ)
+    : org.apache.spark.sql.DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    val short = pqAdcScores(s, d, cells)
+    val short = pqAdcScores(s, d, cells, m, kpq)
       .withColumn("rk", row_number().over(wA)).where(col("rk") <= shortlist)
       .select("qid", "cid")
     val grid = gridVecs(s, d)
@@ -179,8 +184,10 @@ object Refine {
     * moved into the declared operator. An explicit positive `cells`
     * pins the geometry for A/B probes (`graft.Scale recall`). */
   private[graft] def pqAdcScores(s: org.apache.spark.sql.SparkSession,
-      d: String, cells0: Int = -1): org.apache.spark.sql.DataFrame = {
+      d: String, cells0: Int = -1, m: Int = M, kpq: Int = KPQ)
+    : org.apache.spark.sql.DataFrame = {
     val cells = if (cells0 > 0) cells0 else cellsFor(s, d)
+    val sub = 64 / m
     graft.functions.GraftFunctions.register(s)
     // coarse assignment: the memoized cells/5-probe frames every
     // trained-quantizer consumer shares; cand = (cid2, ce, clabel,
@@ -219,19 +226,19 @@ object Refine {
     // tables — share ONE training materialization instead of each
     // re-running the sampled Lloyd subplan; plan-only consumers stay
     // execution-free because persist() is lazy.
-    val cbs = graft.Memo(s, s"pq-res-codebooks:$d:$cells") {
+    val cbs = graft.Memo(s, s"pq-res-codebooks:$d:$cells:$m:$kpq") {
       val sampleStep = res.agg(
-        expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * KPQ})").as("st"))
+        expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * kpq})").as("st"))
       val sample = res.crossJoin(broadcast(sampleStep))
         .where(col("vec_id") % col("st") === 0)
         .select(col("vec_id"), col("r").as("q"), col("st"))
-      (0 until M).map { m =>
-        val sub = sample.select(col("vec_id"),
-          slice(col("q"), m * SUBDIM + 1, SUBDIM).as("sq"), col("st"))
-        var cent = sub.where(col("vec_id") < lit(KPQ.toLong) * col("st"))
+      (0 until m).map { mi =>
+        val subf = sample.select(col("vec_id"),
+          slice(col("q"), mi * sub + 1, sub).as("sq"), col("st"))
+        var cent = subf.where(col("vec_id") < lit(kpq.toLong) * col("st"))
           .select(expr("CAST(vec_id div st AS INT)").as("cid"), col("sq").as("c"))
         for (_ <- 1 to ROUNDS) {
-          val asg = sub.crossJoin(broadcast(cent))
+          val asg = subf.crossJoin(broadcast(cent))
             .select(col("vec_id"), col("sq"), col("cid"),
               expr("graft_l2sq(sq, c)").as("d2"))
             .withColumn("rk", row_number().over(
@@ -246,13 +253,13 @@ object Refine {
             .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
               .as("c"))
         }
-        cent.select(lit(m).as("m"), col("cid"), col("c"))
+        cent.select(lit(mi).as("m"), col("cid"), col("c"))
       }.reduce(_ unionAll _).persist()
     }
     // every vector's M residual subvectors (tagged with its coarse cell)
     val subs = res.select(col("vec_id"), col("gcell"), explode(expr(
-        s"""transform(sequence(0, ${M - 1}), m -> named_struct(
-             'm', CAST(m AS INT), 'sq', slice(r, m * $SUBDIM + 1, $SUBDIM)))"""))
+        s"""transform(sequence(0, ${m - 1}), m -> named_struct(
+             'm', CAST(m AS INT), 'sq', slice(r, m * $sub + 1, $sub)))"""))
         .as("e"))
       .select(col("vec_id"), col("gcell"), col("e.m").as("m"), col("e.sq").as("sq"))
     // encode: argmin code per (vector, subspace) — a broadcast map pass
@@ -268,8 +275,8 @@ object Refine {
       .select(col("vec_id").as("qid"), col("gcell"),
         expr("zip_with(q, gc, (x, y) -> x - y)").as("qr"))
       .select(col("qid"), col("gcell"), explode(expr(
-        s"""transform(sequence(0, ${M - 1}), m -> named_struct(
-             'm', CAST(m AS INT), 'sq', slice(qr, m * $SUBDIM + 1, $SUBDIM)))"""))
+        s"""transform(sequence(0, ${m - 1}), m -> named_struct(
+             'm', CAST(m AS INT), 'sq', slice(qr, m * $sub + 1, $sub)))"""))
         .as("e"))
       .select(col("qid"), col("gcell"), col("e.m").as("m"), col("e.sq").as("sq"))
     val dtab = qres.join(broadcast(cbs), "m")
@@ -284,7 +291,7 @@ object Refine {
     // the declared query and the re-rank probe each window over it, and
     // the query-side tables still carry the coarse trainer's lineage —
     // per-invocation analysis must stop at a LogicalRDD leaf
-    graft.Memo(s, s"pq-adc:$d:$cells") {
+    graft.Memo(s, s"pq-adc:$d:$cells:$m:$kpq") {
       codes.join(dtabSide, Seq("gcell", "m", "code"))
         .where(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("cid"), col("d2"))

@@ -26,6 +26,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("louvain_full keeps modularity >= the fixed two-level pair at x2") {
+    // the quality claim re-proven off the gate corpora: on the x2
+    // replica the converged loop must still never score below
+    // louvain_coarse (guarded acceptance makes Q monotone from the
+    // shared 4-round base, so a violation means the loops diverged)
+    def modOf(name: String): Double =
+      queries.Insights.modularityOf(spark, dir,
+        SparkEntry.queries(name)(spark, dir).select(col("id"), col("lbl")))
+    val qFull = modOf("q_graph_louvain_full")
+    val qCoarse = modOf("q_graph_louvain_coarse")
+    assert(qFull >= qCoarse - 1e-12,
+      f"x2 replica: louvain_full Q $qFull%.6f < two-level $qCoarse%.6f")
+    assert(qFull >= 0.0)
+  }
+
   test("per-window density is invariant: range join and dedup outputs scale exactly x2") {
     Seq("q_join_theta_range", "q_llm_dedup_exact", "q_llm_dedup_simhash",
         "q_mr_inverted_index").foreach { name =>

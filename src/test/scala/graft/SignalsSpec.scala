@@ -351,6 +351,122 @@ class SignalsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum % 2 == 0)
   }
 
+  test("q_graph_louvain_full: guarded-convergence Scala replay; modularity >= level 2") {
+    val out = SparkEntry.queries("q_graph_louvain_full")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + queries.U.supplierIdOffset).as("s"))
+      .distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val deg = e.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
+    val m2 = e.length.toLong
+    // exact-integer Q·(2m)² of a membership over weighted edges (self-
+    // loops count as within mass — a coarsened community's internal edges)
+    def qnum(lb: Map[Long, Long], ew: Map[(Long, Long), Long],
+        wd: Map[Long, Long], mm: Long): BigInt = {
+      val within = ew.collect { case ((a, b), w) if lb(a) == lb(b) => w }.sum
+      val dm = lb.toSeq.groupBy(_._2)
+        .map { case (_, g) => g.map(p => BigInt(wd(p._1))).sum }
+      BigInt(mm) * BigInt(within) - dm.map(d => d * d).sum
+    }
+    // one semi-synchronous weighted move round (self-loops excluded from
+    // k_iC, included in wdeg) — the wRound replay
+    def wround(lb: Map[Long, Long], ew: Map[(Long, Long), Long],
+        wd: Map[Long, Long], mm: Long, k: Int): Map[Long, Long] = {
+      val side = (n: Long) =>
+        if (k % 2 == 1) n >= queries.U.supplierIdOffset
+        else n < queries.U.supplierIdOffset
+      val tot = lb.toSeq.groupBy(_._2)
+        .map { case (l, g) => l -> g.map(p => wd(p._1)).sum }
+      val kic = ew.toSeq
+        .collect { case ((a, b), w) if a != b && side(b) => ((b, lb(a)), w) }
+        .groupBy(_._1).map { case (k2, g) => k2 -> g.map(_._2).sum }
+      lb.map { case (i, cl) =>
+        if (!side(i)) i -> cl
+        else {
+          val kd = wd(i)
+          def gain(c: Long, k2: Long): BigInt = BigInt(mm) * k2 -
+            BigInt(kd) * (if (c == cl) tot(c) - kd else tot(c))
+          val gs = gain(cl, kic.getOrElse((i, cl), 0L))
+          val cands = kic.collect {
+            case ((d, c), k2) if d == i && c != cl => (gain(c, k2), c) }
+          if (cands.isEmpty) i -> cl
+          else {
+            val (g, c) = cands.maxBy { case (g2, c2) => (g2, -c2) }
+            i -> (if (g > gs) c else cl)
+          }
+        }
+      }
+    }
+    // phase 1: continue from the (already replay-proven) 4-round frame
+    var lbl = SparkEntry.queries("q_graph_louvain")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ew1 = e.map(p => p -> 1L).toMap
+    var qn = qnum(lbl, ew1, deg, m2)
+    var k = 5
+    var rej = 0
+    while (k <= 4 + queries.Insights.FullR1Cap && rej < 2) {
+      val cand = wround(lbl, ew1, deg, m2, k)
+      val qc = qnum(cand, ew1, deg, m2)
+      if (qc > qn) { lbl = cand; qn = qc; rej = 0 } else rej += 1
+      k += 1
+    }
+    // levels: coarsen, guarded super-node rounds, relabel
+    var nodeLbl = lbl
+    var level = 1
+    var levelAccepted = 1
+    while (level <= queries.Insights.FullLevelCap && levelAccepted > 0) {
+      val ce = e.groupBy { case (a, b) => (nodeLbl(a), nodeLbl(b)) }
+        .map { case (p, g) => p -> g.length.toLong }
+      val wd = ce.toSeq.groupBy(_._1._1)
+        .map { case (c, g) => c -> g.map(_._2).sum }
+      val mm = ce.values.sum
+      var com = wd.keys.map(c => c -> c).toMap
+      var qnC = qnum(com, ce, wd, mm)
+      var kk = 1
+      var rj = 0
+      levelAccepted = 0
+      while (kk <= queries.Insights.FullR2Cap && rj < 2) {
+        val cand = wround(com, ce, wd, mm, kk)
+        val qc = qnum(cand, ce, wd, mm)
+        if (qc > qnC) { com = cand; qnC = qc; rj = 0; levelAccepted += 1 }
+        else rj += 1
+        kk += 1
+      }
+      nodeLbl = nodeLbl.map { case (id, l) => id -> com(l) }
+      level += 1
+    }
+    assert(out == nodeLbl,
+      "declared louvain_full diverges from the guarded Scala replay")
+    // ΔQ = 0 at the stop: one more guarded round on the final coarsened
+    // graph must not improve (the convergence claim, checked exactly)
+    val ceF = e.groupBy { case (a, b) => (nodeLbl(a), nodeLbl(b)) }
+      .map { case (p, g) => p -> g.length.toLong }
+    val wdF = ceF.toSeq.groupBy(_._1._1)
+      .map { case (c, g) => c -> g.map(_._2).sum }
+    val mmF = ceF.values.sum
+    val comF = wdF.keys.map(c => c -> c).toMap
+    val qF = qnum(comF, ceF, wdF, mmF)
+    (1 to 2).foreach { kk =>
+      assert(qnum(wround(comF, ceF, wdF, mmF, kk), ceF, wdF, mmF) <= qF,
+        s"convergence claim broken: round $kk still improves Q")
+    }
+    // quality: the converged partition never scores below the fixed
+    // two-level pair, on BOTH gate corpora, through the declared entries
+    def modOf(name: String, d: String): Double =
+      queries.Insights.modularityOf(spark, d,
+        SparkEntry.queries(name)(spark, d).select(col("id"), col("lbl")))
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val qFull = modOf("q_graph_louvain_full", d)
+      val qCoarse = modOf("q_graph_louvain_coarse", d)
+      assert(qFull >= qCoarse - 1e-12,
+        f"louvain_full Q $qFull%.6f below the two-level pair's $qCoarse%.6f at $d")
+      assert(qFull >= 0.0)
+    }
+  }
+
   test("q_dq_benford: 9 digits, shares sum to 1, counts conserve") {
     val out = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
     assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 9),
