@@ -382,12 +382,14 @@ object Scale {
         .select(col("qid"), col("cid"), expr("graft_l2sq(qg, cg)").as("d2"))
         .withColumn("rnk", row_number().over(wL2)).where(col("rnk") <= 3)
         .select("qid", "cid")
+      // the DECLARED entry (since round 12: 8×16 shortlist-200 rerank) —
+      // what a user of q_llm_simsearch_pq actually gets at this scale
       val pq = SparkEntry.queries("q_llm_simsearch_pq")(spark, d)
         .select("qid", "cid")
-      if (want("simsearch_pq_m4k8")) {
+      if (want("simsearch_pq_declared")) {
         val pqHits = pq.join(truthL2, Seq("qid", "cid"), "left_semi").count()
         val nPq = pqQs.count()
-        println(f"""{"dir":"$d","probe":"simsearch_pq_m4k8","k":3,"n_queries":$nPq,"recall":${pqHits.toDouble / (3 * nPq)}%.4f}""")
+        println(f"""{"dir":"$d","probe":"simsearch_pq_declared","k":3,"n_queries":$nPq,"recall":${pqHits.toDouble / (3 * nPq)}%.4f}""")
       }
       // PQ as DESIGNED — an ADC shortlist feeding an exact re-rank
       // (IVF-PQ's serving architecture): recall@3 of the 50-deep

@@ -14,24 +14,27 @@ import U._
   * Scale notes, per operator:
   *  - simsearch_pq: the IVF-PQ memory story, RESIDUAL-encoded (round
   *    10), coarse cells ∝ N (round 11 — [[Refine.cellsFor]]; 16 at the
-  *    gate scales). Vectors first assign to the memoized trained coarse
+  *    gate scales), and since round 12 served AS DESIGNED: the declared
+  *    entry is the ADC-shortlist-200 → exact-re-rank form at the
+  *    measured-best 8×16 geometry (recall@3 0.865/0.677/0.604 at
+  *    ×1/×10/×100 vs global brute force — the grid that chose it is in
+  *    BASELINE.md). Vectors first assign to the memoized trained coarse
   *    quantizer (shared with q_llm_knn_graph_trained — zero extra
   *    training), then PQ quantizes x − centroid(x): codebooks are M×K
   *    tiny tables trained on a stride SAMPLE of residuals (cost
   *    independent of N), encoding is one broadcast map pass (each
   *    vector → cell id + M one-byte codes — a 64-float vector
-  *    compresses 64× to ~5 bytes + id), and ADC scoring reads the
+  *    compresses 16× to ~8 bytes + id), ADC scoring reads the
   *    per-(query, cell) M·K distance table instead of the raw vectors,
-  *    so the query side touches codes only. Everything stays on the
-  *    1e-6 integer grid — squared-distance sums are exact BIGINTs, no
-  *    float order sensitivity anywhere. The round-9 raw-vector form
-  *    measured ADC recall 0.00–0.05 at ×10/×100 — correct but not a
-  *    usable retrieval instrument; residual encoding is the published
-  *    IVF-PQ fix (quantize the small residual, not the spread-out raw
-  *    vector) and the re-measured table is in BASELINE.md. At 100 TB
-  *    the query side prices only its probed cells' tables
-  *    (Q·probes·M·K rows) through the same cell equi-join the
-  *    knn_graph_trained composition demonstrates.
+  *    and only the ≤200-deep shortlist ever touches a raw vector again.
+  *    Everything stays on the 1e-6 integer grid — squared-distance sums
+  *    are exact BIGINTs, no float order sensitivity anywhere. The
+  *    round-9 raw-vector form measured ADC recall 0.00–0.05 at
+  *    ×10/×100; residual encoding is the published IVF-PQ fix and the
+  *    full geometry/shortlist frontier is measured in BASELINE.md. At
+  *    100 TB the query side prices only its probed cells' tables
+  *    (Q·probes·M·K rows) plus shortlist raw reads through the same
+  *    cell equi-join the knn_graph_trained composition demonstrates.
   *  - importance_resample: DoReMi-style domain reweighting — acceptance
   *    probability per language = target share / actual share, normalized
   *    so the most under-represented language keeps everything. Shares,
@@ -54,15 +57,28 @@ object Refine {
   /** Declared PQ geometry: 64 dims → M subspaces × (64/M) dims, K codes
     * each, 2 Lloyd rounds on a ~32·K stride sample. M·log₂K is the code
     * budget in BITS per vector — the knob the round-12 recall frontier
-    * (Scale recall `simsearch_pq_m*k*` grid) prices through the declared
-    * pipeline; `pqAdcScores`/`pqRerank` take the geometry as parameters
-    * so every grid point is A/B-measurable against the declared form. */
-  private[graft] val M = 4
-  private[graft] val KPQ = 8
+    * (Scale recall `simsearch_pq_m*k*` grid, 4 geometries × 3 shortlist
+    * depths × 3 scales, all THROUGH this pipeline) priced before the
+    * default was chosen: 8×16 = 32 bits (16× compression, 8 code bytes
+    * + id per vector) reads shortlist-200 rerank recall@3
+    * 0.865/0.677/0.604 at ×1/×10/×100 where the round-11 4×8 pure-ADC
+    * declared form read 0.073/0.042/0.031 — past the ≥0.5 bar at every
+    * scale, and the best point of the whole measured grid (BASELINE.md
+    * ANN table). `pqAdcScores`/`pqRerank` keep the geometry as
+    * parameters so every grid point stays A/B-measurable against the
+    * declared form. */
+  private[graft] val M = 8
+  private[graft] val KPQ = 16
   private val SUBDIM = 64 / M
   private val ROUNDS = 2
   /** Capped ADC query set (the q_llm_simsearch_topk convention). */
   private val QCAP = 32
+  /** Declared shortlist depth for the ADC → exact-re-rank serving form.
+    * The recall knob INDEPENDENT of N (candidates come concentrated from
+    * ADC, not from corpus coverage — measured: 200 holds recall within
+    * [0.60, 0.87] from 2k to 200k vectors while 50 reads 0.40–0.60);
+    * cost is 200 raw-vector reads per query at ANY corpus size. */
+  private[graft] val SHORTLIST = 200
 
   /** CUSUM slack (k) and decision threshold (h) — single definitions
     * interpolated into BOTH the Spark fold and the DuckDB oracle so the
@@ -132,12 +148,16 @@ object Refine {
     }
 
   /** Shortlist-then-re-rank PQ retrieval (IVF-PQ's actual serving
-    * architecture): ADC ranks a `shortlist`-deep candidate set per query
+    * architecture, and — since round 12 — the DECLARED q_llm_simsearch_pq
+    * form): ADC ranks a `shortlist`-deep candidate set per query
     * (compressed codes only), then ONLY those ≤shortlist rows join back
-    * their raw grid vectors for an exact L2² re-rank to top-3. The probe
-    * `Scale recall` reports alongside the pure-ADC recall: what the 64×
-    * compression costs when PQ is used as designed (a shortlist stage),
-    * not as the final ranking. */
+    * their raw grid vectors for an exact L2² re-rank to top-3. The
+    * shortlist is what buys answer quality at scale: ADC alone cannot
+    * order top-3 (the compression noise swamps neighbor gaps — measured
+    * 0.03–0.13 recall at every geometry), but it CONCENTRATES the true
+    * neighbors into a bounded candidate set the exact pass ranks for
+    * free (shortlist ≪ N raw vectors touched per query). Emits
+    * (qid, cid, d2x, rnk) — exact BIGINT distances, hash-stable. */
   private[graft] def pqRerank(s: org.apache.spark.sql.SparkSession, d: String,
       shortlist: Int, cells: Int = -1, m: Int = M, kpq: Int = KPQ)
     : org.apache.spark.sql.DataFrame = {
@@ -153,7 +173,7 @@ object Refine {
         .select(col("vec_id").as("qid"), col("q").as("qg"))), "qid")
       .select(col("qid"), col("cid"), expr("graft_l2sq(qg, cg)").as("d2x"))
       .withColumn("rnk", row_number().over(wE)).where(col("rnk") <= 3)
-      .select("qid", "cid")
+      .select("qid", "cid", "d2x", "rnk")
   }
 
   /** The full IVF-PQ pipeline up to the per-(query, candidate) ADC
@@ -303,20 +323,20 @@ object Refine {
 
   val queries: Map[String, Q] = Map(
 
-    // Product-quantization similarity search — the declared top-3-by-ADC
-    // surface over the shared [[pqAdcScores]] pipeline. Coarse cells are
-    // DERIVED from corpus size (the [[cellsFor]] growth rule, round 11):
-    // 16 at every gate scale — where the fixed-16 DuckDB mirror below is
-    // therefore exact — growing to 128/2048 at ×10/×100 so answer
-    // quality survives scale (the measured 0.29/0.27 rerank recall vs
-    // the fixed form's 0.09/0.02, BASELINE.md ANN table).
-    "q_llm_simsearch_pq" -> ((s, d) => {
-      val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-      pqAdcScores(s, d)
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .orderBy("qid", "rnk")
-    }),
+    // Product-quantization similarity search — since round 12 the
+    // declared entry IS the serving architecture ([[pqRerank]]): ADC
+    // shortlist-200 over 8×16 codebooks (32-bit codes, 16× compression),
+    // exact integer-grid L2² re-rank to top-3. Chosen off the measured
+    // recall-vs-(geometry, shortlist) grid — 0.865/0.677/0.604 recall@3
+    // vs global brute force at ×1/×10/×100, the best point of the 36-row
+    // frontier and ≥0.5 at every scale, where the round-11 pure-ADC 4×8
+    // form read 0.073/0.042/0.031 (BASELINE.md ANN table; the grid stays
+    // probe-able per point via the pqAdcScores/pqRerank parameters).
+    // Coarse cells still DERIVE from corpus size (the [[cellsFor]]
+    // growth rule): 16 at every gate scale — where the DuckDB mirror
+    // below is therefore exact — growing to 128/2048 at ×10/×100.
+    "q_llm_simsearch_pq" -> ((s, d) =>
+      pqRerank(s, d, SHORTLIST).orderBy("qid", "rnk")),
 
     // Language-mix importance resampling: p(lang) ∝ target/actual,
     // normalized to keep the most under-represented language whole;
@@ -433,9 +453,10 @@ object Refine {
         .orderBy("lang"))
   )
 
-  /** DuckDB mirror of one subspace assignment round over 16-dim slices:
-    * `a(vec_id, sq, cid)` from sample CTE `src` and centroids `c`. */
-  private def oAssign16(a: String, c: String, src: String): String =
+  /** DuckDB mirror of one subspace assignment round over (64/M)-dim
+    * slices: `a(vec_id, sq, cid)` from sample CTE `src` and centroids
+    * `c`. */
+  private def oAssignSub(a: String, c: String, src: String): String =
     s"""$a AS (SELECT vec_id, sq, cid FROM (
            SELECT $src.vec_id, $src.sq, $c.cid,
              row_number() OVER (PARTITION BY $src.vec_id ORDER BY
@@ -443,8 +464,8 @@ object Refine {
                  i -> ($src.sq[i] - $c.c[i]) * ($src.sq[i] - $c.c[i]))), $c.cid) AS rk
            FROM $src CROSS JOIN $c) WHERE rk = 1)"""
 
-  /** DuckDB mirror of the 16-dim centroid recompute from assignment `a`. */
-  private def oRecompute16(c: String, a: String): String =
+  /** DuckDB mirror of the (64/M)-dim centroid recompute from `a`. */
+  private def oRecomputeSub(c: String, a: String): String =
     s"""$c AS (SELECT cid, list(cv ORDER BY pos) AS c FROM (
            SELECT cid, pos,
              (sv - (((sv % n) + n) % n)) // n AS cv
@@ -463,10 +484,10 @@ object Refine {
     s"""s_$m AS (SELECT vec_id, q[$lo:$hi] AS sq, s FROM rsamp),
        c0_$m AS (SELECT CAST(vec_id // s AS INT) AS cid, sq AS c
                  FROM s_$m WHERE vec_id < $KPQ * s),
-       ${oAssign16(s"a1_$m", s"c0_$m", s"s_$m")},
-       ${oRecompute16(s"c1_$m", s"a1_$m")},
-       ${oAssign16(s"a2_$m", s"c1_$m", s"s_$m")},
-       ${oRecompute16(s"c2_$m", s"a2_$m")}"""
+       ${oAssignSub(s"a1_$m", s"c0_$m", s"s_$m")},
+       ${oRecomputeSub(s"c1_$m", s"a1_$m")},
+       ${oAssignSub(s"a2_$m", s"c1_$m", s"s_$m")},
+       ${oRecomputeSub(s"c2_$m", s"a2_$m")}"""
   }
 
   private val oTargetTable: String =
@@ -517,10 +538,21 @@ object Refine {
              AND codes.m = dtab.m AND codes.code = dtab.code
            WHERE dtab.qid <> codes.vec_id
            GROUP BY dtab.qid, codes.vec_id),
-         r AS (SELECT qid, cid, adc,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS INT) AS rnk
-           FROM adc)
-         SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 3
+         r AS (SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+           FROM adc),
+         short AS (SELECT qid, cid FROM r WHERE rk <= $SHORTLIST),
+         rr AS (SELECT s.qid, s.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (vq.q[i] - vc.q[i]) * (vq.q[i] - vc.q[i]))) AS BIGINT)
+               AS d2x
+           FROM short s JOIN v vq ON vq.vec_id = s.qid
+             JOIN v vc ON vc.vec_id = s.cid),
+         fin AS (SELECT qid, cid, d2x,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY d2x, cid)
+               AS INT) AS rnk
+           FROM rr)
+         SELECT qid, cid, d2x, rnk FROM fin WHERE rnk <= 3
          ORDER BY qid, rnk""",
 
     "q_llm_importance_resample" ->

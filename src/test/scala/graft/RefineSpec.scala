@@ -20,20 +20,27 @@ class RefineSpec extends SparkSpec {
   private def l2sq(a: Array[Long], b: Array[Long]): BigInt =
     a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
 
-  test("q_llm_simsearch_pq: structure — ranks dense, no self-match, ADC non-decreasing") {
+  test("q_llm_simsearch_pq: structure — ranks dense, no self-match, exact d2x non-decreasing, d2x true") {
     val out = Refine.queries("q_llm_simsearch_pq")(spark, sf).collect()
+    val g = grid()
     assert(out.nonEmpty)
     assert(out.forall(r => r.getLong(0) != r.getLong(1)), "no self-neighbors")
+    // the declared form re-ranks by EXACT grid L2² — every emitted d2x
+    // must equal the brute-force distance, not an ADC estimate
+    out.foreach { r =>
+      assert(BigInt(r.getLong(2)) == l2sq(g(r.getLong(0)), g(r.getLong(1))),
+        s"d2x for (${r.getLong(0)}, ${r.getLong(1)}) is not the exact distance")
+    }
     out.groupBy(_.getLong(0)).values.foreach { rs =>
       val sorted = rs.sortBy(_.getInt(3))
       assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length), "dense ranks")
-      val adcs = sorted.map(_.getLong(2))
-      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
-        "ADC distance must be non-decreasing in rank")
+      val d2s = sorted.map(_.getLong(2))
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b },
+        "exact re-rank distance must be non-decreasing in rank")
     }
   }
 
-  test("q_llm_simsearch_pq: ADC beats random — recall@3 vs exact L2 truth; chosen candidates closer than average") {
+  test("q_llm_simsearch_pq: shortlist-rerank recall@3 vs exact L2 truth; shortlist is the binding stage") {
     val g = grid()
     val qids = g.keys.filter(_ < 32).toSeq
     // exact L2² top-3 per query (brute force on the ≤500-vector fixture)
@@ -47,31 +54,21 @@ class RefineSpec extends SparkSpec {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val hits = qids.map(q => (truth(q) & pq.getOrElse(q, Set.empty)).size).sum
     val recall = hits.toDouble / (3.0 * qids.size)
-    // 12-bit codes over 64 dims lose a lot, but must beat chance by a
-    // wide margin: random top-3 of ~500 candidates would land ~0.006;
-    // raw-vector form measured 0.146 at sf0.001; the round-10 residual
-    // encoding only raises it — gate stays 0.05 (≥3× margin below measured)
-    assert(recall >= 0.05, f"PQ recall@3 $recall%.3f below the 0.05 floor")
-    // rank-quality bound: across the query set, the exact distance of
-    // PQ-chosen neighbors must average well below the distance of a
-    // random candidate — ADC orders by a real (if lossy) distance
-    // estimate, not noise. (Per-query ∀-bounds are too strict: 12-bit
-    // codes legitimately let an occasional far candidate through.)
-    val ratios = qids.map { q =>
-      val all = g.filter(_._1 != q).map { case (_, v) => l2sq(g(q), v) }
-      val meanAll = BigDecimal(all.sum) / all.size
-      val chosen = pq.getOrElse(q, Set.empty).map(c => l2sq(g(q), g(c)))
-      assert(chosen.nonEmpty, s"query $q returned no neighbors")
-      (BigDecimal(chosen.sum) / chosen.size / meanAll).toDouble
+    // declared serving form (8×16 codes → ADC shortlist-200 → exact
+    // re-rank): a truth neighbor is missed ONLY if ADC ranks it below
+    // 200 of ~500 fixture candidates — the re-rank stage itself is
+    // exact. Measured 0.99 at sf0.001, 1.00 at sf0.01, 0.865 at sf0.1;
+    // random-200 shortlisting would land ~0.4. Gate at 0.6 — far above
+    // chance, comfortably below measured.
+    assert(recall >= 0.6, f"PQ recall@3 $recall%.3f below the 0.6 floor")
+    // every returned candidate must actually have survived an exact
+    // comparison: its distance can never beat the true 1st neighbor
+    val pqd = Refine.queries("q_llm_simsearch_pq")(spark, sf).collect()
+    pqd.foreach { r =>
+      val best = g.filter(_._1 != r.getLong(0))
+        .map { case (_, v) => l2sq(g(r.getLong(0)), v) }.min
+      assert(BigInt(r.getLong(2)) >= best)
     }
-    // high-dim concentration keeps ALL pairwise distances near the mean
-    // (even exact top-3 sits ~0.75 on this fixture), so the bound is
-    // 0.9, not 0.5 — random selection would measure 1.0; the fixture is
-    // deterministic, measured 0.837
-    val meanRatio = ratios.sum / ratios.size
-    assert(meanRatio < 0.9,
-      f"PQ-chosen neighbors average $meanRatio%.3f of the mean candidate " +
-        "distance — barely better than random selection")
   }
 
   test("q_llm_simsearch_pq: declared quantizer-growth rule — 16 cells at every gate scale, ∝N beyond") {
