@@ -457,4 +457,153 @@ class SinksSpec extends SparkSpec {
     assert(body === "1\torphaned\n",
       "refusal path must not touch the existing part files")
   }
+
+  test("crash-point fuzz: a kill before EVERY commit mutation leaves old-or-new, never mixed; every state recovers") {
+    // Systematic sweep of the whole commit sequence (round-12 verdict
+    // ask): a fault-injecting FileSystem kills the driver commit before
+    // its (k+1)-th filesystem MUTATION (lease create, part renames,
+    // manifest tmp create, manifest delete, manifest rename, old-part
+    // deletes, lease release), for k = 0, 1, 2, … until a crash-free
+    // commit is reached. After every injected kill the reader-visible
+    // contract is asserted — the manifest view is EXACTLY the old
+    // generation or EXACTLY the new one (all listed parts present, row
+    // counts matching, contents equal to one input set, never a blend),
+    // or, at the one documented non-atomic seam (manifest deleted, tmp
+    // not yet renamed), NO manifest plus a promotable name-conforming
+    // tmp — and then a recovery commit (after breaking the crashed
+    // holder's lease, as a stale-break would) must succeed and land
+    // exactly its own generation.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.crashfs.impl", classOf[CrashFs].getName)
+    val local = freshDir("fuzz")
+    val cdir = s"crashfs://$local"
+    def writeTemps(tag: String, t0: Long): Array[WriterCommitMessage] = {
+      val fac = new GraftCommitWriterFactory(cdir, schema, serConf)
+      Array(0, 1).map { p =>
+        val w = fac.createWriter(p, t0 + p)
+        w.write(row(t0 + p, s"$tag-$p"))
+        w.commit(): WriterCommitMessage
+      }
+    }
+    def commitAll(ms: Array[WriterCommitMessage], truncate: Boolean): Unit =
+      new GraftCommitWrite(cdir, schema, truncateFirst = truncate).commit(ms)
+    def expect(tag: String, t0: Long): Set[String] =
+      Set(s"${t0}\t$tag-0", s"${t0 + 1}\t$tag-1")
+    // reader-visible rows through the manifest, with structural checks
+    def visible(): Option[Set[String]] = {
+      val man = new java.io.File(local, "_GRAFT_COMMIT")
+      if (!man.exists()) None
+      else Some(manifest(local).flatMap { case (f, n) =>
+        val pf = Paths.get(local, f)
+        assert(Files.exists(pf), s"manifest lists missing part $f")
+        val lines = new String(Files.readAllBytes(pf), "UTF-8")
+          .split("\n").filter(_.nonEmpty).toSeq
+        assert(lines.size.toLong === n, s"manifest count drift for $f")
+        lines
+      }.toSet)
+    }
+    var k = 0
+    var crashed = true
+    var coveredSeam = false
+    while (crashed && k < 64) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(local))
+      CrashFs.disarm()
+      val g0 = writeTemps("gen0", 100L)
+      commitAll(g0, truncate = false)
+      val oldRows = expect("gen0", 100L)
+      assert(visible().contains(oldRows))
+      val g1 = writeTemps("gen1", 200L)
+      val newRows = expect("gen1", 200L)
+      CrashFs.arm(k)
+      crashed =
+        try { commitAll(g1, truncate = true); false }
+        catch { case _: java.io.IOException => true }
+      CrashFs.disarm()
+      if (crashed) {
+        visible() match {
+          case Some(rows) =>
+            assert(rows === oldRows || rows === newRows,
+              s"kill point $k: mixed reader view $rows")
+          case None =>
+            // the documented delete(man)/rename(manTmp) seam: reader
+            // fails loudly (no manifest), never reads blended data, and
+            // the promotable tmp must be on disk for the next commit
+            coveredSeam = true
+            val tmps = Option(new java.io.File(local).listFiles())
+              .getOrElse(Array.empty)
+              .map(_.getName).filter(_.matches("_GRAFT_COMMIT\\.g\\d+\\.tmp"))
+            assert(tmps.nonEmpty,
+              s"kill point $k: no manifest AND no promotable tmp")
+        }
+        // recovery: the crashed holder's lease may survive — a live
+        // lease must refuse the next writer; break it like the stale
+        // path would, then a fresh commit must land cleanly
+        val lock = new java.io.File(local, "_GRAFT_LOCK")
+        if (lock.exists()) {
+          val g2a = writeTemps("gen2", 300L)
+          val ex = intercept[java.io.IOException] {
+            commitAll(g2a, truncate = true)
+          }
+          assert(ex.getMessage.contains("another writer"),
+            s"kill point $k: live lease not refused: ${ex.getMessage}")
+          assert(lock.delete())
+        }
+        val g2 = writeTemps("gen2", 300L)
+        commitAll(g2, truncate = true)
+        assert(visible().contains(expect("gen2", 300L)),
+          s"kill point $k: recovery commit did not land its generation")
+      }
+      k += 1
+    }
+    assert(!crashed, "fuzz never reached a crash-free commit in 64 points")
+    assert(coveredSeam, "sweep never exercised the manifest-swap seam")
+    assert(k > 5, s"suspiciously few fault points covered: $k")
+    // the crash-free run landed the new generation exactly
+    assert(visible().contains(expect("gen1", 200L)))
+  }
+}
+
+/** Fault-injecting local FileSystem for the commit-protocol fuzz:
+  * `crashfs://` routes to the local FS, but every MUTATING call
+  * (create/rename/delete) outside `_temp/` first passes the kill gate —
+  * armed with limit k, the (k+1)-th mutation throws instead of running,
+  * simulating a driver killed at that exact protocol step. State lives
+  * in the companion (Hadoop may cache/instantiate the class freely). */
+class CrashFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "crashfs"
+  override def getUri: java.net.URI = java.net.URI.create("crashfs:///")
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+    : org.apache.hadoop.fs.FSDataOutputStream = {
+    CrashFs.gate("create", f)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    CrashFs.gate("rename", dst)
+    super.rename(src, dst)
+  }
+  override def delete(p: org.apache.hadoop.fs.Path,
+      recursive: Boolean): Boolean = {
+    CrashFs.gate("delete", p)
+    super.delete(p, recursive)
+  }
+}
+
+object CrashFs {
+  @volatile private var limit: Int = Int.MaxValue
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
+  def arm(k: Int): Unit = { count.set(0); limit = k }
+  def disarm(): Unit = { limit = Int.MaxValue; count.set(0) }
+  private[graft] def gate(op: String,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    if (!p.toString.contains("_temp")) {
+      if (count.incrementAndGet() > limit)
+        throw new java.io.IOException(
+          s"injected crash before $op $p (mutation ${count.get()})")
+    }
+  }
 }
