@@ -194,6 +194,49 @@ object Scans {
         .orderBy("o_orderstatus")
     }),
 
+    // TIME-TRAVEL read over the commit sink's generation history (round
+    // 12): the sink publishes an IMMUTABLE per-generation manifest
+    // (`_GRAFT_COMMIT.gGGGG`) beside the current pointer, and the
+    // manifest reader's `option("generation", g)` resolves "as of g"
+    // against it — the Iceberg/Delta snapshot-read shape on the repo's
+    // own connector, with the same fail-closed contract (a generation
+    // vacuumed by a later truncate fails loudly on its missing parts,
+    // never a silently thinner result). The query writes generation 0
+    // (even keys, overwrite — the dir is wiped first so generation
+    // numbering is deterministic per invocation), APPENDS generation 1
+    // (odd keys), then grades BOTH views through the reader: as-of-0
+    // must see exactly the even-key half, the current pointer the whole
+    // table — so a history manifest that leaked the other generation's
+    // parts, or a current pointer that dropped carried-forward entries,
+    // hash-mismatches the straight-from-orders oracle. At 100 TB the
+    // history costs one tiny manifest per commit; parts are shared with
+    // the live table (append topology), so as-of reads are zero-copy.
+    "q_sink_time_travel" -> ((s, d) => {
+      val out = tmpDir(s"ttravel_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      o.where(col("o_orderkey") % 2 === 0)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      o.where(col("o_orderkey") % 2 =!= 0)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("append").save()
+      def read(gen: Option[Int]) = {
+        val r = s.read.format("graft.sources.GraftManifestSource")
+          .schema("k BIGINT, st STRING, cents BIGINT").option("path", out)
+        gen.fold(r)(g => r.option("generation", g.toString)).load()
+      }
+      read(Some(0)).withColumn("gen", lit(0L))
+        .unionByName(read(None).withColumn("gen", lit(1L)))
+        .groupBy("gen")
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy("gen")
+    }),
+
     // Schema evolution: two parquet generations (v2 adds a column) read
     // as one dataset via mergeSchema — v1 rows surface NULL for the new
     // column. At 100 TB this is how a long-lived table absorbs schema
@@ -376,6 +419,19 @@ object Scans {
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
              AS BIGINT) AS total_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_sink_time_travel" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT CAST(0 AS BIGINT) AS gen, COUNT(*) AS cnt,
+           MIN(k) AS min_key, CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM c WHERE k % 2 = 0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), COUNT(*), MIN(k),
+           CAST(SUM(cents) AS BIGINT)
+         FROM c
+         ORDER BY gen""",
 
     "q_source_schema_evolution" ->
       s"""WITH m AS (

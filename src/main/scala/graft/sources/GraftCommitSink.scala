@@ -401,12 +401,28 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // and stay visible), with this generation's entries appended. Truncate
     // starts the manifest over — the old parts are deleted below.
     val visible = (if (truncateFirst) Nil else prior) ++ published
+    val manBytes = (s"#gen\t$gen\n" +
+      visible.map { case (f, r) => s"$f\t$r" }.mkString("", "\n", "\n"))
+      .getBytes("UTF-8")
     val manTmp = new Path(dir, s"_GRAFT_COMMIT.g$gen.tmp")
     val out = fs.create(manTmp, true)
-    out.write((s"#gen\t$gen\n" +
-      visible.map { case (f, r) => s"$f\t$r" }.mkString("", "\n", "\n"))
-      .getBytes("UTF-8"))
+    out.write(manBytes)
     out.close()
+    // TIME-TRAVEL history (round 12): every generation also publishes an
+    // IMMUTABLE manifest copy under its padded name — the commit log a
+    // reader's `option("generation", g)` resolves "as of g" against.
+    // Written BEFORE the current-pointer swap so a promoted seam-crash
+    // commit already has its history entry; overwrite-create makes a
+    // crashed attempt's stale copy converge on retry (same gen, fresh
+    // content). The padded name cannot match the `.tmp` sweep glob or
+    // the recovery's tmpGen parse. In append topology every generation
+    // stays fully readable forever; TRUNCATE deletes old parts and is
+    // therefore the vacuum barrier — as-of reads behind the last
+    // truncate fail loudly on the missing parts, never silently thin.
+    val hist = new Path(dir, f"_GRAFT_COMMIT.g$gen%04d")
+    val hout = fs.create(hist, true)
+    hout.write(manBytes)
+    hout.close()
     val man = new Path(dir, "_GRAFT_COMMIT")
     if (fs.exists(man)) fs.delete(man, false)
     if (!fs.rename(manTmp, man))

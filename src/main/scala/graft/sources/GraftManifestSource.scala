@@ -42,7 +42,15 @@ import scala.jdk.CollectionConverters._
   *    sink's writers follow.
   *
   * The schema is caller-supplied (the TSV carries no header — like any
-  * schema-on-read export format, the contract travels out of band). */
+  * schema-on-read export format, the contract travels out of band).
+  *
+  * TIME TRAVEL (round 12): `option("generation", g)` reads the table AS
+  * OF generation g through the sink's immutable per-generation manifest
+  * `_GRAFT_COMMIT.gGGGG` (the commit log the sink publishes alongside
+  * the current pointer). Every historical generation of an append-mode
+  * table is fully readable; a generation vacuumed by a later TRUNCATE
+  * fails loudly on its missing parts (the fail-closed contract, never a
+  * silently thinner result). No option = the current manifest. */
 class GraftManifestSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -54,33 +62,44 @@ class GraftManifestSource extends TableProvider {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "GraftManifestSource requires option 'path'"))
-    new GraftManifestTable(path, schema)
+    val gen = Option(properties.get("generation")).map { g =>
+      val v = try g.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option 'generation' must be a non-negative integer, got '$g'")
+      }
+      require(v >= 0L, s"option 'generation' must be >= 0, got $v")
+      v
+    }
+    new GraftManifestTable(path, schema, gen)
   }
 }
 
-class GraftManifestTable(path: String, readSchema: StructType)
-  extends Table with SupportsRead {
+class GraftManifestTable(path: String, readSchema: StructType,
+    generation: Option[Long]) extends Table with SupportsRead {
   override def name(): String = s"graft_manifest($path)"
   override def schema(): StructType = readSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftManifestScanBuilder(path, readSchema)
+    new GraftManifestScanBuilder(path, readSchema, generation)
 }
 
-class GraftManifestScanBuilder(path: String, full: StructType)
+class GraftManifestScanBuilder(path: String, full: StructType,
+    generation: Option[Long])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftManifestScan(path, full, required)
+  override def build(): Scan =
+    new GraftManifestScan(path, full, required, generation)
 }
 
 /** One committed part file: its path and the manifest's row count. */
 case class GraftManifestPartition(file: String, rows: Long)
   extends InputPartition
 
-class GraftManifestScan(path: String, full: StructType, required: StructType)
+class GraftManifestScan(path: String, full: StructType,
+    required: StructType, generation: Option[Long])
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -89,10 +108,22 @@ class GraftManifestScan(path: String, full: StructType, required: StructType)
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val man = new Path(dir, "_GRAFT_COMMIT")
+    // as-of read: resolve the immutable per-generation manifest instead
+    // of the current pointer (a generation never published here is a
+    // clear error — "which generations exist" is a directory listing of
+    // _GRAFT_COMMIT.g*, not a guess)
+    val man = generation match {
+      case Some(g) => new Path(dir, f"_GRAFT_COMMIT.g$g%04d")
+      case None => new Path(dir, "_GRAFT_COMMIT")
+    }
     if (!fs.exists(man))
-      throw new java.io.FileNotFoundException(
-        s"no _GRAFT_COMMIT manifest under $path — nothing is committed here")
+      throw new java.io.FileNotFoundException(generation match {
+        case Some(g) =>
+          s"no generation-$g manifest (${man.getName}) under $path — " +
+            "that generation was never committed here"
+        case None =>
+          s"no _GRAFT_COMMIT manifest under $path — nothing is committed here"
+      })
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(man), "UTF-8"))
     val entries = try Iterator.continually(in.readLine())

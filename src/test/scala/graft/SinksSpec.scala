@@ -458,6 +458,47 @@ class SinksSpec extends SparkSpec {
       "refusal path must not touch the existing part files")
   }
 
+  test("time travel: as-of reads resolve immutable generation manifests; vacuumed/unknown generations fail loudly") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("ttravel")
+    def gen(n: Int, tag: String) = spark.range(n).select(col("id").as("k"),
+      lit(tag).as("s"))
+    gen(50, "g0").write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("overwrite").save()
+    gen(7, "g1").repartition(1).write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("append").save()
+    // every commit left its immutable history manifest
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0000").exists())
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists())
+    def asOf(g: Option[Int]) = {
+      val r = spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+      g.fold(r)(x => r.option("generation", x.toString)).load()
+    }
+    // as-of-0 sees exactly generation 0; as-of-1 and the current pointer
+    // agree (append carried generation 0 forward)
+    assert(asOf(Some(0)).count() === 50L)
+    assert(asOf(Some(0)).where(col("s") === "g1").count() === 0L)
+    assert(asOf(Some(1)).count() === 57L)
+    assert(asOf(None).count() === 57L)
+    // a generation never committed is a clear error, not an empty frame
+    val exU = intercept[java.io.FileNotFoundException] {
+      asOf(Some(9)).count()
+    }
+    assert(exU.getMessage.contains("generation"), exU.getMessage)
+    // truncate is the vacuum barrier: generation 2 overwrites, old parts
+    // are gone — the as-of-0 HISTORY manifest survives but its read must
+    // fail loudly on the missing parts, never return a thinner result
+    gen(3, "g2").repartition(1).write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("overwrite").save()
+    assert(asOf(Some(2)).count() === 3L)
+    assert(asOf(None).count() === 3L)
+    val exV = intercept[java.io.FileNotFoundException] {
+      asOf(Some(0)).count()
+    }
+    assert(exV.getMessage.contains("missing"), exV.getMessage)
+  }
+
   test("crash-point fuzz: a kill before EVERY commit mutation leaves old-or-new, never mixed; every state recovers") {
     // Systematic sweep of the whole commit sequence (round-12 verdict
     // ask): a fault-injecting FileSystem kills the driver commit before
