@@ -560,6 +560,64 @@ object Llm {
         .orderBy("a", "b")
     }),
 
+    // chrF pair grading (round 12 — the character-level member that
+    // completes the MT-grade family: BLEU prices word n-gram precision,
+    // ROUGE-2 recall/F over bigrams, chrF character n-gram F-score —
+    // the tokenization-free grade that survives morphology/compounding,
+    // Popović 2015). Per banding candidate (hyp = b, ref = a): clipped
+    // multiset matches m_n = Σ min(tf_a, tf_b) over character n-grams
+    // of the whitespace-stripped text for n = 2..4 (three orders bound
+    // the frame at ~3× the char stream; the standard 1..6 changes the
+    // constant, not the shape), P_n = m/|hyp|_n, R_n = m/|ref|_n,
+    // F2_n = 5PR/(4P+R) (β = 2, recall-weighted — the published chrF2),
+    // chrf = Σ F2_n / 3 with zero-match orders contributing 0. EVERY
+    // candidate emits (the BLEU left-join rule): disjoint pairs read
+    // (n_orders = 0, chrf = 0). Grid discipline: P/R/F2 each round to
+    // 1e-9 off exact BIGINT counts, the F2 sum rides DECIMAL(18,9),
+    // chrf rounds to 1e-6 — identical op order in the twin. The char
+    // n-gram frame is semi-join-restricted to candidate docs BEFORE
+    // its shuffle (the measured-9× BLEU discipline; char grams are ~3×
+    // the char stream, heavier than word grams). Candidate-bounded.
+    "q_llm_chrf_pairs" -> ((s, d) => {
+      val cand = bandCandidates(s, d)
+      val cd = cand.select(col("a").as("doc_id"))
+        .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+      val base = Tables(s, d, "documents")
+        .join(broadcast(cd), Seq("doc_id"), "left_semi")
+        .withColumn("t", regexp_replace(col("text"), " ", ""))
+      val tf = (2 to 4).map { n =>
+        base.select(col("doc_id"), lit(n).as("n"), explode(expr(
+          s"""CASE WHEN length(t) < $n THEN array()
+              ELSE transform(sequence(1, length(t) - ${n - 1}),
+                i -> substring(t, i, $n)) END""")).as("g"))
+      }.reduce(_ unionByName _)
+        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("tf"))
+      val sz = tf.groupBy("doc_id", "n").agg(sum("tf").as("sz"))
+      val ov = cand
+        .join(tf.as("tx"), col("tx.doc_id") === col("a"))
+        .join(tf.as("ty"), col("ty.doc_id") === col("b") &&
+          col("ty.g") === col("tx.g") && col("ty.n") === col("tx.n"))
+        .groupBy(col("a"), col("b"), col("tx.n").as("n"))
+        .agg(sum(least(col("tx.tf"), col("ty.tf"))).as("m"))
+      val perN = ov
+        .join(sz.select(col("doc_id").as("a"), col("n"),
+          col("sz").as("sza")), Seq("a", "n"))
+        .join(sz.select(col("doc_id").as("b"), col("n"),
+          col("sz").as("szb")), Seq("b", "n"))
+        .withColumn("p", round(col("m").cast("double") / col("szb"), 9))
+        .withColumn("r", round(col("m").cast("double") / col("sza"), 9))
+        .withColumn("f2", round(lit(5.0) * col("p") * col("r") /
+          (lit(4.0) * col("p") + col("r")), 9))
+      val agg = perN.groupBy("a", "b")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("f2").cast("decimal(18,9)")).cast("double").as("sf2"))
+      cand.join(broadcast(agg), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("sf2"), lit(0.0)) / 3.0, 6).as("chrf"))
+        .orderBy("a", "b")
+    }),
+
     // CONTAINMENT dedup — the asymmetric cousin of the Jaccard confirm:
     // flags pairs where the SMALLER trigram set is ≥90% inside the larger
     // (quotes, re-posts with boilerplate, doc-in-doc). Candidates come
@@ -932,6 +990,46 @@ object Llm {
            LEFT JOIN agg g ON g.a = c.a AND g.b = c.b
            JOIN gsz la ON la.doc_id = c.a AND la.n = 1
            JOIN gsz lb ON lb.doc_id = c.b AND lb.n = 1
+         ORDER BY c.a, c.b"""
+    },
+
+    "q_llm_chrf_pairs" -> {
+      val tfUnion = (2 to 4).map { n =>
+        s"""SELECT doc_id, $n AS n, unnest(list_transform(
+             range(1, greatest(length(t) - ${n - 2}, 1)),
+             i -> substr(t, i, $n))) AS g FROM tt"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $oSigCte,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM band x JOIN band y ON x.band_id = y.band_id
+                    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         cdocs AS (SELECT DISTINCT a AS doc_id FROM cand
+                   UNION SELECT DISTINCT b FROM cand),
+         tt AS MATERIALIZED (SELECT d.doc_id, replace(d.text, ' ', '') AS t
+             FROM documents d JOIN cdocs c ON d.doc_id = c.doc_id),
+         ctf AS MATERIALIZED (SELECT doc_id, n, g, COUNT(*) AS tf
+             FROM ($tfUnion) GROUP BY doc_id, n, g),
+         csz AS MATERIALIZED (SELECT doc_id, n, CAST(SUM(tf) AS BIGINT)
+             AS sz FROM ctf GROUP BY doc_id, n),
+         ovl AS (SELECT c.a, c.b, x.n,
+               CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS m
+             FROM cand c JOIN ctf x ON x.doc_id = c.a
+               JOIN ctf y ON y.doc_id = c.b AND y.g = x.g AND y.n = x.n
+             GROUP BY c.a, c.b, x.n),
+         pn AS (SELECT o.a, o.b, o.n,
+               round(5.0 * round(CAST(o.m AS DOUBLE) / sb.sz, 9)
+                         * round(CAST(o.m AS DOUBLE) / sa.sz, 9)
+                 / (4.0 * round(CAST(o.m AS DOUBLE) / sb.sz, 9)
+                    + round(CAST(o.m AS DOUBLE) / sa.sz, 9)), 9) AS f2
+             FROM ovl o JOIN csz sa ON sa.doc_id = o.a AND sa.n = o.n
+               JOIN csz sb ON sb.doc_id = o.b AND sb.n = o.n),
+         agg AS (SELECT a, b, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(f2 AS DECIMAL(18,9))) AS DOUBLE) AS sf2
+             FROM pn GROUP BY a, b)
+         SELECT c.a, c.b,
+           CAST(COALESCE(g.n_orders, 0) AS BIGINT) AS n_orders,
+           round(COALESCE(g.sf2, 0.0) / 3.0, 6) AS chrf
+         FROM cand c LEFT JOIN agg g ON g.a = c.a AND g.b = c.b
          ORDER BY c.a, c.b"""
     },
 

@@ -328,6 +328,47 @@ class PropertySpec extends SparkSpec {
     assert(out.exists(_.getDouble(5) < 1.0), "brevity penalty never fired")
   }
 
+  test("q_llm_chrf_pairs: brute per-pair chrF2 recompute; every candidate emits; bounds") {
+    val out = queries.Llm.queries("q_llm_chrf_pairs")(spark, sf).collect()
+    assert(out.nonEmpty, "banding found no candidate pairs to grade")
+    // every banding candidate must appear exactly once (the left-join
+    // contract), including zero-overlap pairs as (0, 0.0)
+    val cand = queries.Llm.bandCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === cand)
+    val txt = Tables(spark, sf, "documents")
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ctf(id: Long, n: Int): Map[String, Int] =
+      txt(id).sliding(n).filter(_.length == n)
+        .toSeq.groupBy(identity).map { case (g, v) => g -> v.length }
+    val r9 = (x: Double) =>
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val f2s = (2 to 4).map { n =>
+        val (ta, tb) = (ctf(a, n), ctf(b, n))
+        val m = tb.map { case (g, c) => math.min(c, ta.getOrElse(g, 0)) }.sum
+        if (m == 0) None
+        else {
+          val p = r9(m.toDouble / tb.values.sum)
+          val rr = r9(m.toDouble / ta.values.sum)
+          Some(r9(5.0 * p * rr / (4.0 * p + rr)))
+        }
+      }
+      assert(r.getLong(2) == f2s.count(_.isDefined).toLong,
+        s"n_orders drift for ($a,$b)")
+      val want = BigDecimal(f2s.flatten.map(BigDecimal(_)).sum.toDouble / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) < 1e-6, s"chrf drift for ($a,$b)")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // near-dup candidates share most character n-grams: the grade must
+    // actually separate (not saturate at 0 or a constant)
+    assert(out.map(_.getDouble(3)).distinct.length > 1 ||
+      out.length == 1, "chrf degenerate: one value for every pair")
+  }
+
   test("two-pass approx quartiles agree with exact ntile within one rank") {
     val exact = queries.Windows.queries("q_win_ntile_pct")(spark, sf)
       .select("c_custkey", "quartile")
