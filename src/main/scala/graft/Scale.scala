@@ -438,6 +438,29 @@ object Scale {
           ()
         }
       }
+      // Round-12 PROBED serving rows: recall of the sub-linear form
+      // (ADC restricted to each query's `probes` nearest coarse cells —
+      // per-query candidates = probes·(N/cells), CONSTANT under cells ∝
+      // N) at three probe budgets, declared geometry + shortlist 200.
+      // The gap to the exhaustive rerank-200 row above is what bounded
+      // serving costs at each scale — the number that names the
+      // declared probe budget.
+      locally {
+        val wanted = Seq(5, 14, 16, 57, 64).filter(pb =>
+          want(s"simsearch_pq_probe${pb}_rerank200"))
+        if (wanted.nonEmpty) {
+          val truthP = truthL2.persist()
+          val nPq = pqQs.count()
+          wanted.foreach { pb =>
+            val ann = graft.queries.Refine.pqRerank(spark, d, 200, -1,
+              graft.queries.Refine.M, graft.queries.Refine.KPQ, pb)
+            val hits = ann.join(truthP, Seq("qid", "cid"), "left_semi").count()
+            println(f"""{"dir":"$d","probe":"simsearch_pq_probe${pb}_rerank200","k":3,"n_queries":$nPq,"recall":${hits.toDouble / (3 * nPq)}%.4f}""")
+          }
+          truthP.unpersist()
+          ()
+        }
+      }
       // Fixed-geometry CONTROL: coarse cells pinned at 16 regardless of
       // N — the pre-round-11 declared form. At scale per-cell population
       // grows ∝ N/16, residual spread widens with it, and the fixed

@@ -147,6 +147,20 @@ object Refine {
       cellsForCount(Tables(s, d, "embeddings").count())
     }
 
+  /** Probe-budget growth rule for the SUB-LINEAR serving form
+    * (q_llm_simsearch_pq_probe): probes = max(5, round(1.25·√cells)) —
+    * 5 at the 16-cell gate scales (1.25·√16 = 5 exactly, so the DuckDB
+    * mirror pins probes = 5), 14 at ×10's 128 cells, 57 at ×100's
+    * 2048. With cells ∝ N this prices per-query candidates at
+    * probes·(N/cells) ∝ √N. Measured at the rule's exact points
+    * (shortlist-200 rerank recall@3, BASELINE.md ANN table):
+    * 0.79 / 0.54 / 0.49 at ×1/×10/×100 — against the FIXED-5
+    * alternative's collapse (0.79 → 0.42 → 0.36) and the EXHAUSTIVE
+    * declared form's 0.86 / 0.68 / 0.60, i.e. ~82% of exhaustive
+    * recall at ~3% of its per-query candidate volume at ×100. */
+  private[graft] def probesForCells(cells: Int): Int =
+    math.max(5, math.round(1.25 * math.sqrt(cells.toDouble)).toInt)
+
   /** Shortlist-then-re-rank PQ retrieval (IVF-PQ's actual serving
     * architecture, and — since round 12 — the DECLARED q_llm_simsearch_pq
     * form): ADC ranks a `shortlist`-deep candidate set per query
@@ -159,10 +173,11 @@ object Refine {
     * free (shortlist ≪ N raw vectors touched per query). Emits
     * (qid, cid, d2x, rnk) — exact BIGINT distances, hash-stable. */
   private[graft] def pqRerank(s: org.apache.spark.sql.SparkSession, d: String,
-      shortlist: Int, cells: Int = -1, m: Int = M, kpq: Int = KPQ)
+      shortlist: Int, cells: Int = -1, m: Int = M, kpq: Int = KPQ,
+      probes: Int = -1)
     : org.apache.spark.sql.DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    val short = pqAdcScores(s, d, cells, m, kpq)
+    val short = pqAdcScores(s, d, cells, m, kpq, probes)
       .withColumn("rk", row_number().over(wA)).where(col("rk") <= shortlist)
       .select("qid", "cid")
     val grid = gridVecs(s, d)
@@ -203,8 +218,15 @@ object Refine {
     * at ×10/×100, so the growth rule every other ANN member applies
     * moved into the declared operator. An explicit positive `cells`
     * pins the geometry for A/B probes (`graft.Scale recall`). */
+  /** `probes` > 0 restricts the query side to each query's `probes`
+    * nearest coarse cells by EXACT grid ‖q − c‖² (the IVF probe list —
+    * Q·cells tiny rows, rank-windowed per query) BEFORE the codes join,
+    * so per-query candidate volume is probes·(N/cells): CONSTANT under
+    * the cells ∝ N growth rule — the sub-linear serving form. −1 =
+    * exhaustive ADC over all cells (the q_llm_simsearch_pq form). */
   private[graft] def pqAdcScores(s: org.apache.spark.sql.SparkSession,
-      d: String, cells0: Int = -1, m: Int = M, kpq: Int = KPQ)
+      d: String, cells0: Int = -1, m: Int = M, kpq: Int = KPQ,
+      probes: Int = -1)
     : org.apache.spark.sql.DataFrame = {
     val cells = if (cells0 > 0) cells0 else cellsFor(s, d)
     val sub = 64 / m
@@ -299,9 +321,24 @@ object Refine {
              'm', CAST(m AS INT), 'sq', slice(qr, m * $sub + 1, $sub)))"""))
         .as("e"))
       .select(col("qid"), col("gcell"), col("e.m").as("m"), col("e.sq").as("sq"))
-    val dtab = qres.join(broadcast(cbs), "m")
+    val dtab0 = qres.join(broadcast(cbs), "m")
       .select(col("qid"), col("gcell"), col("m"), col("cid").as("code"),
         expr("graft_l2sq(sq, c)").as("d2"))
+    // probed serving: keep only each query's `probes` nearest coarse
+    // cells (exact grid distance, ties to the smaller cell — the
+    // trainedProbeFrames convention); the codes join below then pulls
+    // only probed cells' code rows per query
+    val dtab = if (probes <= 0) dtab0 else {
+      val pcell = gridVecs(s, d).where(col("vec_id") < QCAP)
+        .crossJoin(broadcast(centG))
+        .select(col("vec_id").as("qid"), col("gcell"),
+          expr("graft_l2sq(q, gc)").as("d2qc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2qc"), col("gcell"))))
+        .where(col("rk") <= probes)
+        .select("qid", "gcell")
+      dtab0.join(broadcast(pcell), Seq("qid", "gcell"), "left_semi")
+    }
     // the table is Q·cells·M·K rows: KB-scale at the declared 16 cells
     // (broadcast — pins the declared plan), tens of MB under the probe's
     // growth-rule cell counts where a shuffled hash join is the honest
@@ -311,7 +348,7 @@ object Refine {
     // the declared query and the re-rank probe each window over it, and
     // the query-side tables still carry the coarse trainer's lineage —
     // per-invocation analysis must stop at a LogicalRDD leaf
-    graft.Memo(s, s"pq-adc:$d:$cells:$m:$kpq") {
+    graft.Memo(s, s"pq-adc:$d:$cells:$m:$kpq:$probes") {
       codes.join(dtabSide, Seq("gcell", "m", "code"))
         .where(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("cid"), col("d2"))
@@ -337,6 +374,25 @@ object Refine {
     // below is therefore exact — growing to 128/2048 at ×10/×100.
     "q_llm_simsearch_pq" -> ((s, d) =>
       pqRerank(s, d, SHORTLIST).orderBy("qid", "rnk")),
+
+    // The SUB-LINEAR serving twin (round 12): same pipeline, but ADC
+    // scores only each query's [[probesForCells]] nearest coarse cells
+    // (exact grid ‖q − c‖² ranking — the IVF probe list) instead of all
+    // of them, so per-query candidate volume is probes·(N/cells) ∝ √N
+    // under the cells ∝ N growth rule where the exhaustive declared
+    // form touches every code row. Measured through this entry at the
+    // rule's exact points (5/14/57 probes at 16/128/2048 cells):
+    // rerank-200 recall@3 0.79/0.54/0.49 at ×1/×10/×100 — ~82% of the
+    // exhaustive form's 0.86/0.68/0.60 at ~3% of its per-query
+    // candidate volume at ×100, vs the fixed-5 alternative's collapse
+    // to 0.42/0.36 (BASELINE.md ANN table). Gate scales resolve to 16
+    // cells → probes = 5, where the DuckDB mirror pins the same 5-cell
+    // restriction.
+    "q_llm_simsearch_pq_probe" -> ((s, d) => {
+      val cells = cellsFor(s, d)
+      pqRerank(s, d, SHORTLIST, cells, M, KPQ, probesForCells(cells))
+        .orderBy("qid", "rnk")
+    }),
 
     // Language-mix importance resampling: p(lang) ∝ target/actual,
     // normalized to keep the most under-represented language whole;
@@ -494,16 +550,26 @@ object Refine {
     targetMix.map { case (l, t) => s"('$l', CAST($t AS BIGINT))" }
       .mkString("(VALUES ", ", ", ") AS tm(lang, t_e6)")
 
-  val oracle: Map[String, String] = Map(
-
-    // Residual IVF-PQ mirror: Learn.oTrainedCtes is the SAME coarse
-    // trainer chain q_llm_knn_graph_trained's oracle runs (v, samp, 2
-    // Lloyd rounds → c2 centroids, cand = every vector's argmin cell) —
-    // one definition, the mirrors cannot drift. PQ then trains/encodes
-    // the residual grid(ce) − c2.c per vector, and ADC reads the
-    // per-(query, coarse cell) subspace distance tables.
-    "q_llm_simsearch_pq" ->
-      s"""WITH ${Learn.oTrainedCtes},
+  /** The full IVF-PQ serving oracle (coarse trainer → residual PQ →
+    * ADC → shortlist → exact re-rank), shared by the exhaustive
+    * declared form and the probed one: `probes` = Some(p) inserts the
+    * pcell CTE (each query's p nearest coarse cells by exact grid
+    * ‖q − c‖², ties to the smaller cell — [[pqAdcScores]]' probed
+    * restriction) and scores codes in probed cells only. */
+  private def oPqServe(probes: Option[Int]): String = {
+    val pcell = probes.map(p => s"""
+         pcell AS (SELECT qid, gcell FROM (
+             SELECT v.vec_id AS qid, c2.cid AS gcell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65),
+                   i -> (v.q[i] - c2.c[i]) * (v.q[i] - c2.c[i]))), c2.cid)
+                 AS rk
+             FROM v CROSS JOIN c2 WHERE v.vec_id < $QCAP) WHERE rk <= $p),""")
+      .getOrElse("")
+    val dtabJoin = probes.map(_ =>
+      "JOIN pcell p ON p.qid = dtab.qid AND p.gcell = dtab.gcell ")
+      .getOrElse("")
+    s"""WITH ${Learn.oTrainedCtes},
          res AS (SELECT cand.vec_id, cand.ccell AS gcell,
              list_transform(range(1, 65), i ->
                CAST(round(CAST(cand.ce[i] AS DOUBLE) * 1000000.0) AS BIGINT)
@@ -527,7 +593,7 @@ object Refine {
          qres AS (SELECT v.vec_id AS qid, c2.cid AS gcell, CAST(t.m AS INT) AS m,
              list_transform(range(t.m * $SUBDIM + 1, (t.m + 1) * $SUBDIM + 1),
                i -> v.q[i] - c2.c[i]) AS sq
-           FROM v, c2, unnest(range(0, $M)) AS t(m) WHERE v.vec_id < $QCAP),
+           FROM v, c2, unnest(range(0, $M)) AS t(m) WHERE v.vec_id < $QCAP),$pcell
          dtab AS (SELECT qres.qid, qres.gcell, qres.m, cb.cid AS code,
              list_sum(list_transform(range(1, ${SUBDIM + 1}),
                i -> (qres.sq[i] - cb.c[i]) * (qres.sq[i] - cb.c[i]))) AS d2
@@ -536,7 +602,7 @@ object Refine {
              CAST(SUM(d2) AS BIGINT) AS adc
            FROM codes JOIN dtab ON codes.gcell = dtab.gcell
              AND codes.m = dtab.m AND codes.code = dtab.code
-           WHERE dtab.qid <> codes.vec_id
+           ${dtabJoin}WHERE dtab.qid <> codes.vec_id
            GROUP BY dtab.qid, codes.vec_id),
          r AS (SELECT qid, cid,
              row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
@@ -553,7 +619,23 @@ object Refine {
                AS INT) AS rnk
            FROM rr)
          SELECT qid, cid, d2x, rnk FROM fin WHERE rnk <= 3
-         ORDER BY qid, rnk""",
+         ORDER BY qid, rnk"""
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    // Residual IVF-PQ mirror: Learn.oTrainedCtes is the SAME coarse
+    // trainer chain q_llm_knn_graph_trained's oracle runs (v, samp, 2
+    // Lloyd rounds → c2 centroids, cand = every vector's argmin cell) —
+    // one definition, the mirrors cannot drift. PQ then trains/encodes
+    // the residual grid(ce) − c2.c per vector, and ADC reads the
+    // per-(query, coarse cell) subspace distance tables.
+    "q_llm_simsearch_pq" -> oPqServe(None),
+
+    // probed twin: the gate scales resolve to 16 cells, where the
+    // probesForCells rule pins probes = 5 — the mirror restricts ADC to
+    // each query's 5 nearest coarse cells exactly like the Spark plan
+    "q_llm_simsearch_pq_probe" -> oPqServe(Some(5)),
 
     "q_llm_importance_resample" ->
       s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),

@@ -71,6 +71,45 @@ class RefineSpec extends SparkSpec {
     }
   }
 
+  test("q_llm_simsearch_pq_probe: results live in probed cells only; probes >= cells recovers exhaustive; rule pinned") {
+    // probe-budget growth rule: 5 at every gate scale (1.25·√16 = 5
+    // exactly), then √cells — the ladder the recall table measures
+    assert(Refine.probesForCells(16) === 5)
+    assert(Refine.probesForCells(128) === 14)
+    assert(Refine.probesForCells(2048) === 57)
+    val grid16 = Seq(16, 64, 256, 1024, 4096).map(Refine.probesForCells)
+    assert(grid16.zip(grid16.tail).forall { case (a, b) => a <= b })
+    // a vacuous restriction (probes = cells) must reproduce the
+    // exhaustive declared form exactly — same pipeline, same answers
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val vacuous = rows(Refine.pqRerank(spark, sf, Refine.SHORTLIST, 16,
+      Refine.M, Refine.KPQ, 16))
+    val exhaustive = rows(Refine.queries("q_llm_simsearch_pq")(spark, sf))
+    assert(vacuous === exhaustive,
+      "probes = cells must be exactly the exhaustive form")
+    // the declared probed entry: every returned candidate's coarse cell
+    // is one of its query's 5 nearest cells (recomputed driver-side
+    // with exact BigInt distances and the (d2, cid) tie-break)
+    val out = Refine.queries("q_llm_simsearch_pq_probe")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cent = queries.Learn.trainedCentFrame(spark, sf, 16).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    val g = grid()
+    def near5(q: Array[Long]): Set[Int] =
+      cent.toSeq.map { case (cid, c) => (l2sq(q, c), cid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    val cellOf = cent.keys.toSeq.sorted
+    def assigned(v: Array[Long]): Int =
+      cent.toSeq.map { case (cid, c) => (l2sq(v, c), cid) }.min._2
+    out.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      assert(near5(g(qid)).contains(assigned(g(cid))),
+        s"candidate $cid of query $qid lives outside the probed cells")
+    }
+    assert(cellOf.nonEmpty) // keep the val used
+  }
+
   test("q_llm_simsearch_pq: declared quantizer-growth rule — 16 cells at every gate scale, ∝N beyond") {
     // the declared entry derives coarse cells from corpus size; the rule
     // must resolve to 16 wherever the fixed-16 DuckDB mirror runs (any
