@@ -234,6 +234,13 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     "^_GRAFT_COMMIT\\.g(\\d+)\\.tmp$".r.findFirstMatchIn(name)
       .map(_.group(1).toLong).getOrElse(-1L)
 
+  /** Generation an immutable HISTORY manifest name carries
+    * (`_GRAFT_COMMIT.gGGGG`, no suffix); -1 for the current pointer,
+    * tmp manifests, and anything else. */
+  private def histGen(name: String): Long =
+    "^_GRAFT_COMMIT\\.g(\\d+)$".r.findFirstMatchIn(name)
+      .map(_.group(1).toLong).getOrElse(-1L)
+
   /** A lease held longer than this is a crashed holder (no commit here
     * runs remotely that long) and is broken by the next writer. */
   private val leaseStaleMs = 10L * 60 * 1000
@@ -373,6 +380,18 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     if (existing != null) existing
       .filter(s => partGen(s.getPath.getName).exists(_ > curGen))
       .foreach(s => fs.delete(s.getPath, false))
+    // history-manifest twin of the part sweep (ADVICE r12, medium): the
+    // immutable _GRAFT_COMMIT.gGGGG is written BEFORE the pointer swap,
+    // so a crashed commit strands a fully-formed history manifest for a
+    // generation that was never published — left in place, a reader's
+    // option("generation", g) would resolve it and return uncommitted
+    // data, breaching the manifest-swap-is-the-single-publish-point
+    // contract. Any history file whose generation exceeds the committed
+    // manifest's is uncommitted by construction; swept with the parts.
+    val orphanHists = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*"))
+    if (orphanHists != null) orphanHists
+      .filter(s => histGen(s.getPath.getName) > curGen)
+      .foreach(s => fs.delete(s.getPath, false))
     val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
     if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
     val gen = curGen + 1L
@@ -434,6 +453,18 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
       val old = fs.globStatus(new Path(dir, "part-*"))
       if (old != null) old.filterNot(s => mine(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, false))
+      // metadata twin of the part delete (ADVICE r12, low): truncate is
+      // the vacuum barrier — generations behind it are unreadable by
+      // construction (their parts are deleted just above), so their
+      // history manifests are pruned in the same cleanup. An as-of read
+      // behind the barrier now fails AT MANIFEST RESOLUTION with the
+      // reader's clear vacuumed-or-never-committed error instead of a
+      // part-open failure deep in the scan, and manifest metadata stops
+      // growing without bound across overwrite cycles.
+      val oldHists = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*"))
+      if (oldHists != null) oldHists
+        .filter { s => val g = histGen(s.getPath.getName); g >= 0L && g < gen }
+        .foreach(s => fs.delete(s.getPath, false))
     }
     fs.delete(new Path(dir, "_temp"), true)
   }
@@ -443,11 +474,32 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.delete(new Path(dir, "_temp"), true)
-    // an abort between fs.create(manTmp) and the manifest swap would
-    // otherwise strand the tmp manifest forever (commit()'s sweep also
-    // clears these, but abort shouldn't rely on a future commit)
-    val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
-    if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
+    val (curGen, _) = readManifest(fs, dir)
+    val parts = Option(fs.globStatus(new Path(dir, "part-*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    // parts on disk but NO committed manifest = the delete(man)/
+    // rename(manTmp) seam — the stranded tmp manifest IS the recovery
+    // path the next commit promotes, and the gen-ahead history file
+    // belongs to that promotable commit. Sweeping either here would
+    // strand the directory in the refuse-loudly state (or orphan its
+    // as-of entry); leave recovery material for commit-time repair.
+    if (curGen >= 0L || parts.isEmpty) {
+      // an abort between fs.create(manTmp) and the manifest swap would
+      // otherwise strand the tmp manifest forever (commit()'s sweep also
+      // clears these, but abort shouldn't rely on a future commit)
+      val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
+      if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
+      // ADVICE r12 (medium): the history manifest is written BEFORE the
+      // commit point, so an aborted commit that is never retried leaves
+      // option("generation", g) resolving a fully-formed manifest for a
+      // generation that was never committed. Mirror the commit-time
+      // sweep: any history file beyond the committed generation is
+      // uncommitted metadata and goes with the temps.
+      val hists = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*"))
+      if (hists != null) hists
+        .filter(s => histGen(s.getPath.getName) > curGen)
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     ()
   }
 }

@@ -120,7 +120,8 @@ class GraftManifestScan(path: String, full: StructType,
       throw new java.io.FileNotFoundException(generation match {
         case Some(g) =>
           s"no generation-$g manifest (${man.getName}) under $path — " +
-            "that generation was never committed here"
+            "that generation was never committed here, or was vacuumed " +
+            "by a later truncate/retention sweep"
         case None =>
           s"no _GRAFT_COMMIT manifest under $path — nothing is committed here"
       })

@@ -216,8 +216,16 @@ object Streams {
     * scenario (`heavyhitters_zipf`) measures what the rule buys under
     * real displacement pressure; StreamingSpec pins the arithmetic. */
   def capFor(nBucket: Long, targetErr: Long): Int =
-    math.max(16L,
-      (nBucket + math.max(1L, targetErr) - 1) / math.max(1L, targetErr))
+    // clamped to Int.MaxValue (ADVICE r12): for a multi-billion-event
+    // bucket at targetErr=1 the quotient exceeds Int range and a bare
+    // .toInt would wrap NEGATIVE — an invalid capacity installed
+    // silently. At the clamp the sketch degenerates to exact counting
+    // (cap ≥ distinct keys), which is the correct limit behavior; a
+    // cap that large is a sizing error the err column surfaces, not a
+    // crash.
+    math.min(Int.MaxValue.toLong,
+      math.max(16L,
+        (nBucket + math.max(1L, targetErr) - 1) / math.max(1L, targetErr)))
       .toInt
 
   /** SpaceSaving heavy-hitter ledger over `user_id % buckets` sharded

@@ -487,16 +487,76 @@ class SinksSpec extends SparkSpec {
     }
     assert(exU.getMessage.contains("generation"), exU.getMessage)
     // truncate is the vacuum barrier: generation 2 overwrites, old parts
-    // are gone — the as-of-0 HISTORY manifest survives but its read must
-    // fail loudly on the missing parts, never return a thinner result
+    // are gone AND (since round 13, ADVICE r12) the barrier prunes the
+    // now-unreadable generations' history manifests in the same cleanup
+    // — an as-of read behind the barrier fails loudly AT MANIFEST
+    // RESOLUTION (the clear vacuumed error), never silently thinner and
+    // never a part-open failure deep in the scan
     gen(3, "g2").repartition(1).write.format("graft.sources.GraftCommitSink")
       .option("path", dir).mode("overwrite").save()
     assert(asOf(Some(2)).count() === 3L)
     assert(asOf(None).count() === 3L)
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0000").exists(),
+      "truncate must prune history manifests behind the vacuum barrier")
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists(),
+      "truncate must prune history manifests behind the vacuum barrier")
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0002").exists(),
+      "the truncate generation's own history manifest must survive")
     val exV = intercept[java.io.FileNotFoundException] {
       asOf(Some(0)).count()
     }
-    assert(exV.getMessage.contains("missing"), exV.getMessage)
+    assert(exV.getMessage.contains("vacuumed"), exV.getMessage)
+  }
+
+  test("abort sweeps an uncommitted generation's history manifest; a committed one survives") {
+    // ADVICE r12 (medium): the immutable history manifest is written
+    // BEFORE the commit point. A crashed/aborted commit that is never
+    // retried must not leave option("generation", g) resolving
+    // fully-formed metadata for data that was never published.
+    val dir = freshDir("aborthist")
+    // generation 0 commits normally — its history entry is committed truth
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w0 = fac.createWriter(0, 1L)
+    w0.write(row(1L, "gen0"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit()))
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0000").exists())
+    // simulate a generation-1 commit that died AFTER writing its history
+    // manifest but BEFORE the pointer swap: the stranded history file is
+    // exactly what abort() must sweep
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g0001"),
+      "#gen\t1\npart-00000-g0001.tsv\t1\n".getBytes("UTF-8"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .abort(Array.empty)
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists(),
+      "abort must sweep the uncommitted generation's history manifest")
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0000").exists(),
+      "abort must never touch committed generations' history manifests")
+    // as-of the aborted generation now fails clearly at resolution
+    val ex = intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+        .option("generation", "1").load().count()
+    }
+    assert(ex.getMessage.contains("never committed"), ex.getMessage)
+    // at the delete(man)/rename(manTmp) SEAM (parts on disk, no
+    // manifest) abort must leave recovery material alone: the tmp
+    // manifest is the next commit's promotion path and the gen-ahead
+    // history file belongs to that promotable commit
+    val man = Paths.get(dir, "_GRAFT_COMMIT")
+    val manBytes = Files.readAllBytes(man)
+    Files.delete(man)
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g0001.tmp"),
+      "#gen\t1\npart-00000-g0001.tsv\t1\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g0001"),
+      "#gen\t1\npart-00000-g0001.tsv\t1\n".getBytes("UTF-8"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .abort(Array.empty)
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0001.tmp").exists(),
+      "abort at the seam must not sweep the promotable tmp manifest")
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists(),
+      "abort at the seam must not sweep the promotable commit's history")
+    Files.write(man, manBytes)
   }
 
   test("crash-point fuzz: a kill before EVERY commit mutation leaves old-or-new, never mixed; every state recovers") {
