@@ -68,13 +68,17 @@ object Assay {
     // memoized quantizer as knn_graph_trained/hard_negatives/mmr — the
     // bucketed probe⋈assignment equi-join, probes×N/cells cost per
     // query — with two integer aggregates on top; the agreement ratio
-    // is an exact integer division rounded on the 1e-6 grid. Declared
-    // at 16 cells (the fixture geometry); like every all-queries IVF
-    // shape, TOTAL work is N·probes·(N/cells), so cells must grow ∝ N
-    // (the measured quantizer-growth rule) — `labelNoiseWith` is the
-    // parameterized form `Scale.extraProbes` measures at ×10/×100 cell
-    // counts.
-    "q_llm_label_noise" -> ((s, d) => labelNoiseWith(s, d, 16)),
+    // is an exact integer division rounded on the 1e-6 grid. Like every
+    // all-queries IVF shape, TOTAL work is N·probes·(N/cells) — so since
+    // round 13 the DECLARED entry derives cells from corpus size and
+    // dispatches the build past 64 cells to the two-level trainer
+    // ([[nnTop3Auto]] → Learn.probeFramesAuto: the r12-verdict fix —
+    // fixed 16 cells measured 28.4 s at ×10 vs 3.74 s under the growth
+    // rule, and the flat build itself is 32·cells² ∝ N²); every gate
+    // scale still resolves to the bit-exact flat 16-cell form the
+    // DuckDB mirror pins. `labelNoiseWith` keeps the pinned-geometry
+    // form `Scale.extraProbes` A/Bs at ×10/×100 cell counts.
+    "q_llm_label_noise" -> ((s, d) => labelNoiseFrom(nnTop3Auto(s, d))),
 
     // Cluster labeling — "what is each k-means cluster ABOUT": the top-5
     // TF-IDF terms per cluster, treating each cluster as one
@@ -160,12 +164,15 @@ object Assay {
     // agreement score that turns q_llm_label_noise's per-label rates
     // into one comparable scalar (kappa ≈ 0 ⇒ labels are independent of
     // embedding geometry; the label-quality red flag). Same memoized
-    // probe frames; majority via the house count+struct-argmax (no
-    // per-qid sort), and kappa is a PURE INTEGER ratio:
+    // probe frames — the round-13 [[nnTop3Auto]] dispatch, shared with
+    // q_llm_label_noise, so the scalar provably grades the same
+    // neighborhoods at every scale; majority via the house
+    // count+struct-argmax (no per-qid sort), and kappa is a PURE
+    // INTEGER ratio:
     // (diag·n − Σ row_k·col_k) / (n² − Σ row_k·col_k) — observed and
     // expected agreement never pass through intermediate doubles.
     "q_dq_cohens_kappa" -> ((s, d) => {
-      val nn = nnTop3(s, d, 16)
+      val nn = nnTop3Auto(s, d)
       val pred = nn.groupBy("qid", "qlabel", "clabel")
         .agg(count(lit(1)).as("c"))
         .groupBy("qid", "qlabel")
@@ -441,26 +448,44 @@ object Assay {
     * (session, sfDir, cells): q_llm_label_noise and q_dq_cohens_kappa
     * both reduce THIS frame (agreement rates vs the kappa scalar), so
     * the probe join + per-query rank run once per JVM, not per query. */
+  private def nnTop3From(qs: DataFrame, cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    qs.join(cand.hint("shuffle_hash"),
+        col("probe") === col("ccell") && col("qid") =!= col("cid2"))
+      .select(col("qid"), col("qlabel"), col("clabel"),
+        col("cid2").as("cid"), expr("round(graft_dot(qe, ce), 6)").as("dot"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+  }
+
   private[graft] def nnTop3(s: SparkSession, d: String,
       cells: Int, twoLevel: Boolean = false): DataFrame =
     graft.Memo(s, s"nn3:$d:$cells:$twoLevel") {
       val (qs, cand) =
         if (twoLevel) Learn.trainedProbeFrames2L(s, d, cells, 5, 2)
         else Learn.trainedProbeFrames(s, d, cells, 5)
-      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
-      qs.join(cand.hint("shuffle_hash"),
-          col("probe") === col("ccell") && col("qid") =!= col("cid2"))
-        .select(col("qid"), col("qlabel"), col("clabel"),
-          col("cid2").as("cid"), expr("round(graft_dot(qe, ce), 6)").as("dot"))
-        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
-        .persist()
+      nnTop3From(qs, cand).persist()
     }
 
-  /** Parameterized label-noise sweep — the declared query is cells=16;
-    * `Scale.extraProbes` measures the cells ∝ N geometry at ×10/×100. */
+  /** The DECLARED neighbor frame (round 13): Learn.probeFramesAuto's
+    * cells ∝ N / two-level dispatch — flat 16 cells at every gate scale
+    * (bit-identical to the previous fixed-16 declaration, so both
+    * consumers' DuckDB mirrors are unchanged), the named w=8/probes=10
+    * two-level geometry at production cell counts. One memo, two
+    * consumers (q_llm_label_noise, q_dq_cohens_kappa). */
+  private[graft] def nnTop3Auto(s: SparkSession, d: String): DataFrame =
+    graft.Memo(s, s"nn3:$d:auto") {
+      val (qs, cand) = Learn.probeFramesAuto(s, d)
+      nnTop3From(qs, cand).persist()
+    }
+
+  /** Parameterized label-noise sweep over an explicit geometry —
+    * `Scale.extraProbes` measures the flat-vs-2L A/B at pinned cell
+    * counts; the declared query is the [[nnTop3Auto]] dispatch. */
   private[graft] def labelNoiseWith(s: SparkSession, d: String,
-      cells: Int, twoLevel: Boolean = false): DataFrame = {
-    val nn = nnTop3(s, d, cells, twoLevel)
+      cells: Int, twoLevel: Boolean = false): DataFrame =
+    labelNoiseFrom(nnTop3(s, d, cells, twoLevel))
+
+  private[graft] def labelNoiseFrom(nn: DataFrame): DataFrame = {
     nn.groupBy("qid", "qlabel")
       .agg(count(lit(1)).as("n_nbrs"),
         sum((col("clabel") === col("qlabel")).cast("long")).as("n_agree"))

@@ -161,6 +161,61 @@ object Learn {
       d: String, cells: Int): DataFrame =
     trainedCent(s, d, cells, probeVecs(s, d))
 
+  /** The DECLARED trained-quantizer geometry (round 13 — the r12
+    * verdict's "make the declared plans the ones BASELINE.md proves"):
+    * cells derive from corpus size via [[Refine.cellsFor]] (cells ∝ N —
+    * the growth rule that holds per-cell population, hence candidate
+    * volume, constant; a FIXED cell count makes every all-queries IVF
+    * consumer N·probes·(N/cells) ∝ N², measured as 28.4 s at ×10 vs
+    * 3.74 s under the rule), and past [[FLAT_MAX_CELLS]] the build
+    * dispatches to the TWO-LEVEL trainer at the named serving geometry
+    * w=8 / probes=10 (BASELINE "round 9 serving grid": recall 0.202 vs
+    * flat's 0.199 at ×100/2048c for the kNN graph — equal — at 4.6×
+    * less end-to-end cold cost; the flat 32·cells² training +
+    * N·cells assignment are both ∝ N² under cells ∝ N, the two terms
+    * the hierarchy cuts to 32·cells^1.5 and N·(1+w)·√cells). Below the
+    * threshold flat IS the right plan — at ≤64 cells the quadratic
+    * terms are trivial (32·64² distance pairs), the 5-probe budget
+    * already covers ≥5/16 of the space, and the measured crossover sits
+    * at ×10's 128 cells (flat 41.8 s vs 2L 30.4 s cold) — so every gate
+    * scale (≤2k vectors → 16 cells) keeps the bit-exact flat form the
+    * DuckDB mirrors pin, and the SAME declared entry serves the 2L plan
+    * at production cell counts. */
+  private[graft] val FLAT_MAX_CELLS = 64
+  private[graft] val W2L = 8
+  private[graft] val PROBES2L = 10
+
+  /** The declared probe/assignment frames: flat (cells, 5 probes) at
+    * gate-scale cell counts, two-level (w=8, probes=10) above — ONE
+    * dispatch shared by q_llm_knn_graph_trained, q_llm_hard_negatives,
+    * and (via Assay.nnTop3Auto) q_llm_label_noise / q_dq_cohens_kappa,
+    * so the four entries cannot drift geometries. */
+  private[graft] def probeFramesAuto(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val cells = Refine.cellsFor(s, d)
+    if (cells <= FLAT_MAX_CELLS) trainedProbeFrames(s, d, cells, 5)
+    else trainedProbeFrames2L(s, d, cells, PROBES2L, W2L)
+  }
+
+  /** The coarse model the residual-PQ family encodes against, under the
+    * SAME dispatch as [[probeFramesAuto]]: (assignment frame `cand`,
+    * centroid frame (gcell, gc)). Flat ≤ [[FLAT_MAX_CELLS]] (the
+    * bit-exact gate form), two-level above — the r12 verdict's flat
+    * 32·cells² BUILD is what this swaps out at production cell counts
+    * (measured on the PQ family's shared build: the ×100/2048c cold
+    * trainer decomposition at BASELINE "q_llm_label_noise scaling"). */
+  private[graft] def coarseModelAuto(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int): (DataFrame, DataFrame) =
+    if (cells <= FLAT_MAX_CELLS) {
+      val (_, cand) = trainedProbeFrames(s, d, cells, 5)
+      (cand, trainedCentFrame(s, d, cells)
+        .select(col("cid").as("gcell"), col("c").as("gc")))
+    } else {
+      val (_, cand) = trainedProbeFrames2L(s, d, cells, PROBES2L, W2L)
+      (cand, twoLevelModel(s, d, cells)._2
+        .select(col("ccid").as("gcell"), col("c").as("gc")))
+    }
+
   private def buildProbeFrames(s: org.apache.spark.sql.SparkSession,
       d: String, cells: Int, probes: Int): (DataFrame, DataFrame) = {
     val vecs = probeVecs(s, d)
@@ -224,10 +279,13 @@ object Learn {
     * and each re-executes the whole training chain (the r4/r5
     * racing-broadcast lesson; measured as 352 s for an 18M-row count
     * that takes ~2 s once the model is frozen). Eager is safe on this
-    * path: the two-level surface is probe-only (x_ probes, recall
-    * harness, LearnSpec) — no plan-only consumer ever builds it — and
-    * the frames are KB-scale, so this is literally "train the model
-    * once, then serve it", the production shape. */
+    * path even now that the DECLARED entries dispatch here past
+    * [[FLAT_MAX_CELLS]] (round 13): every plan-only consumer (PlanSpec,
+    * Explain, PlanLock) runs at gate scales, where cellsFor resolves to
+    * 16 and the dispatch stays on the lazy flat path — the eager train
+    * only ever fires where the query will execute anyway — and the
+    * frames are KB-scale, so this is literally "train the model once,
+    * then serve it", the production shape. */
   private[graft] def twoLevelModel(s: org.apache.spark.sql.SparkSession,
       d: String, cells: Int): (DataFrame, DataFrame) = {
     val vecs = probeVecs(s, d)
@@ -326,8 +384,10 @@ object Learn {
   }
 
   /** Two-level probe/assignment frames — memoized like
-    * [[trainedProbeFrames]]; probe-only surface (`x_label_noise_*_2l`,
-    * the recall harness). */
+    * [[trainedProbeFrames]]. Since round 13 this is the DECLARED build
+    * past [[FLAT_MAX_CELLS]] (via [[probeFramesAuto]] /
+    * [[coarseModelAuto]]); the explicit-geometry form stays for the A/B
+    * probes (`x_label_noise_*_2l`, `x_knn_2l_*`, the recall harness). */
   private[graft] def trainedProbeFrames2L(s: org.apache.spark.sql.SparkSession,
       d: String, cells: Int, probes: Int, w: Int): (DataFrame, DataFrame) =
     graft.Memo(s, s"probeframes2l:$d:$cells:$probes:$w") {
@@ -355,6 +415,16 @@ object Learn {
       d: String, cells: Int, probes: Int = 5,
       negatives: Boolean = false): DataFrame = {
     val (qs, cand) = trainedProbeFrames(s, d, cells, probes)
+    knnFromFrames(qs, cand, negatives)
+  }
+
+  /** The DECLARED kNN-graph form (round 13): the [[probeFramesAuto]]
+    * dispatch — cells ∝ N, flat at gate scales (bit-identical to the
+    * previous fixed-16 declaration there, so the DuckDB mirror is
+    * unchanged), two-level w=8/p10 at production cell counts. */
+  private[graft] def knnGraphTrainedAuto(s: org.apache.spark.sql.SparkSession,
+      d: String, negatives: Boolean): DataFrame = {
+    val (qs, cand) = probeFramesAuto(s, d)
     knnFromFrames(qs, cand, negatives)
   }
 
@@ -518,24 +588,31 @@ object Learn {
 
     "q_llm_cluster_kmeans" -> ((s, d) => kmeansWith(s, d, "fused")),
 
-    // Doc-to-doc kNN graph over a TRAINED 16-cell coarse quantizer —
-    // the declared form of the scale path BASELINE's recall table
-    // measures (sampled Lloyd training + one cells×N ranking pass; at
-    // the same 5-probe budget, trained cells beat the sign-bit
-    // quantizer's recall 0.65 vs 0.49 on the fixture, 5.9× at ×100
-    // cell counts). Fully DuckDB-oracled: integer-grid training is
-    // bit-identical cross-engine, the dot is the established rounded
-    // float mirror.
-    "q_llm_knn_graph_trained" -> ((s, d) => knnGraphTrained(s, d, 16)),
+    // Doc-to-doc kNN graph over a TRAINED coarse quantizer — since
+    // round 13 the declared entry IS the scale-dispatching form
+    // ([[knnGraphTrainedAuto]]): cells derive from corpus size
+    // (Refine.cellsFor — 16 at every gate scale, where the plan is
+    // bit-identical to the previous fixed-16 declaration and the DuckDB
+    // mirror below stays exact; 128/2048 at ×10/×100), and past 64
+    // cells the build runs the two-level trainer at the named
+    // w=8/probes=10 geometry (equal recall to flat — 0.202 vs 0.199 at
+    // ×100 — at 4.6× less cold cost; the r12-verdict fix). At the same
+    // 5-probe budget on the fixture, trained cells beat the sign-bit
+    // quantizer's recall 0.65 vs 0.49. Fully DuckDB-oracled at the gate
+    // geometry: integer-grid training is bit-identical cross-engine,
+    // the dot is the established rounded-float mirror.
+    "q_llm_knn_graph_trained" -> ((s, d) =>
+      knnGraphTrainedAuto(s, d, negatives = false)),
 
     // Hard-negative mining for contrastive retrieval training: for each
     // embedding, the top-3 most-similar vectors whose class label
-    // DIFFERS — the same trained-quantizer ANN machinery as
+    // DIFFERS — the same trained-quantizer ANN machinery (and the same
+    // round-13 cells ∝ N / two-level dispatch) as
     // q_llm_knn_graph_trained with one extra label predicate on the
     // bucketed candidate join (near-but-wrong neighbors are exactly what
     // a bi-encoder trainer pairs against each anchor).
     "q_llm_hard_negatives" -> ((s, d) =>
-      knnGraphTrained(s, d, 16, negatives = true)),
+      knnGraphTrainedAuto(s, d, negatives = true)),
 
     // BPE pair counting — the selection step of byte-pair-encoding
     // tokenizer training: corpus → vocabulary with frequencies (the

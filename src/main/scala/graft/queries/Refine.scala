@@ -231,13 +231,17 @@ object Refine {
     val cells = if (cells0 > 0) cells0 else cellsFor(s, d)
     val sub = 64 / m
     graft.functions.GraftFunctions.register(s)
-    // coarse assignment: the memoized cells/5-probe frames every
-    // trained-quantizer consumer shares; cand = (cid2, ce, clabel,
-    // ccell) — each vector's argmin cell, tie-broken (d2, cid) exactly
-    // like the oracle's rank-1 window
-    val (_, cand) = Learn.trainedProbeFrames(s, d, cells, 5)
-    val centG = Learn.trainedCentFrame(s, d, cells)
-      .select(col("cid").as("gcell"), col("c").as("gc"))
+    // coarse assignment: the memoized frames every trained-quantizer
+    // consumer shares, under the round-13 DECLARED dispatch
+    // (Learn.coarseModelAuto): flat cells/5-probes at gate-scale cell
+    // counts (≤64 — bit-identical to the r12 declaration, oracle
+    // unchanged), the two-level w=8/p10 trainer above — the r12
+    // verdict's fix for the flat 32·cells² + N·cells build (both ∝ N²
+    // under cells ∝ N; measured flat 450.4 vs two-level 200.5 s cold
+    // end-to-end at ×100). cand = (cid2, ce, clabel, ccell) — each
+    // vector's argmin cell, tie-broken (d2, cid) exactly like the
+    // oracle's rank-1 window; centG = that quantizer's (cell, centroid).
+    val (cand, centG) = Learn.coarseModelAuto(s, d, cells)
     // residuals on the 1e-6 grid: r = grid(x) − centroid(cell(x)) — one
     // broadcast map pass over the assignment frame, no extra shuffle.
     // Memoized + LAZY localCheckpoint (not persist): the coarse

@@ -119,6 +119,32 @@ class LearnSpec extends SparkSpec {
     assert(t2.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("round-13 declared dispatch: gate scales are the bit-exact flat form; the growth rule crosses to two-level at ×10") {
+    import graft.queries.{Assay, Refine}
+    // the growth rule at the fixture and replica embedding counts:
+    // 16 cells (flat side of the dispatch) at every gate N, 128/2048
+    // (two-level side) at ×10/×100
+    assert(Refine.cellsForCount(500) === 16)
+    assert(Refine.cellsForCount(2000) === 16)
+    assert(Refine.cellsForCount(20000) === 128)
+    assert(Refine.cellsForCount(200000) === 2048)
+    assert(Refine.cellsForCount(2000) <= Learn.FLAT_MAX_CELLS)
+    assert(Refine.cellsForCount(20000) > Learn.FLAT_MAX_CELLS,
+      "×10 must cross the flat→two-level threshold")
+    // at the gate scale every dispatching declared entry must be
+    // BIT-IDENTICAL to the pinned flat-16 form (the oracle-survival
+    // mechanism: cellsFor resolves to 16 here, so the dispatch IS the
+    // previous declaration)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Learn.queries("q_llm_knn_graph_trained")(spark, sf))
+      === rows(Learn.knnGraphTrained(spark, sf, 16)))
+    assert(rows(Learn.queries("q_llm_hard_negatives")(spark, sf))
+      === rows(Learn.knnGraphTrained(spark, sf, 16, negatives = true)))
+    assert(rows(Assay.queries("q_llm_label_noise")(spark, sf))
+      === rows(Assay.labelNoiseWith(spark, sf, 16)))
+  }
+
   test("q_llm_bpe_pairs: ranked top-30 with a verifiable champion count") {
     val out = Learn.queries("q_llm_bpe_pairs")(spark, sf).collect()
     assert(out.length === 30)
