@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the tail of `sbt runMain graft.Bench` stdout for
+// the bench JSON line; sbt's default logged output wraps every forked
+// line in [info]/[error] prefixes and appends a [success] banner, which
+// left every BENCH_r*.json artifact with "parsed": null. Pass the
+// forked JVM's streams through unprefixed and drop the banner so the
+// JSON line is the literal tail of the run.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

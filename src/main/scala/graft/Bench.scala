@@ -158,7 +158,14 @@ object Bench {
       fits
     }
     val restSum = bySlow.drop(shown.size).map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_minus_codegen":${r3(totalMinusCodegen)},"queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"steal_ticks":$stealDelta,"steal_pct":${r3(stealPct)},"codegen_ms":${r3(cgMs)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // stop FIRST, print LAST: the session's shutdown logging lands on
+    // stderr before the println runs, so the JSON line is the process's
+    // literal final output — the driver parses the tail of this run
+    // (with build.sbt's unprefixed output strategy + suppressed
+    // [success] banner; "parsed": null in every BENCH_r*.json was the
+    // line drowning in wrapped log noise).
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_minus_codegen":${r3(totalMinusCodegen)},"queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"steal_ticks":$stealDelta,"steal_pct":${r3(stealPct)},"codegen_ms":${r3(cgMs)},"failed":$failedJson,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
