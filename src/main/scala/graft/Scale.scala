@@ -441,12 +441,16 @@ object Scale {
       // Round-12 PROBED serving rows: recall of the sub-linear form
       // (ADC restricted to each query's `probes` nearest coarse cells —
       // per-query candidates = probes·(N/cells), CONSTANT under cells ∝
-      // N) at three probe budgets, declared geometry + shortlist 200.
-      // The gap to the exhaustive rerank-200 row above is what bounded
-      // serving costs at each scale — the number that names the
-      // declared probe budget.
+      // N) at a ladder of probe budgets, declared geometry + shortlist
+      // 200. The gap to the exhaustive rerank-200 row above is what
+      // bounded serving costs at each scale — the number that names the
+      // declared probe budget. Round 13 widens the ladder to the
+      // c·√cells points for c ∈ {1.25, 2, 3} at the ×10/×100 cell
+      // counts (23/34 at 128 cells, 91/136 at 2048) — the r12 verdict's
+      // probe-rule A/B for pushing ×100 recall toward the exhaustive
+      // form's.
       locally {
-        val wanted = Seq(5, 14, 16, 57, 64).filter(pb =>
+        val wanted = Seq(5, 14, 16, 23, 34, 57, 64, 91, 136).filter(pb =>
           want(s"simsearch_pq_probe${pb}_rerank200"))
         if (wanted.nonEmpty) {
           val truthP = truthL2.persist()

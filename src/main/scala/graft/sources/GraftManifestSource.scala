@@ -94,8 +94,9 @@ class GraftManifestScanBuilder(path: String, full: StructType,
     new GraftManifestScan(path, full, required, generation)
 }
 
-/** One committed part file: its path and the manifest's row count. */
-case class GraftManifestPartition(file: String, rows: Long)
+/** One committed part file: its path, the manifest's row count, and the
+  * column width it was committed at (-1 = legacy strict entry). */
+case class GraftManifestPartition(file: String, rows: Long, ncols: Int)
   extends InputPartition
 
 class GraftManifestScan(path: String, full: StructType,
@@ -125,21 +126,15 @@ class GraftManifestScan(path: String, full: StructType,
         case None =>
           s"no _GRAFT_COMMIT manifest under $path — nothing is committed here"
       })
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(man), "UTF-8"))
-    val entries = try Iterator.continually(in.readLine())
-      .takeWhile(_ != null).filter(_.nonEmpty)
-      .filterNot(_.startsWith("#")).toArray
-    finally in.close()
-    entries.map { l =>
-      val Array(f, n) = l.split("\t")
-      val fp = new Path(dir, f)
+    val (_, _, entries) = GraftCommitMeta.readManifestFile(fs, man)
+    entries.map { e =>
+      val fp = new Path(dir, e.file)
       // fail-closed: a listed file must exist BEFORE tasks launch
       if (!fs.exists(fp))
         throw new java.io.FileNotFoundException(
-          s"manifest lists $f but it is missing under $path — torn commit")
-      GraftManifestPartition(fp.toString, n.toLong): InputPartition
-    }
+          s"manifest lists ${e.file} but it is missing under $path — torn commit")
+      GraftManifestPartition(fp.toString, e.rows, e.ncols): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -150,7 +145,7 @@ class GraftManifestScan(path: String, full: StructType,
 class GraftManifestReaderFactory(full: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val GraftManifestPartition(file, wantRows) = partition
+    val GraftManifestPartition(file, wantRows, ncols) = partition
     // (source field index, converter) per REQUIRED column, in required
     // order — an un-requested column is skipped, never converted
     val srcIdx = required.fields.map(f => full.fieldIndex(f.name))
@@ -191,11 +186,33 @@ class GraftManifestReaderFactory(full: StructType, required: StructType,
       }
       override def get(): InternalRow = {
         val cells = line.split("\t", -1)
+        // SCHEMA EVOLUTION (round 13): the manifest records each file's
+        // committed width — a row must parse EXACTLY that width
+        // (anything else is corruption, refused loudly: the TSV is
+        // headerless, so a short/long row would otherwise shift columns
+        // silently), and a column APPENDED after this file was written
+        // (index ≥ its width) surfaces NULL — the mergeSchema contract
+        // through the manifest path. Legacy entries (ncols = -1, written
+        // before widths were recorded) keep their strict pre-evolution
+        // semantics.
+        if (ncols >= 0 && cells.length != ncols)
+          throw new java.io.IOException(
+            s"$file row has ${cells.length} fields, committed width is " +
+              s"$ncols — corrupt row")
         val out = new Array[Any](srcIdx.length)
         var i = 0
         while (i < srcIdx.length) {
-          val raw = cells(srcIdx(i))
-          out(i) = if (raw == "\\N") null else convs(i)(raw)
+          val si = srcIdx(i)
+          out(i) =
+            if (si >= cells.length) {
+              if (ncols >= 0) null
+              else throw new java.io.IOException(
+                s"$file row has ${cells.length} fields, reader needs " +
+                  s"column ${si + 1} — corrupt row (legacy strict entry)")
+            } else {
+              val raw = cells(si)
+              if (raw == "\\N") null else convs(i)(raw)
+            }
           i += 1
         }
         new GenericInternalRow(out)

@@ -38,7 +38,9 @@ class SinksSpec extends SparkSpec {
   private def manifest(dir: String): Seq[(String, Long)] =
     new String(Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
       .split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#")).toSeq
-      .map { l => val Array(f, n) = l.split("\t"); (f, n.toLong) }
+      // entries are (file, rows[, ncols]) since the round-13 schema
+      // evolution; the protocol assertions here care about file + rows
+      .map { l => val f = l.split("\t"); (f(0), f(1).toLong) }
 
   test("end-to-end write publishes parts + trailing manifest, sweeps temps") {
     import org.apache.spark.sql.functions._
@@ -557,6 +559,193 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists(),
       "abort at the seam must not sweep the promotable commit's history")
     Files.write(man, manBytes)
+  }
+
+  test("schema evolution: appended column NULL-fills older generations; incompatible appends refused") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val dir = freshDir("sevo")
+    val schema3 = new StructType()
+      .add("k", LongType).add("s", StringType).add("extra", LongType)
+    // generation 0 at the 2-column schema
+    val fac2 = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w0 = fac2.createWriter(0, 1L)
+    w0.write(row(1L, "old"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit()))
+    // generation 1 APPENDS with a third column
+    val fac3 = new GraftCommitWriterFactory(dir, schema3, serConf)
+    val w1 = fac3.createWriter(0, 2L)
+    w1.write(new GenericInternalRow(Array[Any](
+      2L, UTF8String.fromString("new"), 42L)))
+    new GraftCommitWrite(dir, schema3, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w1.commit()))
+    // manifest records the WIDER signature + per-entry widths
+    val man = new String(
+      Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
+    assert(man.contains("#cols\tk:bigint,s:string,extra:bigint"), man)
+    assert(man.contains("part-00000-g0000.tsv\t1\t2"), man)
+    assert(man.contains("part-00000-g0001.tsv\t1\t3"), man)
+    // the evolved read: generation-0 rows surface NULL for the appended
+    // column, generation-1 rows carry their value
+    val back = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING, extra BIGINT").option("path", dir).load()
+      .orderBy("k").collect()
+    assert(back.length === 2)
+    assert(back(0).getLong(0) === 1L && back(0).isNullAt(2),
+      s"pre-evolution row must NULL-fill the appended column: ${back(0)}")
+    assert(back(1).getLong(0) === 2L && back(1).getLong(2) === 42L)
+    // as-of-0 stays readable under the EVOLVED schema too
+    val asof0 = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING, extra BIGINT").option("path", dir)
+      .option("generation", "0").load().collect()
+    assert(asof0.length === 1 && asof0(0).isNullAt(2))
+    // a NARROWER straggler writer may still append (its entries record
+    // the narrower width; the table keeps the wider signature)
+    val w2 = fac2.createWriter(0, 3L)
+    w2.write(row(3L, "straggler"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w2.commit()))
+    val man2 = new String(
+      Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
+    assert(man2.contains("#cols\tk:bigint,s:string,extra:bigint"), man2)
+    assert(man2.contains("part-00000-g0002.tsv\t1\t2"), man2)
+    // incompatible evolution — retyped/reordered columns — refuses
+    // LOUDLY at commit, before any rename
+    val schemaBad = new StructType()
+      .add("k", LongType).add("s", LongType)
+    val facB = new GraftCommitWriterFactory(dir, schemaBad, serConf)
+    val wB = facB.createWriter(0, 4L)
+    wB.write(new GenericInternalRow(Array[Any](9L, 9L)))
+    val mB = wB.commit()
+    val ex = intercept[java.io.IOException] {
+      new GraftCommitWrite(dir, schemaBad, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](mB))
+    }
+    assert(ex.getMessage.contains("incompatible schema evolution"),
+      ex.getMessage)
+    // the refused commit published nothing: same reader view as before
+    val after = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING, extra BIGINT").option("path", dir).load()
+    assert(after.count() === 3L)
+  }
+
+  test("vacuum: keep-K retention expires old generations' manifests, sweeps orphans, retained stay readable; idempotent") {
+    val dir = freshDir("vacuum")
+    def commitGen(tag: String, t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+      val w = fac.createWriter(0, t0)
+      w.write(row(t0, tag))
+      new GraftCommitWrite(dir, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](w.commit()))
+    }
+    commitGen("g0", 100L); commitGen("g1", 200L); commitGen("g2", 300L)
+    // crashed-commit debris: an unreferenced part + its gen-ahead
+    // history manifest
+    Files.write(Paths.get(dir, "part-99999-g0009.tsv"), "9\tx\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g0009"),
+      "#gen\t9\npart-99999-g0009.tsv\t1\t2\n".getBytes("UTF-8"))
+    val (nMan, nParts) = graft.sources.GraftCommitVacuum.vacuum(spark, dir, 2)
+    assert(nMan === 2, s"expected g0 + orphan g9 manifests expired, got $nMan")
+    assert(nParts === 1, s"expected the orphan part swept, got $nParts")
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0000").exists())
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0009").exists())
+    assert(!new java.io.File(dir, "part-99999-g0009.tsv").exists())
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists())
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0002").exists())
+    assert(!new java.io.File(dir, "_GRAFT_LOCK").exists(), "lease not released")
+    // every committed row still readable (append topology: vacuum never
+    // touches referenced parts); retained as-of views intact
+    def count(gen: Option[Int]): Long = {
+      val r = spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+      gen.fold(r)(g => r.option("generation", g.toString)).load().count()
+    }
+    assert(count(None) === 3L)
+    assert(count(Some(2)) === 3L)
+    assert(count(Some(1)) === 2L)
+    val ex = intercept[java.io.FileNotFoundException] { count(Some(0)) }
+    assert(ex.getMessage.contains("vacuumed"), ex.getMessage)
+    // idempotent: a second sweep finds nothing
+    assert(graft.sources.GraftCommitVacuum.vacuum(spark, dir, 2) === ((0, 0)))
+    // a directory with no committed manifest (the recovery seam) refuses
+    val empty = freshDir("vacempty")
+    new java.io.File(empty).mkdirs()
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.GraftCommitVacuum.vacuum(spark, empty, 2)
+    }
+    ()
+  }
+
+  test("vacuum crash-point fuzz: a kill before EVERY sweep mutation leaves retained generations readable; a re-run completes") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.crashfs.impl", classOf[CrashFs].getName)
+    val local = freshDir("vacfuzz")
+    val cdir = s"crashfs://$local"
+    def commitGen(tag: String, t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(cdir, schema, serConf)
+      val w = fac.createWriter(0, t0)
+      w.write(row(t0, tag))
+      new GraftCommitWrite(cdir, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](w.commit()))
+    }
+    def readable(gen: Option[Int]): Boolean = {
+      val man = gen match {
+        case Some(g) => new java.io.File(local, f"_GRAFT_COMMIT.g$g%04d")
+        case None => new java.io.File(local, "_GRAFT_COMMIT")
+      }
+      if (!man.exists()) false
+      else {
+        // every listed part present with its committed row count
+        new String(Files.readAllBytes(man.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#"))
+          .forall { l =>
+            val f = l.split("\t")
+            val pf = Paths.get(local, f(0))
+            Files.exists(pf) && new String(Files.readAllBytes(pf), "UTF-8")
+              .split("\n").count(_.nonEmpty).toLong === f(1).toLong
+          }
+      }
+    }
+    var k = 0
+    var crashed = true
+    while (crashed && k < 32) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(local))
+      CrashFs.disarm()
+      commitGen("g0", 100L); commitGen("g1", 200L); commitGen("g2", 300L)
+      Files.write(Paths.get(local, "part-99999-g0009.tsv"),
+        "9\tx\n".getBytes("UTF-8"))
+      Files.write(Paths.get(local, "_GRAFT_COMMIT.g0009"),
+        "#gen\t9\npart-99999-g0009.tsv\t1\t2\n".getBytes("UTF-8"))
+      CrashFs.arm(k)
+      crashed =
+        try { graft.sources.GraftCommitVacuum.vacuum(spark, cdir, 2); false }
+        catch { case _: java.io.IOException => true }
+      CrashFs.disarm()
+      // THE retention invariant, at every kill point: the current view
+      // and both retained generations remain fully readable — vacuum
+      // may die anywhere and no reader of a kept generation notices
+      assert(readable(None), s"kill point $k: current view torn")
+      assert(readable(Some(2)), s"kill point $k: retained g2 torn")
+      assert(readable(Some(1)), s"kill point $k: retained g1 torn")
+      if (crashed) {
+        // the crashed sweep may hold the lease — break it as a stale
+        // holder would, then the re-run must complete the sweep
+        val lock = new java.io.File(local, "_GRAFT_LOCK")
+        if (lock.exists()) assert(lock.delete())
+        graft.sources.GraftCommitVacuum.vacuum(spark, cdir, 2)
+        ()
+      }
+      assert(!new java.io.File(local, "_GRAFT_COMMIT.g0000").exists(),
+        s"kill point $k: sweep incomplete after re-run (g0 manifest)")
+      assert(!new java.io.File(local, "part-99999-g0009.tsv").exists(),
+        s"kill point $k: sweep incomplete after re-run (orphan part)")
+      assert(!new java.io.File(local, "_GRAFT_COMMIT.g0009").exists(),
+        s"kill point $k: sweep incomplete after re-run (orphan manifest)")
+      k += 1
+    }
+    assert(!crashed, "vacuum fuzz never reached a crash-free sweep in 32 points")
+    assert(k > 2, s"suspiciously few vacuum fault points covered: $k")
   }
 
   test("crash-point fuzz: a kill before EVERY commit mutation leaves old-or-new, never mixed; every state recovers") {
