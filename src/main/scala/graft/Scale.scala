@@ -413,8 +413,13 @@ object Scale {
       // guess. One persisted truth shared across all grid rows.
       locally {
         val geoms = Seq((4, 8), (8, 8), (4, 16), (8, 16))
+        // 400/800 joined the ladder in round 13 (want-filtered, so the
+        // default grid is unchanged): with the two-level coarse build
+        // the codebook itself caps ADC ordering quality, and shortlist
+        // depth — whose cost is CONSTANT in N — is the cheapest
+        // recall-back knob left
         val rows = for {
-          (m, kq) <- geoms; sl <- Seq(0, 50, 200)
+          (m, kq) <- geoms; sl <- Seq(0, 50, 200, 400, 800)
         } yield (m, kq, sl)
         val wanted = rows.filter { case (m, kq, sl) =>
           want(if (sl == 0) s"simsearch_pq_m${m}k${kq}_adc"
@@ -460,6 +465,62 @@ object Scale {
               graft.queries.Refine.M, graft.queries.Refine.KPQ, pb)
             val hits = ann.join(truthP, Seq("qid", "cid"), "left_semi").count()
             println(f"""{"dir":"$d","probe":"simsearch_pq_probe${pb}_rerank200","k":3,"n_queries":$nPq,"recall":${hits.toDouble / (3 * nPq)}%.4f}""")
+          }
+          truthP.unpersist()
+          ()
+        }
+      }
+      // Round-13 assignment-width A/B for the PQ family's two-level
+      // coarse model: the r13 dispatch swapped the flat coarse build
+      // for the hierarchical one and exhaustive ×100 recall moved
+      // 0.60 → 0.49 — this isolates WHERE the loss lives. w = 16
+      // widens the two-stage assignment (more super-cells probed per
+      // vector → fewer mis-assigned residuals); w = 45 ≈ √cells makes
+      // assignment EXACT over the two-level codebook (LearnSpec's
+      // identity), so any residual gap at w=45 is the hierarchical
+      // TRAINING itself, not the assignment.
+      locally {
+        val wanted = Seq(16, 45).filter(w =>
+          bits > 4 && want(s"simsearch_pq_w${w}_rerank200"))
+        if (wanted.nonEmpty) {
+          val truthP = truthL2.persist()
+          val nPq = pqQs.count()
+          wanted.foreach { w =>
+            val ann = graft.queries.Refine.pqRerank(spark, d, 200, -1,
+              graft.queries.Refine.M, graft.queries.Refine.KPQ, -1, w)
+            val hits = ann.join(truthP, Seq("qid", "cid"), "left_semi").count()
+            println(f"""{"dir":"$d","probe":"simsearch_pq_w${w}_rerank200","k":3,"n_queries":$nPq,"recall":${hits.toDouble / (3 * nPq)}%.4f}""")
+          }
+          truthP.unpersist()
+          ()
+        }
+      }
+      // Round-13 SHORTLIST-GROWTH rows — the engineered recall-back for
+      // the two-level coarse build: the w A/B proved the 2L codebook
+      // itself caps ADC ordering quality (w=45 exact assignment reads
+      // the same 0.4896 as w=8), and the 400/800 ladder showed shortlist
+      // depth buys it back (0.49 → 0.58 → 0.74 at ×100). Candidate rule:
+      // shortlist = max(200, round(50·√cells)) — 200 at every gate scale
+      // (50·√16 exactly, oracle-exact), 566/2263 at ×10/×100 — so the
+      // exact re-rank prices ∝ √N per query, the same sub-linear class
+      // as the probe rule. Measured exhaustive, at the declared probe
+      // rule, and at the 2·√cells−3 alternative.
+      if (bits > 4) {
+        val cells2 = 1 << bits
+        val sl = math.max(200, math.round(50.0 * math.sqrt(cells2.toDouble)).toInt)
+        val pRule = graft.queries.Refine.probesForCells(cells2)
+        val pAlt = math.max(5, math.round(2.0 * math.sqrt(cells2.toDouble)).toInt - 3)
+        val variants = Seq("ex" -> -1, s"p$pRule" -> pRule, s"p$pAlt" -> pAlt)
+        val wanted = variants.filter { case (tag, _) =>
+          want(s"simsearch_pq_slgrow_${tag}_") }
+        if (wanted.nonEmpty) {
+          val truthP = truthL2.persist()
+          val nPq = pqQs.count()
+          wanted.foreach { case (tag, pb) =>
+            val ann = graft.queries.Refine.pqRerank(spark, d, sl, -1,
+              graft.queries.Refine.M, graft.queries.Refine.KPQ, pb)
+            val hits = ann.join(truthP, Seq("qid", "cid"), "left_semi").count()
+            println(f"""{"dir":"$d","probe":"simsearch_pq_slgrow_${tag}_rerank$sl","k":3,"n_queries":$nPq,"recall":${hits.toDouble / (3 * nPq)}%.4f}""")
           }
           truthP.unpersist()
           ()

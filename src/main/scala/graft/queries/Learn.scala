@@ -205,13 +205,13 @@ object Learn {
     * (measured on the PQ family's shared build: the ×100/2048c cold
     * trainer decomposition at BASELINE "q_llm_label_noise scaling"). */
   private[graft] def coarseModelAuto(s: org.apache.spark.sql.SparkSession,
-      d: String, cells: Int): (DataFrame, DataFrame) =
+      d: String, cells: Int, w2l: Int = W2L): (DataFrame, DataFrame) =
     if (cells <= FLAT_MAX_CELLS) {
       val (_, cand) = trainedProbeFrames(s, d, cells, 5)
       (cand, trainedCentFrame(s, d, cells)
         .select(col("cid").as("gcell"), col("c").as("gc")))
     } else {
-      val (_, cand) = trainedProbeFrames2L(s, d, cells, PROBES2L, W2L)
+      val (_, cand) = trainedProbeFrames2L(s, d, cells, PROBES2L, w2l)
       (cand, twoLevelModel(s, d, cells)._2
         .select(col("ccid").as("gcell"), col("c").as("gc")))
     }

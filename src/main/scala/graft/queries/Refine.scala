@@ -14,10 +14,12 @@ import U._
   * Scale notes, per operator:
   *  - simsearch_pq: the IVF-PQ memory story, RESIDUAL-encoded (round
   *    10), coarse cells ∝ N (round 11 — [[Refine.cellsFor]]; 16 at the
-  *    gate scales), and since round 12 served AS DESIGNED: the declared
-  *    entry is the ADC-shortlist-200 → exact-re-rank form at the
-  *    measured-best 8×16 geometry (recall@3 0.865/0.677/0.604 at
-  *    ×1/×10/×100 vs global brute force — the grid that chose it is in
+  *    gate scales), served AS DESIGNED since round 12, and since round
+  *    13 BUILT at scale by the two-level trainer with the shortlist
+  *    growing ∝ √cells: the declared entry is the
+  *    ADC-[[shortlistFor]] → exact-re-rank form at the measured-best
+  *    8×16 geometry (recall@3 0.86/0.76/0.85 at ×1/×10/×100 vs global
+  *    brute force — the grids that chose every knob are in
   *    BASELINE.md). Vectors first assign to the memoized trained coarse
   *    quantizer (shared with q_llm_knn_graph_trained — zero extra
   *    training), then PQ quantizes x − centroid(x): codebooks are M×K
@@ -73,11 +75,10 @@ object Refine {
   private val ROUNDS = 2
   /** Capped ADC query set (the q_llm_simsearch_topk convention). */
   private val QCAP = 32
-  /** Declared shortlist depth for the ADC → exact-re-rank serving form.
-    * The recall knob INDEPENDENT of N (candidates come concentrated from
-    * ADC, not from corpus coverage — measured: 200 holds recall within
-    * [0.60, 0.87] from 2k to 200k vectors while 50 reads 0.40–0.60);
-    * cost is 200 raw-vector reads per query at ANY corpus size. */
+  /** Gate-scale shortlist depth for the ADC → exact-re-rank serving
+    * form — the anchor of the round-13 [[shortlistFor]] growth rule
+    * (50·√16 = 200 exactly, so every gate scale pins this value and the
+    * DuckDB mirrors stay exact). */
   private[graft] val SHORTLIST = 200
 
   /** CUSUM slack (k) and decision threshold (h) — single definitions
@@ -148,18 +149,39 @@ object Refine {
     }
 
   /** Probe-budget growth rule for the SUB-LINEAR serving form
-    * (q_llm_simsearch_pq_probe): probes = max(5, round(1.25·√cells)) —
-    * 5 at the 16-cell gate scales (1.25·√16 = 5 exactly, so the DuckDB
-    * mirror pins probes = 5), 14 at ×10's 128 cells, 57 at ×100's
-    * 2048. With cells ∝ N this prices per-query candidates at
-    * probes·(N/cells) ∝ √N. Measured at the rule's exact points
-    * (shortlist-200 rerank recall@3, BASELINE.md ANN table):
-    * 0.79 / 0.54 / 0.49 at ×1/×10/×100 — against the FIXED-5
-    * alternative's collapse (0.79 → 0.42 → 0.36) and the EXHAUSTIVE
-    * declared form's 0.86 / 0.68 / 0.60, i.e. ~82% of exhaustive
-    * recall at ~3% of its per-query candidate volume at ×100. */
+    * (q_llm_simsearch_pq_probe), anchored at the gate geometry:
+    * probes = max(5, round(2·√cells) − 3) — 5 at the 16-cell gate
+    * scales (2·√16 − 3 exactly, so the DuckDB mirror pins probes = 5),
+    * 20 at ×10's 128 cells, 88 at ×100's 2048. With cells ∝ N this
+    * prices per-query candidates at probes·(N/cells) ∝ √N, same class
+    * as the round-12 1.25·√cells rule it replaces. Round 13 widened
+    * the constant off the measured c·√cells ladder UNDER THE TWO-LEVEL
+    * BUILD (shortlist-200: c = 1.25 read 0.4375/0.4271 at ×10/×100
+    * where c = 2 read 0.5625/0.4375 and c = 3 saturated at
+    * 0.5938/0.4479 against the 2L-exhaustive ceiling 0.6458/0.4896);
+    * at the DECLARED shortlist-growth rule the adopted geometry reads
+    * 0.79 / 0.61 / 0.57 at ×1/×10/×100 — past the ≥0.55 bar at every
+    * scale — vs 0.51/0.54 for the old 1.25 constant and the FIXED-5
+    * control's collapse to 0.30/0.20 (BASELINE.md ANN table). */
   private[graft] def probesForCells(cells: Int): Int =
-    math.max(5, math.round(1.25 * math.sqrt(cells.toDouble)).toInt)
+    math.max(5, math.round(2.0 * math.sqrt(cells.toDouble)).toInt - 3)
+
+  /** Shortlist-growth rule (round 13): shortlist =
+    * max(200, round(50·√cells)) — 200 at the 16-cell gate scales
+    * (50·√16 exactly: the DuckDB mirrors pin shortlist = 200), 566 at
+    * ×10's 128 cells, 2263 at ×100's 2048. The engineered recall-back
+    * for the two-level coarse build: the round-13 w A/B proved the 2L
+    * codebook itself caps ADC ordering (w = 45 ≈ √cells — assignment
+    * EXACT over the codebook — reads the same 0.4896 as the declared
+    * w = 8), and the shortlist ladder showed depth buys it back
+    * (×100 exhaustive: 200 → 0.4896, 400 → 0.5833, 800 → 0.7396,
+    * rule's 2263 → 0.8542 — ABOVE the flat build's 0.6042 at 2.9×
+    * less cold cost). Under cells ∝ N the exact re-rank prices
+    * ∝ √N raw-vector reads per query — the same sub-linear class as
+    * the probe rule, and still shortlist ≪ N (≈1.1% of the corpus at
+    * ×100). */
+  private[graft] def shortlistFor(cells: Int): Int =
+    math.max(SHORTLIST, math.round(50.0 * math.sqrt(cells.toDouble)).toInt)
 
   /** Shortlist-then-re-rank PQ retrieval (IVF-PQ's actual serving
     * architecture, and — since round 12 — the DECLARED q_llm_simsearch_pq
@@ -174,10 +196,10 @@ object Refine {
     * (qid, cid, d2x, rnk) — exact BIGINT distances, hash-stable. */
   private[graft] def pqRerank(s: org.apache.spark.sql.SparkSession, d: String,
       shortlist: Int, cells: Int = -1, m: Int = M, kpq: Int = KPQ,
-      probes: Int = -1)
+      probes: Int = -1, w2l: Int = Learn.W2L)
     : org.apache.spark.sql.DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    val short = pqAdcScores(s, d, cells, m, kpq, probes)
+    val short = pqAdcScores(s, d, cells, m, kpq, probes, w2l)
       .withColumn("rk", row_number().over(wA)).where(col("rk") <= shortlist)
       .select("qid", "cid")
     val grid = gridVecs(s, d)
@@ -226,7 +248,7 @@ object Refine {
     * exhaustive ADC over all cells (the q_llm_simsearch_pq form). */
   private[graft] def pqAdcScores(s: org.apache.spark.sql.SparkSession,
       d: String, cells0: Int = -1, m: Int = M, kpq: Int = KPQ,
-      probes: Int = -1)
+      probes: Int = -1, w2l: Int = Learn.W2L)
     : org.apache.spark.sql.DataFrame = {
     val cells = if (cells0 > 0) cells0 else cellsFor(s, d)
     val sub = 64 / m
@@ -241,7 +263,7 @@ object Refine {
     // end-to-end at ×100). cand = (cid2, ce, clabel, ccell) — each
     // vector's argmin cell, tie-broken (d2, cid) exactly like the
     // oracle's rank-1 window; centG = that quantizer's (cell, centroid).
-    val (cand, centG) = Learn.coarseModelAuto(s, d, cells)
+    val (cand, centG) = Learn.coarseModelAuto(s, d, cells, w2l)
     // residuals on the 1e-6 grid: r = grid(x) − centroid(cell(x)) — one
     // broadcast map pass over the assignment frame, no extra shuffle.
     // Memoized + LAZY localCheckpoint (not persist): the coarse
@@ -253,7 +275,7 @@ object Refine {
     // over neighboring bench queries). localCheckpoint truncates the
     // LOGICAL plan to a LogicalRDD immediately while staying lazy, so
     // plan-only consumers remain execution-free.
-    val res = graft.Memo(s, s"pq-res:$d:$cells") {
+    val res = graft.Memo(s, s"pq-res:$d:$cells:$w2l") {
       cand.select(col("cid2").as("vec_id"), col("ccell").as("gcell"),
           expr("transform(ce, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
             .as("q"))
@@ -272,7 +294,7 @@ object Refine {
     // tables — share ONE training materialization instead of each
     // re-running the sampled Lloyd subplan; plan-only consumers stay
     // execution-free because persist() is lazy.
-    val cbs = graft.Memo(s, s"pq-res-codebooks:$d:$cells:$m:$kpq") {
+    val cbs = graft.Memo(s, s"pq-res-codebooks:$d:$cells:$m:$kpq:$w2l") {
       val sampleStep = res.agg(
         expr(s"greatest(CAST(1 AS BIGINT), count(1) div ${32L * kpq})").as("st"))
       val sample = res.crossJoin(broadcast(sampleStep))
@@ -352,7 +374,7 @@ object Refine {
     // the declared query and the re-rank probe each window over it, and
     // the query-side tables still carry the coarse trainer's lineage —
     // per-invocation analysis must stop at a LogicalRDD leaf
-    graft.Memo(s, s"pq-adc:$d:$cells:$m:$kpq:$probes") {
+    graft.Memo(s, s"pq-adc:$d:$cells:$m:$kpq:$probes:$w2l") {
       codes.join(dtabSide, Seq("gcell", "m", "code"))
         .where(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("cid"), col("d2"))
@@ -366,36 +388,44 @@ object Refine {
 
     // Product-quantization similarity search — since round 12 the
     // declared entry IS the serving architecture ([[pqRerank]]): ADC
-    // shortlist-200 over 8×16 codebooks (32-bit codes, 16× compression),
-    // exact integer-grid L2² re-rank to top-3. Chosen off the measured
-    // recall-vs-(geometry, shortlist) grid — 0.865/0.677/0.604 recall@3
-    // vs global brute force at ×1/×10/×100, the best point of the 36-row
-    // frontier and ≥0.5 at every scale, where the round-11 pure-ADC 4×8
-    // form read 0.073/0.042/0.031 (BASELINE.md ANN table; the grid stays
-    // probe-able per point via the pqAdcScores/pqRerank parameters).
-    // Coarse cells still DERIVE from corpus size (the [[cellsFor]]
-    // growth rule): 16 at every gate scale — where the DuckDB mirror
-    // below is therefore exact — growing to 128/2048 at ×10/×100.
-    "q_llm_simsearch_pq" -> ((s, d) =>
-      pqRerank(s, d, SHORTLIST).orderBy("qid", "rnk")),
+    // shortlist over 8×16 codebooks (32-bit codes, 16× compression),
+    // exact integer-grid L2² re-rank to top-3. Round 13 re-derived both
+    // growth knobs through the declared entry AFTER swapping the coarse
+    // BUILD to the two-level trainer past 64 cells
+    // (Learn.coarseModelAuto — the r12-verdict fix, 2.9× less ×100
+    // cold): coarse cells DERIVE from corpus size ([[cellsFor]] — 16 at
+    // every gate scale, where the DuckDB mirror below is exact;
+    // 128/2048 at ×10/×100), and the shortlist now GROWS too
+    // ([[shortlistFor]] = max(200, 50·√cells) — 200 at every gate
+    // scale): the 2L codebook caps pure-ADC ordering (w A/B,
+    // BASELINE.md), and the deeper exact re-rank — whose cost is ∝ √N
+    // raw reads per query, never ∝ N — buys recall PAST the old flat
+    // build: 0.86 / 0.76 / 0.85 recall@3 at ×1/×10/×100 vs the r12
+    // declared form's 0.86 / 0.68 / 0.60 (BASELINE.md ANN table; every
+    // grid point stays probe-able via the pqAdcScores/pqRerank
+    // parameters).
+    "q_llm_simsearch_pq" -> ((s, d) => {
+      val cells = cellsFor(s, d)
+      pqRerank(s, d, shortlistFor(cells), cells).orderBy("qid", "rnk")
+    }),
 
     // The SUB-LINEAR serving twin (round 12): same pipeline, but ADC
     // scores only each query's [[probesForCells]] nearest coarse cells
     // (exact grid ‖q − c‖² ranking — the IVF probe list) instead of all
     // of them, so per-query candidate volume is probes·(N/cells) ∝ √N
     // under the cells ∝ N growth rule where the exhaustive declared
-    // form touches every code row. Measured through this entry at the
-    // rule's exact points (5/14/57 probes at 16/128/2048 cells):
-    // rerank-200 recall@3 0.79/0.54/0.49 at ×1/×10/×100 — ~82% of the
-    // exhaustive form's 0.86/0.68/0.60 at ~3% of its per-query
-    // candidate volume at ×100, vs the fixed-5 alternative's collapse
-    // to 0.42/0.36 (BASELINE.md ANN table). Gate scales resolve to 16
-    // cells → probes = 5, where the DuckDB mirror pins the same 5-cell
-    // restriction.
+    // form touches every code row. Round 13 re-anchored both knobs off
+    // the measured ladders under the two-level build (probes =
+    // max(5, round(2·√cells) − 3) = 5/20/88, shortlist = shortlistFor):
+    // recall@3 0.79 / 0.61 / 0.57 at ×1/×10/×100 — ≥0.55 at every
+    // scale, vs the r12 declared 0.79/0.54/0.49 and the fixed-5
+    // control's collapse to 0.30/0.20 (BASELINE.md ANN table). Gate
+    // scales resolve to 16 cells → probes = 5, shortlist = 200, where
+    // the DuckDB mirror pins the same restriction.
     "q_llm_simsearch_pq_probe" -> ((s, d) => {
       val cells = cellsFor(s, d)
-      pqRerank(s, d, SHORTLIST, cells, M, KPQ, probesForCells(cells))
-        .orderBy("qid", "rnk")
+      pqRerank(s, d, shortlistFor(cells), cells, M, KPQ,
+        probesForCells(cells)).orderBy("qid", "rnk")
     }),
 
     // Language-mix importance resampling: p(lang) ∝ target/actual,

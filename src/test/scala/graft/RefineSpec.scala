@@ -72,13 +72,22 @@ class RefineSpec extends SparkSpec {
   }
 
   test("q_llm_simsearch_pq_probe: results live in probed cells only; probes >= cells recovers exhaustive; rule pinned") {
-    // probe-budget growth rule: 5 at every gate scale (1.25·√16 = 5
-    // exactly), then √cells — the ladder the recall table measures
+    // probe-budget growth rule (round 13: 2·√cells − 3, anchored so
+    // every gate scale pins 5 — 2·√16 − 3 exactly), then ∝ √cells —
+    // the ladder the recall table measures
     assert(Refine.probesForCells(16) === 5)
-    assert(Refine.probesForCells(128) === 14)
-    assert(Refine.probesForCells(2048) === 57)
+    assert(Refine.probesForCells(128) === 20)
+    assert(Refine.probesForCells(2048) === 88)
     val grid16 = Seq(16, 64, 256, 1024, 4096).map(Refine.probesForCells)
     assert(grid16.zip(grid16.tail).forall { case (a, b) => a <= b })
+    // shortlist growth rule (round 13: 50·√cells, anchored so every
+    // gate scale pins the 200 the DuckDB mirrors encode)
+    assert(Refine.shortlistFor(16) === 200)
+    assert(Refine.shortlistFor(64) === 400)
+    assert(Refine.shortlistFor(128) === 566)
+    assert(Refine.shortlistFor(2048) === 2263)
+    val sls = Seq(16, 64, 256, 1024, 4096).map(Refine.shortlistFor)
+    assert(sls.zip(sls.tail).forall { case (a, b) => a <= b })
     // a vacuous restriction (probes = cells) must reproduce the
     // exhaustive declared form exactly — same pipeline, same answers
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
