@@ -280,6 +280,47 @@ object Scans {
         .orderBy("view", "st_group")
     }),
 
+    // ZONE-MAP file skipping through the commit sink's manifest (round
+    // 13): every committed part records per-numeric-column min/max in
+    // its manifest entry, and the manifest reader implements
+    // SupportsPushDownFilters — a null-rejecting comparison filter
+    // whose value provably falls outside a file's [min, max] prunes
+    // that file BEFORE any task launches (splits = files, so this is
+    // partition pruning from pure metadata — the Iceberg/Delta
+    // data-skipping shape, and what makes a selective read on a 100 TB
+    // sink table open ~1 file instead of all of them). The query lays
+    // orders out in 8 disjoint key-range parts (one 1-row layout scalar
+    // derives the band width — the documented Q-guard-style exception),
+    // reads back a band that lives entirely inside ONE part, and emits
+    // BOTH the band rollup (hash-checked against straight-from-orders
+    // SQL) and the planner's own file counts: files_planned comes from
+    // the DSv2 scan's partition count after pushdown, so a regression
+    // that stops skipping (or skips WRONGLY — the rollup would thin)
+    // hash-mismatches. Skipping is advisory-only for correctness: kept
+    // files still evaluate every filter row-wise.
+    "q_sink_zonemap_skip" -> ((s, d) => {
+      val out = tmpDir(s"zmap_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val w = o.agg(max("k")).first().getLong(0) / 8 + 1
+      (0 until 8).map(b =>
+          o.where(col("k") >= b * w && col("k") < (b + 1) * w).coalesce(1))
+        .reduce(_ unionAll _)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      val band = s.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, cents BIGINT").option("path", out).load()
+        .where(col("k") >= lit(3 * w) && col("k") < lit(3 * w + w / 2))
+      val planned = band.rdd.getNumPartitions.toLong
+      band.agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .withColumn("files_planned", lit(planned))
+        .withColumn("files_total", lit(8L))
+    }),
+
     // Generation-retention VACUUM (round 13 — the r12 verdict's
     // frontier item #2): three committed generations, a planted
     // crashed-commit orphan (a part file + its generation-ahead history
@@ -553,6 +594,21 @@ object Scans {
            CAST(SUM(cents) AS BIGINT)
          FROM c WHERE k % 2 = 0
          ORDER BY view, st_group""",
+
+    // the band rollup straight from orders at the same derived width;
+    // files_planned = 1 IS the skipping contract (8 disjoint key-range
+    // parts, the band inside one) — a reader that stops pruning reads 8
+    "q_sink_zonemap_skip" ->
+      """WITH w AS (SELECT (MAX(o_orderkey) // 8) + 1 AS w FROM orders),
+         c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT COUNT(*) AS cnt, MIN(k) AS min_key,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(1 AS BIGINT) AS files_planned,
+           CAST(8 AS BIGINT) AS files_total
+         FROM c, w
+         WHERE k >= 3 * w.w AND k < 3 * w.w + w.w // 2""",
 
     // current = all thirds; retained as-of-g1 = thirds 0 and 1; the
     // report row's constants are the protocol: 2 expired manifests (g0

@@ -187,15 +187,19 @@ class GraftCommitWriteBuilder(path: String, schema: StructType)
 }
 
 /** Message a task commit sends the driver: the attempt's temp file plus
-  * its identity — the driver publishes exactly one attempt per partition. */
+  * its identity — the driver publishes exactly one attempt per partition.
+  * `stats` is the part's ZONE MAP (round 13): per-numeric-column
+  * min/max over non-null values, [[GraftCommitMeta.statsFormat]]. */
 case class GraftTempFile(tmp: String, partitionId: Int, taskId: Long,
-  rows: Long) extends WriterCommitMessage
+  rows: Long, stats: String = "") extends WriterCommitMessage
 
-/** One committed manifest entry: part file, its row count, and the
-  * COLUMN COUNT it was written with (round 13 — schema evolution).
+/** One committed manifest entry: part file, its row count, the COLUMN
+  * COUNT it was written with (round 13 — schema evolution), and its
+  * zone-map stats (round 13 — data skipping; "" = none recorded).
   * `ncols = -1` is a legacy pre-evolution entry: written before the
   * manifest recorded widths, read with the strict full-width contract. */
-case class GraftManEntry(file: String, rows: Long, ncols: Int)
+case class GraftManEntry(file: String, rows: Long, ncols: Int,
+  stats: String = "")
 
 /** Manifest parsing/naming shared by the sink's commit, its abort, the
   * manifest reader, and the retention vacuum — one definition of the
@@ -232,6 +236,7 @@ private[sources] object GraftCommitMeta {
         l.split("\t") match {
           case Array(f, n) => GraftManEntry(f, n.toLong, -1)
           case Array(f, n, c) => GraftManEntry(f, n.toLong, c.toInt)
+          case Array(f, n, c, st) => GraftManEntry(f, n.toLong, c.toInt, st)
           case _ => throw new java.io.IOException(
             s"corrupt manifest entry '$l' in $man")
         }
@@ -277,6 +282,22 @@ private[sources] object GraftCommitMeta {
     * other — columns are append-only; renames/retypes/reorders refuse. */
   def sigPrefix(shorter: String, longer: String): Boolean =
     longer == shorter || longer.startsWith(shorter + ",")
+
+  /** ZONE-MAP stats format (round 13, the manifest entry's 4th field):
+    * `i:lo|hi` per numeric column joined by `;` — `i` the column's
+    * position in the FILE's own width (stable under append-only
+    * evolution), lo/hi its min/max over NON-NULL values, printed with
+    * the sink's own value formatting. String columns, all-null columns,
+    * and non-finite doubles record nothing — absent stats never skip.
+    * Null-rejecting comparison filters can exclude a file from [lo, hi]
+    * alone (a NULL never satisfies them, so non-null bounds suffice). */
+  def parseStats(stats: String): Map[Int, (String, String)] =
+    if (stats == null || stats.isEmpty) Map.empty
+    else stats.split(";").iterator.map { s =>
+      val Array(i, lohi) = s.split(":", 2)
+      val Array(lo, hi) = lohi.split("\\|", 2)
+      i.toInt -> (lo, hi)
+    }.toMap
 
   /** A lease held longer than this is a crashed holder (no commit or
     * vacuum here runs remotely that long) and is broken by the next
@@ -555,7 +576,7 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
       val fin = new Path(dir, f"part-${m.partitionId}%05d-g$gen%04d.tsv")
       if (!fs.rename(new Path(m.tmp), fin))
         throw new java.io.IOException(s"publish failed for ${m.tmp}")
-      GraftManEntry(fin.getName, m.rows, schema.length)
+      GraftManEntry(fin.getName, m.rows, schema.length, m.stats)
     }
     // manifest swap: write the new generation's manifest to a temp name,
     // then move it into place — written LAST, so readers keyed on it
@@ -575,7 +596,8 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     val manBytes = (s"#gen\t$gen\n#cols\t$manifestSig\n" +
       visible.map { e =>
         if (e.ncols < 0) s"${e.file}\t${e.rows}"
-        else s"${e.file}\t${e.rows}\t${e.ncols}"
+        else if (e.stats.isEmpty) s"${e.file}\t${e.rows}\t${e.ncols}"
+        else s"${e.file}\t${e.rows}\t${e.ncols}\t${e.stats}"
       }.mkString("", "\n", "\n"))
       .getBytes("UTF-8")
     val manTmp = new Path(dir, s"_GRAFT_COMMIT.g$gen.tmp")
@@ -692,6 +714,36 @@ class GraftCommitDataWriter(path: String, schema: StructType,
       }
     }
 
+  // ZONE MAP (round 13): running min/max per numeric column over
+  // non-null values — the per-part stats the manifest publishes for
+  // reader-side file skipping. TYPED comparisons, never through a
+  // shared double: a full-range BIGINT column must not round into a
+  // wrong bound (a wrong zone map silently drops rows at read time —
+  // the one failure mode data skipping cannot have). Non-finite
+  // doubles are excluded (a NaN bound would poison every comparison);
+  // a column they appear in just records a bound-only-over-finite map,
+  // still safe for the null-rejecting filters the reader skips with.
+  private val statGet: Array[InternalRow => AnyRef] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType => (r: InternalRow) => java.lang.Long.valueOf(r.getLong(i))
+        case IntegerType => (r: InternalRow) => java.lang.Integer.valueOf(r.getInt(i))
+        case DoubleType => (r: InternalRow) => {
+          val d = r.getDouble(i)
+          if (java.lang.Double.isFinite(d)) java.lang.Double.valueOf(d) else null
+        }
+        case _ => null
+      }
+    }
+  private val statLo = new Array[AnyRef](schema.length)
+  private val statHi = new Array[AnyRef](schema.length)
+  private def cmpVals(a: AnyRef, b: AnyRef): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case _ => 0
+  }
+
   override def write(record: InternalRow): Unit = {
     val sb = new StringBuilder
     var i = 0
@@ -705,12 +757,25 @@ class GraftCommitDataWriter(path: String, schema: StructType,
     }
     sb.append('\n')
     out.write(sb.toString)
+    var j = 0
+    while (j < statGet.length) {
+      if (statGet(j) != null && !record.isNullAt(j)) {
+        val v = statGet(j)(record)
+        if (v != null) {
+          if (statLo(j) == null || cmpVals(v, statLo(j)) < 0) statLo(j) = v
+          if (statHi(j) == null || cmpVals(v, statHi(j)) > 0) statHi(j) = v
+        }
+      }
+      j += 1
+    }
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftTempFile(tmp.toString, partitionId, taskId, rows)
+    val stats = statLo.indices.iterator.filter(statLo(_) != null)
+      .map(i => s"$i:${statLo(i)}|${statHi(i)}").mkString(";")
+    GraftTempFile(tmp.toString, partitionId, taskId, rows, stats)
   }
 
   override def abort(): Unit = {

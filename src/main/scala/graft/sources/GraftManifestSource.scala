@@ -7,7 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,12 +89,102 @@ class GraftManifestTable(path: String, readSchema: StructType,
 
 class GraftManifestScanBuilder(path: String, full: StructType,
     generation: Option[Long])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = full
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** ZONE-MAP pushdown (round 13): the sink's manifest records per-part
+    * min/max for numeric columns, and the null-rejecting comparison
+    * filters can exclude whole files from those bounds BEFORE any task
+    * launches — the Iceberg/Delta data-skipping shape, at manifest
+    * granularity. Every filter is returned as a residual (the zone map
+    * only SKIPS files; surviving files still evaluate the predicate
+    * row-wise), so correctness never depends on the skip — `accepted`
+    * is what `.explain`'s PushedFilters reports and what
+    * planInputPartitions prunes with. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f =>
+      GraftZoneMap.compile(f, full).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan =
-    new GraftManifestScan(path, full, required, generation)
+    new GraftManifestScan(path, full, required, generation, accepted)
+}
+
+/** Zone-map skip evaluation — the reader side of
+  * [[GraftCommitMeta.parseStats]]. All comparisons run in BigDecimal
+  * over the sink's shortest-repr value printing (which round-trips
+  * doubles uniquely), so a full-range BIGINT bound can never round into
+  * a WRONG skip — the one failure mode data skipping must not have;
+  * anything unparseable or unsupported simply never skips. */
+private[sources] object GraftZoneMap {
+  /** Compile a pushable filter to (column index in the full schema, op,
+    * literal); None = the zone map cannot act on it. IsNotNull carries
+    * a null literal — it can only skip a file that predates the column
+    * (append-only evolution: every value there is NULL). */
+  def compile(f: Filter, full: StructType): Option[(Int, String, BigDecimal)] =
+    f match {
+      case EqualTo(a, v) => comp(a, "=", v, full)
+      case GreaterThan(a, v) => comp(a, ">", v, full)
+      case GreaterThanOrEqual(a, v) => comp(a, ">=", v, full)
+      case LessThan(a, v) => comp(a, "<", v, full)
+      case LessThanOrEqual(a, v) => comp(a, "<=", v, full)
+      case IsNotNull(a) => idx(a, full).map((_, "notnull", null))
+      case _ => None
+    }
+
+  private def comp(attr: String, op: String, v: Any,
+      full: StructType): Option[(Int, String, BigDecimal)] =
+    for { i <- idx(attr, full); b <- lit(v) } yield (i, op, b)
+
+  private def idx(attr: String, full: StructType): Option[Int] = {
+    val i = full.fieldNames.indexWhere(_.equalsIgnoreCase(attr))
+    if (i < 0) None
+    else full.fields(i).dataType match {
+      case LongType | IntegerType | DoubleType => Some(i)
+      case _ => None
+    }
+  }
+
+  private def lit(v: Any): Option[BigDecimal] = v match {
+    case l: java.lang.Long => Some(BigDecimal(l))
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+    case s: java.lang.Short => Some(BigDecimal(s.intValue))
+    case b: java.lang.Byte => Some(BigDecimal(b.intValue))
+    case d: java.lang.Double =>
+      if (java.lang.Double.isFinite(d)) Some(BigDecimal(d.toString)) else None
+    case f: java.lang.Float =>
+      if (java.lang.Float.isFinite(f)) Some(BigDecimal(f.toString)) else None
+    case _ => None
+  }
+
+  /** true = the entry's file provably contains NO row satisfying the
+    * compiled filter. A column past the file's committed width is all
+    * NULL there, so every null-rejecting shape (including IsNotNull)
+    * excludes the whole file; otherwise only recorded bounds decide. */
+  def skips(c: (Int, String, BigDecimal), entry: GraftManEntry,
+      stats: Map[Int, (String, String)]): Boolean = {
+    val (i, op, v) = c
+    if (entry.ncols >= 0 && i >= entry.ncols) return true
+    if (op == "notnull") return false
+    stats.get(i) match {
+      case None => false
+      case Some((loS, hiS)) =>
+        val lo = BigDecimal(loS)
+        val hi = BigDecimal(hiS)
+        op match {
+          case "=" => v < lo || v > hi
+          case ">" => hi <= v
+          case ">=" => hi < v
+          case "<" => lo >= v
+          case "<=" => lo > v
+          case _ => false
+        }
+    }
+  }
 }
 
 /** One committed part file: its path, the manifest's row count, and the
@@ -100,7 +193,8 @@ case class GraftManifestPartition(file: String, rows: Long, ncols: Int)
   extends InputPartition
 
 class GraftManifestScan(path: String, full: StructType,
-    required: StructType, generation: Option[Long])
+    required: StructType, generation: Option[Long],
+    pushed: Array[Filter] = Array.empty)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -127,7 +221,19 @@ class GraftManifestScan(path: String, full: StructType,
           s"no _GRAFT_COMMIT manifest under $path — nothing is committed here"
       })
     val (_, _, entries) = GraftCommitMeta.readManifestFile(fs, man)
-    entries.map { e =>
+    // ZONE-MAP file skipping (round 13): a file whose recorded
+    // [min, max] provably excludes a pushed filter never plans a task
+    // (splits = files here, so this IS partition pruning). The skip is
+    // advisory-only for correctness — kept files still evaluate every
+    // filter row-wise — and the fail-closed existence check still runs
+    // for every KEPT file: skipping is decided on the manifest's own
+    // metadata alone, which is the contract at a 100 TB lake — plan
+    // from metadata, open only the files the query can need.
+    val compiled = pushed.flatMap(f => GraftZoneMap.compile(f, full))
+    entries.filter { e =>
+      val stats = GraftCommitMeta.parseStats(e.stats)
+      !compiled.exists(c => GraftZoneMap.skips(c, e, stats))
+    }.map { e =>
       val fp = new Path(dir, e.file)
       // fail-closed: a listed file must exist BEFORE tasks launch
       if (!fs.exists(fp))

@@ -630,6 +630,80 @@ class SinksSpec extends SparkSpec {
     assert(after.count() === 3L)
   }
 
+  test("zone maps: per-part min/max recorded, reader skips provably-excluded files, never skips on absent stats") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("zmap")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    // two parts with disjoint key ranges; strings record no stats
+    val w0 = fac.createWriter(0, 1L)
+    w0.write(row(10L, "a")); w0.write(row(19L, "b"))
+    val w1 = fac.createWriter(1, 2L)
+    w1.write(row(100L, "c")); w1.write(row(199L, "d"))
+    // a third part whose key column is all NULL — no stats either
+    val w2 = fac.createWriter(2, 3L)
+    w2.write(new GenericInternalRow(Array[Any](null, UTF8String.fromString("n"))))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit(), w1.commit(), w2.commit()))
+    val man = new String(
+      Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
+    assert(man.contains("part-00000-g0000.tsv\t2\t2\t0:10|19"), man)
+    assert(man.contains("part-00001-g0000.tsv\t2\t2\t0:100|199"), man)
+    // the all-null part records NO stats (4th field absent)
+    assert(man.contains("part-00002-g0000.tsv\t1\t2\n")
+      || man.endsWith("part-00002-g0000.tsv\t1\t2"), man)
+    def read() = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", dir).load()
+    // a selective filter plans ONLY the file whose zone map can match —
+    // the no-stats part is NEVER skipped on bounds (it might hold
+    // anything... its k is all NULL, but the reader cannot know that
+    // from absent stats; only null-REJECTING shapes skip it and only
+    // via column-absence, not here)
+    val hit = read().where(col("k") >= 100L && col("k") <= 150L)
+    assert(hit.rdd.getNumPartitions === 2,
+      "expected the matching part + the stats-less part planned")
+    assert(hit.collect().map(_.getLong(0)).toSet === Set(100L))
+    // a filter outside every recorded range plans only the stats-less file
+    val miss = read().where(col("k") === 50L)
+    assert(miss.rdd.getNumPartitions === 1)
+    assert(miss.count() === 0L)
+    // correctness never depends on the skip: unfiltered read sees all rows
+    assert(read().count() === 5L)
+    // full-range BIGINT bounds must not round through double: a value
+    // 1024 below Long.MaxValue is outside [MaxValue-1, MaxValue] but
+    // indistinguishable from it in double precision
+    val big = freshDir("zmapbig")
+    val facB = new GraftCommitWriterFactory(big, schema, serConf)
+    val wB = facB.createWriter(0, 1L)
+    wB.write(row(Long.MaxValue - 1, "x")); wB.write(row(Long.MaxValue, "y"))
+    new GraftCommitWrite(big, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](wB.commit()))
+    def readBig() = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", big).load()
+    assert(readBig().where(col("k") === (Long.MaxValue - 1))
+      .rdd.getNumPartitions === 1, "must not skip the true match")
+    assert(readBig().where(col("k") === (Long.MaxValue - 1024))
+      .rdd.getNumPartitions === 0,
+      "a double-rounded compare would fail to skip here")
+    // evolution interplay: a filter on a column APPENDED after a file
+    // was written skips that file outright (all its values are NULL
+    // there, and the pushed shapes are null-rejecting)
+    import org.apache.spark.sql.types.LongType
+    val schema3 = new StructType()
+      .add("k", LongType).add("s", StringType).add("extra", LongType)
+    val fac3 = new GraftCommitWriterFactory(dir, schema3, serConf)
+    val w3 = fac3.createWriter(0, 9L)
+    w3.write(new GenericInternalRow(Array[Any](
+      500L, UTF8String.fromString("e"), 7L)))
+    new GraftCommitWrite(dir, schema3, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w3.commit()))
+    val evolved = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING, extra BIGINT").option("path", dir).load()
+      .where(col("extra") === 7L)
+    assert(evolved.rdd.getNumPartitions === 1,
+      "pre-evolution files must be skipped for a filter on the appended column")
+    assert(evolved.collect().map(_.getLong(0)).toSeq === Seq(500L))
+  }
+
   test("vacuum: keep-K retention expires old generations' manifests, sweeps orphans, retained stay readable; idempotent") {
     val dir = freshDir("vacuum")
     def commitGen(tag: String, t0: Long): Unit = {
