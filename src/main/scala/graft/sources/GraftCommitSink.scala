@@ -293,11 +293,18 @@ private[sources] object GraftCommitMeta {
     * alone (a NULL never satisfies them, so non-null bounds suffice). */
   def parseStats(stats: String): Map[Int, (String, String)] =
     if (stats == null || stats.isEmpty) Map.empty
-    else stats.split(";").iterator.map { s =>
-      val Array(i, lohi) = s.split(":", 2)
-      val Array(lo, hi) = lohi.split("\\|", 2)
-      i.toInt -> (lo, hi)
-    }.toMap
+    else try {
+      stats.split(";").iterator.map { s =>
+        val Array(i, lohi) = s.split(":", 2)
+        val Array(lo, hi) = lohi.split("\\|", 2)
+        i.toInt -> (lo, hi)
+      }.toMap
+    } catch {
+      // manual damage fails loudly with the field named, never as a
+      // bare MatchError deep in planning — and never as a silent skip
+      case e: RuntimeException => throw new java.io.IOException(
+        s"corrupt zone-map stats field '$stats' in manifest entry", e)
+    }
 
   /** A lease held longer than this is a crashed holder (no commit or
     * vacuum here runs remotely that long) and is broken by the next
