@@ -280,6 +280,72 @@ object Scans {
         .orderBy("view", "st_group")
     }),
 
+    // MANIFEST-NATIVE COMPACTION (round 13) — the Iceberg
+    // rewrite-data-files shape on the repo's own connector, and the
+    // operator that makes the round's sink features COMPOSE: a
+    // fragmented table (12 small parts across two generations) is
+    // rewritten as 2 parts and published as the NEXT generation; the
+    // replaced parts are NOT deleted — every prior generation still
+    // references them, so as-of reads behind the compaction stay
+    // zero-copy readable — and retention is what retires them:
+    // vacuum(keep=1) expires the pre-compaction generations, at which
+    // point the 12 replaced parts are unreferenced-by-any-retained-
+    // manifest and the sweep reclaims them, with the compacted current
+    // view untouched. The query grades the whole loop: the as-of-g0
+    // view read THROUGH the compaction, the current view read AFTER
+    // the vacuum, the compaction's entry counts, the planner's
+    // post-compaction file count, and the sweep's exact counts — all
+    // against straight-from-orders SQL + the protocol's literal rows.
+    // At 100 TB this is the table-maintenance loop: compact hot
+    // partitions without breaking snapshot readers, let retention
+    // reclaim the space on its own schedule.
+    "q_sink_compact_generations" -> ((s, d) => {
+      val out = tmpDir(s"cgen_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      o.where(col("k") % 2 === 0).repartition(8)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      o.where(col("k") % 2 =!= 0).repartition(4)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("append").save()
+      val (before, after) = graft.sources.GraftCommitCompact.compact(
+        s, out, "k BIGINT, cents BIGINT", 2)
+      def read(gen: Option[Int]) = {
+        val r = s.read.format("graft.sources.GraftManifestSource")
+          .schema("k BIGINT, cents BIGINT").option("path", out)
+        gen.fold(r)(g => r.option("generation", g.toString)).load()
+      }
+      // pre-compaction history, read THROUGH the compaction — EAGERLY
+      // materialized (1-row checkpoint): the vacuum below expires g0's
+      // manifest by design, so this view must execute before it, not
+      // lazily after (the whole point of the row is proving the old
+      // layout was readable between the compaction and the sweep)
+      val asofG0 = read(Some(0)).withColumn("view", lit("asof_g0_precompact"))
+        .groupBy("view")
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .localCheckpoint(true)
+      val planned = read(None).rdd.getNumPartitions.toLong
+      val (nMan, nParts) =
+        graft.sources.GraftCommitVacuum.vacuum(s, out, keep = 1)
+      asofG0
+        .unionByName(read(None).withColumn("view", lit("current"))
+          .groupBy("view")
+          .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+            sum(col("cents")).as("total_cents")))
+        .unionByName(s.range(1).select(lit("compact_report").as("view"),
+          lit(before.toLong).as("cnt"), lit(after.toLong).as("min_key"),
+          lit(planned).as("total_cents")))
+        .unionByName(s.range(1).select(lit("vacuum_report").as("view"),
+          lit(nMan.toLong).as("cnt"), lit(nParts.toLong).as("min_key"),
+          lit(0L).as("total_cents")))
+        .orderBy("view")
+    }),
+
     // ZONE-MAP file skipping through the commit sink's manifest (round
     // 13): every committed part records per-numeric-column min/max in
     // its manifest entry, and the manifest reader implements
@@ -594,6 +660,28 @@ object Scans {
            CAST(SUM(cents) AS BIGINT)
          FROM c WHERE k % 2 = 0
          ORDER BY view, st_group""",
+
+    // even-half (gen-0) + full rollups straight from orders; the two
+    // report rows pin the protocol: 12 entries compacted to 2 (the
+    // planner then reads 2 files), and vacuum(keep=1) expiring the 2
+    // pre-compaction manifests + sweeping their 12 replaced parts
+    "q_sink_compact_generations" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT 'asof_g0_precompact' AS view, COUNT(*) AS cnt,
+           MIN(k) AS min_key, CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM c WHERE k % 2 = 0
+         UNION ALL
+         SELECT 'compact_report', CAST(12 AS BIGINT), CAST(2 AS BIGINT),
+           CAST(2 AS BIGINT)
+         UNION ALL
+         SELECT 'current', COUNT(*), MIN(k), CAST(SUM(cents) AS BIGINT)
+         FROM c
+         UNION ALL
+         SELECT 'vacuum_report', CAST(2 AS BIGINT), CAST(12 AS BIGINT),
+           CAST(0 AS BIGINT)
+         ORDER BY view""",
 
     // the band rollup straight from orders at the same derived width;
     // files_planned = 1 IS the skipping contract (8 disjoint key-range

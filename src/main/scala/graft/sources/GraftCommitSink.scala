@@ -381,6 +381,124 @@ private[sources] object GraftCommitMeta {
   * retained manifest references. A directory with no committed manifest
   * refuses loudly (it may be the recovery seam; vacuum never guesses).
   */
+/** MANIFEST-NATIVE COMPACTION (round 13): rewrite a fragmented table's
+  * current entries as `targetParts` new part files and publish them as
+  * the next GENERATION — the Iceberg rewrite-data-files shape on the
+  * repo's own connector, and the piece that makes the round's sink
+  * features compose:
+  *
+  *  - the REPLACED parts are NOT deleted: every prior generation still
+  *    references them, so as-of reads behind the compaction stay
+  *    zero-copy readable — compaction changes the CURRENT view's file
+  *    layout, never history;
+  *  - [[GraftCommitVacuum]] is what eventually retires them: once the
+  *    pre-compaction generations fall behind the retention horizon, the
+  *    replaced parts become unreferenced-by-any-retained-manifest and
+  *    the sweep reclaims them — compaction + retention together are the
+  *    full table-maintenance loop;
+  *  - the compacted files get fresh ZONE MAPS (they pass through the
+  *    sink's own writers), so data skipping survives compaction.
+  *
+  * Protocol: the rewrite STAGES under `<path>/_compact` through the
+  * sink's own two-phase commit (invisible to every reader — nothing
+  * outside the staging dir is touched until the staged data is fully
+  * committed there), then, under the table lease: re-read the current
+  * generation (another writer advancing the table during staging is
+  * detected and refused — rerun on fresh state), verify the staged
+  * row count and column signature against the manifest's, rename the
+  * staged parts to generation-unique names, and swap the manifest with
+  * REPLACED entries (tmp → immutable history copy → pointer swap, the
+  * exact commitLocked order, so every crash point leaves
+  * old-or-compacted, never mixed — a crashed compaction's orphan parts
+  * and gen-ahead history manifest are swept by the established
+  * commit/abort/vacuum rules). Idempotent: a re-run restages from
+  * scratch (`_compact` is wiped first).
+  */
+object GraftCommitCompact {
+  import GraftCommitMeta._
+
+  /** @return (entries before, entries after); no-op when already at or
+    * under `targetParts`. `schemaDdl` must be the table's CURRENT full
+    * schema (checked against the manifest's `#cols` signature — a
+    * narrower rewrite would silently drop columns from the live view). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      schemaDdl: String, targetParts: Int): (Int, Int) = {
+    require(targetParts >= 1, s"targetParts must be >= 1, got $targetParts")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen0, cols0, entries0) =
+      readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
+    if (gen0 < 0L)
+      throw new java.io.FileNotFoundException(
+        s"no _GRAFT_COMMIT manifest under $path — nothing to compact")
+    if (entries0.length <= targetParts)
+      return (entries0.length, entries0.length)
+    // 1. STAGE the rewrite through the sink's own commit protocol —
+    //    the long, distributed part runs OUTSIDE the table lease and
+    //    touches only _compact/
+    val stage = new Path(dir, "_compact")
+    fs.delete(stage, true)
+    spark.read.format("graft.sources.GraftManifestSource")
+      .schema(schemaDdl).option("path", path).load()
+      .repartition(targetParts)
+      .write.format("graft.sources.GraftCommitSink")
+      .option("path", stage.toString).mode("overwrite").save()
+    val (_, stageCols, stageEntries) =
+      readManifestFile(fs, new Path(stage, "_GRAFT_COMMIT"))
+    // 2. PUBLISH under the table lease
+    val lease = acquireLease(fs, dir)
+    try {
+      val (gen, cols, entries) =
+        readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
+      if (gen != gen0)
+        throw new java.io.IOException(
+          s"$path advanced from generation $gen0 to $gen while compaction " +
+            "staged — refusing to publish a stale rewrite; rerun")
+      // a rewrite must carry the table's exact column signature and
+      // exact row count — anything else is a wrong rewrite, refused
+      // before any rename
+      if (cols.exists(c => !stageCols.contains(c)))
+        throw new java.io.IOException(
+          s"compaction read schema [$schemaDdl] does not match the " +
+            s"committed signature [${cols.get}] — pass the table's " +
+            "current full schema")
+      val wantRows = entries.map(_.rows).sum
+      val haveRows = stageEntries.map(_.rows).sum
+      if (wantRows != haveRows)
+        throw new java.io.IOException(
+          s"staged rewrite has $haveRows rows, table has $wantRows — " +
+            "refusing to publish a lossy compaction")
+      val newGen = gen + 1L
+      val published = stageEntries.sortBy(_.file).zipWithIndex.map {
+        case (e, i) =>
+          val fin = new Path(dir, f"part-$i%05d-g$newGen%04d.tsv")
+          if (!fs.rename(new Path(stage, e.file), fin))
+            throw new java.io.IOException(s"compaction publish failed for ${e.file}")
+          GraftManEntry(fin.getName, e.rows, e.ncols, e.stats)
+      }
+      val sig = stageCols.orElse(cols).getOrElse("")
+      val manBytes = (s"#gen\t$newGen\n#cols\t$sig\n" +
+        published.map(e => s"${e.file}\t${e.rows}\t${e.ncols}" +
+          (if (e.stats.isEmpty) "" else s"\t${e.stats}"))
+          .mkString("", "\n", "\n")).getBytes("UTF-8")
+      val manTmp = new Path(dir, s"_GRAFT_COMMIT.g$newGen.tmp")
+      val out = fs.create(manTmp, true)
+      out.write(manBytes); out.close()
+      val hist = new Path(dir, f"_GRAFT_COMMIT.g$newGen%04d")
+      val hout = fs.create(hist, true)
+      hout.write(manBytes); hout.close()
+      val man = new Path(dir, "_GRAFT_COMMIT")
+      if (fs.exists(man)) fs.delete(man, false)
+      if (!fs.rename(manTmp, man))
+        throw new java.io.IOException(s"manifest swap failed for $manTmp")
+      // replaced parts stay on disk — prior generations reference them;
+      // retention (vacuum) reclaims them when those generations expire
+      fs.delete(stage, true)
+      (entries.length, published.length)
+    } finally { fs.delete(lease, false); () }
+  }
+}
+
 object GraftCommitVacuum {
   /** @return (expired history manifests, swept unreferenced part files) */
   def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -417,6 +535,9 @@ object GraftCommitVacuum {
       val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
       if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
       fs.delete(new Path(dir, "_temp"), true)
+      // a crashed compaction's staging dir is also debris — compact()
+      // restages from scratch anyway, so the janitor clears it
+      fs.delete(new Path(dir, "_compact"), true)
       (expired.length, orphans.length)
     } finally { fs.delete(lease, false); () }
   }

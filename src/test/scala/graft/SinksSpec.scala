@@ -751,6 +751,154 @@ class SinksSpec extends SparkSpec {
     ()
   }
 
+  test("compaction: rewrites current entries as a new generation; history stays readable; vacuum retires replaced parts") {
+    val dir = freshDir("compact")
+    def commitGen(tags: Seq[String], t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+      val ms = tags.zipWithIndex.map { case (tag, p) =>
+        val w = fac.createWriter(p, t0 + p)
+        w.write(row(t0 + p, tag))
+        w.commit(): WriterCommitMessage
+      }
+      new GraftCommitWrite(dir, schema, truncateFirst = false)
+        .commit(ms.toArray)
+    }
+    commitGen(Seq("a", "b"), 100L)    // gen 0: 2 parts
+    commitGen(Seq("c"), 200L)         // gen 1: +1 part → 3 entries
+    val (before, after) = graft.sources.GraftCommitCompact.compact(
+      spark, dir, "k BIGINT, s STRING", 1)
+    assert((before, after) === ((3, 1)))
+    // the compacted generation is current; entries replaced, rows intact
+    val man = new String(
+      Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
+    assert(man.startsWith("#gen\t2"), man)
+    assert(manifest(dir).size === 1)
+    assert(manifest(dir).head._2 === 3L, "compacted part must carry all rows")
+    assert(man.contains("#cols\tk:bigint,s:string"), man)
+    assert(!new java.io.File(dir, "_compact").exists, "staging not cleaned")
+    def read(gen: Option[Int]) = {
+      val r = spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+      gen.fold(r)(g => r.option("generation", g.toString)).load()
+    }
+    assert(read(None).collect().map(_.getString(1)).toSet === Set("a", "b", "c"))
+    // pre-compaction generations still read from the REPLACED parts
+    assert(read(Some(1)).count() === 3L)
+    assert(read(Some(0)).count() === 2L)
+    // already-compact tables no-op; a wrong read schema refuses
+    assert(graft.sources.GraftCommitCompact.compact(
+      spark, dir, "k BIGINT, s STRING", 8) === ((1, 1)))
+    val ex = intercept[java.io.IOException] {
+      graft.sources.GraftCommitCompact.compact(
+        spark, freshDirCommitted(), "k BIGINT", 1)
+    }
+    assert(ex.getMessage.contains("does not match"), ex.getMessage)
+    // retention retires the replaced parts once their generations expire
+    val (nMan, nParts) = graft.sources.GraftCommitVacuum.vacuum(spark, dir, 1)
+    assert(nMan === 2, s"g0+g1 manifests should expire, got $nMan")
+    assert(nParts === 3, s"the 3 replaced parts should sweep, got $nParts")
+    assert(read(None).collect().map(_.getString(1)).toSet === Set("a", "b", "c"),
+      "the compacted current view must survive the sweep")
+    intercept[java.io.FileNotFoundException] { read(Some(1)).count() }
+    ()
+  }
+
+  /** A throwaway 2-part committed dir for the schema-mismatch refusal. */
+  private def freshDirCommitted(): String = {
+    val dir = freshDir("compactbad")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w0 = fac.createWriter(0, 1L); w0.write(row(1L, "x"))
+    val w1 = fac.createWriter(1, 2L); w1.write(row(2L, "y"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit(), w1.commit()))
+    dir
+  }
+
+  test("compaction crash-point fuzz: every kill leaves the reader view whole (old rows ≡ new rows); every state recovers") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.crashfs.impl", classOf[CrashFs].getName)
+    val local = freshDir("cfuzz")
+    val cdir = s"crashfs://$local"
+    def commitGen(tags: Seq[String], t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(cdir, schema, serConf)
+      val ms = tags.zipWithIndex.map { case (tag, p) =>
+        val w = fac.createWriter(p, t0 + p)
+        w.write(row(t0 + p, tag))
+        w.commit(): WriterCommitMessage
+      }
+      new GraftCommitWrite(cdir, schema, truncateFirst = false)
+        .commit(ms.toArray)
+    }
+    val allRows = Set("100\ta", "101\tb", "200\tc")
+    // reader-visible rows through the manifest, with structural checks —
+    // compaction PRESERVES contents, so at every kill point the visible
+    // row set must be exactly allRows (old layout or compacted layout),
+    // or the one documented no-manifest seam with a promotable tmp
+    def visible(): Option[Set[String]] = {
+      val man = new java.io.File(local, "_GRAFT_COMMIT")
+      if (!man.exists()) None
+      else Some(new String(Files.readAllBytes(man.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#")).toSeq
+        .flatMap { l =>
+          val f = l.split("\t")
+          val pf = Paths.get(local, f(0))
+          assert(Files.exists(pf), s"manifest lists missing part ${f(0)}")
+          val lines = new String(Files.readAllBytes(pf), "UTF-8")
+            .split("\n").filter(_.nonEmpty).toSeq
+          assert(lines.size.toLong === f(1).toLong, s"count drift for ${f(0)}")
+          lines
+        }.toSet)
+    }
+    var k = 0
+    var crashed = true
+    while (crashed && k < 48) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(local))
+      CrashFs.disarm()
+      commitGen(Seq("a", "b"), 100L)
+      commitGen(Seq("c"), 200L)
+      CrashFs.arm(k)
+      crashed =
+        try {
+          graft.sources.GraftCommitCompact.compact(
+            spark, cdir, "k BIGINT, s STRING", 1)
+          false
+        } catch { case _: java.io.IOException => true }
+      CrashFs.disarm()
+      visible() match {
+        case Some(rows) => assert(rows === allRows,
+          s"kill point $k: reader view lost or mixed rows: $rows")
+        case None =>
+          // the manifest-swap seam: a promotable tmp must be on disk
+          val tmps = Option(new java.io.File(local).listFiles())
+            .getOrElse(Array.empty)
+            .map(_.getName).filter(_.matches("_GRAFT_COMMIT\\.g\\d+\\.tmp"))
+          assert(tmps.nonEmpty, s"kill point $k: no manifest AND no tmp")
+      }
+      if (crashed) {
+        val lock = new java.io.File(local, "_GRAFT_LOCK")
+        if (lock.exists()) assert(lock.delete())
+        if (!new java.io.File(local, "_GRAFT_COMMIT").exists()) {
+          // seam recovery is the next COMMIT's job (it promotes the tmp)
+          commitGen(Seq("d"), 300L)
+          assert(visible().exists(_.contains("300\td")),
+            s"kill point $k: recovery commit did not land")
+          assert(visible().exists(r => allRows.subsetOf(r)),
+            s"kill point $k: promoted compaction lost rows")
+        } else {
+          // otherwise a re-run completes (or no-ops on a published one)
+          graft.sources.GraftCommitCompact.compact(
+            spark, cdir, "k BIGINT, s STRING", 1)
+          assert(visible().contains(allRows), s"kill point $k: re-run failed")
+        }
+      }
+      k += 1
+    }
+    assert(!crashed, "compaction fuzz never reached a crash-free run in 48 points")
+    assert(k > 3, s"suspiciously few compaction fault points covered: $k")
+    assert(visible().contains(allRows))
+    assert(manifest(local).size === 1, "crash-free compaction must land 1 entry")
+  }
+
   test("vacuum crash-point fuzz: a kill before EVERY sweep mutation leaves retained generations readable; a re-run completes") {
     val hconf = spark.sparkContext.hadoopConfiguration
     hconf.set("fs.crashfs.impl", classOf[CrashFs].getName)
