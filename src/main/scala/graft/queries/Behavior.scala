@@ -42,6 +42,63 @@ object Behavior {
 
   val queries: Map[String, Q] = Map(
 
+    // Kaplan–Meier survival over customer ORDER lifetimes (round 13) —
+    // the product-limit estimator every retention/churn report is built
+    // on: a customer's lifetime = weeks between first and last order
+    // (the actuarial WEEKLY lifetable grid — binning bounds the time
+    // axis to span/7 rows by construction, the scale knob), churn
+    // observed iff the last order predates the corpus end by >365 days
+    // (otherwise the lifetime is CENSORED — still at risk, exactly what
+    // KM exists to handle). S(w) = Π_{w'≤w} (1 − d_{w'}/n_risk(w'))
+    // over eventful weeks. Plan shape: one customer-keyed agg (∝orders
+    // in, ∝customers out), then EVERYTHING runs on the ≤span/7-row
+    // weekly frame — n_risk via the windowless prefixOffsets triangle
+    // (never a single-partition window), the cumulative log-survival
+    // via a second bounded triangle. Exactness: counts exact BIGINTs;
+    // each ln(1 − d/n) rounded to the 1e-9 grid BEFORE the exact
+    // DECIMAL cumulative sum (the zipf/entropy libm rule); survival =
+    // round(exp(·), 6) — the established heldout_ppl pattern — with
+    // the d = n_risk absorbing state pinned to exactly 0.0 (ln(0) is
+    // engine-divergent, so the zero never passes through a log).
+    "q_ts_survival_km" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val tend = o.agg(max(col("o_orderdate")).as("tend"))
+      val cust = o.groupBy("o_custkey")
+        .agg(min(col("o_orderdate")).as("t0"), max(col("o_orderdate")).as("t1"))
+        .crossJoin(broadcast(tend))
+        // all calendar arithmetic in DATE space on BOTH sides of the
+        // oracle (o_orderdate is a timestamp column; comparing a raw
+        // timestamp against a date re-promotes to midnight and the two
+        // engines would disagree on boundary-day time components)
+        .select(expr("CAST(datediff(t1, t0) AS BIGINT) div 7").as("wk"),
+          (to_date(col("t1")) < date_sub(to_date(col("tend")), 365))
+            .cast("long").as("churn"))
+      val total = cust.agg(count(lit(1)).as("n_total"))
+      val byW = cust.groupBy("wk")
+        .agg(count(lit(1)).as("leave"), sum(col("churn")).as("d"))
+      val risk = prefixOffsets(byW.select(col("wk"), col("leave")), "wk", "leave")
+        .join(byW.select("wk", "d"), "wk")
+        .crossJoin(broadcast(total))
+        .select(col("wk"), col("d"), (col("n_total") - col("off")).as("n_risk"))
+        .where(col("d") > 0)
+      val terms = risk.select(col("wk"), col("d"), col("n_risk"),
+        expr("""CAST(CASE WHEN d < n_risk
+             THEN round(ln(1.0D - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+             ELSE 0.0D END AS DECIMAL(18,9))""").as("lnterm"),
+        (col("d") === col("n_risk")).cast("int").as("iszero"))
+      terms
+        .join(broadcast(terms.select(col("wk").as("w2"),
+          col("lnterm").as("l2"), col("iszero").as("z2"))),
+          col("w2") <= col("wk"))
+        .groupBy("wk", "d", "n_risk")
+        .agg(sum(col("l2")).as("slnp"), max(col("z2")).as("hit0"))
+        .select(col("wk"), col("n_risk"), col("d").as("n_churn"),
+          when(col("hit0") === 1, lit(0.0))
+            .otherwise(round(exp(col("slnp").cast("double")), 6))
+            .as("survival"))
+        .orderBy("wk")
+    }),
+
     // Market-basket association rules at the brand level: for every
     // brand pair (a < b), the orders containing both (support), the
     // a→b confidence, and the lift n·supp(ab)/(supp(a)·supp(b)) — the
@@ -406,6 +463,40 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    // the triangle cumulatives mirror as ordered window sums — exact
+    // DECIMAL lnterm sum, the same 1e-9 ln grid and round(exp, 6) tail
+    "q_ts_survival_km" ->
+      """WITH b AS (SELECT MAX(o_orderdate) AS tend FROM orders),
+         u AS (SELECT o_custkey, MIN(o_orderdate) AS t0,
+                 MAX(o_orderdate) AS t1
+               FROM orders GROUP BY o_custkey),
+         c AS (SELECT date_diff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) // 7 AS wk,
+                 CASE WHEN CAST(t1 AS DATE) < CAST(tend AS DATE) - 365
+                   THEN 1 ELSE 0 END AS churn
+               FROM u, b),
+         tot AS (SELECT COUNT(*) AS n_total FROM c),
+         w AS (SELECT wk, COUNT(*) AS lv, CAST(SUM(churn) AS BIGINT) AS d
+               FROM c GROUP BY wk),
+         r AS (SELECT wk, d,
+                 CAST(n_total - COALESCE(SUM(lv) OVER (ORDER BY wk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+               FROM w, tot),
+         e AS (SELECT wk, d, n_risk,
+                 CAST(CASE WHEN d < n_risk
+                   THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                   ELSE 0.0 END AS DECIMAL(18,9)) AS lnterm,
+                 CASE WHEN d = n_risk THEN 1 ELSE 0 END AS iszero
+               FROM r WHERE d > 0),
+         f AS (SELECT wk, n_risk, d AS n_churn,
+                 SUM(lnterm) OVER (ORDER BY wk) AS slnp,
+                 MAX(iszero) OVER (ORDER BY wk) AS hit0
+               FROM e)
+         SELECT wk, n_risk, n_churn,
+           CASE WHEN hit0 = 1 THEN 0.0
+                ELSE round(exp(CAST(slnp AS DOUBLE)), 6) END AS survival
+         FROM f ORDER BY wk""",
+
     "q_wl_market_basket" ->
       """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey,
              p.p_brand AS brand

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Behavior
+import org.apache.spark.sql.functions.{col, to_date}
 
 /** Mirrors for the round-7 §2.33 behavioral-analytics batch: each
   * query recomputed with plain Scala arithmetic under the same
@@ -40,6 +41,58 @@ class BehaviorSpec extends SparkSpec {
     }
     assert(out === expect)
   }
+
+  test("q_ts_survival_km matches the product-limit mirror; curve decreasing, censoring real") {
+    val out = Behavior.queries("q_ts_survival_km")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // independent replay: product-limit estimator in plain Scala over
+    // the collected orders, same weekly grid / 365-day censor cutoff /
+    // 1e-9 ln grid / exp-then-round-6 tail
+    val od = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val tend = od.map(_._2).max
+    val cut = tend.minusDays(365)
+    val cust = od.groupBy(_._1).values.map { xs =>
+      val ds = xs.map(_._2)
+      val (t0, t1) = (ds.min, ds.max)
+      (java.time.temporal.ChronoUnit.DAYS.between(t0, t1) / 7,
+        t1.isBefore(cut))
+    }.toSeq
+    val byW = cust.groupBy(_._1).map { case (w, xs) =>
+      w -> (xs.size.toLong, xs.count(_._2).toLong)
+    }
+    val wks = byW.keys.toSeq.sorted
+    var atRisk = cust.size.toLong
+    var sln = BigDecimal(0)
+    var hitZero = false
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    wks.foreach { w =>
+      val (leave, d) = byW(w)
+      if (d > 0) {
+        if (d == atRisk) hitZero = true
+        else sln += BigDecimal(r9(math.log(1.0 - d.toDouble / atRisk)))
+        expect += ((w, atRisk, d,
+          if (hitZero) 0.0 else r6(math.exp(sln.toDouble))))
+      }
+      atRisk -= leave
+    }
+    assert(out.toSeq === expect.toSeq)
+    // the estimator's shape: survival non-increasing, within (0, 1],
+    // risk set strictly decreasing across eventful weeks, and real
+    // censoring present (otherwise KM degenerates to an ECDF and the
+    // operator asserts nothing about censored lifetimes)
+    assert(out.map(_._4).zip(out.map(_._4).tail).forall { case (a, b) => b <= a })
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(out.map(_._2).zip(out.map(_._2).tail).forall { case (a, b) => b < a })
+    assert(cust.exists(!_._2), "no censored customers — cutoff degenerate")
+    assert(cust.exists(_._2), "no churned customers — cutoff degenerate")
+    ()
+  }
+
+  private def r9(x: Double): Double = BigDecimal(x)
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("q_ts_attribution_linear matches the equal-share mirror; shares split") {
     val out = Behavior.queries("q_ts_attribution_linear")(spark, sf)
