@@ -217,7 +217,7 @@ case class GraftManEntry(file: String, rows: Long, ncols: Int,
   * the reader NULL-fills columns appended after a file was written.
   * Legacy manifests (no `#cols`, 2-field entries) parse with
   * `cols = None` / `ncols = -1` and keep their strict semantics. */
-private[sources] object GraftCommitMeta {
+private[graft] object GraftCommitMeta {
   def readManifestFile(fs: FileSystem, man: Path)
     : (Long, Option[String], Seq[GraftManEntry]) = {
     if (!fs.exists(man)) (-1L, None, Nil)
@@ -288,9 +288,13 @@ private[sources] object GraftCommitMeta {
     * position in the FILE's own width (stable under append-only
     * evolution), lo/hi its min/max over NON-NULL values, printed with
     * the sink's own value formatting. String columns, all-null columns,
-    * and non-finite doubles record nothing — absent stats never skip.
-    * Null-rejecting comparison filters can exclude a file from [lo, hi]
-    * alone (a NULL never satisfies them, so non-null bounds suffice). */
+    * and any column in which a NON-FINITE double appears record nothing
+    * — absent stats never skip. (Poisoning, not finite-only bounds: a
+    * comparison filter is null-rejecting but NOT Inf/NaN-rejecting, so
+    * bounds over only the finite values would skip a file whose ±Inf/NaN
+    * rows satisfy the predicate — ADVICE r14.) Null-rejecting comparison
+    * filters can exclude a file from [lo, hi] alone (a NULL never
+    * satisfies them, so non-null bounds suffice). */
   def parseStats(stats: String): Map[Int, (String, String)] =
     if (stats == null || stats.isEmpty) Map.empty
     else try {
@@ -306,9 +310,11 @@ private[sources] object GraftCommitMeta {
         s"corrupt zone-map stats field '$stats' in manifest entry", e)
     }
 
-  /** A lease held longer than this is a crashed holder (no commit or
-    * vacuum here runs remotely that long) and is broken by the next
-    * writer. */
+  /** A lease whose mtime is older than this is a crashed holder and is
+    * broken by the next writer. LIVE holders with long publish loops
+    * refresh the mtime ([[heartbeatLease]]), so the bound only ever
+    * fires on the truly dead — a >10-min commit no longer loses its
+    * lease mid-publish (round 14). */
   private val leaseStaleMs = 10L * 60 * 1000
 
   /** Best-effort single-writer lease: atomically create `_GRAFT_LOCK`
@@ -351,6 +357,17 @@ private[sources] object GraftCommitMeta {
     }
     lock
   }
+
+  /** HEARTBEAT a held lease (round 14 — the r13 verdict's >10-min-commit
+    * window): staleness is judged from the lock's mtime, so a LIVE holder
+    * whose publish loop is long — a 100 TB compaction renames O(files) —
+    * refreshes the mtime periodically and is never broken as stale by a
+    * waiting writer. Best-effort: a filesystem without setTimes (some
+    * object stores) just skips, degrading to the documented
+    * best-effort-lease behavior, never failing the commit itself. */
+  def heartbeatLease(fs: FileSystem, dir: Path): Unit =
+    try { fs.setTimes(new Path(dir, "_GRAFT_LOCK"), System.currentTimeMillis(), -1); () }
+    catch { case _: Exception => () }
 }
 
 /** Generation-retention VACUUM for a commit-sink directory (round 13 —
@@ -469,8 +486,29 @@ object GraftCommitCompact {
           s"staged rewrite has $haveRows rows, table has $wantRows — " +
             "refusing to publish a lossy compaction")
       val newGen = gen + 1L
+      // crash-retry idempotence (ADVICE r14, medium): a compaction that
+      // died between its staged-part renames and the manifest swap left
+      // part-NNNNN-g{newGen} files in the table dir; a re-run computes
+      // the SAME newGen (manifest unchanged) and under HDFS rename
+      // semantics renaming onto an existing name returns false — every
+      // retry would fail forever. Mirror commitLocked's sweep: any part
+      // or history manifest whose generation exceeds the committed one
+      // is uncommitted debris by construction; delete it before
+      // publishing. (The local FS overwrites on rename, which is why the
+      // crash fuzz alone could not catch this.)
+      val aheadParts = fs.globStatus(new Path(dir, "part-*"))
+      if (aheadParts != null) aheadParts
+        .filter(s => partGen(s.getPath.getName).exists(_ > gen))
+        .foreach(s => fs.delete(s.getPath, false))
+      val aheadHists = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*"))
+      if (aheadHists != null) aheadHists
+        .filter(s => histGen(s.getPath.getName) > gen)
+        .foreach(s => fs.delete(s.getPath, false))
       val published = stageEntries.sortBy(_.file).zipWithIndex.map {
         case (e, i) =>
+          // the rename loop is O(files) — keep the lease visibly alive
+          // so a >10-min publish is never broken as stale mid-loop
+          if (i % 64 == 63) heartbeatLease(fs, dir)
           val fin = new Path(dir, f"part-$i%05d-g$newGen%04d.tsv")
           if (!fs.rename(new Path(stage, e.file), fin))
             throw new java.io.IOException(s"compaction publish failed for ${e.file}")
@@ -506,14 +544,21 @@ object GraftCommitVacuum {
     require(keep >= 1, s"retention must keep >= 1 generation, got $keep")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (curGen, _, curEntries) =
-      GraftCommitMeta.readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
-    if (curGen < 0L)
-      throw new java.io.FileNotFoundException(
-        s"no _GRAFT_COMMIT manifest under $path — nothing is committed " +
-          "(or a crashed commit awaits recovery); refusing to vacuum")
+    // the manifest is read UNDER the lease (ADVICE r13, high): a commit
+    // landing between a pre-lease read and the lease acquisition would
+    // make this sweep see a STALE curGen/curEntries — the new
+    // generation's history manifest reads as "generation-ahead" and its
+    // freshly committed parts as "unreferenced", and the sweep would
+    // delete committed data the live pointer references. Reading under
+    // the lease is exactly the guard compact() applies.
     val lease = GraftCommitMeta.acquireLease(fs, dir)
     try {
+      val (curGen, _, curEntries) =
+        GraftCommitMeta.readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
+      if (curGen < 0L)
+        throw new java.io.FileNotFoundException(
+          s"no _GRAFT_COMMIT manifest under $path — nothing is committed " +
+            "(or a crashed commit awaits recovery); refusing to vacuum")
       val horizon = curGen - keep + 1L
       def hists() = Option(fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
@@ -531,7 +576,10 @@ object GraftCommitVacuum {
       val orphans = Option(fs.globStatus(new Path(dir, "part-*")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         .filter(s => !referenced(s.getPath.getName))
-      orphans.foreach(s => fs.delete(s.getPath, false))
+      orphans.zipWithIndex.foreach { case (s, i) =>
+        if (i % 256 == 255) GraftCommitMeta.heartbeatLease(fs, dir)
+        fs.delete(s.getPath, false)
+      }
       val tmps = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp"))
       if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, false))
       fs.delete(new Path(dir, "_temp"), true)
@@ -700,7 +748,10 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
             "across generations (truncate to restate the table)")
       case _ => newSig
     }
-    val published = chosen.map { m =>
+    val published = chosen.zipWithIndex.map { case (m, i) =>
+      // O(partitions) rename loop: heartbeat the lease so a long publish
+      // (thousands of parts on an object store) never reads as stale
+      if (i % 64 == 63) GraftCommitMeta.heartbeatLease(fs, dir)
       val fin = new Path(dir, f"part-${m.partitionId}%05d-g$gen%04d.tsv")
       if (!fs.rename(new Path(m.tmp), fin))
         throw new java.io.IOException(s"publish failed for ${m.tmp}")
@@ -778,6 +829,24 @@ class GraftCommitWrite(path: String, schema: StructType, truncateFirst: Boolean)
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    // ADVICE r14 (low): the sweep below runs under a best-effort lease.
+    // An abort racing ANOTHER writer's live commit — history manifest
+    // written, pointer not yet swapped — would otherwise delete that
+    // commit's in-flight protocol state (its gen-ahead history copy or
+    // tmp manifest) mid-publish. A live foreign lease means exactly that
+    // situation: tolerate it by skipping the cleanup entirely (the live
+    // commit's own completion sweeps `_temp` and tmps; our attempt files
+    // are attempt-unique and inert). A stale lease is a crashed holder
+    // and acquireLease breaks it as usual.
+    val lease =
+      try Some(GraftCommitMeta.acquireLease(fs, dir))
+      catch { case _: java.io.IOException => None }
+    if (lease.isEmpty) return
+    try abortLocked(fs, dir)
+    finally { fs.delete(lease.get, false); () }
+  }
+
+  private def abortLocked(fs: FileSystem, dir: Path): Unit = {
     fs.delete(new Path(dir, "_temp"), true)
     val (curGen, _, _) = readManifest(fs, dir)
     val parts = Option(fs.globStatus(new Path(dir, "part-*")))
@@ -847,10 +916,15 @@ class GraftCommitDataWriter(path: String, schema: StructType,
   // reader-side file skipping. TYPED comparisons, never through a
   // shared double: a full-range BIGINT column must not round into a
   // wrong bound (a wrong zone map silently drops rows at read time —
-  // the one failure mode data skipping cannot have). Non-finite
-  // doubles are excluded (a NaN bound would poison every comparison);
-  // a column they appear in just records a bound-only-over-finite map,
-  // still safe for the null-rejecting filters the reader skips with.
+  // the one failure mode data skipping cannot have). A column in which
+  // ANY non-finite double (±Inf/NaN) appears is POISONED — it records
+  // no bounds at all, and absent stats never skip (ADVICE r14, high):
+  // a bound computed over only the finite values would be WRONG, not
+  // merely loose — a file holding {1.0, +Inf} under bounds [1,1] would
+  // be skipped by `d > 100` even though its +Inf row satisfies it, and
+  // Spark orders NaN above every value, so comparison filters are
+  // null-rejecting but NOT Inf/NaN-rejecting.
+  private object NonFinite // sentinel: this row poisons the column's stats
   private val statGet: Array[InternalRow => AnyRef] =
     schema.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
@@ -858,13 +932,15 @@ class GraftCommitDataWriter(path: String, schema: StructType,
         case IntegerType => (r: InternalRow) => java.lang.Integer.valueOf(r.getInt(i))
         case DoubleType => (r: InternalRow) => {
           val d = r.getDouble(i)
-          if (java.lang.Double.isFinite(d)) java.lang.Double.valueOf(d) else null
+          if (java.lang.Double.isFinite(d)) java.lang.Double.valueOf(d)
+          else NonFinite
         }
         case _ => null
       }
     }
   private val statLo = new Array[AnyRef](schema.length)
   private val statHi = new Array[AnyRef](schema.length)
+  private val statPoisoned = new Array[Boolean](schema.length)
   private def cmpVals(a: AnyRef, b: AnyRef): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
     case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
@@ -887,11 +963,12 @@ class GraftCommitDataWriter(path: String, schema: StructType,
     out.write(sb.toString)
     var j = 0
     while (j < statGet.length) {
-      if (statGet(j) != null && !record.isNullAt(j)) {
-        val v = statGet(j)(record)
-        if (v != null) {
-          if (statLo(j) == null || cmpVals(v, statLo(j)) < 0) statLo(j) = v
-          if (statHi(j) == null || cmpVals(v, statHi(j)) > 0) statHi(j) = v
+      if (statGet(j) != null && !record.isNullAt(j) && !statPoisoned(j)) {
+        statGet(j)(record) match {
+          case NonFinite => statPoisoned(j) = true
+          case v =>
+            if (statLo(j) == null || cmpVals(v, statLo(j)) < 0) statLo(j) = v
+            if (statHi(j) == null || cmpVals(v, statHi(j)) > 0) statHi(j) = v
         }
       }
       j += 1
@@ -901,7 +978,8 @@ class GraftCommitDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    val stats = statLo.indices.iterator.filter(statLo(_) != null)
+    val stats = statLo.indices.iterator
+      .filter(i => statLo(i) != null && !statPoisoned(i))
       .map(i => s"$i:${statLo(i)}|${statHi(i)}").mkString(";")
     GraftTempFile(tmp.toString, partitionId, taskId, rows, stats)
   }

@@ -1073,6 +1073,175 @@ class SinksSpec extends SparkSpec {
     // the crash-free run landed the new generation exactly
     assert(visible().contains(expect("gen1", 200L)))
   }
+
+  test("zone maps: a non-finite double POISONS the column's stats — no bounds recorded, file never skipped") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = freshDir("zmapinf")
+    val dschema = new StructType().add("k", LongType).add("d", DoubleType)
+    val fac = new GraftCommitWriterFactory(dir, dschema, serConf)
+    // part 0: finite + +Inf — bounds over only the finite values would
+    // be [1,1] and `d > 100` would WRONGLY skip the +Inf row (ADVICE
+    // r14, high: comparison filters are null-rejecting, not
+    // Inf-rejecting). Poisoned stats record nothing for d; k still does.
+    val w0 = fac.createWriter(0, 1L)
+    w0.write(new GenericInternalRow(Array[Any](10L, 1.0)))
+    w0.write(new GenericInternalRow(Array[Any](11L, Double.PositiveInfinity)))
+    // part 1: finite + NaN (Spark orders NaN above everything — d > 100
+    // must keep this file too)
+    val w1 = fac.createWriter(1, 2L)
+    w1.write(new GenericInternalRow(Array[Any](20L, 2.0)))
+    w1.write(new GenericInternalRow(Array[Any](21L, Double.NaN)))
+    // part 2: all finite — bounds recorded and skippable as usual
+    val w2 = fac.createWriter(2, 3L)
+    w2.write(new GenericInternalRow(Array[Any](30L, 3.0)))
+    new GraftCommitWrite(dir, dschema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit(), w1.commit(), w2.commit()))
+    val man = new String(
+      Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
+    // poisoned parts carry ONLY the key column's stats (index 0)
+    assert(man.contains("part-00000-g0000.tsv\t2\t2\t0:10|11"), man)
+    assert(man.contains("part-00001-g0000.tsv\t2\t2\t0:20|21"), man)
+    assert(man.contains("part-00002-g0000.tsv\t1\t2\t0:30|30;1:3.0|3.0"), man)
+    def read() = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, d DOUBLE").option("path", dir).load()
+    // d > 100: the two poisoned files MUST be planned (their Inf/NaN
+    // rows satisfy the predicate); the finite file skips on [3,3]
+    val hot = read().where(col("d") > 100.0)
+    assert(hot.rdd.getNumPartitions === 2,
+      "poisoned files must never be skipped; finite file must skip")
+    assert(hot.collect().map(_.getLong(0)).toSet === Set(11L, 21L),
+      "the Inf and NaN rows must survive the pushed filter")
+    // and the skip on the finite file is still correct the other way
+    assert(read().where(col("d") === 3.0).collect()
+      .map(_.getLong(0)).toSeq === Seq(30L))
+  }
+
+  test("vacuum reads the manifest UNDER the lease: a commit landing at lease-acquisition is never swept") {
+    // ADVICE r14 (high): the race — vacuum reads curGen/curEntries, a
+    // commit lands, vacuum takes the lease and sweeps the NEW
+    // generation's history + parts as 'ahead/unreferenced'. HookFs makes
+    // the race deterministic: the moment vacuum creates _GRAFT_LOCK, a
+    // full commit lands on the same directory (via the plain local FS,
+    // so the hook doesn't recurse). With the manifest read under the
+    // lease, vacuum sees the just-landed generation and keeps it.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.hookfs.impl", classOf[HookFs].getName)
+    val local = freshDir("vacrace")
+    val hdir = s"hookfs://$local"
+    def commitGen(tag: String, t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(local, schema, serConf)
+      val w = fac.createWriter(0, t0)
+      w.write(row(t0, tag))
+      new GraftCommitWrite(local, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](w.commit()))
+    }
+    commitGen("g0", 100L); commitGen("g1", 200L); commitGen("g2", 300L)
+    HookFs.onLockCreate { () => commitGen("g3-racing", 400L) }
+    try {
+      val (nMan, nParts) =
+        graft.sources.GraftCommitVacuum.vacuum(spark, hdir, keep = 2)
+      HookFs.error.foreach(t => fail(s"racing commit failed: $t", t))
+      // horizon computed from the POST-RACE generation 3: g0+g1 expire,
+      // g2+g3 retained; zero parts swept (all referenced)
+      assert(nMan === 2, s"expected g0+g1 expired under the post-race horizon, got $nMan")
+      assert(nParts === 0, s"vacuum swept a committed part after the race: $nParts")
+    } finally HookFs.clear()
+    // the racing commit's generation is fully intact and readable
+    assert(new java.io.File(local, "_GRAFT_COMMIT.g0003").exists(),
+      "the racing commit's history manifest was swept — committed data loss")
+    val cur = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", local).load()
+    assert(cur.count() === 4L, "the live pointer references swept parts")
+  }
+
+  test("compaction retry after a mid-publish crash succeeds under HDFS rename semantics (gen-ahead debris swept)") {
+    // ADVICE r14 (medium): a compaction killed between its staged-part
+    // renames and the manifest swap leaves part-*-g{newGen} files; a
+    // re-run computes the same newGen and on HDFS rename-onto-existing
+    // returns FALSE — every retry would throw forever. StrictRenameFs
+    // reproduces the HDFS semantics; the planted debris simulates the
+    // crashed first attempt.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.strictfs.impl", classOf[StrictRenameFs].getName)
+    val local = freshDir("cretry")
+    val sdir = s"strictfs://$local"
+    def commitGen(tags: Seq[String], t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(sdir, schema, serConf)
+      val ms = tags.zipWithIndex.map { case (tag, p) =>
+        val w = fac.createWriter(p, t0 + p)
+        w.write(row(t0 + p, tag)); w.commit(): WriterCommitMessage
+      }
+      new GraftCommitWrite(sdir, schema, truncateFirst = false)
+        .commit(ms.toArray)
+    }
+    commitGen(Seq("a", "b", "c"), 100L)
+    commitGen(Seq("d", "e", "f"), 200L)
+    // crashed first compaction attempt: staged parts renamed to gen-2
+    // names + its history manifest written, pointer never swapped
+    Files.write(Paths.get(local, "part-00000-g0002.tsv"),
+      "999\tstale\n".getBytes("UTF-8"))
+    Files.write(Paths.get(local, "_GRAFT_COMMIT.g0002"),
+      "#gen\t2\npart-00000-g0002.tsv\t1\t2\n".getBytes("UTF-8"))
+    val (before, after) = graft.sources.GraftCommitCompact.compact(
+      spark, sdir, "k BIGINT, s STRING", 1)
+    assert(before === 6 && after === 1, s"($before, $after)")
+    val cur = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", sdir).load()
+    assert(cur.count() === 6L)
+    assert(cur.collect().map(_.getLong(0)).toSet ===
+      Set(100L, 101L, 102L, 200L, 201L, 202L),
+      "stale debris rows must not leak into the compacted generation")
+  }
+
+  test("abort under a LIVE foreign lease skips the sweep; heartbeat keeps a long holder alive") {
+    val dir = freshDir("abortlease")
+    // a committed generation plus another writer's IN-FLIGHT commit
+    // state: gen-ahead history manifest + tmp manifest + live lease
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(1L, "committed"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w.commit()))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g0001"),
+      "#gen\t1\npart-00000-g0001.tsv\t1\t2\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g1.tmp"),
+      "#gen\t1\npart-00000-g0001.tsv\t1\t2\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_GRAFT_LOCK"), "foreign\t0\n".getBytes("UTF-8"))
+    // ADVICE r14 (low): abort must NOT delete the live commit's
+    // in-flight protocol state — the live foreign lease says skip
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .abort(Array.empty)
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists(),
+      "abort deleted a live commit's history manifest mid-protocol")
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g1.tmp").exists(),
+      "abort deleted a live commit's tmp manifest mid-protocol")
+    assert(new java.io.File(dir, "_GRAFT_LOCK").exists())
+    // make the holder STALE (crashed): abort now breaks it and sweeps
+    val lock = new java.io.File(dir, "_GRAFT_LOCK")
+    assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .abort(Array.empty)
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists(),
+      "stale holder's uncommitted history must be swept")
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g1.tmp").exists())
+    assert(!new java.io.File(dir, "_GRAFT_LOCK").exists(), "lease not released")
+    // HEARTBEAT (round 14): a stale-looking lock that a LIVE holder
+    // refreshes must NOT be broken — heartbeatLease moves the mtime, so
+    // the next writer refuses instead of stale-breaking
+    Files.write(lock.toPath, "holder\t0\n".getBytes("UTF-8"))
+    assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.GraftCommitMeta.heartbeatLease(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    val ex = intercept[java.io.IOException] {
+      graft.sources.GraftCommitMeta.acquireLease(
+        fs, new org.apache.hadoop.fs.Path(dir))
+    }
+    assert(ex.getMessage.contains("another writer"), ex.getMessage)
+    assert(lock.delete())
+  }
 }
 
 /** Fault-injecting local FileSystem for the commit-protocol fuzz:
@@ -1084,14 +1253,16 @@ class SinksSpec extends SparkSpec {
 class CrashFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "crashfs"
   override def getUri: java.net.URI = java.net.URI.create("crashfs:///")
-  override def create(f: org.apache.hadoop.fs.Path,
-      permission: org.apache.hadoop.fs.permission.FsPermission,
-      overwrite: Boolean, bufferSize: Int, replication: Short,
-      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
-    : org.apache.hadoop.fs.FSDataOutputStream = {
+  // createOutputStreamWithMode is the chokepoint BOTH public create
+  // variants funnel through (the 6-arg non-permission overload does NOT
+  // route via the 7-arg one), so gating here covers every create —
+  // including the lease's create-no-overwrite
+  override def createOutputStreamWithMode(f: org.apache.hadoop.fs.Path,
+      append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+    : java.io.OutputStream = {
     CrashFs.gate("create", f)
-    super.create(f, permission, overwrite, bufferSize, replication,
-      blockSize, progress)
+    super.createOutputStreamWithMode(f, append, permission)
   }
   override def rename(src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean = {
@@ -1118,4 +1289,49 @@ object CrashFs {
           s"injected crash before $op $p (mutation ${count.get()})")
     }
   }
+}
+
+/** Race-injecting local FileSystem: `hookfs://` routes to the local FS,
+  * and the registered callback fires ONCE, at the moment `_GRAFT_LOCK`
+  * is created — the exact interleaving window the vacuum lease-order
+  * ADVICE finding describes (a commit landing between a pre-lease
+  * manifest read and the lease acquisition). */
+class HookFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "hookfs"
+  override def getUri: java.net.URI = java.net.URI.create("hookfs:///")
+  override def createOutputStreamWithMode(f: org.apache.hadoop.fs.Path,
+      append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+    : java.io.OutputStream = {
+    if (f.getName == "_GRAFT_LOCK") HookFs.fire()
+    super.createOutputStreamWithMode(f, append, permission)
+  }
+}
+
+object HookFs {
+  @volatile private var hook: Option[() => Unit] = None
+  @volatile var error: Option[Throwable] = None
+  def onLockCreate(f: () => Unit): Unit = { hook = Some(f); error = None }
+  def clear(): Unit = { hook = None }
+  private[graft] def fire(): Unit = {
+    val h = hook
+    hook = None // fire once — the racing commit itself takes the lock too
+    // surface a failed race injection to the test (an IOException here
+    // would otherwise be swallowed by acquireLease's tryCreate catch)
+    try h.foreach(_.apply())
+    catch { case t: Throwable => error = Some(t); throw t }
+  }
+}
+
+/** HDFS-rename-semantics local FileSystem: `strictfs://` routes to the
+  * local FS but `rename` returns FALSE when the destination exists —
+  * the object-store/HDFS behavior the local FS masks (it overwrites),
+  * and the reason a crashed compaction's gen-ahead debris must be swept
+  * before a retry republishes under the same names. */
+class StrictRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "strictfs"
+  override def getUri: java.net.URI = java.net.URI.create("strictfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (exists(dst)) false else super.rename(src, dst)
 }
