@@ -18,6 +18,21 @@ object Scans {
   private def tmpDir(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_rt/$name"
 
+  /** Deterministic 8-band key-range layout for the sink-table queries:
+    * band = `k DIV w` (0..7), each band landing in its OWN writer task
+    * so every part file covers one contiguous key range (the layout a
+    * real table's ingest would produce, and the one zone maps prune
+    * selectively). The ×401 multiplier is a probed constant making
+    * `murmur3(band * 401) mod 8` a PERFECT hash of the 8 band ids —
+    * needed because Spark 4's Union propagates a common SinglePartition
+    * through `SQLPartitioningAwareUnionRDD`, so the classic
+    * union-of-coalesce(1) construction silently collapses to ONE task
+    * (and one part); a single hash repartition with a collision-free
+    * band key is both deterministic (murmur3 seed 42 is pinned) and one
+    * shuffle instead of eight jobs. */
+  private def bandLayout8(o: org.apache.spark.sql.DataFrame, w: Long) =
+    o.repartition(8, expr(s"(k DIV ${w}L) * 401L"))
+
   val queries: Map[String, Q] = Map(
     // The two scan queries read parquet directly (not through the Tables
     // cache): their purpose is to exhibit the source path — predicate
@@ -346,6 +361,109 @@ object Scans {
         .orderBy("view")
     }),
 
+    // ROW-LEVEL DELETE through the commit sink (round 14 — the r13
+    // verdict's #1 frontier item: the takedown / opt-out / dedup-apply
+    // path of a training-data lake). Copy-on-write at part granularity:
+    // the delete-key set is intersected with each part's key-column
+    // ZONE MAP (a broadcast metadata join — the key set itself never
+    // collects to the driver), ONLY the parts that can contain a
+    // deleted key are rewritten (anti-join, staged under `_merge/`
+    // through the sink's own two-phase commit), and the new GENERATION
+    // carries the 6 untouched parts VERBATIM — same files, zero bytes
+    // moved (SinksSpec asserts byte-identity) — so cost tracks affected
+    // bytes, not table bytes. Replaced parts are NOT deleted: the
+    // pre-delete generation still references them, so the as-of view
+    // reads the full table THROUGH the delete (hash-graded here), and
+    // retention vacuum is what eventually retires them. The query lays
+    // orders in 8 disjoint key-range parts, deletes two key sets living
+    // in bands 3 and 6, and grades the current view, the as-of
+    // pre-delete view, and the protocol's literal report (2 parts
+    // rewritten, 6 carried, removed = the delete set's exact count)
+    // against straight-from-orders SQL.
+    "q_sink_delete_rows" -> ((s, d) => {
+      val out = tmpDir(s"delr_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val w = o.agg(max("k")).first().getLong(0) / 8 + 1
+      bandLayout8(o, w)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      val delKeys = o.where(
+        (col("k") >= 3 * w && col("k") < 4 * w && col("k") % 5 === 0) ||
+          (col("k") >= 6 * w && col("k") < 7 * w && col("k") % 7 === 0))
+        .select("k")
+      val rep = graft.sources.GraftCommitMerge.delete(
+        s, out, "k BIGINT, cents BIGINT", "k", delKeys)
+      def read(gen: Option[Int]) = {
+        val r = s.read.format("graft.sources.GraftManifestSource")
+          .schema("k BIGINT, cents BIGINT").option("path", out)
+        gen.fold(r)(g => r.option("generation", g.toString)).load()
+      }
+      read(None).withColumn("view", lit("current"))
+        .unionByName(read(Some(0)).withColumn("view", lit("asof_predelete")))
+        .groupBy("view")
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .unionByName(s.range(1).select(lit("delete_report").as("view"),
+          lit(rep.rewritten.toLong).as("cnt"),
+          lit(rep.carried.toLong).as("min_key"),
+          lit(rep.removed).as("total_cents")))
+        .orderBy("view")
+    }),
+
+    // Keyed MERGE (upsert) through the commit sink (round 14): the
+    // dedup-apply / CDC-apply shape — change rows REPLACE same-key
+    // table rows and INSERT otherwise, as one copy-on-write generation.
+    // The update keys all live in key-range band 2, so exactly ONE part
+    // is rewritten and 7 carry verbatim (the insert keys sit beyond
+    // every part's zone map and append without touching any); the
+    // pre-merge view stays readable as-of (time travel composes). The
+    // oracle restates orders with the update CASE plus the insert set,
+    // and pins the protocol's literal report: 1 part rewritten, 7
+    // carried, removed = the matched-key count, added = the change-set
+    // count.
+    "q_sink_merge_upsert" -> ((s, d) => {
+      val out = tmpDir(s"mrg_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val w = o.agg(max("k")).first().getLong(0) / 8 + 1
+      bandLayout8(o, w)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      val upd = o.where(col("k") >= 2 * w && col("k") < 3 * w
+          && col("k") % 3 === 0)
+        .select(col("k"), (col("cents") + 555L).as("cents"))
+      val ins = o.where(col("k") >= 5 * w && col("k") < 6 * w
+          && col("k") % 11 === 0)
+        .select((col("k") + 8 * w).as("k"), lit(77L).as("cents"))
+      val rep = graft.sources.GraftCommitMerge.merge(
+        s, out, "k BIGINT, cents BIGINT", "k", upd.unionByName(ins))
+      def read(gen: Option[Int]) = {
+        val r = s.read.format("graft.sources.GraftManifestSource")
+          .schema("k BIGINT, cents BIGINT").option("path", out)
+        gen.fold(r)(g => r.option("generation", g.toString)).load()
+      }
+      read(None).withColumn("view", lit("current"))
+        .unionByName(read(Some(0)).withColumn("view", lit("asof_premerge")))
+        .groupBy("view")
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .unionByName(s.range(1).select(lit("merge_report").as("view"),
+          lit(rep.rewritten.toLong).as("cnt"),
+          lit(rep.carried.toLong).as("min_key"),
+          lit(rep.removed).as("total_cents")))
+        .unionByName(s.range(1).select(lit("merge_report_added").as("view"),
+          lit(rep.added).as("cnt"), lit(0L).as("min_key"),
+          lit(0L).as("total_cents")))
+        .orderBy("view")
+    }),
+
     // ZONE-MAP file skipping through the commit sink's manifest (round
     // 13): every committed part records per-numeric-column min/max in
     // its manifest entry, and the manifest reader implements
@@ -372,9 +490,7 @@ object Scans {
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents"))
       val w = o.agg(max("k")).first().getLong(0) / 8 + 1
-      (0 until 8).map(b =>
-          o.where(col("k") >= b * w && col("k") < (b + 1) * w).coalesce(1))
-        .reduce(_ unionAll _)
+      bandLayout8(o, w)
         .write.format("graft.sources.GraftCommitSink")
         .option("path", out).mode("overwrite").save()
       val band = s.read.format("graft.sources.GraftManifestSource")
@@ -680,6 +796,62 @@ object Scans {
          FROM c
          UNION ALL
          SELECT 'vacuum_report', CAST(2 AS BIGINT), CAST(12 AS BIGINT),
+           CAST(0 AS BIGINT)
+         ORDER BY view""",
+
+    // current = orders minus the two banded delete sets; the as-of view
+    // is the untouched full table (copy-on-write never edits history);
+    // the report row's 2/6 are the protocol (bands 3+6 rewritten, six
+    // parts carried verbatim), removed is the delete set's exact count
+    "q_sink_delete_rows" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         w AS (SELECT (MAX(o_orderkey) // 8) + 1 AS w FROM orders),
+         del AS (SELECT k FROM c, w
+                 WHERE (k >= 3 * w.w AND k < 4 * w.w AND k % 5 = 0)
+                    OR (k >= 6 * w.w AND k < 7 * w.w AND k % 7 = 0))
+         SELECT 'asof_predelete' AS view, COUNT(*) AS cnt, MIN(k) AS min_key,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM c
+         UNION ALL
+         SELECT 'current', COUNT(*), MIN(k), CAST(SUM(cents) AS BIGINT)
+         FROM c WHERE k NOT IN (SELECT k FROM del)
+         UNION ALL
+         SELECT 'delete_report', CAST(2 AS BIGINT), CAST(6 AS BIGINT),
+           (SELECT COUNT(*) FROM del)
+         ORDER BY view""",
+
+    // current = orders with band-2 %3 keys restated (+555 cents) plus
+    // the shifted insert set; as-of = the pre-merge table; report rows
+    // pin 1 rewritten / 7 carried / removed = matched updates, and
+    // added = the full change-set count
+    "q_sink_merge_upsert" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         w AS (SELECT (MAX(o_orderkey) // 8) + 1 AS w FROM orders),
+         upd AS (SELECT k FROM c, w
+                 WHERE k >= 2 * w.w AND k < 3 * w.w AND k % 3 = 0),
+         ins AS (SELECT c.k + 8 * w.w AS k, CAST(77 AS BIGINT) AS cents
+                 FROM c, w WHERE c.k >= 5 * w.w AND c.k < 6 * w.w
+                   AND c.k % 11 = 0),
+         m AS (SELECT k, cents + CASE WHEN k IN (SELECT k FROM upd)
+                 THEN 555 ELSE 0 END AS cents FROM c
+               UNION ALL
+               SELECT k, cents FROM ins)
+         SELECT 'asof_premerge' AS view, COUNT(*) AS cnt, MIN(k) AS min_key,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM c
+         UNION ALL
+         SELECT 'current', COUNT(*), MIN(k), CAST(SUM(cents) AS BIGINT)
+         FROM m
+         UNION ALL
+         SELECT 'merge_report', CAST(1 AS BIGINT), CAST(7 AS BIGINT),
+           (SELECT COUNT(*) FROM upd)
+         UNION ALL
+         SELECT 'merge_report_added', (SELECT COUNT(*) FROM upd)
+           + (SELECT COUNT(*) FROM ins), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT)
          ORDER BY view""",
 

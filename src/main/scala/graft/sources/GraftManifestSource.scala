@@ -73,22 +73,29 @@ class GraftManifestSource extends TableProvider {
       require(v >= 0L, s"option 'generation' must be >= 0, got $v")
       v
     }
-    new GraftManifestTable(path, schema, gen)
+    // entry-subset scan (round 14, the merge/delete path): restrict the
+    // scan to the named committed entries — the copy-on-write rewrite
+    // reads ONLY the affected parts, never the whole table. Still
+    // manifest-checked: a name not in the manifest fails loudly.
+    val files = Option(properties.get("files"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    new GraftManifestTable(path, schema, gen, files)
   }
 }
 
 class GraftManifestTable(path: String, readSchema: StructType,
-    generation: Option[Long]) extends Table with SupportsRead {
+    generation: Option[Long], files: Option[Set[String]] = None)
+  extends Table with SupportsRead {
   override def name(): String = s"graft_manifest($path)"
   override def schema(): StructType = readSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftManifestScanBuilder(path, readSchema, generation)
+    new GraftManifestScanBuilder(path, readSchema, generation, files)
 }
 
 class GraftManifestScanBuilder(path: String, full: StructType,
-    generation: Option[Long])
+    generation: Option[Long], files: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
   private var required: StructType = full
@@ -111,7 +118,7 @@ class GraftManifestScanBuilder(path: String, full: StructType,
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan =
-    new GraftManifestScan(path, full, required, generation, accepted)
+    new GraftManifestScan(path, full, required, generation, accepted, files)
 }
 
 /** Zone-map skip evaluation — the reader side of
@@ -194,7 +201,8 @@ case class GraftManifestPartition(file: String, rows: Long, ncols: Int)
 
 class GraftManifestScan(path: String, full: StructType,
     required: StructType, generation: Option[Long],
-    pushed: Array[Filter] = Array.empty)
+    pushed: Array[Filter] = Array.empty,
+    files: Option[Set[String]] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -220,7 +228,19 @@ class GraftManifestScan(path: String, full: StructType,
         case None =>
           s"no _GRAFT_COMMIT manifest under $path — nothing is committed here"
       })
-    val (_, _, entries) = GraftCommitMeta.readManifestFile(fs, man)
+    val (_, _, allEntries) = GraftCommitMeta.readManifestFile(fs, man)
+    // entry-subset scan: every requested name must be committed — a
+    // missing one is a caller bug or a torn view, refused loudly
+    val entries = files match {
+      case None => allEntries
+      case Some(want) =>
+        val have = allEntries.map(_.file).toSet
+        val missing = want -- have
+        if (missing.nonEmpty) throw new java.io.FileNotFoundException(
+          s"option 'files' names entries not in the manifest under $path: " +
+            missing.toSeq.sorted.mkString(", "))
+        allEntries.filter(e => want(e.file))
+    }
     // ZONE-MAP file skipping (round 13): a file whose recorded
     // [min, max] provably excludes a pushed filter never plans a task
     // (splits = files here, so this IS partition pruning). The skip is

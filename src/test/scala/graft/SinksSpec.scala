@@ -1074,6 +1074,195 @@ class SinksSpec extends SparkSpec {
     assert(visible().contains(expect("gen1", 200L)))
   }
 
+  test("merge/delete: copy-on-write rewrites only affected parts, untouched parts byte-identical, time travel composes") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("merge")
+    // four banded parts via the writer factory: [0,9], [10,19], [20,29], [30,39]
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val ms = (0 until 4).map { p =>
+      val w = fac.createWriter(p, p.toLong)
+      (0 until 10).foreach(i => w.write(row(p * 10L + i, s"v${p * 10 + i}")))
+      w.commit(): WriterCommitMessage
+    }
+    new GraftCommitWrite(dir, schema, truncateFirst = false).commit(ms.toArray)
+    def digest(f: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(Files.readAllBytes(Paths.get(dir, f))).map("%02x".format(_)).mkString
+    }
+    val before = partFiles(dir).map(f => f -> digest(f)).toMap
+    // delete keys 12 and 17 — both inside band 1 only
+    val delKeys = spark.range(2).select(
+      (col("id") * 5 + 12).as("k")) // 12, 17
+    val rep = graft.sources.GraftCommitMerge.delete(
+      spark, dir, "k BIGINT, s STRING", "k", delKeys)
+    assert(rep.rewritten === 1 && rep.carried === 3, rep.toString)
+    assert(rep.removed === 2L && rep.added === 0L, rep.toString)
+    def read(gen: Option[Int]) = {
+      val r = spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+      gen.fold(r)(g => r.option("generation", g.toString)).load()
+    }
+    assert(read(None).count() === 38L)
+    assert(read(None).where(col("k").isin(12L, 17L)).count() === 0L)
+    // untouched parts carried VERBATIM — same files, byte-identical
+    val after = partFiles(dir).map(f => f -> digest(f)).toMap
+    (0 until 4).filter(_ != 1).foreach { p =>
+      val f = f"part-$p%05d-g0000.tsv"
+      assert(after.get(f) === before.get(f), s"untouched part $f changed")
+    }
+    // the REPLACED band-1 part stays on disk (gen 0 references it): the
+    // as-of pre-delete view still reads all 40 rows THROUGH the delete
+    assert(after.contains("part-00001-g0000.tsv"),
+      "replaced part must survive for history readers")
+    assert(read(Some(0)).count() === 40L)
+    assert(read(Some(0)).where(col("k") === 12L).count() === 1L)
+    // vacuum retires the replaced part once gen 0 expires
+    val (_, swept) = graft.sources.GraftCommitVacuum.vacuum(spark, dir, 1)
+    assert(swept === 1, s"expected the one replaced part swept, got $swept")
+    assert(!new java.io.File(dir, "part-00001-g0000.tsv").exists())
+    assert(read(None).count() === 38L)
+
+    // MERGE: replace key 5 (band 0), insert keys 100, 101 (beyond every
+    // bound) — exactly one part rewritten, NULL-keyed change is an insert
+    val changes = spark.range(4).select(
+      when(col("id") === 0, 5L).when(col("id") === 1, 100L)
+        .when(col("id") === 2, 101L).otherwise(lit(null)).as("k"),
+      concat(lit("new"), col("id")).as("s"))
+    val rep2 = graft.sources.GraftCommitMerge.merge(
+      spark, dir, "k BIGINT, s STRING", "k", changes)
+    assert(rep2.rewritten === 1, rep2.toString)
+    assert(rep2.removed === 1L && rep2.added === 4L, rep2.toString)
+    val cur = read(None)
+    assert(cur.count() === 41L) // 38 - 1 replaced + 4 changes
+    assert(cur.where(col("k") === 5L).select("s").collect()
+      .map(_.getString(0)).toSeq === Seq("new0"))
+    assert(cur.where(col("k").isNull).count() === 1L,
+      "NULL-keyed change row must insert")
+    // a delete hitting NO part is a true no-op: no new generation
+    val genBefore = new String(Files.readAllBytes(
+      Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8").linesIterator.next()
+    val rep3 = graft.sources.GraftCommitMerge.delete(
+      spark, dir, "k BIGINT, s STRING", "k",
+      spark.range(1).select(lit(99999L).as("k")))
+    assert(rep3.rewritten === 0 && rep3.removed === 0L, rep3.toString)
+    val genAfter = new String(Files.readAllBytes(
+      Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8").linesIterator.next()
+    assert(genAfter === genBefore, "no-op delete must not publish a generation")
+    // deleting a NULL key matches nothing (SQL equality)
+    val rep4 = graft.sources.GraftCommitMerge.delete(
+      spark, dir, "k BIGINT, s STRING", "k",
+      spark.range(1).select(lit(null).cast("bigint").as("k")))
+    assert(rep4.removed === 0L)
+    assert(read(None).where(col("k").isNull).count() === 1L,
+      "NULL-keyed rows must never be deleted")
+    // wrong schema refused loudly
+    val ex = intercept[java.io.IOException] {
+      graft.sources.GraftCommitMerge.delete(
+        spark, dir, "k BIGINT", "k", spark.range(1).select(lit(5L).as("k")))
+    }
+    assert(ex.getMessage.contains("signature"), ex.getMessage)
+  }
+
+  test("merge publish refuses when the table advanced while staging; crash fuzz leaves old-or-new views") {
+    import org.apache.spark.sql.functions._
+    // race: a commit lands the moment the merge publish takes the lease
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.hookfs.impl", classOf[HookFs].getName)
+    val local = freshDir("mrgrace")
+    val hdir = s"hookfs://$local"
+    def commitGen(t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(local, schema, serConf)
+      val w = fac.createWriter(0, t0)
+      w.write(row(t0, s"g$t0"))
+      new GraftCommitWrite(local, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](w.commit()))
+    }
+    commitGen(100L)
+    HookFs.onLockCreate { () => commitGen(200L) }
+    val ex = intercept[java.io.IOException] {
+      graft.sources.GraftCommitMerge.delete(
+        spark, hdir, "k BIGINT, s STRING", "k",
+        spark.range(1).select(lit(100L).as("k")))
+    }
+    HookFs.clear()
+    assert(ex.getMessage.contains("advanced"), ex.getMessage)
+    // both committed rows intact — the stale rewrite never published
+    assert(spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", local).load()
+      .count() === 2L)
+
+    // crash fuzz over the delete's publish mutations: at every kill
+    // point the reader sees EXACTLY the pre-delete or post-delete rows
+    hconf.set("fs.crashfs.impl", classOf[CrashFs].getName)
+    val floc = freshDir("mrgfuzz")
+    val cdir = s"crashfs://$floc"
+    def setup(): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(floc))
+      CrashFs.disarm()
+      val fac = new GraftCommitWriterFactory(cdir, schema, serConf)
+      val ms = (0 until 2).map { p =>
+        val w = fac.createWriter(p, p.toLong)
+        (0 until 5).foreach(i => w.write(row(p * 10L + i, "x")))
+        w.commit(): WriterCommitMessage
+      }
+      new GraftCommitWrite(cdir, schema, truncateFirst = false)
+        .commit(ms.toArray)
+    }
+    def visibleKeys(): Option[Set[Long]] = {
+      val man = new java.io.File(floc, "_GRAFT_COMMIT")
+      if (!man.exists()) None
+      else Some(new String(Files.readAllBytes(man.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#"))
+        .flatMap { l =>
+          val f = l.split("\t")
+          val pf = Paths.get(floc, f(0))
+          assert(Files.exists(pf), s"manifest lists missing part ${f(0)}")
+          val lines = new String(Files.readAllBytes(pf), "UTF-8")
+            .split("\n").filter(_.nonEmpty).toSeq
+          assert(lines.size.toLong === f(1).toLong, s"row drift in ${f(0)}")
+          lines.map(_.split("\t")(0).toLong)
+        }.toSet)
+    }
+    val preKeys = (0 until 5).map(_.toLong).toSet ++
+      (0 until 5).map(10L + _).toSet
+    val postKeys = preKeys - 3L
+    var k = 0
+    var crashed = true
+    while (crashed && k < 48) {
+      setup()
+      assert(visibleKeys().contains(preKeys))
+      CrashFs.arm(k)
+      crashed =
+        try {
+          graft.sources.GraftCommitMerge.delete(spark, cdir,
+            "k BIGINT, s STRING", "k",
+            spark.range(1).select(lit(3L).as("k")))
+          false
+        } catch { case _: Exception => true }
+      CrashFs.disarm()
+      visibleKeys() match {
+        case Some(keys) =>
+          assert(keys === preKeys || keys === postKeys,
+            s"kill point $k: mixed view $keys")
+        case None =>
+          // the one documented non-atomic seam (manifest deleted, tmp
+          // not yet renamed): readers fail loudly, never blended, and
+          // the promotable tmp must be on disk for the next commit's
+          // missing-manifest recovery — the same contract the commit
+          // fuzz pins
+          val tmps = Option(new java.io.File(floc).listFiles())
+            .getOrElse(Array.empty)
+            .map(_.getName).filter(_.matches("_GRAFT_COMMIT\\.g\\d+\\.tmp"))
+          assert(tmps.nonEmpty,
+            s"kill point $k: no manifest AND no promotable tmp")
+      }
+      k += 1
+    }
+    assert(!crashed, "merge fuzz never reached a crash-free delete in 48 points")
+    assert(k > 3, s"suspiciously few merge fault points: $k")
+    assert(visibleKeys().contains(postKeys))
+  }
+
   test("zone maps: a non-finite double POISONS the column's stats — no bounds recorded, file never skipped") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DoubleType, LongType}
