@@ -184,67 +184,25 @@ object GraftCommitMerge {
     val (_, stageCols, stageEntries) =
       readManifestFile(fs, new Path(stage, "_GRAFT_COMMIT"))
 
-    // ---- publish under the table lease (the compact() discipline) ----
-    val lease = acquireLease(fs, dir)
-    try {
-      val (gen, cols, entries) =
-        readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
-      if (gen != gen0)
-        throw new java.io.IOException(
-          s"$path advanced from generation $gen0 to $gen while the merge " +
-            "staged — refusing to publish a stale rewrite; rerun")
+    // ---- publish under the table lease (the shared staged-publish
+    // discipline: advanced-generation refusal, gen-ahead debris sweep,
+    // heartbeated renames, tmp → history → pointer swap; untouched
+    // entries carry VERBATIM — zero bytes moved — and replaced parts
+    // stay on disk for the prior generations that reference them) ----
+    val affectedRows = affected.map(_.rows).sum
+    val stagedRows = stageEntries.map(_.rows).sum
+    val removed = affectedRows + insertCnt - stagedRows
+    GraftCommitCompact.publishStaged(fs, dir, gen0, stage, stageEntries,
+      sig, carried = untouched, what = "merge") { (cols, _) =>
       if (cols.exists(c => !stageCols.contains(c)))
         throw new java.io.IOException(
           s"staged merge signature [${stageCols.getOrElse("")}] does not " +
             s"match the committed [${cols.getOrElse("")}] — refusing")
-      val affectedRows = affected.map(_.rows).sum
-      val stagedRows = stageEntries.map(_.rows).sum
-      val removed = affectedRows + insertCnt - stagedRows
       if (removed < 0L || stagedRows < insertCnt)
         throw new java.io.IOException(
           s"staged merge has $stagedRows rows from $affectedRows affected " +
             s"+ $insertCnt inserted — impossible rewrite, refusing")
-      val newGen = gen + 1L
-      // retry-safe under HDFS rename semantics: sweep gen-ahead debris
-      // a crashed earlier attempt left before republishing its names
-      val aheadParts = fs.globStatus(new Path(dir, "part-*"))
-      if (aheadParts != null) aheadParts
-        .filter(s => partGen(s.getPath.getName).exists(_ > gen))
-        .foreach(s => fs.delete(s.getPath, false))
-      val aheadHists = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*"))
-      if (aheadHists != null) aheadHists
-        .filter(s => histGen(s.getPath.getName) > gen)
-        .foreach(s => fs.delete(s.getPath, false))
-      val published = stageEntries.sortBy(_.file).zipWithIndex.map {
-        case (e, i) =>
-          if (i % 64 == 63) heartbeatLease(fs, dir)
-          val fin = new Path(dir, f"part-$i%05d-g$newGen%04d.tsv")
-          if (!fs.rename(new Path(stage, e.file), fin))
-            throw new java.io.IOException(s"merge publish failed for ${e.file}")
-          GraftManEntry(fin.getName, e.rows, e.ncols, e.stats)
-      }
-      // untouched entries carry VERBATIM (same file, rows, width, zone
-      // map — zero bytes moved); replaced parts stay on disk for the
-      // prior generations that reference them
-      val visible = untouched ++ published
-      val manBytes = (s"#gen\t$newGen\n#cols\t$sig\n" +
-        visible.map { e =>
-          if (e.ncols < 0) s"${e.file}\t${e.rows}"
-          else if (e.stats.isEmpty) s"${e.file}\t${e.rows}\t${e.ncols}"
-          else s"${e.file}\t${e.rows}\t${e.ncols}\t${e.stats}"
-        }.mkString("", "\n", "\n")).getBytes("UTF-8")
-      val manTmp = new Path(dir, s"_GRAFT_COMMIT.g$newGen.tmp")
-      val out = fs.create(manTmp, true)
-      out.write(manBytes); out.close()
-      val hist = new Path(dir, f"_GRAFT_COMMIT.g$newGen%04d")
-      val hout = fs.create(hist, true)
-      hout.write(manBytes); hout.close()
-      val man = new Path(dir, "_GRAFT_COMMIT")
-      if (fs.exists(man)) fs.delete(man, false)
-      if (!fs.rename(manTmp, man))
-        throw new java.io.IOException(s"manifest swap failed for $manTmp")
-      fs.delete(stage, true)
-      MergeReport(affected.length, untouched.length, removed, insertCnt)
-    } finally { fs.delete(lease, false); () }
+    }
+    MergeReport(affected.length, untouched.length, removed, insertCnt)
   }
 }

@@ -1163,6 +1163,62 @@ class SinksSpec extends SparkSpec {
     assert(ex.getMessage.contains("signature"), ex.getMessage)
   }
 
+  test("binpack: rewrites only under-target fragments, carries large parts byte-identical, history composes") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("binpack")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    // 2 big parts (100 rows each) + 6 small fragments (5 rows each)
+    val ms = (0 until 8).map { p =>
+      val w = fac.createWriter(p, p.toLong)
+      val n = if (p < 2) 100 else 5
+      (0 until n).foreach(i => w.write(row(p * 1000L + i, s"v$p-$i")))
+      w.commit(): WriterCommitMessage
+    }
+    new GraftCommitWrite(dir, schema, truncateFirst = false).commit(ms.toArray)
+    def digest(f: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(Files.readAllBytes(Paths.get(dir, f))).map("%02x".format(_)).mkString
+    }
+    val bigBefore = Seq("part-00000-g0000.tsv", "part-00001-g0000.tsv")
+      .map(f => f -> digest(f))
+    val (frags, bins, carried) = graft.sources.GraftCommitCompact.binpack(
+      spark, dir, "k BIGINT, s STRING", targetRows = 20L)
+    // 6 fragments × 5 rows = 30 rows → ceil(30/20) = 2 bins; 2 carried
+    assert((frags, bins, carried) === ((6, 2, 2)))
+    // the big parts were NOT rewritten — same files, byte-identical
+    bigBefore.foreach { case (f, d) =>
+      assert(new java.io.File(dir, f).exists(), s"carried part $f vanished")
+      assert(digest(f) === d, s"carried part $f was rewritten")
+    }
+    def read(gen: Option[Int]) = {
+      val r = spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+      gen.fold(r)(g => r.option("generation", g.toString)).load()
+    }
+    assert(read(None).count() === 230L)
+    // row SET unchanged — binpack only moves bytes
+    assert(read(None).select(sum(col("k"))).first().getLong(0) ===
+      read(Some(0)).select(sum(col("k"))).first().getLong(0))
+    // the replaced fragments stay for the pre-binpack generation
+    assert(read(Some(0)).count() === 230L)
+    // a second binpack at the same target is a no-op: 2 bins of ≤20?
+    // each bin holds 15 rows < 20 ⇒ they are fragments again, but a
+    // single-bin repack of 2 → 1 is legitimate work; at target 10 the
+    // bins (15 rows each) are NOT fragments ⇒ true no-op
+    assert(graft.sources.GraftCommitCompact.binpack(
+      spark, dir, "k BIGINT, s STRING", 10L) === ((0, 0, 4)))
+    // zone maps survive: the binned parts carry fresh stats and the
+    // carried parts their original ones — a key filter inside a big
+    // part's range plans 1 file
+    val hit = read(None).where(col("k") === 1005L)
+    assert(hit.rdd.getNumPartitions === 1, "binpack must preserve skipping")
+    assert(hit.count() === 1L)
+    // vacuum retires the replaced fragments once their generation expires
+    val (_, swept) = graft.sources.GraftCommitVacuum.vacuum(spark, dir, 1)
+    assert(swept === 6, s"expected the 6 replaced fragments swept, got $swept")
+    assert(read(None).count() === 230L)
+  }
+
   test("merge publish refuses when the table advanced while staging; crash fuzz leaves old-or-new views") {
     import org.apache.spark.sql.functions._
     // race: a commit lands the moment the merge publish takes the lease
