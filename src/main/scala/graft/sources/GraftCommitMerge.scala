@@ -111,7 +111,7 @@ object GraftCommitMerge {
       if (!numericKey) (Nil, inPlay)
       else {
         val split = inPlay.map { e =>
-          (e, parseStats(e.stats).get(keyIdx))
+          (e, parseStats(e.stats).get(keyIdx).flatMap(_.num))
         }
         (split.collect { case (e, Some((lo, hi))) => Cand(e.file, lo, hi) },
           split.collect { case (e, None) => e })

@@ -201,6 +201,15 @@ case class GraftTempFile(tmp: String, partitionId: Int, taskId: Long,
 case class GraftManEntry(file: String, rows: Long, ncols: Int,
   stats: String = "")
 
+/** Parsed per-column zone-map stats ([[GraftCommitMeta.parseStats]]):
+  * numeric bounds (sink-printed strings), string bounds (inclusive-lo /
+  * exclusive-hi byte prefixes in UTF8 binary order; hi None = unbounded
+  * above), and the column's null count. Any part may be absent — absent
+  * stats never skip. */
+case class GraftColStat(num: Option[(String, String)] = None,
+  str: Option[(Array[Byte], Option[Array[Byte]])] = None,
+  nulls: Option[Long] = None)
+
 /** Manifest parsing/naming shared by the sink's commit, its abort, the
   * manifest reader, and the retention vacuum — one definition of the
   * on-disk format so the four consumers cannot drift.
@@ -283,32 +292,95 @@ private[graft] object GraftCommitMeta {
   def sigPrefix(shorter: String, longer: String): Boolean =
     longer == shorter || longer.startsWith(shorter + ",")
 
-  /** ZONE-MAP stats format (round 13, the manifest entry's 4th field):
-    * `i:lo|hi` per numeric column joined by `;` — `i` the column's
-    * position in the FILE's own width (stable under append-only
-    * evolution), lo/hi its min/max over NON-NULL values, printed with
-    * the sink's own value formatting. String columns, all-null columns,
-    * and any column in which a NON-FINITE double appears record nothing
-    * — absent stats never skip. (Poisoning, not finite-only bounds: a
-    * comparison filter is null-rejecting but NOT Inf/NaN-rejecting, so
-    * bounds over only the finite values would skip a file whose ±Inf/NaN
-    * rows satisfy the predicate — ADVICE r14.) Null-rejecting comparison
-    * filters can exclude a file from [lo, hi] alone (a NULL never
-    * satisfies them, so non-null bounds suffice). */
-  def parseStats(stats: String): Map[Int, (String, String)] =
+  /** ZONE-MAP stats format (round 13 numeric; round 14 strings + null
+    * counts — the manifest entry's 4th field): `;`-joined entries keyed
+    * by the column's position `i` in the FILE's own width (stable under
+    * append-only evolution), three payload shapes:
+    *
+    *  - `i:lo|hi` — numeric min/max over NON-NULL values, printed with
+    *    the sink's own value formatting. All-null columns and any
+    *    column in which a NON-FINITE double appears record no bounds —
+    *    absent bounds never skip. (Poisoning, not finite-only bounds: a
+    *    comparison filter is null-rejecting but NOT Inf/NaN-rejecting,
+    *    so bounds over only the finite values would skip a file whose
+    *    ±Inf/NaN rows satisfy the predicate — ADVICE r14.)
+    *  - `i:sHEXLO|HEXHI` — string bounds in UTF8 BINARY order (the
+    *    order Spark string comparisons use), hex-encoded so the stats
+    *    field stays delimiter-free under arbitrary values: HEXLO is the
+    *    min truncated to 16 bytes (a prefix is ≤ the value — a valid
+    *    INCLUSIVE lower bound), HEXHI is the max truncated to 16 bytes
+    *    with the last byte incremented — a valid EXCLUSIVE upper bound
+    *    (every value < it); an un-incrementable all-0xFF prefix leaves
+    *    HEXHI empty = unbounded above. The Parquet truncate-and-
+    *    increment convention.
+    *  - `i:nCOUNT` — the column's NULL count: 0 lets `IS NULL` skip the
+    *    file, COUNT = rows lets `IS NOT NULL` skip an all-null column.
+    *
+    * Null-rejecting comparison filters can exclude a file from bounds
+    * alone (a NULL never satisfies them, so non-null bounds suffice).
+    * Legacy (r13) fields parse as numeric-bounds-only. */
+  def parseStats(stats: String): Map[Int, GraftColStat] =
     if (stats == null || stats.isEmpty) Map.empty
     else try {
-      stats.split(";").iterator.map { s =>
-        val Array(i, lohi) = s.split(":", 2)
-        val Array(lo, hi) = lohi.split("\\|", 2)
-        i.toInt -> (lo, hi)
-      }.toMap
+      stats.split(";").foldLeft(Map.empty[Int, GraftColStat]) { (m, s) =>
+        val Array(iS, payload) = s.split(":", 2)
+        val i = iS.toInt
+        val cur = m.getOrElse(i, GraftColStat())
+        val upd =
+          if (payload.startsWith("n")) cur.copy(nulls = Some(payload.substring(1).toLong))
+          else if (payload.startsWith("s")) {
+            val Array(lo, hi) = payload.substring(1).split("\\|", -1) match {
+              case Array(l, h) => Array(l, h)
+              case other => throw new java.io.IOException(
+                s"bad string bounds '${other.mkString("|")}'")
+            }
+            cur.copy(str = Some((unhex(lo),
+              if (hi.isEmpty) None else Some(unhex(hi)))))
+          } else {
+            val Array(lo, hi) = payload.split("\\|", 2)
+            cur.copy(num = Some((lo, hi)))
+          }
+        m.updated(i, upd)
+      }
     } catch {
       // manual damage fails loudly with the field named, never as a
       // bare MatchError deep in planning — and never as a silent skip
       case e: RuntimeException => throw new java.io.IOException(
         s"corrupt zone-map stats field '$stats' in manifest entry", e)
     }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach { x =>
+      sb.append(hexDigits((x >> 4) & 0xf)); sb.append(hexDigits(x & 0xf))
+    }
+    sb.toString
+  }
+  private def unhex(s: String): Array[Byte] = {
+    require(s.length % 2 == 0, s"odd hex '$s'")
+    Array.tabulate(s.length / 2)(i =>
+      Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  /** Inclusive lower string bound: the min's 16-byte prefix (a prefix
+    * sorts ≤ the value in binary order), hexed. */
+  def strLoBound(min: Array[Byte]): String = hex(min.take(16))
+
+  /** Exclusive upper string bound: the max's 16-byte prefix with its
+    * last byte incremented (every table value sorts strictly below it);
+    * "" when the prefix is all 0xFF and cannot increment = unbounded. */
+  def strHiBound(max: Array[Byte]): String = {
+    val t = max.take(16)
+    var i = t.length - 1
+    while (i >= 0 && t(i) == 0xff.toByte) i -= 1
+    if (i < 0) ""
+    else {
+      val b = t.take(i + 1)
+      b(i) = (b(i) + 1).toByte
+      hex(b)
+    }
+  }
 
   /** A lease whose mtime is older than this is a crashed holder and is
     * broken by the next writer. LIVE holders with long publish loops
@@ -1038,6 +1110,20 @@ class GraftCommitDataWriter(path: String, schema: StructType,
     case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
     case _ => 0
   }
+  // STRING bounds (round 14): min/max in UTF8String BINARY order — the
+  // exact order Spark's string comparisons use — so a string predicate
+  // can prune files the way numeric ones do (and a constant-per-part
+  // partition column gets lo = hi = the partition value, which IS
+  // partition pruning through the same stats). Compared in place
+  // (zero-copy), cloned only when a new extreme is found.
+  private val isStr: Array[Boolean] =
+    schema.fields.map(_.dataType == StringType)
+  private val strLo = new Array[org.apache.spark.unsafe.types.UTF8String](schema.length)
+  private val strHi = new Array[org.apache.spark.unsafe.types.UTF8String](schema.length)
+  // NULL COUNTS (round 14): per-column null tallies enable IsNull skips
+  // (nulls = 0 ⇒ no row satisfies IS NULL) and IsNotNull skips on
+  // all-null columns (nulls = rows) from pure metadata.
+  private val statNulls = new Array[Long](schema.length)
 
   override def write(record: InternalRow): Unit = {
     val sb = new StringBuilder
@@ -1054,13 +1140,18 @@ class GraftCommitDataWriter(path: String, schema: StructType,
     out.write(sb.toString)
     var j = 0
     while (j < statGet.length) {
-      if (statGet(j) != null && !record.isNullAt(j) && !statPoisoned(j)) {
+      if (record.isNullAt(j)) statNulls(j) += 1
+      else if (statGet(j) != null && !statPoisoned(j)) {
         statGet(j)(record) match {
           case NonFinite => statPoisoned(j) = true
           case v =>
             if (statLo(j) == null || cmpVals(v, statLo(j)) < 0) statLo(j) = v
             if (statHi(j) == null || cmpVals(v, statHi(j)) > 0) statHi(j) = v
         }
+      } else if (isStr(j)) {
+        val u = record.getUTF8String(j)
+        if (strLo(j) == null || u.compareTo(strLo(j)) < 0) strLo(j) = u.clone()
+        if (strHi(j) == null || u.compareTo(strHi(j)) > 0) strHi(j) = u.clone()
       }
       j += 1
     }
@@ -1069,10 +1160,20 @@ class GraftCommitDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    val stats = statLo.indices.iterator
-      .filter(i => statLo(i) != null && !statPoisoned(i))
-      .map(i => s"$i:${statLo(i)}|${statHi(i)}").mkString(";")
-    GraftTempFile(tmp.toString, partitionId, taskId, rows, stats)
+    val parts = Seq.newBuilder[String]
+    var i = 0
+    while (i < schema.length) {
+      if (statLo(i) != null && !statPoisoned(i))
+        parts += s"$i:${statLo(i)}|${statHi(i)}"
+      if (strLo(i) != null)
+        parts += s"$i:s${GraftCommitMeta.strLoBound(strLo(i).getBytes)}|" +
+          GraftCommitMeta.strHiBound(strHi(i).getBytes)
+      // null counts for every column — zero IS information (IsNull skip)
+      parts += s"$i:n${statNulls(i)}"
+      i += 1
+    }
+    GraftTempFile(tmp.toString, partitionId, taskId, rows,
+      parts.result().mkString(";"))
   }
 
   override def abort(): Unit = {

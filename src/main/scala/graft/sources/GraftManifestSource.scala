@@ -122,36 +122,57 @@ class GraftManifestScanBuilder(path: String, full: StructType,
 }
 
 /** Zone-map skip evaluation — the reader side of
-  * [[GraftCommitMeta.parseStats]]. All comparisons run in BigDecimal
-  * over the sink's shortest-repr value printing (which round-trips
-  * doubles uniquely), so a full-range BIGINT bound can never round into
-  * a WRONG skip — the one failure mode data skipping must not have;
-  * anything unparseable or unsupported simply never skips. */
+  * [[GraftCommitMeta.parseStats]]. Numeric comparisons run in
+  * BigDecimal over the sink's shortest-repr value printing (which
+  * round-trips doubles uniquely), so a full-range BIGINT bound can
+  * never round into a WRONG skip — the one failure mode data skipping
+  * must not have. String comparisons (round 14) run in unsigned UTF8
+  * byte order — exactly the order Spark's string comparisons and the
+  * writer's bound tracking use — against the truncated inclusive-lo /
+  * incremented exclusive-hi prefixes. IsNull/IsNotNull (round 14) skip
+  * from the per-column null counts. Anything unparseable or unsupported
+  * simply never skips. */
 private[sources] object GraftZoneMap {
-  /** Compile a pushable filter to (column index in the full schema, op,
-    * literal); None = the zone map cannot act on it. IsNotNull carries
-    * a null literal — it can only skip a file that predates the column
-    * (append-only evolution: every value there is NULL). */
-  def compile(f: Filter, full: StructType): Option[(Int, String, BigDecimal)] =
+  /** A compiled skippable predicate over one column. */
+  sealed trait Pred { def i: Int }
+  case class NumCmp(i: Int, op: String, v: BigDecimal) extends Pred
+  case class StrCmp(i: Int, op: String, v: Array[Byte]) extends Pred
+  case class NullTest(i: Int, isNull: Boolean) extends Pred
+
+  /** Compile a pushable filter; None = the zone map cannot act on it. */
+  def compile(f: Filter, full: StructType): Option[Pred] =
     f match {
       case EqualTo(a, v) => comp(a, "=", v, full)
       case GreaterThan(a, v) => comp(a, ">", v, full)
       case GreaterThanOrEqual(a, v) => comp(a, ">=", v, full)
       case LessThan(a, v) => comp(a, "<", v, full)
       case LessThanOrEqual(a, v) => comp(a, "<=", v, full)
-      case IsNotNull(a) => idx(a, full).map((_, "notnull", null))
+      case IsNotNull(a) => idx(a, full).map(NullTest(_, isNull = false))
+      case org.apache.spark.sql.sources.IsNull(a) =>
+        idx(a, full).map(NullTest(_, isNull = true))
       case _ => None
     }
 
   private def comp(attr: String, op: String, v: Any,
-      full: StructType): Option[(Int, String, BigDecimal)] =
-    for { i <- idx(attr, full); b <- lit(v) } yield (i, op, b)
+      full: StructType): Option[Pred] =
+    idx(attr, full).flatMap { i =>
+      full.fields(i).dataType match {
+        case StringType => v match {
+          case s: String =>
+            Some(StrCmp(i, op, s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            Some(StrCmp(i, op, u.getBytes))
+          case _ => None
+        }
+        case _ => lit(v).map(NumCmp(i, op, _))
+      }
+    }
 
   private def idx(attr: String, full: StructType): Option[Int] = {
     val i = full.fieldNames.indexWhere(_.equalsIgnoreCase(attr))
     if (i < 0) None
     else full.fields(i).dataType match {
-      case LongType | IntegerType | DoubleType => Some(i)
+      case LongType | IntegerType | DoubleType | StringType => Some(i)
       case _ => None
     }
   }
@@ -168,27 +189,66 @@ private[sources] object GraftZoneMap {
     case _ => None
   }
 
+  /** Unsigned lexicographic byte compare — UTF8String binary order. */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** true = the entry's file provably contains NO row satisfying the
-    * compiled filter. A column past the file's committed width is all
-    * NULL there, so every null-rejecting shape (including IsNotNull)
-    * excludes the whole file; otherwise only recorded bounds decide. */
-  def skips(c: (Int, String, BigDecimal), entry: GraftManEntry,
-      stats: Map[Int, (String, String)]): Boolean = {
-    val (i, op, v) = c
-    if (entry.ncols >= 0 && i >= entry.ncols) return true
-    if (op == "notnull") return false
-    stats.get(i) match {
-      case None => false
-      case Some((loS, hiS)) =>
-        val lo = BigDecimal(loS)
-        val hi = BigDecimal(hiS)
-        op match {
-          case "=" => v < lo || v > hi
-          case ">" => hi <= v
-          case ">=" => hi < v
-          case "<" => lo >= v
-          case "<=" => lo > v
+    * compiled predicate. A column past the file's committed width is
+    * all NULL there, so every null-rejecting shape (and IsNotNull)
+    * excludes the whole file — while IS NULL trivially matches and must
+    * KEEP it; otherwise only recorded stats decide. */
+  def skips(c: Pred, entry: GraftManEntry,
+      stats: Map[Int, GraftColStat]): Boolean = {
+    if (entry.ncols >= 0 && c.i >= entry.ncols)
+      return (c match { case NullTest(_, isNull) => !isNull; case _ => true })
+    val st = stats.get(c.i)
+    c match {
+      case NullTest(_, isNull) =>
+        st.flatMap(_.nulls) match {
+          case Some(0L) if isNull => true // no NULLs ⇒ IS NULL matches nothing
+          case Some(n) if !isNull && n == entry.rows => true // all NULL
           case _ => false
+        }
+      case NumCmp(_, op, v) =>
+        st.flatMap(_.num) match {
+          case None => false
+          case Some((loS, hiS)) =>
+            val lo = BigDecimal(loS)
+            val hi = BigDecimal(hiS)
+            op match {
+              case "=" => v < lo || v > hi
+              case ">" => hi <= v
+              case ">=" => hi < v
+              case "<" => lo >= v
+              case "<=" => lo > v
+              case _ => false
+            }
+        }
+      case StrCmp(_, op, v) =>
+        st.flatMap(_.str) match {
+          case None => false
+          case Some((lo, hiOpt)) =>
+            // lo is INCLUSIVE (a truncated prefix ≤ every value), hi is
+            // EXCLUSIVE (every value sorts strictly below it); absent
+            // hi = unbounded above — each side proves independently
+            def belowAll = cmpBytes(v, lo) < 0 // v < lo ≤ every value
+            def aboveAll = hiOpt.exists(hi => cmpBytes(v, hi) >= 0) // every value < hi ≤ v
+            op match {
+              case "=" => belowAll || aboveAll
+              case ">" | ">=" => aboveAll // every value < hi ≤ v ⇒ none > / ≥ v
+              case "<" => cmpBytes(lo, v) >= 0 // every value ≥ lo ≥ v ⇒ none < v
+              case "<=" => cmpBytes(lo, v) > 0
+              case _ => false
+            }
         }
     }
   }

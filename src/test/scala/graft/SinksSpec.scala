@@ -648,23 +648,23 @@ class SinksSpec extends SparkSpec {
       Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
     assert(man.contains("part-00000-g0000.tsv\t2\t2\t0:10|19"), man)
     assert(man.contains("part-00001-g0000.tsv\t2\t2\t0:100|199"), man)
-    // the all-null part records NO stats (4th field absent)
-    assert(man.contains("part-00002-g0000.tsv\t1\t2\n")
-      || man.endsWith("part-00002-g0000.tsv\t1\t2"), man)
+    // the all-null column records NO bounds — only its null count
+    // (round 14: `0:n1` says every k is NULL, which IsNotNull uses)
+    assert(man.contains("part-00002-g0000.tsv\t1\t2\t0:n1"), man)
     def read() = spark.read.format("graft.sources.GraftManifestSource")
       .schema("k BIGINT, s STRING").option("path", dir).load()
-    // a selective filter plans ONLY the file whose zone map can match —
-    // the no-stats part is NEVER skipped on bounds (it might hold
-    // anything... its k is all NULL, but the reader cannot know that
-    // from absent stats; only null-REJECTING shapes skip it and only
-    // via column-absence, not here)
+    // a selective filter plans ONLY the file whose zone map can match.
+    // The all-NULL-k part records no k bounds, but since round 14 its
+    // null count (= rows) lets the pushed IsNotNull skip it outright —
+    // so the bounds-less part no longer costs a task
     val hit = read().where(col("k") >= 100L && col("k") <= 150L)
-    assert(hit.rdd.getNumPartitions === 2,
-      "expected the matching part + the stats-less part planned")
+    assert(hit.rdd.getNumPartitions === 1,
+      "expected only the matching part planned (all-null part IsNotNull-skipped)")
     assert(hit.collect().map(_.getLong(0)).toSet === Set(100L))
-    // a filter outside every recorded range plans only the stats-less file
+    // a filter outside every recorded range plans NOTHING: bounds
+    // exclude the two real parts, the null count excludes the third
     val miss = read().where(col("k") === 50L)
-    assert(miss.rdd.getNumPartitions === 1)
+    assert(miss.rdd.getNumPartitions === 0)
     assert(miss.count() === 0L)
     // correctness never depends on the skip: unfiltered read sees all rows
     assert(read().count() === 5L)
@@ -1344,10 +1344,12 @@ class SinksSpec extends SparkSpec {
       .commit(Array[WriterCommitMessage](w0.commit(), w1.commit(), w2.commit()))
     val man = new String(
       Files.readAllBytes(Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8")
-    // poisoned parts carry ONLY the key column's stats (index 0)
+    // poisoned parts carry the key column's bounds but NO bounds for
+    // the non-finite double column (its null count still records)
     assert(man.contains("part-00000-g0000.tsv\t2\t2\t0:10|11"), man)
     assert(man.contains("part-00001-g0000.tsv\t2\t2\t0:20|21"), man)
-    assert(man.contains("part-00002-g0000.tsv\t1\t2\t0:30|30;1:3.0|3.0"), man)
+    assert(man.contains("0:30|30;0:n0;1:3.0|3.0;1:n0"), man)
+    assert(!man.contains("1:Infinity") && !man.contains("1:NaN"), man)
     def read() = spark.read.format("graft.sources.GraftManifestSource")
       .schema("k BIGINT, d DOUBLE").option("path", dir).load()
     // d > 100: the two poisoned files MUST be planned (their Inf/NaN
@@ -1360,6 +1362,66 @@ class SinksSpec extends SparkSpec {
     // and the skip on the finite file is still correct the other way
     assert(read().where(col("d") === 3.0).collect()
       .map(_.getLong(0)).toSeq === Seq(30L))
+  }
+
+  test("string zone maps + null counts: truncate/increment bounds, UTF8 binary order, IsNull/IsNotNull skips") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("zstr")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    // part 0: strings in [banana, cherry]; part 1: [melon, peach];
+    // part 2: one NULL string + one long value exercising 16-byte
+    // truncation; k NULL on part 2 rows
+    val w0 = fac.createWriter(0, 1L)
+    w0.write(row(1L, "banana")); w0.write(row(2L, "cherry"))
+    val w1 = fac.createWriter(1, 2L)
+    w1.write(row(3L, "melon")); w1.write(row(4L, "peach"))
+    val w2 = fac.createWriter(2, 3L)
+    w2.write(new GenericInternalRow(Array[Any](null, null)))
+    w2.write(new GenericInternalRow(Array[Any](null,
+      UTF8String.fromString("zzzzzzzzzzzzzzzz-very-long-suffix"))))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit(), w1.commit(), w2.commit()))
+    def read() = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", dir).load()
+    def planned(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    // string equality prunes to the one in-range part; the truncated
+    // long-value part's incremented hi bound keeps correctness
+    assert(planned(read().where(col("s") === "melon")) === 1)
+    assert(read().where(col("s") === "melon").count() === 1L)
+    // value above part 0's range, below part 1's lo, below part 2's lo
+    assert(planned(read().where(col("s") === "grape")) === 0)
+    // range shapes both directions
+    assert(planned(read().where(col("s") < "cucumber")) === 1) // part 0 only
+    assert(planned(read().where(col("s") > "pear")) === 1) // part 2 only (trunc+inc hi)
+    // the truncated value is still FOUND (hi is exclusive-incremented,
+    // never an under-estimate): equality on the full long string keeps
+    // part 2 and matches the row
+    val long = read().where(col("s") === "zzzzzzzzzzzzzzzz-very-long-suffix")
+    assert(planned(long) === 1)
+    assert(long.count() === 1L)
+    // IS NULL: parts 0/1 record s-nulls=0 and skip; part 2 keeps
+    val isnull = read().where(col("s").isNull)
+    assert(planned(isnull) === 1)
+    assert(isnull.count() === 1L)
+    // IS NOT NULL on k: part 2's k is all NULL (nulls = rows) — skipped
+    assert(planned(read().where(col("k").isNotNull)) === 2)
+    assert(read().where(col("k").isNotNull).count() === 4L)
+    // multi-byte UTF8 binary order: é (0xC3 0xA9) sorts above every
+    // ASCII value — a filter above 'z'-ascii keeps only a part holding it
+    val w3 = fac.createWriter(3, 9L)
+    w3.write(row(9L, "éclair"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w3.commit()))
+    val acc = read().where(col("s") > "é")
+    assert(planned(acc) === 1, "UTF8-binary compare must keep only the é part")
+    assert(acc.count() === 1L)
+    // correctness never depends on skips
+    assert(read().count() === 7L)
+    // bound helpers: all-0xFF prefix cannot increment → unbounded above
+    assert(graft.sources.GraftCommitMeta.strHiBound(
+      Array.fill(20)(0xff.toByte)) === "")
+    assert(graft.sources.GraftCommitMeta.strHiBound(
+      Array[Byte]('a', 0xff.toByte)) === "62") // drop 0xff, bump 'a'→'b'
   }
 
   test("vacuum reads the manifest UNDER the lease: a commit landing at lease-acquisition is never swept") {
