@@ -1329,4 +1329,81 @@ class StreamingSpec extends SparkSpec {
         s"pending drain wrong: $got (want exactly (1,2))")
     }
   }
+
+  test("commit-sink streaming write: one generation per epoch, exactly-once across restart and re-delivery") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(); ()
+    }
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink"
+    wipe(new java.io.File(base))
+    val src = s"$base/src"; val out = s"$base/out"; val ck = s"$base/ck"
+    def addFile(lo: Long, n: Long): Unit =
+      spark.range(lo, lo + n).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("s"))
+        .coalesce(1).write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k BIGINT, s STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.format("graft.sources.GraftCommitSink")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "stream drain did not terminate")
+    }
+    def gens(): Seq[String] = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.matches("_GRAFT_COMMIT\\.g\\d+")).sorted.toSeq
+    def readOut() = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING").option("path", out).load()
+    // two files -> two epochs -> two generations
+    addFile(0, 10); addFile(100, 10)
+    drain()
+    assert(gens() === Seq("_GRAFT_COMMIT.g0000", "_GRAFT_COMMIT.g0001"), gens())
+    assert(readOut().count() === 20L)
+    // RESTART with the same checkpoint + one new file: exactly one more
+    // epoch commits (the recovered epochs publish nothing)
+    addFile(200, 10)
+    drain()
+    assert(gens() === Seq("_GRAFT_COMMIT.g0000", "_GRAFT_COMMIT.g0001",
+      "_GRAFT_COMMIT.g0002"), gens())
+    assert(readOut().count() === 30L)
+    // empty restart: no duplicate generation, no duplicate rows
+    drain()
+    assert(gens().size === 3, gens())
+    assert(readOut().count() === 30L)
+    // forced RE-DELIVERY of an already-committed epoch at the protocol
+    // level: the sink's marker makes it a visible-state no-op and the
+    // attempt temp is swept
+    val fsPath = new org.apache.hadoop.fs.Path(out)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = graft.sources.GraftCommitMeta.readEpochMarker(
+      fs, new org.apache.hadoop.fs.Path(out, "_GRAFT_COMMIT"))
+    assert(marker.isDefined, "streaming manifest must carry the epoch marker")
+    val (qid, lastEpoch) = marker.get
+    val schema2 = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("s", org.apache.spark.sql.types.StringType)
+    val sw = new graft.sources.GraftCommitStreamingWrite(out, schema2, qid)
+    val fac = sw.createStreamingWriterFactory(null)
+    val w = fac.createWriter(0, 777L, lastEpoch)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](999L, org.apache.spark.unsafe.types.UTF8String.fromString("dup"))))
+    sw.commit(lastEpoch, Array(w.commit()))
+    assert(gens().size === 3, "re-delivered epoch published a generation")
+    assert(readOut().count() === 30L)
+    assert(readOut().where(col("k") === 999L).count() === 0L)
+    assert(Option(new java.io.File(out, "_temp").listFiles())
+      .getOrElse(Array.empty).isEmpty, "re-delivered attempt temp not swept")
+    // a DIFFERENT queryId is a fresh lineage: its epoch 0 legitimately
+    // commits a new generation
+    val sw2 = new graft.sources.GraftCommitStreamingWrite(out, schema2, "other-query")
+    val w2 = sw2.createStreamingWriterFactory(null).createWriter(0, 778L, 0L)
+    w2.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1000L, org.apache.spark.unsafe.types.UTF8String.fromString("fresh"))))
+    sw2.commit(0L, Array(w2.commit()))
+    assert(gens().size === 4, "fresh lineage epoch must commit")
+    assert(readOut().count() === 31L)
+  }
 }
