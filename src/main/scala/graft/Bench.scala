@@ -18,6 +18,22 @@ object Bench {
     } catch { case _: Throwable => (0L, 0L) }
   }
 
+  /** Host load meter (round 14): (1-min load average, runnable tasks)
+    * from `/proc/loadavg`. The r13 close showed wall inflating 18–60 %
+    * at near-zero REPORTED steal — ambient host load (CPU contention
+    * without hypervisor steal) is invisible to the steal counter but
+    * shows directly in the load average and the runqueue. Sampled per
+    * query and summarized, so the artifact is self-diagnosing: a slow
+    * draw with load1 ≫ cores-used is the environment, not the plans. */
+  private def procLoad(): (Double, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+")
+      (f(0).toDouble, f(3).split("/")(0).toLong)
+    } catch { case _: Throwable => (-1.0, -1L) }
+  }
+
   /** Whole-stage-codegen compile telemetry: (compile count, approx total
     * compile ms) from Spark's public `CodegenMetrics` source. The count
     * is exact; the total is count×reservoir-mean (dropwizard histograms
@@ -96,6 +112,10 @@ object Bench {
     val stealTicks = scala.collection.mutable.Map.empty[String, Long]
     val codegenN = scala.collection.mutable.Map.empty[String, Long]
     val codegenMs = scala.collection.mutable.Map.empty[String, Double]
+    val load1 = scala.collection.mutable.Map.empty[String, Double]
+    val (loadStart, _) = procLoad()
+    var loadMax = loadStart
+    var runqMax = -1L
     val results = SparkEntry.queries.map { case (name, fn) =>
       val s0 = shuffleBytes.get()
       val (st0, _) = procSteal()
@@ -105,6 +125,10 @@ object Bench {
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       stealTicks(name) = procSteal()._1 - st0
+      val (l1, rq) = procLoad()
+      load1(name) = l1
+      if (l1 > loadMax) loadMax = l1
+      if (rq > runqMax) runqMax = rq
       val (cg1, cgms1) = codegenStats()
       codegenN(name) = cg1 - cg0
       codegenMs(name) = math.max(0.0, cgms1 - cgms0)
@@ -112,6 +136,7 @@ object Bench {
       shuffles(name) = shuffleBytes.get() - s0
       name -> dt
     }
+    val (loadEnd, _) = procLoad()
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val (steal1, total1) = procSteal()
     val stealDelta = steal1 - steal0
@@ -146,8 +171,9 @@ object Bench {
       val stealJ = m(k => stealTicks.getOrElse(k, 0L).toString)
       val cgJ = m(k => codegenN.getOrElse(k, 0L).toString)
       val cgMsJ = m(k => r3(codegenMs.getOrElse(k, 0.0)))
+      val loadJ = m(k => r3(load1.getOrElse(k, -1.0)))
       val fw = new java.io.FileWriter("bench_full.json")
-      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_minus_codegen":${r3(totalMinusCodegen)},"queries":${full.mkString("{", ",", "}")},"cold":${coldJ.mkString("{", ",", "}")},"shuffle_mb":${shufMb.mkString("{", ",", "}")},"steal_ticks":${stealJ.mkString("{", ",", "}")},"codegen_compiles":${cgJ.mkString("{", ",", "}")},"codegen_ms":${cgMsJ.mkString("{", ",", "}")},"steal_ticks_total":$stealDelta,"steal_pct":${r3(stealPct)},"codegen_compile_count":$cgCount,"codegen_compile_ms":${r3(cgMs)},"codegen_compile_ms_warm":${r3(warmCgSec * 1000)},"codegen_cache_max_entries":$codegenCacheEntries,"failed":$failedJson,"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_minus_codegen":${r3(totalMinusCodegen)},"queries":${full.mkString("{", ",", "}")},"cold":${coldJ.mkString("{", ",", "}")},"shuffle_mb":${shufMb.mkString("{", ",", "}")},"steal_ticks":${stealJ.mkString("{", ",", "}")},"load1":${loadJ.mkString("{", ",", "}")},"codegen_compiles":${cgJ.mkString("{", ",", "}")},"codegen_ms":${cgMsJ.mkString("{", ",", "}")},"steal_ticks_total":$stealDelta,"steal_pct":${r3(stealPct)},"load1_start":${r3(loadStart)},"load1_end":${r3(loadEnd)},"load1_max":${r3(loadMax)},"runq_max":$runqMax,"codegen_compile_count":$cgCount,"codegen_compile_ms":${r3(cgMs)},"codegen_compile_ms_warm":${r3(warmCgSec * 1000)},"codegen_cache_max_entries":$codegenCacheEntries,"failed":$failedJson,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
     val budget = 1500
@@ -165,7 +191,11 @@ object Bench {
     // [success] banner; "parsed": null in every BENCH_r*.json was the
     // line drowning in wrapped log noise).
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_minus_codegen":${r3(totalMinusCodegen)},"queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"steal_ticks":$stealDelta,"steal_pct":${r3(stealPct)},"codegen_ms":${r3(cgMs)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // load1_* / runq_max (round 14): the steal counter under-reports
+    // pure CPU contention (the r13 close's 18–60 % wall inflation at
+    // ~0 % steal) — the load average and peak runqueue make a loaded
+    // draw self-diagnosing from this one line.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_minus_codegen":${r3(totalMinusCodegen)},"queries":${shown.mkString("{", ",", "}")},"n_queries":${results.size},"n_shown":${shown.size},"rest_sum":${r3(restSum)},"steal_ticks":$stealDelta,"steal_pct":${r3(stealPct)},"load1_start":${r3(loadStart)},"load1_end":${r3(loadEnd)},"load1_max":${r3(loadMax)},"runq_max":$runqMax,"codegen_ms":${r3(cgMs)},"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
