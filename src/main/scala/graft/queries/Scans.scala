@@ -464,6 +464,93 @@ object Scans {
         .orderBy("view")
     }),
 
+    // ONE-GENERATION CDC APPLY (round 14): the sink-side CONSUMER of
+    // q_cdc_snapshot_diff — a full change set (removed keys + changed
+    // rows + added rows) applies ATOMICALLY as a single copy-on-write
+    // generation (`GraftCommitMerge.applyCdc`: affected-part selection,
+    // anti-join, and publish run ONCE over the union of the delete and
+    // upsert key sets, so no reader can observe the deletes without the
+    // upserts). Deletes live in band 1, updates in band 6, inserts
+    // beyond every bound — 2 parts rewritten, 6 carried, and the
+    // history listing pins TWO generations total (snapshot + one CDC
+    // generation — the atomicity evidence). Current view, pre-CDC
+    // as-of view, and both protocol report rows grade against
+    // CASE-restated orders.
+    "q_sink_cdc_apply" -> ((s, d) => {
+      val out = tmpDir(s"cdca_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val w = o.agg(max("k")).first().getLong(0) / 8 + 1
+      bandLayout8(o, w)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      val removed = o.where(col("k") >= 1 * w && col("k") < 2 * w
+        && col("k") % 5 === 0).select("k")
+      val changed = o.where(col("k") >= 6 * w && col("k") < 7 * w
+          && col("k") % 7 === 3)
+        .select(col("k"), (col("cents") + 1L).as("cents"))
+      val added = o.where(col("k") >= 3 * w && col("k") < 4 * w
+          && col("k") % 11 === 0)
+        .select((col("k") + 8 * w).as("k"), lit(88L).as("cents"))
+      val rep = graft.sources.GraftCommitMerge.applyCdc(
+        s, out, "k BIGINT, cents BIGINT", "k",
+        changed.unionByName(added), removed)
+      val gens = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.matches("_GRAFT_COMMIT\\.g\\d+"))
+      def read(gen: Option[Int]) = {
+        val r = s.read.format("graft.sources.GraftManifestSource")
+          .schema("k BIGINT, cents BIGINT").option("path", out)
+        gen.fold(r)(g => r.option("generation", g.toString)).load()
+      }
+      read(None).withColumn("view", lit("current"))
+        .unionByName(read(Some(0)).withColumn("view", lit("asof_precdc")))
+        .groupBy("view")
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+          sum(col("cents")).as("total_cents"))
+        .unionByName(s.range(1).select(lit("cdc_report").as("view"),
+          lit(rep.rewritten.toLong).as("cnt"),
+          lit(rep.carried.toLong).as("min_key"),
+          lit(rep.removed).as("total_cents")))
+        .unionByName(s.range(1).select(lit("cdc_report_added").as("view"),
+          lit(rep.added).as("cnt"), lit(gens.toLong).as("min_key"),
+          lit(0L).as("total_cents")))
+        .orderBy("view")
+    }),
+
+    // MANIFEST METADATA TABLE (round 14) — the Iceberg `table.files`
+    // shape on the repo's own connector: the manifest's content
+    // (per-part rows, widths, zone-map bounds, null counts) is
+    // QUERYABLE as a DataFrame without opening one data file —
+    // layout-health and fragmentation audits at 100 TB are manifest
+    // reads, not table scans. The query lays orders in 8 key bands and
+    // reads the key column's metadata rows back: per-part [lo, hi],
+    // row count, and null count must EQUAL the per-band
+    // min/max/count/0 computed straight from orders — hashing the
+    // writer's stats pipeline end to end (a wrong bound, a wrong null
+    // tally, or a dropped entry mismatches).
+    "q_sink_metadata_table" -> ((s, d) => {
+      val out = tmpDir(s"mtab_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val w = o.agg(max("k")).first().getLong(0) / 8 + 1
+      bandLayout8(o, w)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      graft.sources.GraftManifestMeta.files(s, out)
+        .where(col("col_idx") === 0)
+        .select(col("num_lo").cast("bigint").as("k_lo"),
+          col("num_hi").cast("bigint").as("k_hi"),
+          col("part_rows"), col("nulls").as("k_nulls"))
+        .orderBy("k_lo")
+    }),
+
     // SIZE-AWARE (binpack) COMPACTION (round 14 — clears the r13
     // verdict's one perf-WEAK flag): `GraftCommitCompact.binpack` packs
     // ONLY the entries under `targetRows` into ceil(fragRows/target)
@@ -1075,6 +1162,53 @@ object Scans {
            + (SELECT COUNT(*) FROM ins), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT)
          ORDER BY view""",
+
+    // current = orders minus band-1 %5 keys, band-6 %7≡3 keys at +1
+    // cent, plus the shifted adds; as-of = the untouched snapshot; the
+    // reports pin 2 rewritten / 6 carried / removed = deletes+updates,
+    // added = updates+inserts, and exactly 2 generations on disk (the
+    // whole change set landed atomically in ONE)
+    "q_sink_cdc_apply" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         w AS (SELECT (MAX(o_orderkey) // 8) + 1 AS w FROM orders),
+         del AS (SELECT k FROM c, w
+                 WHERE k >= 1 * w.w AND k < 2 * w.w AND k % 5 = 0),
+         chg AS (SELECT k FROM c, w
+                 WHERE k >= 6 * w.w AND k < 7 * w.w AND k % 7 = 3),
+         ins AS (SELECT c.k + 8 * w.w AS k, CAST(88 AS BIGINT) AS cents
+                 FROM c, w WHERE c.k >= 3 * w.w AND c.k < 4 * w.w
+                   AND c.k % 11 = 0),
+         m AS (SELECT k, cents + CASE WHEN k IN (SELECT k FROM chg)
+                 THEN 1 ELSE 0 END AS cents
+               FROM c WHERE k NOT IN (SELECT k FROM del)
+               UNION ALL
+               SELECT k, cents FROM ins)
+         SELECT 'asof_precdc' AS view, COUNT(*) AS cnt, MIN(k) AS min_key,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM c
+         UNION ALL
+         SELECT 'cdc_report', CAST(2 AS BIGINT), CAST(6 AS BIGINT),
+           (SELECT COUNT(*) FROM del) + (SELECT COUNT(*) FROM chg)
+         UNION ALL
+         SELECT 'cdc_report_added',
+           (SELECT COUNT(*) FROM chg) + (SELECT COUNT(*) FROM ins),
+           CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+         UNION ALL
+         SELECT 'current', COUNT(*), MIN(k), CAST(SUM(cents) AS BIGINT)
+         FROM m
+         ORDER BY view""",
+
+    // per-part metadata rows ≡ per-band min/max/count/zero-nulls
+    // straight from orders — the writer's stats pipeline hashed end to
+    // end through the metadata table
+    "q_sink_metadata_table" ->
+      """WITH c AS (SELECT o_orderkey AS k FROM orders),
+         w AS (SELECT (MAX(k) // 8) + 1 AS w FROM c)
+         SELECT MIN(k) AS k_lo, MAX(k) AS k_hi,
+           COUNT(*) AS part_rows, CAST(0 AS BIGINT) AS k_nulls
+         FROM c, w GROUP BY k // w.w ORDER BY k_lo""",
 
     // both views are the full table (binpack never changes rows); the
     // report row pins 10 fragments rewritten / 2 big parts carried, and

@@ -72,6 +72,22 @@ object GraftCommitMerge {
     run(spark, path, schemaDdl, keyCol, changes.select(keyCol),
       insert = Some(changes))
 
+  /** CDC APPLY: a full change set — upserts (added + changed rows, the
+    * table's exact schema) AND a delete-key frame — applied as ONE
+    * atomic generation: the affected-part selection, anti-join, and
+    * publish run once over the UNION of both key sets, so a reader
+    * never observes the deletes without the upserts (or vice versa).
+    * This is the sink-side consumer of `q_cdc_snapshot_diff`'s output:
+    * its added/changed rows are the upserts, its removed keys the
+    * deletes — snapshot diff OUT, CDC apply IN closes the loop.
+    * `removed` counts replaced + deleted table rows together. */
+  def applyCdc(spark: SparkSession, path: String, schemaDdl: String,
+      keyCol: String, upserts: DataFrame,
+      deleteKeys: DataFrame): MergeReport =
+    run(spark, path, schemaDdl, keyCol,
+      upserts.select(keyCol).unionByName(deleteKeys.toDF(keyCol)),
+      insert = Some(upserts))
+
   private def run(spark: SparkSession, path: String, schemaDdl: String,
       keyCol: String, keys: DataFrame,
       insert: Option[DataFrame]): MergeReport = {

@@ -351,6 +351,9 @@ private[graft] object GraftCommitMeta {
         s"corrupt zone-map stats field '$stats' in manifest entry", e)
     }
 
+  /** Public hex view of a string bound's bytes (metadata table). */
+  def hexBytes(b: Array[Byte]): String = hex(b)
+
   private val hexDigits = "0123456789abcdef".toCharArray
   private def hex(b: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(b.length * 2)

@@ -254,6 +254,50 @@ private[sources] object GraftZoneMap {
   }
 }
 
+/** METADATA TABLE over a commit-sink directory (round 14) — the
+  * Iceberg `table.files` shape: the manifest's own content as a
+  * DataFrame, one row per (entry, column-with-stats), so layout health
+  * (file sizes, fragmentation), zone-map coverage, and null profiles
+  * are QUERYABLE without opening a single data file. Driver-side parse
+  * by design: the manifest IS metadata (KB-scale at any table size —
+  * the same listing every scan's planning already reads); exposing it
+  * as a frame costs no data-path I/O at 100 TB. */
+object GraftManifestMeta {
+  /** Columns: `file, part_rows, ncols, col_idx, num_lo, num_hi,
+    * str_lo, str_hi (hex, exclusive), nulls` — one row per column with
+    * recorded stats; entries with NO stats surface one row with
+    * col_idx = -1 so fragmentation audits still see every file. */
+  def files(spark: org.apache.spark.sql.SparkSession, path: String,
+      generation: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val man = generation match {
+      case Some(g) => new Path(dir, f"_GRAFT_COMMIT.g$g%04d")
+      case None => new Path(dir, "_GRAFT_COMMIT")
+    }
+    if (!fs.exists(man))
+      throw new java.io.FileNotFoundException(
+        s"no manifest ${man.getName} under $path")
+    val (_, _, entries) = GraftCommitMeta.readManifestFile(fs, man)
+    val rows = entries.flatMap { e =>
+      val st = GraftCommitMeta.parseStats(e.stats)
+      if (st.isEmpty)
+        Seq((e.file, e.rows, e.ncols, -1, Option.empty[String],
+          Option.empty[String], Option.empty[String], Option.empty[String],
+          Option.empty[Long]))
+      else st.toSeq.sortBy(_._1).map { case (i, cs) =>
+        (e.file, e.rows, e.ncols, i, cs.num.map(_._1), cs.num.map(_._2),
+          cs.str.map(b => GraftCommitMeta.hexBytes(b._1)),
+          cs.str.flatMap(_._2).map(GraftCommitMeta.hexBytes),
+          cs.nulls)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("file", "part_rows", "ncols", "col_idx", "num_lo", "num_hi",
+      "str_lo", "str_hi", "nulls")
+  }
+}
+
 /** One committed part file: its path, the manifest's row count, and the
   * column width it was committed at (-1 = legacy strict entry). */
 case class GraftManifestPartition(file: String, rows: Long, ncols: Int)

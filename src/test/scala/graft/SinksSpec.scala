@@ -1161,6 +1161,28 @@ class SinksSpec extends SparkSpec {
         spark, dir, "k BIGINT", "k", spark.range(1).select(lit(5L).as("k")))
     }
     assert(ex.getMessage.contains("signature"), ex.getMessage)
+    // CDC APPLY: delete + update + insert in ONE atomic generation
+    val genPre = new String(Files.readAllBytes(
+      Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8").linesIterator.next()
+      .split("\t")(1).toLong
+    val preCount = read(None).count()
+    val upserts = spark.range(2).select(
+      when(col("id") === 0, 20L).otherwise(500L).as("k"),
+      concat(lit("cdc"), col("id")).as("s")) // update k=20, insert k=500
+    val cdcRep = graft.sources.GraftCommitMerge.applyCdc(
+      spark, dir, "k BIGINT, s STRING", "k", upserts,
+      spark.range(1).select(lit(21L).as("k"))) // delete k=21
+    assert(cdcRep.removed === 2L && cdcRep.added === 2L, cdcRep.toString)
+    val genPost = new String(Files.readAllBytes(
+      Paths.get(dir, "_GRAFT_COMMIT")), "UTF-8").linesIterator.next()
+      .split("\t")(1).toLong
+    assert(genPost === genPre + 1L,
+      "CDC apply must land as exactly ONE generation")
+    assert(read(None).count() === preCount - 2L + 2L)
+    assert(read(None).where(col("k") === 21L).count() === 0L)
+    assert(read(None).where(col("k") === 20L).select("s").first()
+      .getString(0) === "cdc0")
+    assert(read(None).where(col("k") === 500L).count() === 1L)
   }
 
   test("age-based vacuum: mtime horizon, current generation immune, dry-run mutates nothing, idempotent") {
