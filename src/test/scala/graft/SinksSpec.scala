@@ -1185,6 +1185,49 @@ class SinksSpec extends SparkSpec {
     assert(read(None).where(col("k") === 500L).count() === 1L)
   }
 
+  test("manifest metadata table: per-part rows/widths/bounds/nulls queryable; stats-less entries surface; as-of works") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("metatab")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w0 = fac.createWriter(0, 1L)
+    w0.write(row(10L, "alpha")); w0.write(row(19L, "beta"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit()))
+    // a LEGACY stats-less entry (hand-appended 2-field line) must still
+    // surface in the metadata table with col_idx = -1
+    val man = Paths.get(dir, "_GRAFT_COMMIT")
+    Files.write(Paths.get(dir, "part-90000-g0000.tsv"),
+      "7\tlegacy\n".getBytes("UTF-8"))
+    val manTxt = new String(Files.readAllBytes(man), "UTF-8")
+    Files.write(man, (manTxt + "part-90000-g0000.tsv\t1\n").getBytes("UTF-8"))
+    // the hand-append bypassed the checksummed local FS — drop the now
+    // stale .crc sidecar so the manifest re-reads cleanly
+    Files.deleteIfExists(Paths.get(dir, "._GRAFT_COMMIT.crc"))
+    val meta = graft.sources.GraftManifestMeta.files(spark, dir)
+    assert(meta.select("file").distinct().count() === 2L)
+    val k = meta.where(col("col_idx") === 0).collect()
+    assert(k.length === 1)
+    assert(k(0).getAs[String]("num_lo") === "10" &&
+      k(0).getAs[String]("num_hi") === "19")
+    assert(k(0).getAs[Long]("nulls") === 0L)
+    val s0 = meta.where(col("col_idx") === 1).collect()(0)
+    assert(s0.getAs[String]("str_lo") ===
+      graft.sources.GraftCommitMeta.strLoBound("alpha".getBytes("UTF-8")))
+    assert(s0.getAs[String]("str_hi") ===
+      graft.sources.GraftCommitMeta.strHiBound("beta".getBytes("UTF-8")))
+    val legacy = meta.where(col("col_idx") === -1).collect()
+    assert(legacy.length === 1 &&
+      legacy(0).getAs[String]("file") === "part-90000-g0000.tsv")
+    // as-of: the generation option resolves the immutable manifest
+    // (which predates the hand-append, so it lists only the real part)
+    val asof = graft.sources.GraftManifestMeta.files(spark, dir, Some(0L))
+    assert(asof.select("file").distinct().count() === 1L)
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.GraftManifestMeta.files(spark, dir, Some(9L))
+    }
+    ()
+  }
+
   test("age-based vacuum: mtime horizon, current generation immune, dry-run mutates nothing, idempotent") {
     val dir = freshDir("vacage")
     def commitGen(tag: String, t0: Long): Unit = {
