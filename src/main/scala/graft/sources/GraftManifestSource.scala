@@ -311,6 +311,16 @@ class GraftManifestScan(path: String, full: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Explain surface: `.explain` on a manifest read shows the as-of
+    * generation, any entry-subset restriction, and the filters the
+    * zone-map/null-count skipper will prune with — the same
+    * PushedFilters review discipline the parquet scans get. */
+  override def description(): String = {
+    val gen = generation.map(g => s" generation=g$g").getOrElse("")
+    val sub = files.map(f => s" files=${f.size}").getOrElse("")
+    s"graft_manifest($path)$gen$sub PushedFilters: [${pushed.mkString(", ")}]"
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val dir = new Path(path)

@@ -1185,6 +1185,48 @@ class SinksSpec extends SparkSpec {
     assert(read(None).where(col("k") === 500L).count() === 1L)
   }
 
+  test("delete keyed on an APPENDED column: pre-evolution parts are provably clean and never rewritten") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val dir = freshDir("mergeevo")
+    // generation 0: the 2-column schema (no `v` yet)
+    val fac2 = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w0 = fac2.createWriter(0, 1L)
+    w0.write(row(1L, "old1")); w0.write(row(2L, "old2"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w0.commit()))
+    // generation 1: evolved schema appends `v`
+    val schema3 = new StructType()
+      .add("k", LongType).add("s", StringType).add("v", LongType)
+    val fac3 = new GraftCommitWriterFactory(dir, schema3, serConf)
+    val w1 = fac3.createWriter(0, 2L)
+    w1.write(new GenericInternalRow(Array[Any](10L, UTF8String.fromString("n1"), 7L)))
+    w1.write(new GenericInternalRow(Array[Any](11L, UTF8String.fromString("n2"), 8L)))
+    new GraftCommitWrite(dir, schema3, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w1.commit()))
+    def digest(f: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(Files.readAllBytes(Paths.get(dir, f))).map("%02x".format(_)).mkString
+    }
+    val g0digest = digest("part-00000-g0000.tsv")
+    // delete keyed on the APPENDED column: the gen-0 part predates `v`
+    // (every value NULL there — equality can never match), so it is
+    // PROVABLY clean and must carry verbatim, not conservatively rewrite
+    val rep = graft.sources.GraftCommitMerge.delete(
+      spark, dir, "k BIGINT, s STRING, v BIGINT", "v",
+      spark.range(1).select(lit(7L).as("v")))
+    assert(rep.rewritten === 1 && rep.carried === 1 && rep.removed === 1L,
+      rep.toString)
+    assert(digest("part-00000-g0000.tsv") === g0digest,
+      "pre-evolution part must never be rewritten for an appended-column key")
+    val cur = spark.read.format("graft.sources.GraftManifestSource")
+      .schema("k BIGINT, s STRING, v BIGINT").option("path", dir).load()
+    assert(cur.count() === 3L)
+    assert(cur.where(col("v") === 7L).count() === 0L)
+    assert(cur.where(col("v").isNull).count() === 2L,
+      "pre-evolution rows (NULL v) must survive")
+  }
+
   test("manifest metadata table: per-part rows/widths/bounds/nulls queryable; stats-less entries surface; as-of works") {
     import org.apache.spark.sql.functions._
     val dir = freshDir("metatab")
@@ -1501,6 +1543,12 @@ class SinksSpec extends SparkSpec {
     // long-value part's incremented hi bound keeps correctness
     assert(planned(read().where(col("s") === "melon")) === 1)
     assert(read().where(col("s") === "melon").count() === 1L)
+    // .explain surfaces the pushdown (round 14: the manifest scan's
+    // description reports what the skipper prunes with)
+    val exp = read().where(col("s") === "melon")
+      .queryExecution.executedPlan.toString
+    assert(exp.contains("PushedFilters: [") && exp.contains("EqualTo(s,melon)"),
+      exp.linesIterator.take(6).mkString("\n"))
     // value above part 0's range, below part 1's lo, below part 2's lo
     assert(planned(read().where(col("s") === "grape")) === 0)
     // range shapes both directions
