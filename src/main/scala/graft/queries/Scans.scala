@@ -414,6 +414,64 @@ object Scans {
         .orderBy("view")
     }),
 
+    // MERGE-ON-READ row-level DELETE (round 14 — the tombstone twin of
+    // q_sink_delete_rows, the verdict's either/or both delivered): the
+    // delete-key set publishes as EQUALITY-DELETE files in a new
+    // generation carrying every data entry VERBATIM — zero data bytes
+    // rewritten, cost O(delete keys): the 100 TB takedown path is one
+    // tiny file write + a manifest swap. The manifest reader anti-joins
+    // the tombstone keys into every data read (the equality-delete
+    // amplification, reclaimed when compaction MATERIALIZES them: the
+    // staged rewrite reads through the reader, so the binpack below
+    // yields a tombstone-free generation with the same rows). The query
+    // grades all three read states — pre-delete as-of, the MOR view
+    // through tombstones, the materialized view after binpack (both
+    // must hash the same orders-minus-deletes rollup) — plus the
+    // protocol report: 1 tombstone file, the exact key count, zero
+    // delete entries left after materialization.
+    "q_sink_delete_mor" -> ((s, d) => {
+      val out = tmpDir(s"dmor_${d.replaceAll("[^0-9.]", "")}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val w = o.agg(max("k")).first().getLong(0) / 8 + 1
+      bandLayout8(o, w)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", out).mode("overwrite").save()
+      val delKeys = o.where(
+        (col("k") >= 3 * w && col("k") < 4 * w && col("k") % 5 === 0) ||
+          (col("k") >= 6 * w && col("k") < 7 * w && col("k") % 7 === 0))
+        .select("k")
+      val (delFiles, nKeys) = graft.sources.GraftCommitMerge.deleteMor(
+        s, out, "k BIGINT, cents BIGINT", "k", delKeys)
+      def read(gen: Option[Int]) = {
+        val r = s.read.format("graft.sources.GraftManifestSource")
+          .schema("k BIGINT, cents BIGINT").option("path", out)
+        gen.fold(r)(g => r.option("generation", g.toString)).load()
+      }
+      def roll(df: org.apache.spark.sql.DataFrame, v: String) =
+        df.withColumn("view", lit(v)).groupBy("view")
+          .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"),
+            sum(col("cents")).as("total_cents"))
+      // the MOR view must be read BEFORE materialization retires the
+      // tombstoned layout (eager, like the other history-graded rows)
+      val morView = roll(read(None), "current_mor").localCheckpoint(true)
+      val cnt = o.count()
+      graft.sources.GraftCommitCompact.binpack(
+        s, out, "k BIGINT, cents BIGINT", cnt + 1)
+      val tombsAfter = graft.sources.GraftManifestMeta.files(s, out)
+        .where(col("kind") === "delete").select("file").distinct().count()
+      morView
+        .unionByName(roll(read(Some(0)), "asof_predelete"))
+        .unionByName(roll(read(None), "current_materialized"))
+        .unionByName(s.range(1).select(lit("mor_report").as("view"),
+          lit(delFiles.toLong).as("cnt"), lit(nKeys).as("min_key"),
+          lit(tombsAfter).as("total_cents")))
+        .orderBy("view")
+    }),
+
     // Keyed MERGE (upsert) through the commit sink (round 14): the
     // dedup-apply / CDC-apply shape — change rows REPLACE same-key
     // table rows and INSERT otherwise, as one copy-on-write generation.
@@ -1128,6 +1186,34 @@ object Scans {
          UNION ALL
          SELECT 'delete_report', CAST(2 AS BIGINT), CAST(6 AS BIGINT),
            (SELECT COUNT(*) FROM del)
+         ORDER BY view""",
+
+    // the MOR view (through tombstones) and the materialized view
+    // (after binpack) must BOTH hash orders-minus-deletes; the report
+    // pins 1 tombstone file, the exact key count, and zero delete
+    // entries surviving materialization
+    "q_sink_delete_mor" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         w AS (SELECT (MAX(o_orderkey) // 8) + 1 AS w FROM orders),
+         del AS (SELECT k FROM c, w
+                 WHERE (k >= 3 * w.w AND k < 4 * w.w AND k % 5 = 0)
+                    OR (k >= 6 * w.w AND k < 7 * w.w AND k % 7 = 0)),
+         live AS (SELECT * FROM c WHERE k NOT IN (SELECT k FROM del))
+         SELECT 'asof_predelete' AS view, COUNT(*) AS cnt, MIN(k) AS min_key,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM c
+         UNION ALL
+         SELECT 'current_materialized', COUNT(*), MIN(k),
+           CAST(SUM(cents) AS BIGINT)
+         FROM live
+         UNION ALL
+         SELECT 'current_mor', COUNT(*), MIN(k), CAST(SUM(cents) AS BIGINT)
+         FROM live
+         UNION ALL
+         SELECT 'mor_report', CAST(1 AS BIGINT),
+           (SELECT COUNT(*) FROM del), CAST(0 AS BIGINT)
          ORDER BY view""",
 
     // current = orders with band-2 %3 keys restated (+555 cents) plus

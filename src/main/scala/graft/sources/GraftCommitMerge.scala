@@ -72,6 +72,66 @@ object GraftCommitMerge {
     run(spark, path, schemaDdl, keyCol, changes.select(keyCol),
       insert = Some(changes))
 
+  /** MERGE-ON-READ row-level DELETE (round 14 — the tombstone twin of
+    * the copy-on-write [[delete]]): publishes the delete-key set as
+    * EQUALITY-DELETE files (`del-NNNNN-gGGGG.tsv`, one key per line,
+    * staged through the sink's own two-phase commit) in a new
+    * generation whose manifest carries EVERY existing entry verbatim
+    * plus the tombstones — ZERO data bytes read or rewritten, cost
+    * O(delete keys). The manifest reader anti-joins the tombstone keys
+    * into every data read of that generation (and later ones, until
+    * materialized); prior generations still read the rows (time travel
+    * composes). This is the 100 TB takedown path: a delete is one tiny
+    * file write + a manifest swap, and the read-side cost (each task
+    * loads the tombstone keys — the standard equality-delete
+    * amplification) is reclaimed when `compact`/full `binpack`
+    * MATERIALIZES the tombstones: the staged rewrite reads through the
+    * reader (rows already filtered) and the new generation carries no
+    * del entries. Tombstones across multiple MOR deletes accumulate;
+    * the key column must be a sink-supported type (keys compare as the
+    * sink's canonical cell strings, so long/int/string keys all work);
+    * NULL delete keys are dropped (SQL equality matches nothing).
+    * @return (tombstone files published, keys recorded) */
+  def deleteMor(spark: SparkSession, path: String, schemaDdl: String,
+      keyCol: String, deleteKeys: DataFrame): (Int, Long) = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen0, cols0, entries0) =
+      GraftCommitMeta.readManifestFile(fs, new Path(dir, "_GRAFT_COMMIT"))
+    if (gen0 < 0L)
+      throw new java.io.FileNotFoundException(
+        s"no _GRAFT_COMMIT manifest under $path — nothing to delete from")
+    val schema = StructType.fromDDL(schemaDdl)
+    val keyIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(keyCol))
+    require(keyIdx >= 0, s"key column '$keyCol' not in schema [$schemaDdl]")
+    val sig = GraftCommitMeta.colsSig(schema)
+    if (cols0.exists(_ != sig))
+      throw new java.io.IOException(
+        s"delete schema [$schemaDdl] does not match the committed " +
+          s"signature [${cols0.get}] — pass the table's current full schema")
+    val stage = new Path(dir, "_merge")
+    fs.delete(stage, true)
+    // distinct: tombstones are a SET — re-deleting a key must not grow
+    // the read-side amplification
+    deleteKeys.toDF("__gm_key")
+      .select(col("__gm_key").cast(schema.fields(keyIdx).dataType))
+      .where(col("__gm_key").isNotNull)
+      .distinct().repartition(1)
+      .write.format("graft.sources.GraftCommitSink")
+      .option("path", stage.toString).mode("overwrite").save()
+    val (_, _, stageEntries) = GraftCommitMeta.readManifestFile(
+      fs, new Path(stage, "_GRAFT_COMMIT"))
+    val published = GraftCommitCompact.publishStaged(fs, dir, gen0, stage,
+      stageEntries, sig, carried = entries0, what = "mor-delete",
+      prefix = "del", entryNcols = Some(keyIdx)) { (cols, _) =>
+      if (cols.exists(_ != sig))
+        throw new java.io.IOException(
+          s"table signature changed to [${cols.getOrElse("")}] while the " +
+            "tombstones staged — refusing")
+    }
+    (published.length, published.map(_.rows).sum)
+  }
+
   /** CDC APPLY: a full change set — upserts (added + changed rows, the
     * table's exact schema) AND a delete-key frame — applied as ONE
     * atomic generation: the affected-part selection, anti-join, and
@@ -111,10 +171,16 @@ object GraftCommitMerge {
           s"signature [${cols0.get}] — pass the table's current full schema")
 
     // ---- affected-part selection (metadata + one broadcast join) ----
+    // merge-on-read tombstones are not data: they carry forward
+    // verbatim (they still apply to every untouched part; applying them
+    // to the rewritten parts is idempotent — the staged read already
+    // filtered those rows)
+    val (tombs, dataEntries) =
+      entries0.partition(GraftCommitMeta.isDeleteEntry)
     // provably clean: the key column was appended AFTER the part was
     // written — every key there is NULL, equality can never match
     val (evolutionClean, inPlay) =
-      entries0.partition(e => e.ncols >= 0 && keyIdx >= e.ncols)
+      dataEntries.partition(e => e.ncols >= 0 && keyIdx >= e.ncols)
     // candidates with exact typed bounds go to the distributed
     // intersection; anything without usable bounds is conservatively
     // affected (absent stats never prove cleanliness)
@@ -160,10 +226,10 @@ object GraftCommitMerge {
           .select("__gm_file").distinct()
           .collect().map(_.getString(0)).toSet
       }
-    val affected = conservative ++ entries0.filter(e => hitFiles(e.file))
+    val affected = conservative ++ dataEntries.filter(e => hitFiles(e.file))
     val untouched = evolutionClean ++
       inPlay.filterNot(e => conservative.exists(_.file == e.file))
-        .filterNot(e => hitFiles(e.file))
+        .filterNot(e => hitFiles(e.file)) ++ tombs
 
     if (affected.isEmpty && insert.isEmpty)
       return MergeReport(0, entries0.length, 0L, 0L)

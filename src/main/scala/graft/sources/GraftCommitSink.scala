@@ -261,6 +261,29 @@ private[graft] object GraftCommitMeta {
   def partGen(name: String): Option[Long] =
     "^part-\\d+-g(\\d+)\\.tsv$".r.findFirstMatchIn(name).map(_.group(1).toLong)
 
+  /** Generation ANY published file carries — data parts AND equality-
+    * delete (tombstone) files (`del-NNNNN-gGGGG.tsv`, round 14). The
+    * crash-recovery sweeps use this form so a crashed MOR delete's
+    * gen-ahead tombstones are debris exactly like gen-ahead parts. */
+  def fileGen(name: String): Option[Long] =
+    "^(?:part|del)-\\d+-g(\\d+)\\.tsv$".r.findFirstMatchIn(name)
+      .map(_.group(1).toLong)
+
+  /** An equality-delete (tombstone) manifest entry — round 14
+    * merge-on-read: `del-NNNNN-gGGGG.tsv` files hold ONE deleted key
+    * per line, and the entry's ncols slot carries the KEY COLUMN INDEX
+    * in the table schema instead of a width. */
+  def isDeleteEntry(e: GraftManEntry): Boolean = e.file.startsWith("del-")
+
+  /** Every committed data-or-tombstone file in the directory (the
+    * sweep/orphan globs must cover both name families). */
+  def listCommittedFiles(fs: FileSystem, dir: Path)
+    : Array[org.apache.hadoop.fs.FileStatus] =
+    (Option(fs.globStatus(new Path(dir, "part-*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]) ++
+      Option(fs.globStatus(new Path(dir, "del-*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]))
+
   /** Generation a tmp manifest name carries (`_GRAFT_COMMIT.gGGGG.tmp`). */
   def tmpGen(name: String): Long =
     "^_GRAFT_COMMIT\\.g(\\d+)\\.tmp$".r.findFirstMatchIn(name)
@@ -547,7 +570,8 @@ object GraftCommitCompact {
     * @return the new generation's staged entries as published */
   private[sources] def publishStaged(fs: FileSystem, dir: Path, gen0: Long,
       stage: Path, stageEntries: Seq[GraftManEntry], sig: String,
-      carried: Seq[GraftManEntry], what: String)(
+      carried: Seq[GraftManEntry], what: String,
+      prefix: String = "part", entryNcols: Option[Int] = None)(
       validate: (Option[String], Seq[GraftManEntry]) => Unit)
     : Seq[GraftManEntry] = {
     val lease = acquireLease(fs, dir)
@@ -570,9 +594,8 @@ object GraftCommitCompact {
       // is uncommitted debris by construction; delete it before
       // publishing. (The local FS overwrites on rename, which is why the
       // crash fuzz alone could not catch this.)
-      val aheadParts = fs.globStatus(new Path(dir, "part-*"))
-      if (aheadParts != null) aheadParts
-        .filter(s => partGen(s.getPath.getName).exists(_ > gen))
+      listCommittedFiles(fs, dir)
+        .filter(s => fileGen(s.getPath.getName).exists(_ > gen))
         .foreach(s => fs.delete(s.getPath, false))
       val aheadHists = fs.globStatus(new Path(dir, "_GRAFT_COMMIT.g*"))
       if (aheadHists != null) aheadHists
@@ -583,10 +606,13 @@ object GraftCommitCompact {
           // the rename loop is O(files) — keep the lease visibly alive
           // so a >10-min publish is never broken as stale mid-loop
           if (i % 64 == 63) heartbeatLease(fs, dir)
-          val fin = new Path(dir, f"part-$i%05d-g$newGen%04d.tsv")
+          val fin = new Path(dir, f"$prefix%s-$i%05d-g$newGen%04d.tsv")
           if (!fs.rename(new Path(stage, e.file), fin))
             throw new java.io.IOException(s"$what publish failed for ${e.file}")
-          GraftManEntry(fin.getName, e.rows, e.ncols, e.stats)
+          // tombstone entries reuse the ncols slot for the KEY COLUMN
+          // INDEX ([[GraftCommitMeta.isDeleteEntry]])
+          GraftManEntry(fin.getName, e.rows, entryNcols.getOrElse(e.ncols),
+            e.stats)
       }
       val visible = carried ++ published
       // legacy (pre-evolution) entries round-trip as 2-field lines
@@ -642,7 +668,12 @@ object GraftCommitCompact {
     if (gen0 < 0L)
       throw new java.io.FileNotFoundException(
         s"no _GRAFT_COMMIT manifest under $path — nothing to compact")
-    if (entries0.length <= targetParts)
+    // a full rewrite also MATERIALIZES merge-on-read tombstones (the
+    // staged read applies them and the new generation carries none) —
+    // so a table holding tombstones is never a no-op even at low part
+    // count
+    val (dels0, data0) = entries0.partition(isDeleteEntry)
+    if (data0.length <= targetParts && dels0.isEmpty)
       return (entries0.length, entries0.length)
     // 1. STAGE the rewrite through the sink's own commit protocol —
     //    the long, distributed part runs OUTSIDE the table lease and
@@ -661,12 +692,19 @@ object GraftCommitCompact {
       stageCols.getOrElse(""), carried = Nil, what = "compaction") {
         (cols, entries) =>
       checkSig(cols, stageCols, schemaDdl, "compaction")
-      val wantRows = entries.map(_.rows).sum
+      // exact row conservation when no tombstones exist; with
+      // tombstones the staged read has APPLIED them, so the staged
+      // count lands in [data − keys·parts, data] (a tombstone key may
+      // match once per data part — the tightest bracket available
+      // without re-reading; exactness returns once they materialize)
+      val (dels, data) = entries.partition(isDeleteEntry)
+      val dataRows = data.map(_.rows).sum
+      val tombMax = dels.map(_.rows).sum * math.max(1L, data.length.toLong)
       val haveRows = stageEntries.map(_.rows).sum
-      if (wantRows != haveRows)
+      if (haveRows > dataRows || haveRows < dataRows - tombMax)
         throw new java.io.IOException(
-          s"staged rewrite has $haveRows rows, table has $wantRows — " +
-            "refusing to publish a lossy compaction")
+          s"staged rewrite has $haveRows rows, table has $dataRows data " +
+            "rows — refusing a lossy compaction")
     }
     (entries0.length, published.length)
   }
@@ -698,9 +736,16 @@ object GraftCommitCompact {
     if (gen0 < 0L)
       throw new java.io.FileNotFoundException(
         s"no _GRAFT_COMMIT manifest under $path — nothing to binpack")
-    val (frags, carried) = entries0.partition(_.rows < targetRows)
+    // tombstones are never "fragments": they carry while ANY data entry
+    // still needs them and drop once every data entry is rewritten (the
+    // staged reads apply them, so a full repack materializes them —
+    // compact()'s rule); materializing on a PARTIAL repack would
+    // silently undelete rows in the carried files
+    val (dels0, data0) = entries0.partition(isDeleteEntry)
+    val (frags, carriedData) = data0.partition(_.rows < targetRows)
     if (frags.length <= 1)
       return (0, 0, entries0.length)
+    val carried = carriedData ++ (if (carriedData.isEmpty) Nil else dels0)
     val fragRows = frags.map(_.rows).sum
     val bins = math.max(1L, (fragRows + targetRows - 1L) / targetRows).toInt
     val stage = new Path(dir, "_compact")
@@ -718,7 +763,10 @@ object GraftCommitCompact {
       stageCols.getOrElse(""), carried, what = "binpack") { (cols, _) =>
       checkSig(cols.orElse(cols0), stageCols, schemaDdl, "binpack")
       val haveRows = stageEntries.map(_.rows).sum
-      if (haveRows != fragRows)
+      val tombMax = dels0.map(_.rows).sum * math.max(1L, frags.length.toLong)
+      if (haveRows > fragRows ||
+          (dels0.isEmpty && haveRows != fragRows) ||
+          haveRows < fragRows - tombMax)
         throw new java.io.IOException(
           s"staged binpack has $haveRows rows, fragments held $fragRows — " +
             "refusing to publish a lossy rewrite")
@@ -763,8 +811,7 @@ object GraftCommitVacuum {
       // yields a consistent set on re-run)
       val referenced = (curEntries ++ hists().flatMap(s =>
         GraftCommitMeta.readManifestFile(fs, s.getPath)._3)).map(_.file).toSet
-      val orphans = Option(fs.globStatus(new Path(dir, "part-*")))
-        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      val orphans = GraftCommitMeta.listCommittedFiles(fs, dir)
         .filter(s => !referenced(s.getPath.getName))
       orphans.zipWithIndex.foreach { case (s, i) =>
         if (i % 256 == 255) GraftCommitMeta.heartbeatLease(fs, dir)
@@ -824,8 +871,7 @@ object GraftCommitVacuum {
       // would sweep)
       val referenced = (curEntries ++ surviving.flatMap(s =>
         GraftCommitMeta.readManifestFile(fs, s.getPath)._3)).map(_.file).toSet
-      val orphans = Option(fs.globStatus(new Path(dir, "part-*")))
-        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      val orphans = GraftCommitMeta.listCommittedFiles(fs, dir)
         .filter(s => !referenced(s.getPath.getName))
       if (!dryRun) {
         orphans.zipWithIndex.foreach { case (s, i) =>
@@ -900,8 +946,7 @@ class GraftCommitWrite(path: String, schema: StructType,
     val (curGen, priorCols, prior) =
       if (rawGen >= 0L) (rawGen, rawCols, rawPrior)
       else {
-        val parts = Option(fs.globStatus(new Path(dir, "part-*")))
-          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        val parts = GraftCommitMeta.listCommittedFiles(fs, dir)
         val stranded = Option(fs.globStatus(new Path(dir, "_GRAFT_COMMIT.*.tmp")))
           .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         // only NAME-CONFORMING tmp manifests are recovery candidates: a
@@ -935,7 +980,8 @@ class GraftCommitWrite(path: String, schema: StructType,
                 s"generation $recGen under name generation $nameGen — " +
                 "refusing to promote damaged metadata; manual recovery required")
           val maxPart = parts.iterator
-            .flatMap(s => partGen(s.getPath.getName)).foldLeft(-1L)(math.max)
+            .flatMap(s => GraftCommitMeta.fileGen(s.getPath.getName))
+            .foldLeft(-1L)(math.max)
           if (recGen < maxPart)
             throw new java.io.IOException(
               s"stranded tmp manifest generation $recGen is older than " +
@@ -978,9 +1024,8 @@ class GraftCommitWrite(path: String, schema: StructType,
     // where rename fails when the destination exists (HDFS, S3A) those
     // orphans would make every retry throw forever. Delete them first; the
     // committed generation is untouched.
-    val existing = fs.globStatus(new Path(dir, "part-*"))
-    if (existing != null) existing
-      .filter(s => partGen(s.getPath.getName).exists(_ > curGen))
+    GraftCommitMeta.listCommittedFiles(fs, dir)
+      .filter(s => GraftCommitMeta.fileGen(s.getPath.getName).exists(_ > curGen))
       .foreach(s => fs.delete(s.getPath, false))
     // history-manifest twin of the part sweep (ADVICE r12, medium): the
     // immutable _GRAFT_COMMIT.gGGGG is written BEFORE the pointer swap,
@@ -1085,8 +1130,8 @@ class GraftCommitWrite(path: String, schema: StructType,
     // generation's parts (truncate mode) and sweep losing-attempt temps
     if (truncateFirst) {
       val mine = published.map(_.file).toSet
-      val old = fs.globStatus(new Path(dir, "part-*"))
-      if (old != null) old.filterNot(s => mine(s.getPath.getName))
+      GraftCommitMeta.listCommittedFiles(fs, dir)
+        .filterNot(s => mine(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, false))
       // metadata twin of the part delete (ADVICE r12, low): truncate is
       // the vacuum barrier — generations behind it are unreadable by
@@ -1128,8 +1173,7 @@ class GraftCommitWrite(path: String, schema: StructType,
   private def abortLocked(fs: FileSystem, dir: Path): Unit = {
     fs.delete(new Path(dir, "_temp"), true)
     val (curGen, _, _) = readManifest(fs, dir)
-    val parts = Option(fs.globStatus(new Path(dir, "part-*")))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    val parts = GraftCommitMeta.listCommittedFiles(fs, dir)
     // parts on disk but NO committed manifest = the delete(man)/
     // rename(manTmp) seam — the stranded tmp manifest IS the recovery
     // path the next commit promotes, and the gen-ahead history file

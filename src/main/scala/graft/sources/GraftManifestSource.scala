@@ -264,9 +264,12 @@ private[sources] object GraftZoneMap {
   * as a frame costs no data-path I/O at 100 TB. */
 object GraftManifestMeta {
   /** Columns: `file, part_rows, ncols, col_idx, num_lo, num_hi,
-    * str_lo, str_hi (hex, exclusive), nulls` — one row per column with
-    * recorded stats; entries with NO stats surface one row with
-    * col_idx = -1 so fragmentation audits still see every file. */
+    * str_lo, str_hi (hex, exclusive), nulls, kind` — one row per column
+    * with recorded stats; entries with NO stats surface one row with
+    * col_idx = -1 so fragmentation audits still see every file. `kind`
+    * is `data` or `delete` (merge-on-read tombstones — whose ncols
+    * column carries the key-column index and whose stats are the
+    * deleted-key bounds). */
   def files(spark: org.apache.spark.sql.SparkSession, path: String,
       generation: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val dir = new Path(path)
@@ -281,26 +284,30 @@ object GraftManifestMeta {
     val (_, _, entries) = GraftCommitMeta.readManifestFile(fs, man)
     val rows = entries.flatMap { e =>
       val st = GraftCommitMeta.parseStats(e.stats)
+      val kind = if (GraftCommitMeta.isDeleteEntry(e)) "delete" else "data"
       if (st.isEmpty)
         Seq((e.file, e.rows, e.ncols, -1, Option.empty[String],
           Option.empty[String], Option.empty[String], Option.empty[String],
-          Option.empty[Long]))
+          Option.empty[Long], kind))
       else st.toSeq.sortBy(_._1).map { case (i, cs) =>
         (e.file, e.rows, e.ncols, i, cs.num.map(_._1), cs.num.map(_._2),
           cs.str.map(b => GraftCommitMeta.hexBytes(b._1)),
           cs.str.flatMap(_._2).map(GraftCommitMeta.hexBytes),
-          cs.nulls)
+          cs.nulls, kind)
       }
     }
     import spark.implicits._
     rows.toDF("file", "part_rows", "ncols", "col_idx", "num_lo", "num_hi",
-      "str_lo", "str_hi", "nulls")
+      "str_lo", "str_hi", "nulls", "kind")
   }
 }
 
-/** One committed part file: its path, the manifest's row count, and the
-  * column width it was committed at (-1 = legacy strict entry). */
-case class GraftManifestPartition(file: String, rows: Long, ncols: Int)
+/** One committed part file: its path, the manifest's row count, the
+  * column width it was committed at (-1 = legacy strict entry), and the
+  * generation's tombstone files `(path, keys, keyColIdx)` the reader
+  * anti-joins (round 14 merge-on-read; empty = none). */
+case class GraftManifestPartition(file: String, rows: Long, ncols: Int,
+  dels: Seq[(String, Long, Int)] = Nil)
   extends InputPartition
 
 class GraftManifestScan(path: String, full: StructType,
@@ -342,7 +349,23 @@ class GraftManifestScan(path: String, full: StructType,
         case None =>
           s"no _GRAFT_COMMIT manifest under $path — nothing is committed here"
       })
-    val (_, _, allEntries) = GraftCommitMeta.readManifestFile(fs, man)
+    val (_, _, rawEntries) = GraftCommitMeta.readManifestFile(fs, man)
+    // MERGE-ON-READ tombstones (round 14): equality-delete entries are
+    // split out BEFORE any subsetting — they are not data, are never
+    // planned as splits, and apply to EVERY data read of this
+    // generation (including entry-subset reads: a COW rewrite of one
+    // part must still honor deletes that target it)
+    val (delEntries, allEntries) =
+      rawEntries.partition(GraftCommitMeta.isDeleteEntry)
+    val dels = delEntries.map { e =>
+      val fp = new Path(dir, e.file)
+      if (!fs.exists(fp))
+        throw new java.io.FileNotFoundException(
+          s"manifest lists tombstone ${e.file} but it is missing under " +
+            s"$path — torn commit")
+      // the ncols slot of a del- entry carries the key column index
+      (fp.toString, e.rows, e.ncols)
+    }
     // entry-subset scan: every requested name must be committed — a
     // missing one is a caller bug or a torn view, refused loudly
     val entries = files match {
@@ -373,7 +396,7 @@ class GraftManifestScan(path: String, full: StructType,
       if (!fs.exists(fp))
         throw new java.io.FileNotFoundException(
           s"manifest lists ${e.file} but it is missing under $path — torn commit")
-      GraftManifestPartition(fp.toString, e.rows, e.ncols): InputPartition
+      GraftManifestPartition(fp.toString, e.rows, e.ncols, dels): InputPartition
     }.toArray
   }
 
@@ -385,7 +408,36 @@ class GraftManifestScan(path: String, full: StructType,
 class GraftManifestReaderFactory(full: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val GraftManifestPartition(file, wantRows, ncols) = partition
+    val GraftManifestPartition(file, wantRows, ncols, dels) = partition
+    // MERGE-ON-READ (round 14): load the generation's tombstone keys
+    // once per task — keyed by key-column index, compared as the sink's
+    // own canonical cell strings (tombstone files and data cells are
+    // written by the SAME formatter, so string equality ≡ value
+    // equality). Read amplification is O(tombstone bytes) per task —
+    // the standard equality-delete cost; compaction materializes them
+    // away ([[GraftCommitCompact]]).
+    val tomb: Map[Int, java.util.HashSet[String]] =
+      dels.groupBy(_._3).map { case (keyIdx, fsOfIdx) =>
+        val set = new java.util.HashSet[String]()
+        fsOfIdx.foreach { case (delFile, delRows, _) =>
+          val p = new Path(delFile)
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            p.getFileSystem(conf.value).open(p), "UTF-8"))
+          try {
+            var seen = 0L
+            var line = in.readLine()
+            while (line != null) {
+              seen += 1
+              if (line != "\\N") { set.add(line); () }
+              line = in.readLine()
+            }
+            if (seen != delRows) throw new java.io.IOException(
+              s"tombstone $delFile has $seen keys, manifest committed " +
+                s"$delRows — torn delete")
+          } finally in.close()
+        }
+        keyIdx -> set
+      }
     // (source field index, converter) per REQUIRED column, in required
     // order — an un-requested column is skipped, never converted
     val srcIdx = required.fields.map(f => full.fieldIndex(f.name))
@@ -407,38 +459,48 @@ class GraftManifestReaderFactory(full: StructType, required: StructType,
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), "UTF-8"))
     new PartitionReader[InternalRow] {
-      private var line: String = _
+      private var cells: Array[String] = _
       private var seen = 0L
       override def next(): Boolean = {
-        line = in.readLine()
-        if (line == null) {
-          // the manifest's count is the commit's truth: fewer rows =
-          // a truncated part, and a longer file fails in get() below
-          if (seen != wantRows) throw new java.io.IOException(
-            s"$file has $seen rows, manifest committed $wantRows — torn part")
-          false
-        } else {
+        // loop: tombstoned rows are consumed (and width-validated, and
+        // counted against the manifest's total) but never emitted
+        while (true) {
+          val line = in.readLine()
+          if (line == null) {
+            // the manifest's count is the commit's truth: fewer rows =
+            // a truncated part, and a longer file fails below
+            if (seen != wantRows) throw new java.io.IOException(
+              s"$file has $seen rows, manifest committed $wantRows — torn part")
+            return false
+          }
           seen += 1
           if (seen > wantRows) throw new java.io.IOException(
             s"$file exceeds the manifest's $wantRows rows — appended-to part")
-          true
+          cells = line.split("\t", -1)
+          // SCHEMA EVOLUTION (round 13): the manifest records each
+          // file's committed width — a row must parse EXACTLY that
+          // width (anything else is corruption, refused loudly: the TSV
+          // is headerless, so a short/long row would otherwise shift
+          // columns silently), and a column APPENDED after this file
+          // was written (index ≥ its width) surfaces NULL — the
+          // mergeSchema contract through the manifest path. Legacy
+          // entries (ncols = -1) keep strict pre-evolution semantics.
+          if (ncols >= 0 && cells.length != ncols)
+            throw new java.io.IOException(
+              s"$file row has ${cells.length} fields, committed width is " +
+                s"$ncols — corrupt row")
+          // tombstone anti-join: a row whose key cell matches a deleted
+          // key is logically gone (a key past this file's width reads
+          // NULL and can never match; a NULL cell never matches)
+          val dead = tomb.nonEmpty && tomb.exists { case (idx, set) =>
+            idx < cells.length && cells(idx) != "\\N" &&
+              set.contains(cells(idx))
+          }
+          if (!dead) return true
         }
+        false // unreachable
       }
       override def get(): InternalRow = {
-        val cells = line.split("\t", -1)
-        // SCHEMA EVOLUTION (round 13): the manifest records each file's
-        // committed width — a row must parse EXACTLY that width
-        // (anything else is corruption, refused loudly: the TSV is
-        // headerless, so a short/long row would otherwise shift columns
-        // silently), and a column APPENDED after this file was written
-        // (index ≥ its width) surfaces NULL — the mergeSchema contract
-        // through the manifest path. Legacy entries (ncols = -1, written
-        // before widths were recorded) keep their strict pre-evolution
-        // semantics.
-        if (ncols >= 0 && cells.length != ncols)
-          throw new java.io.IOException(
-            s"$file row has ${cells.length} fields, committed width is " +
-              s"$ncols — corrupt row")
         val out = new Array[Any](srcIdx.length)
         var i = 0
         while (i < srcIdx.length) {

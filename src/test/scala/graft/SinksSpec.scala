@@ -1185,6 +1185,78 @@ class SinksSpec extends SparkSpec {
     assert(read(None).where(col("k") === 500L).count() === 1L)
   }
 
+  test("merge-on-read deletes: zero data rewritten, tombstones accumulate and apply, compaction materializes, COW composes") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir("mor")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val ms = (0 until 2).map { p =>
+      val w = fac.createWriter(p, p.toLong)
+      (0 until 10).foreach(i => w.write(row(p * 100L + i, s"v${p * 100 + i}")))
+      w.commit(): WriterCommitMessage
+    }
+    new GraftCommitWrite(dir, schema, truncateFirst = false).commit(ms.toArray)
+    def digest(f: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(Files.readAllBytes(Paths.get(dir, f))).map("%02x".format(_)).mkString
+    }
+    val before = partFiles(dir).map(f => f -> digest(f)).toMap
+    val (nf, nk) = graft.sources.GraftCommitMerge.deleteMor(
+      spark, dir, "k BIGINT, s STRING", "k",
+      spark.range(2).select((col("id") + 3).as("k"))) // keys 3, 4
+    assert((nf, nk) === ((1, 2L)))
+    // ZERO data bytes moved — every data part byte-identical
+    partFiles(dir).foreach(f => assert(digest(f) === before(f), s"$f changed"))
+    assert(new java.io.File(dir, "del-00000-g0001.tsv").exists())
+    def read(gen: Option[Int]) = {
+      val r = spark.read.format("graft.sources.GraftManifestSource")
+        .schema("k BIGINT, s STRING").option("path", dir)
+      gen.fold(r)(g => r.option("generation", g.toString)).load()
+    }
+    assert(read(None).count() === 18L)
+    assert(read(None).where(col("k") === 3L).count() === 0L)
+    // time travel: the pre-delete generation still reads the rows
+    assert(read(Some(0)).count() === 20L)
+    // a SECOND MOR delete accumulates (key 100 in the other part)
+    val (_, nk2) = graft.sources.GraftCommitMerge.deleteMor(
+      spark, dir, "k BIGINT, s STRING", "k",
+      spark.range(1).select(lit(100L).as("k")))
+    assert(nk2 === 1L)
+    assert(read(None).count() === 17L)
+    // PRUNED read correctness: the key column is not selected, the
+    // tombstone filter still applies (keys parse from the raw cells)
+    assert(read(None).select("s").count() === 17L)
+    assert(!read(None).select("s").collect().map(_.getString(0))
+      .contains("v100"))
+    // COW merge on a MOR table: tombstones carry forward and the
+    // rewritten part re-reads THROUGH them (no undelete)
+    val rep = graft.sources.GraftCommitMerge.merge(
+      spark, dir, "k BIGINT, s STRING", "k",
+      spark.range(1).select(lit(5L).as("k"), lit("upd").as("s")))
+    assert(rep.rewritten === 1, rep.toString)
+    assert(read(None).count() === 17L)
+    assert(read(None).where(col("k").isin(3L, 4L, 100L)).count() === 0L,
+      "COW rewrite must not undelete tombstoned keys")
+    assert(read(None).where(col("k") === 5L).select("s").first()
+      .getString(0) === "upd")
+    val metaKinds = graft.sources.GraftManifestMeta.files(spark, dir)
+      .where(col("kind") === "delete").select("file").distinct().count()
+    assert(metaKinds === 2L, "both tombstone files must carry forward")
+    // MATERIALIZE via full compact: same rows, no delete entries left
+    val (_, after) = graft.sources.GraftCommitCompact.compact(
+      spark, dir, "k BIGINT, s STRING", 1)
+    assert(after === 1)
+    assert(read(None).count() === 17L)
+    assert(graft.sources.GraftManifestMeta.files(spark, dir)
+      .where(col("kind") === "delete").count() === 0L,
+      "materialization must retire tombstone entries")
+    // vacuum retires the del FILES once their generations expire
+    graft.sources.GraftCommitVacuum.vacuum(spark, dir, 1)
+    assert(Option(new java.io.File(dir).listFiles()).get
+      .count(_.getName.startsWith("del-")) === 0,
+      "vacuum must sweep unreferenced tombstone files")
+    assert(read(None).count() === 17L)
+  }
+
   test("delete keyed on an APPENDED column: pre-evolution parts are provably clean and never rewritten") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
