@@ -1390,6 +1390,35 @@ class SinksSpec extends SparkSpec {
     ()
   }
 
+  test("vacuum staging janitor is age-scoped: a live writer's attempts and a mid-stage dir survive, aged debris sweeps") {
+    val dir = freshDir("vacstage")
+    val fac = new GraftCommitWriterFactory(dir, schema, serConf)
+    val w = fac.createWriter(0, 1L)
+    w.write(row(1L, "x"))
+    new GraftCommitWrite(dir, schema, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w.commit()))
+    // a CONCURRENT job's in-flight attempt (fresh mtime) + a mid-stage
+    // compaction dir + genuinely abandoned debris (aged mtimes)
+    new java.io.File(dir, "_temp").mkdirs()
+    new java.io.File(dir, "_compact").mkdirs()
+    val live = Paths.get(dir, "_temp/attempt-00007-99.tsv")
+    Files.write(live, "9\tlive\n".getBytes("UTF-8"))
+    val dead = Paths.get(dir, "_temp/attempt-00001-11.tsv")
+    Files.write(dead, "9\tdead\n".getBytes("UTF-8"))
+    val old = System.currentTimeMillis() - 11L * 60 * 1000
+    assert(dead.toFile.setLastModified(old))
+    val (_, _) = graft.sources.GraftCommitVacuum.vacuum(spark, dir, 1)
+    assert(Files.exists(live),
+      "vacuum must not yank a live writer's attempt file")
+    assert(!Files.exists(dead), "aged attempt debris must sweep")
+    assert(new java.io.File(dir, "_compact").exists(),
+      "a fresh (possibly mid-stage) staging dir must survive")
+    assert(new java.io.File(dir, "_compact").setLastModified(old))
+    graft.sources.GraftCommitVacuum.vacuum(spark, dir, 1)
+    assert(!new java.io.File(dir, "_compact").exists(),
+      "an abandoned staging dir must sweep once aged")
+  }
+
   test("binpack: rewrites only under-target fragments, carries large parts byte-identical, history composes") {
     import org.apache.spark.sql.functions._
     val dir = freshDir("binpack")
