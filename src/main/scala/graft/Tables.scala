@@ -54,6 +54,15 @@ object Tables {
         .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
         .foldLeft(df0)((acc, f) =>
           acc.withColumn(f.name, acc(f.name).cast("timestamp")))
+      // r14 optimization note: a cache-level scan-parallelism floor
+      // (repartition every base table to defaultParallelism before persist)
+      // was measured and REJECTED — it parallelized the dozen scan-bound
+      // operators (q_llm_chunk_cdc 1.57→0.12 s) but taxed every stage of
+      // all 345 queries with 32-task dispatch (~30–150 ms/stage in
+      // local[32]): suite 120→167 s, regressions smeared +0.2–1.8 s across
+      // ~300 cheap queries (OPTIMIZATION_r14.md "cache-level floor A/B").
+      // The adopted form is U.fanOut — the same scale-gated branch applied
+      // per-operator exactly where the scan stage is CPU-bound.
       if (cacheEnabled) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     }
 }

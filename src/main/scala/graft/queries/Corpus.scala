@@ -275,7 +275,10 @@ object Corpus {
         .select(col("word"),
           length(col("word")).cast("long").as("n_before"),
           expr("size(split(toks, ' '))").cast("long").as("n_after"))
-      Tables(s, d, "documents")
+      // fanOut (r14): tokenize+probe runs at the scan's partition count
+      // (1 at fixture scale) — the corpus side of the vocab join was a
+      // single-core explode+probe pass.
+      fanOut(Tables(s, d, "documents"))
         .select(col("source"), explode(textTokens).as("word"))
         .join(sym, "word")
         .groupBy("source")

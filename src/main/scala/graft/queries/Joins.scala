@@ -182,9 +182,13 @@ object Joins {
     // rejects — the DP then runs only on length-compatible pairs (and
     // once more in the projection, only on the few confirmed matches).
     "q_join_fuzzy_block" -> ((s, d) => {
-      val p = Tables(s, d, "part")
+      // fanOut (r14): the levenshtein DP residual runs on the broadcast
+      // join's PROBE side, which inherits the scan's 1-partition layout
+      // at fixture scale — single-core DP over every block pair
+      // (measured 1.34 s; 0.21 s with a parallel probe side).
+      val p = fanOut(Tables(s, d, "part")
         .select(col("p_partkey").as("k"), col("p_name").as("n"),
-          col("p_brand").as("b"), col("p_type").as("t"))
+          col("p_brand").as("b"), col("p_type").as("t")))
       p.as("x").join(p.as("y"),
           col("x.b") === col("y.b") && col("x.t") === col("y.t") &&
             col("x.k") < col("y.k") &&

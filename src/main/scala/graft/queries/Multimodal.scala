@@ -28,9 +28,14 @@ case class MMFeature(doc_id: Long, byte_len: Int, mean_e6: Long,
 object Multimodal {
 
   val queries: Map[String, Q] = Map(
+    // fanOut (r14) on the three CPU-dense members only (features,
+    // audio_silence, scene_cuts — per-byte integer transforms measured
+    // 0.60–0.67 s single-core, 0.14–0.39 s fanned out); the cheap members
+    // (resize, audio_energy, frame_sample, phash) REGRESSED under the
+    // extra exchange (0.07→0.13 s) and stay on the raw scan.
     "q_mm_features" -> ((s, d) => {
       import s.implicits._
-      val recs = Tables(s, d, "documents").select(
+      val recs = fanOut(Tables(s, d, "documents")).select(
         col("doc_id"),
         encode(col("text"), "utf-8").as("payload"),
         (col("n_chars") % 640 + 32).cast("int").as("width"),
@@ -149,7 +154,7 @@ object Multimodal {
       val w = Window.partitionBy("doc_id").orderBy("fid")
       val top = Window.partitionBy("doc_id")
         .orderBy(col("run").desc, col("sfid"))
-      Tables(s, d, "documents")
+      fanOut(Tables(s, d, "documents"))
         .withColumn("ch", split(col("text"), ""))
         .where(size(col("ch")) >= 64)
         .select(col("doc_id"), posexplode(expr(
@@ -180,7 +185,7 @@ object Multimodal {
       val wd = Window.partitionBy("doc_id").orderBy("frame_id")
       val wr = Window.partitionBy("doc_id")
         .orderBy(col("delta").desc, col("frame_id"))
-      Tables(s, d, "documents").select(
+      fanOut(Tables(s, d, "documents")).select(
         col("doc_id"), col("text").as("payload"))
         .withColumn("n_full",
           expr("CAST(length(payload) div 256 AS BIGINT)"))

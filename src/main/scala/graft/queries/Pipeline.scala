@@ -313,16 +313,25 @@ object Pipeline {
   def cdcChunks(docs: org.apache.spark.sql.DataFrame)
     : org.apache.spark.sql.DataFrame = {
     val gear = U.hexFold("md5(element_at(tk, CAST(i AS INT)))", 8)
-    docs.withColumn("tk", split(col("text"), " "))
+    // array_distinct instead of a start≤end row filter (r14 optimization,
+    // guide §4.4's duplicated-expression trap in expression form): edges =
+    // 0 ++ sorted boundaries(⊆1..n) ++ n is strictly increasing EXCEPT when
+    // the last boundary equals n, so dedup removes exactly the one
+    // degenerate (start>end) segment the filter used to drop — same chunk
+    // set. The filter version made Catalyst infer `isnotnull(edges)` and
+    // push it below the Generate with the alias INLINED, evaluating the
+    // md5-per-token boundary scan TWICE per document (see
+    // plans/r14/q_llm_chunk_cdc_before.txt operators (5)+(7)); with no
+    // filter on edges the expensive expression is computed once.
+    U.fanOut(docs).withColumn("tk", split(col("text"), " "))
       .withColumn("edges", expr(
-        s"""concat(array(0),
+        s"""array_distinct(concat(array(0),
               filter(sequence(1, size(tk)), i -> $gear % 8 = 0),
-              array(size(tk)))"""))
+              array(size(tk))))"""))
       .select(col("doc_id"), col("tk"), col("edges"),
         posexplode(expr("sequence(0, size(edges) - 2)")))
       .withColumn("start_tok", expr("element_at(edges, pos + 1) + 1"))
       .withColumn("end_tok", expr("element_at(edges, pos + 2)"))
-      .where(col("start_tok") <= col("end_tok"))
       .select(col("doc_id"), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok") + 1).as("n_tok"),
         md5(concat_ws(" ",

@@ -64,6 +64,30 @@ object U {
     * builds on (bind as a column named `tk` before using [[grams5]]). */
   def textTokens: Column = split(col("text"), " ")
 
+  /** Scale-gated scan fan-out (r14 optimization — guide §2.5's
+    * "repartition immediately after the read" for unsplittable inputs):
+    * raise a frame's partition count to the session's parallelism exactly
+    * when the upstream scan cannot fill it. The gate/bench fixtures are
+    * single small parquet files whose split packing (openCostInBytes
+    * floor) yields 1–3 partitions, so a CPU-dense scan stage — the
+    * md5-per-token boundary scan, per-frame integer transforms, a
+    * levenshtein DP residual on a broadcast-join probe side — ran on ≤3
+    * of the session's cores while the rest idled. At real scale
+    * partitions ≥ parallelism and the branch adds nothing (no exchange).
+    *
+    * Applied per-operator at the MEASURED scan-bound entries only. The
+    * cache-level version (repartition every base table before persist)
+    * was A/B'd and REJECTED: it won the same dozen operators but taxed
+    * every stage of all 345 queries with full-width task dispatch
+    * (suite 120 → 167 s — OPTIMIZATION_r14.md "cache-level floor A/B").
+    * Round-robin is layout-safe here: no declared query reads partition
+    * ids off a base frame (sampling/sharding is md5-derived, SURVEY
+    * §7.4), and sortBeforeRepartition keeps assignment deterministic. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Equi-width grid bin of `value` over broadcast bounds [lo, hi]:
     * `least(nb−1, floor((value − lo) / ((hi − lo) / nb)))`. Deterministic
     * (min/max bounds, no sketch), monotone in `value` (equal values never

@@ -25,7 +25,13 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val allEvents: Seq[Ev] = {
     import spark.implicits._
-    eventsDf.as[Ev].collect().toSeq
+    // Replay in event_id order (the generator co-orders event_id and ts —
+    // the StreamBench convention). This was implicit before r14: collect()
+    // returned the parquet file's natural time-sorted order; the
+    // scale-adaptive repartition in Tables made collect() order
+    // partition-interleaved, which is not the "arrival order" these
+    // convergence cases are specified against.
+    eventsDf.orderBy("event_id").as[Ev].collect().toSeq
   }
 
   /** Run a streaming transform over the events fed in `chunks`, collecting
@@ -146,6 +152,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val big = Tables(spark, "/root/testdata/sf0.1", "events")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id") // arrival order — see allEvents
       .as[Ev].collect().toSeq
     val mem = MemoryStream[Ev]
     val q = Streams.session(mem.toDF()).writeStream.format("memory")
