@@ -293,6 +293,11 @@ object Basis {
       // keeping the first plan reference execution-free.
       def peel(e: DataFrame): DataFrame =
         kcoreRound(e, k).localCheckpoint(false)
+      // kcore keeps its e0 checkpoint (unlike bfs/sp/label-prop): each
+      // peel round references the CURRENT edge frame 3× and filters it,
+      // so the src partitioning only serves round 1 while the raw-RDD
+      // re-read speed serves all three — measured r14: dropping this
+      // ckpt read 2.87 s vs 1.61 s with it
       val e0 = U.coPurchaseEdges(s, d).localCheckpoint(false)
       val e3 = peel(peel(peel(e0)))
       e3.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -57,7 +57,7 @@ object Frontier {
     // orders⋈lineitem build runs once, not once per round. dist = first
     // level an id appears in.
     "q_graph_bfs" -> ((s, d) => {
-      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      val e = U.coPurchaseEdges(s, d) // src-partitioned cache; no ckpt (see U)
       val seeds = Tables(s, d, "customer").where(col("c_custkey") < 5)
         .select(col("c_custkey").as("id"))
       var reach = seeds
@@ -90,7 +90,7 @@ object Frontier {
     // the 20 nearest nodes via a TakeOrdered heap under a total
     // (dist, id) order.
     "q_graph_shortest_path" -> ((s, d) => {
-      val e = U.coPurchaseWeightedEdges(s, d).localCheckpoint(false)
+      val e = U.coPurchaseWeightedEdges(s, d) // src-partitioned cache; no ckpt
       val seeds = Tables(s, d, "customer").where(col("c_custkey") < 5)
         .select(col("c_custkey").as("id"), lit(0L).as("dcents"))
       var dist = seeds

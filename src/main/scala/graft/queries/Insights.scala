@@ -744,7 +744,7 @@ object Insights {
   private[graft] def labelProp(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Memo(s, s"labelprop:$d") {
-      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      val e = U.coPurchaseEdges(s, d) // src-partitioned cache; no ckpt
       var lbl = e.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
       for (k <- 1 to 4) {
@@ -773,7 +773,7 @@ object Insights {
   private[graft] def louvain(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Memo(s, s"louvain:$d") {
-      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      val e = U.coPurchaseEdges(s, d) // src-partitioned cache; no ckpt
       val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(false)
       val m2f = e.agg(count(lit(1)).as("m2")) // = 2m (both directions)
@@ -1011,7 +1011,7 @@ object Insights {
   private[graft] def louvainFull(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Memo(s, s"louvainfull:$d") {
-      val e = U.coPurchaseEdges(s, d).localCheckpoint(false)
+      val e = U.coPurchaseEdges(s, d) // src-partitioned cache; no ckpt
       val e1 = e.select(col("src"), col("dst"), lit(1L).as("w"))
       val wdeg1 = e1.groupBy(col("src").as("id")).agg(sum("w").as("wdeg"))
         .localCheckpoint(false)

@@ -262,14 +262,32 @@ object U {
       else oi
     }
 
-  /** Both-direction edge list (src, dst) over [[coPurchase]] — a plan-level
-    * memo (the union reads the persisted incidence twice; no second cache
-    * layer, the bytes are already resident once). */
+  /** Both-direction edge list (src, dst) over [[coPurchase]].
+    *
+    * r14 optimization (guide §2.4 — persist a partitioning across jobs,
+    * the bucketed-table idiom): the frame is hash-repartitioned on `src`
+    * and persisted, so every iterative consumer's per-round src-keyed
+    * join/aggregate (BFS frontier expansion, k-core degree counts,
+    * label-prop/louvain message passing, pagerank out-degree sends) reads
+    * the cached partitioning instead of re-shuffling the full edge list
+    * each round — the e-side Exchange disappears from every round
+    * (frontier frames are checkpointed RDDs with no stats, so those joins
+    * never broadcast and used to shuffle BOTH sides). Consumers must NOT
+    * localCheckpoint this frame (an ExistingRDD scan reports unknown
+    * partitioning and puts the per-round shuffle back). Pre-r14 this was
+    * a plan-level memo over the persisted incidence; the second cache
+    * layer costs ~2×|E| rows once and is gated off with the rest
+    * (SPARK_GRAFT_CACHE=false → plain union, at 100 TB you bucket-write
+    * instead). */
   def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     graft.Memo(s, s"copurchase-edges:$d") {
       val oi = coPurchase(s, d)
-      oi.select(col("cust").as("src"), col("supp").as("dst"))
+      val e = oi.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
+      if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
+        e.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else e
     }
 
   /** Weighted co-purchase incidence: the [[coPurchase]] pair set with edge
@@ -293,12 +311,18 @@ object U {
     }
 
   /** Both-direction weighted edge list (src, dst, w) over
-    * [[coPurchaseWeighted]] — plan-level memo like [[coPurchaseEdges]]. */
+    * [[coPurchaseWeighted]] — src-partitioned + persisted like
+    * [[coPurchaseEdges]] (its one consumer, shortest-path, joins the
+    * frontier on src four rounds per run). */
   def coPurchaseWeightedEdges(s: SparkSession, d: String): DataFrame =
     graft.Memo(s, s"copurchase-w-edges:$d") {
       val oi = coPurchaseWeighted(s, d)
-      oi.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+      val e = oi.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
         .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+      if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
+        e.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else e
     }
 
   /** ONE corpus-wide exploded token stream (doc_id, lang, source, term)
