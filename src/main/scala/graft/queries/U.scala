@@ -285,7 +285,11 @@ object U {
       val e = oi.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst")))
       if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
-        e.repartition(col("src"))
+        // sortWithinPartitions completes the bucket+sort idiom: the cached
+        // plan's outputOrdering satisfies SMJ consumers' sort requirement,
+        // so the per-run e-side Sort disappears too (one sort at
+        // materialization instead of one per consumer run)
+        e.repartition(col("src")).sortWithinPartitions("src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else e
     }
@@ -320,7 +324,11 @@ object U {
       val e = oi.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
         .unionAll(oi.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
       if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "true") != "false")
-        e.repartition(col("src"))
+        // sortWithinPartitions completes the bucket+sort idiom: the cached
+        // plan's outputOrdering satisfies SMJ consumers' sort requirement,
+        // so the per-run e-side Sort disappears too (one sort at
+        // materialization instead of one per consumer run)
+        e.repartition(col("src")).sortWithinPartitions("src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else e
     }
