@@ -71,6 +71,19 @@ object Bench {
       // read shifted instants.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries)
+      // r15: the generated class name embeds the per-query codegen stage
+      // id (GeneratedIteratorForCodegenStage<N>); under AQE the id
+      // assignment order varies run-to-run (stages materialize in
+      // nondeterministic order), so byte-identical generated code misses
+      // the Janino cache and RE-COMPILES — measured: q_ts_survival_km
+      // compiled 22/18/16 NEW sources on iterations 2/3/4 of an identical
+      // plan, and 9–19 queries re-compiled on the bench's warm pass
+      // (~15 s of a 125 s draw). With the id out of the class name the
+      // source is stable: 0 compiles after iteration 1, and iteration 1
+      // itself drops ~2× (identical sub-plan stages across queries now
+      // share one compiled class). The id is cosmetic (stack-trace
+      // labels); plans and results are unchanged.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

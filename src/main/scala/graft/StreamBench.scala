@@ -99,6 +99,11 @@ object StreamBench {
       // 320-query surface (measured round 11: 4,341 warm recompiles, bench
       // 139.4 -> 92.3 s at 8192 — BASELINE.md "codegen cache")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // stable codegen class names: AQE assigns codegen stage ids in
+      // nondeterministic order, so the id-in-class-name default makes
+      // byte-identical generated code miss the Janino cache and
+      // recompile per invocation (r15, measured in Bench.scala)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // track sizes so stateMemory/rocksdb metrics are populated
