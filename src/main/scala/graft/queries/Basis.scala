@@ -232,35 +232,50 @@ object Basis {
     // authorities with scores. Never materializes anything wider than
     // the node frames; both aggregates ride the edge key.
     "q_graph_hits" -> ((s, d) => {
-      // the incidence derivation rides the memoized+persisted shared
-      // frame — one orders⋈lineitem DISTINCT per JVM for the whole
-      // q_graph_* family, supplier-id offset single-sourced in
-      // U.supplierIdOffset (a divergent literal here would silently
-      // desync HITS's node ids from the rest). The lazy localCheckpoint
-      // ON TOP of it is hits-local: six propagation/norm jobs consume
-      // oi, and raw RDD blocks beat re-decompressing the columnar cache
-      // six times (measured: 4.6 s cache-only vs 2.4 s checkpointed in
-      // the r7 bench).
-      val oi = U.coPurchase(s, d)
-        .select(col("cust").as("c"), col("supp").as("p"))
-        .localCheckpoint(false)
+      // r15: two structural fixes, same arithmetic.
+      // (1) Without barriers between rounds, the final lazy tree
+      //     re-derives every upstream node frame per REFERENCE — deg 8×,
+      //     a1 4×, h1r 2×, 14 incidence scans, ~12 exchanges (the r14
+      //     locked plan). Each tiny node frame (≤|P|,|C| rows) now takes
+      //     a lazy localCheckpoint, so the propagation LINEARIZES: every
+      //     aggregate runs once, and the per-round plan is one edge scan
+      //     + one keyed agg.
+      // (2) The incidence scans ride the src-partitioned+sorted shared
+      //     edge cache (U.coPurchaseEdges) instead of a hits-local oi
+      //     checkpoint: the supplier-src half IS oi keyed by p and the
+      //     customer-src half IS oi keyed by c, so the in-degree agg and
+      //     each propagation join consume the cached partitioning with
+      //     no edge-side Exchange (the r14 bucket+sort idiom; the node
+      //     frames, not the edges, are the shuffled side). Offset
+      //     single-sourced in U.supplierIdOffset — a divergent literal
+      //     here would silently desync HITS's node ids from the rest.
+      val E = U.coPurchaseEdges(s, d)
+      val eP = E.filter(col("src") >= U.supplierIdOffset)
+        .select(col("src").as("p"), col("dst").as("c"))
+      val eC = E.filter(col("src") < U.supplierIdOffset)
+        .select(col("src").as("c"), col("dst").as("p"))
       // round 1: authority = in-degree (h0 = 1), L2-normalized exactly
-      val deg = oi.groupBy("p").agg(count(lit(1)).as("deg"))
+      val deg = eP.groupBy("p").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
       val n1 = deg.agg(
         sqrt(sum(col("deg") * col("deg")).cast("double")).as("nrm"))
       val a1 = deg.crossJoin(broadcast(n1))
         .select(col("p"), round(col("deg") / col("nrm"), 6).as("a"))
+        .localCheckpoint(false)
       // hub update: h(c) = Σ a(p) over c's suppliers, renormalized
-      val h1r = oi.join(a1, "p").groupBy("c").agg(dsum(col("a")).as("h"))
+      val h1r = eP.join(a1, "p").groupBy("c").agg(dsum(col("a")).as("h"))
         .select(col("c"), round(col("h"), 6).as("h6"))
+        .localCheckpoint(false)
       val n2 = h1r.agg(sqrt(sum((col("h6") * col("h6"))
         .cast(org.apache.spark.sql.types.DecimalType(32, 12)))
         .cast("double")).as("nrm"))
       val h1 = h1r.crossJoin(broadcast(n2))
         .select(col("c"), round(col("h6") / col("nrm"), 6).as("h"))
+        .localCheckpoint(false)
       // round 2: authority from the renormalized hubs
-      val a2r = oi.join(h1, "c").groupBy("p").agg(dsum(col("h")).as("a"))
+      val a2r = eC.join(h1, "c").groupBy("p").agg(dsum(col("h")).as("a"))
         .select(col("p"), round(col("a"), 6).as("a6"))
+        .localCheckpoint(false)
       val n3 = a2r.agg(sqrt(sum((col("a6") * col("a6"))
         .cast(org.apache.spark.sql.types.DecimalType(32, 12)))
         .cast("double")).as("nrm"))

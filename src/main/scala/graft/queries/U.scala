@@ -82,7 +82,16 @@ object U {
     * (suite 120 → 167 s — OPTIMIZATION_r14.md "cache-level floor A/B").
     * Round-robin is layout-safe here: no declared query reads partition
     * ids off a base frame (sampling/sharding is md5-derived, SURVEY
-    * §7.4), and sortBeforeRepartition keeps assignment deterministic. */
+    * §7.4), and sortBeforeRepartition keeps assignment deterministic.
+    *
+    * PRECONDITION (r15, advisor item): pass only plain scans — a parquet
+    * read, a cached base frame, or a projection/filter of one. The gate
+    * reads `df.rdd.getNumPartitions`, and under AQE materializing `.rdd`
+    * finalizes the adaptive plan, eagerly executing any upstream shuffle
+    * stages — on a frame with an exchange this would silently run jobs
+    * at plan-construction time. Every current call site is a plain scan;
+    * keep it that way (or gate on the logical plan before adding one
+    * that isn't). */
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
@@ -291,7 +300,13 @@ object U {
         // materialization instead of one per consumer run)
         e.repartition(col("src")).sortWithinPartitions("src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else e
+      else
+        // cache-disabled: still truncate the lineage (lazy, execution-
+        // free until first use) so the iterative consumers' per-round
+        // references replay RDD blocks, not the full orders⋈lineitem
+        // re-derivation + re-shuffle each round (r14 advisor item — the
+        // un-persisted branch silently regressed every graph round)
+        e.localCheckpoint(false)
     }
 
   /** Weighted co-purchase incidence: the [[coPurchase]] pair set with edge
@@ -330,7 +345,10 @@ object U {
         // materialization instead of one per consumer run)
         e.repartition(col("src")).sortWithinPartitions("src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else e
+      else
+        // cache-disabled: lazy lineage truncation, same rationale as
+        // [[coPurchaseEdges]]'s no-cache branch
+        e.localCheckpoint(false)
     }
 
   /** ONE corpus-wide exploded token stream (doc_id, lang, source, term)

@@ -531,12 +531,11 @@ class PlanSpec extends SparkSpec {
     // and its broadcast; a doubled corpus lineage would add a second _w0
     val dedupShuffles = "hashpartitioning\\(_w".r.findAllIn(p).size
     assert(dedupShuffles == 1, s"dedup shuffle duplicated ($dedupShuffles):\n$p")
-    // RoundRobinPartitioning exchanges are the cached base tables'
-    // one-time materialization repartition (Tables' r14 scan-parallelism
-    // floor), printed inside the InMemoryRelation lineage — not a
-    // per-query shuffle; exclude them from the lineage-doubling budget.
-    val exchanges = "Exchange ".r.findAllIn(p).size -
-      "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    // every exchange counts: the curation plan contains no
+    // RoundRobinPartitioning (the r14 cache-level repartition that once
+    // justified an exclusion here was A/B'd and rejected), so the budget
+    // deliberately covers any future fanOut round-robin shuffle too
+    val exchanges = "Exchange ".r.findAllIn(p).size
     assert(exchanges <= 6, s"exchange count grew to $exchanges — lineage doubled?\n$p")
   }
 

@@ -26,11 +26,10 @@ class StreamingSpec extends SparkSpec {
   private lazy val allEvents: Seq[Ev] = {
     import spark.implicits._
     // Replay in event_id order (the generator co-orders event_id and ts —
-    // the StreamBench convention). This was implicit before r14: collect()
-    // returned the parquet file's natural time-sorted order; the
-    // scale-adaptive repartition in Tables made collect() order
-    // partition-interleaved, which is not the "arrival order" these
-    // convergence cases are specified against.
+    // the StreamBench convention). The explicit orderBy pins the arrival
+    // order these convergence cases are specified against; before r14 it
+    // was implicit in the parquet file's natural time-sorted order, which
+    // any upstream repartition would silently interleave.
     eventsDf.orderBy("event_id").as[Ev].collect().toSeq
   }
 
