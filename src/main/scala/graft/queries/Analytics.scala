@@ -244,19 +244,28 @@ object Analytics {
     // the iterative-fixpoint surface SQL users expect from an engine.
     "q_sql_recursive" -> ((s, d) => {
       Tables(s, d, "events").createOrReplaceTempView("events")
+      // r15: the lagged event frame is LOOP-INVARIANT but was a plain
+      // CTE, so every UnionLoop iteration re-ran the per-user window
+      // sort over the full events table (depth = the longest session's
+      // event count). Materialize it once behind a lazy checkpoint and
+      // let the recursion join against the frozen frame — same rows,
+      // same recursion, one window pass per invocation.
+      s.sql(
+        """SELECT user_id, event_id, unix_micros(ts) AS us,
+             lag(unix_micros(ts)) OVER w AS pus,
+             lag(event_id) OVER w AS prev_id
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""")
+        .localCheckpoint(false)
+        .createOrReplaceTempView("sess_lagged")
       s.sql(
         """WITH RECURSIVE
-           e AS (SELECT user_id, event_id, unix_micros(ts) AS us,
-                   lag(unix_micros(ts)) OVER w AS pus,
-                   lag(event_id) OVER w AS prev_id
-                 FROM events
-                 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
            sess(user_id, session_id, event_id, us) AS (
-             SELECT user_id, event_id, event_id, us FROM e
+             SELECT user_id, event_id, event_id, us FROM sess_lagged
              WHERE pus IS NULL OR us - pus >= 900000000
              UNION ALL
              SELECT s.user_id, s.session_id, e.event_id, e.us
-             FROM sess s JOIN e ON e.user_id = s.user_id
+             FROM sess s JOIN sess_lagged e ON e.user_id = s.user_id
                AND e.prev_id = s.event_id AND e.us - s.us < 900000000)
            SELECT user_id, session_id, COUNT(*) AS n_events,
              MIN(us) div 1000000 AS start_s, MAX(us) div 1000000 AS end_s

@@ -11,6 +11,6 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS "-Xmx${SPARK_DRIVER_MEM:-8g}" \
+exec java $OPENS "-Xmx${SPARK_DRIVER_MEM:-8g}" -XX:+UseParallelGC \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
